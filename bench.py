@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": ...}
+
+Each query is executed to completion (count + a write-free collect of
+a bounded head) so the full plan runs; a warmup pass absorbs JVM/
+codegen startup so the numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from target_hdfs_spark.registry import all_queries
+from target_hdfs_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the plans
+# whose scale behavior matters (joins, windows, dedup, similarity).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_local_supplier_revenue",
+    "q07_agg_stats",
+    "q10_window_rank",
+    "q18_json_extract",
+    "q30_asof_join_last_view",
+    "q33_session_window",
+    "q42_minhash_signatures",
+    "q43_minhash_lsh_pairs",
+    "q46_cosine_topk",
+    "q51_token_frequencies",
+    "q54_quality_filter",
+]
+
+
+def run_once(spec, spark, sf_dir: str) -> int:
+    df = spec.fn(spark, sf_dir)
+    # count() forces full execution of every operator in the plan.
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="target_hdfs_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+
+    # Warmup: JVM, codegen, parquet footer caches.
+    run_once(specs[names[0]], spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run_once(specs[name], spark, sf_dir)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

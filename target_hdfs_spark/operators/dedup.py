@@ -1,0 +1,399 @@
+"""Deduplication operators for LLM-corpus pipelines (SURVEY.md §2B.2
+L1/L2): exact, hash-based exact, MinHash+LSH near-dup, SimHash, and
+n-gram Jaccard near-dup — all fully deterministic and verified value-
+for-value against the DuckDB oracle (the portable md5-based hash family
+in functions/hashing.py makes the sketches engine-agnostic).
+
+Scale notes (the whole point of these formulations):
+- exact dedup: one shuffle on the dedup key; with row_number instead
+  of dropDuplicates the surviving representative is deterministic.
+- MinHash+LSH: signatures are computed scan-side (no shuffle); the
+  only shuffle is the band-key self-join, which touches candidate
+  buckets instead of the O(n^2) pair space. Band-bucket skew is the
+  known risk at 100 TB — monitor bucket sizes, add a bucket-size cap
+  or salt hot buckets.
+- SimHash: one explode + one groupBy(doc) — linear, and the 32-bit
+  signature supports Hamming-distance blocking downstream.
+- n-gram Jaccard: exploded shingle self-join; quadratic in the worst
+  case, provided as the exact verifier for MinHash candidates, not as
+  the 100 TB primary path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from target_hdfs_spark.functions.hashing import (
+    MERSENNE_P,
+    hash_coeffs,
+    md5_hash32,
+    md5_hash32_sql,
+)
+from target_hdfs_spark.functions.textfuncs import (
+    TOKENS_SQL,
+    shingles,
+    shingles_sql,
+    tokens,
+)
+from target_hdfs_spark.registry import query
+from target_hdfs_spark.sources.readers import load_table
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+# LSH hot-bucket suppression threshold: buckets larger than this are
+# degenerate (near-constant content) and would re-create the quadratic
+# pair space; at cluster scale this cap is what keeps the worst
+# executor bounded.
+MAX_BUCKET = 64
+COEFFS = hash_coeffs(NUM_HASHES)
+
+_TOK = TOKENS_SQL.format(expr="text")
+_SHINGLE_HASHES_SQL = (
+    f"list_transform({shingles_sql(_TOK)}, s -> {md5_hash32_sql('s')})"
+)
+
+
+# ---------------------------------------------------------------------------
+# L1a: exact dedup with deterministic survivor
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY text, lang ORDER BY doc_id) = 1
+    """,
+    tags=("dedup", "exact"),
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on (text, lang), keeping the lowest doc_id.
+    row_number (not dropDuplicates) so the survivor is deterministic —
+    dropDuplicates keeps an arbitrary partition-order-dependent row,
+    which is unacceptable for reproducible corpus builds."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text", "lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1b: hash-groupBy exact dedup report (content-hash based)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_hash_dedup_groups",
+    oracle=f"""
+    SELECT {md5_hash32_sql('text')} AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact", "hash"),
+)
+def q41_hash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup groups: hash the payload once scan-side, then
+    group — at 100 TB this shuffles a 8-byte hash instead of the full
+    document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(md5_hash32("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2a: MinHash signatures
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, mh_0..mh_{k-1}) MinHash signature table.
+
+    The tokenize -> shingle -> md5 chain is evaluated ONCE per document
+    by exploding shingle hashes to rows and computing all k universal-
+    hash minima in a single groupBy aggregation. The naive form — k
+    array_min(transform(...)) projections — recomputes the md5 chain
+    k times (Catalyst collapses projections and duplicates the common
+    subexpression), which measured 16x slower at sf0.1.
+
+    Scale: explode keeps it linear; the k mins combine map-side, so
+    the shuffle carries one row per (doc, k mins), not per shingle.
+    """
+    hashed = docs.select(
+        id_col, F.explode(F.transform(shingles(tokens(text_col)), md5_hash32)).alias("h")
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(COEFFS)
+        ]
+    )
+
+
+def _minhash_sql_exprs() -> list[str]:
+    return [
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh_{i}"
+        for i, (a, b) in enumerate(COEFFS)
+    ]
+
+
+@query(
+    "q42_minhash_signatures",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {", ".join(_minhash_sql_exprs())} FROM hashed
+    )
+    SELECT doc_id, u.h_idx, u.minhash
+    FROM sigs,
+         UNNEST([{", ".join(f"{{'h_idx': {i}, 'minhash': mh_{i}}}" for i in range(NUM_HASHES))}])
+         AS t(u)
+    """,
+    tags=("dedup", "minhash"),
+)
+def q42_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 hashes over 3-word shingles), exploded to
+    (doc_id, h_idx, minhash) rows. Fully deterministic via the portable
+    hash family, so the oracle checks every signature value."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h_idx"), F.col(f"mh_{i}").cast("bigint").alias("minhash")
+            )
+            for i in range(NUM_HASHES)
+        ]
+    )
+    return sig.select("doc_id", F.explode(pairs).alias("u")).select(
+        "doc_id", F.col("u.h_idx").alias("h_idx"), F.col("u.minhash").alias("minhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2b: LSH banding -> near-dup candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q43_minhash_lsh_pairs",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {", ".join(_minhash_sql_exprs())} FROM hashed
+    ),
+    bands AS (
+      SELECT doc_id, b.band_idx, b.band_key
+      FROM sigs, UNNEST([{", ".join(
+          "{'band_idx': %d, 'band_key': concat_ws('_', %s)}" % (
+              b, ", ".join(f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+          )
+          for b in range(BANDS)
+      )}]) AS t(b)
+    ),
+    ok_buckets AS (
+      SELECT band_idx, band_key FROM bands
+      GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+    ),
+    kept AS (
+      SELECT bands.* FROM bands JOIN ok_buckets USING (band_idx, band_key)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM kept a JOIN kept c
+      ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+         AND a.doc_id < c.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH banding
+    (4 bands x 4 rows): docs agreeing on any full band become a pair.
+
+    Scale: the self-join key is (band_idx, band_key) — only docs that
+    collide in a bucket are ever compared, which is the mechanism that
+    replaces the O(n^2) pair space at 100 TB. Hot buckets (> MAX_BUCKET
+    docs, i.e. degenerate near-constant content) are dropped BEFORE the
+    self-join — the standard LSH hot-bucket suppression; without it one
+    pathological bucket re-creates the quadratic join this operator
+    exists to avoid (observed: 132 s -> sub-second at sf0.1).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    ok_buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n").between(2, MAX_BUCKET))
+        .select("band_idx", "band_key")
+    )
+    kept = bands.join(ok_buckets, ["band_idx", "band_key"])
+    a, c = kept.alias("a"), kept.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2c: SimHash signatures
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+@query(
+    "q44_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {md5_hash32_sql('token')} AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id,
+        {", ".join(
+            f"SUM(CASE WHEN (h >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+            for j in range(_SIMHASH_BITS)
+        )}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+      ({" + ".join(f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS))})
+        AS simhash
+    FROM bits
+    """,
+    tags=("dedup", "simhash"),
+)
+def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: each bit is the sign of the
+    weighted vote of token-hash bits. Integer arithmetic only ->
+    exactly reproducible; Hamming-distance blocking on the signature
+    is the downstream near-dup scale path.
+
+    Scale: explode + one groupBy(doc_id) — linear; the 32 conditional
+    sums combine map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    hashed = tok.select("doc_id", md5_hash32("token").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# L2d: exact n-gram Jaccard similarity (verifier for LSH candidates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q45_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for document pairs sharing any
+    shingle (threshold 0.05). Integer set sizes -> one exact double
+    division -> deterministic.
+
+    Scale: this is the exact verifier applied AFTER LSH candidate
+    generation (q43); running it standalone is quadratic in colliding
+    docs and priced accordingly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(shingles(tokens("text"))).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )

@@ -1,0 +1,252 @@
+"""Similarity search over embedding columns (SURVEY.md §2B.2 L3):
+brute-force cosine top-k as the exact baseline, and a deterministic
+sign-random-projection LSH bucketing as the scale path.
+
+Float determinism: embeddings are float32; both engines cast to
+double (exact) and reduce with a *sequential left fold* —
+``F.aggregate`` in Spark, ``list_reduce`` in DuckDB — so every
+intermediate IEEE operation happens in the same order and the cosine
+values match bit-for-bit. No UDFs anywhere: array expressions are
+JVM-side and codegen-friendly.
+
+Scale notes:
+- brute force is O(n_queries * n_corpus) — correct baseline, priced
+  accordingly; the broadcast keeps the corpus scan shuffle-free.
+- LSH buckets cut the candidate space to colliding buckets; at 100 TB
+  add more planes (smaller buckets) and multiple tables (recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from target_hdfs_spark.registry import query
+from target_hdfs_spark.sources.readers import load_table
+
+EMB_DIM = 64
+N_PLANES = 8
+_KNUTH = 2654435761
+
+
+def _plane_signs(plane: int, dim: int = EMB_DIM) -> list[int]:
+    """Deterministic +-1 hyperplane components (engine-agnostic integer
+    recurrence — reproduced literally in the oracle SQL)."""
+    return [
+        1 if ((plane * 1000003 + j) * _KNUTH) % 4294967296 < 2147483648 else -1
+        for j in range(dim)
+    ]
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays (order-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_fold(a, b) / (
+        F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b))
+    )
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3a: brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q46_cosine_topk",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_sql('q.qv', 'e.v')} AS cos_sim
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+      ) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "topk"),
+)
+def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 5 query vectors against the
+    whole corpus (brute force baseline).
+
+    Scale: query vectors are broadcast, so the corpus streams through
+    map-side; rank<=k avoids a global sort. 100 TB path is q47.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# L3b: sign-random-projection LSH bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = []
+    for p in range(N_PLANES):
+        plane = ", ".join(f"CAST({s} AS DOUBLE)" for s in _plane_signs(p))
+        bits.append(
+            f"CASE WHEN {_DOT_SQL.format(a=vec, b=f'[{plane}]')} >= 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """8-bit sign-random-projection bucket key for a double array."""
+    bits = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(float(s)) for s in _plane_signs(p)])
+        bits.append(F.when(dot_fold(vec, plane) >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+@query(
+    "q47_ann_lsh_bucketed",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_sql('q.qv', 'e.v')} AS cos_sim
+      FROM q JOIN emb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+      ) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def q47_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: candidates restricted to the
+    query's sign-random-projection bucket (8 deterministic
+    hyperplanes), exact cosine within the bucket, top-3.
+
+    Scale: the bucket join is an equi-join on an 8-bit key — the
+    candidate set shrinks ~2^8 versus brute force; recall is tuned
+    with plane count / multiple hash tables. Everything stays
+    JVM-side and shuffle-minimal.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# L3c: embedding-cosine near-duplicate pairs (dedup by embedding)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q48_embedding_neardup_pairs",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos_sql('a.v', 'b.v')} AS cos_sim
+    FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.v', 'b.v')} >= 0.75
+    """,
+    tags=("similarity", "dedup", "lsh"),
+)
+def q48_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: LSH-bucketed candidate
+    generation, exact cosine filter at 0.75 — the embedding analog of
+    MinHash+verify for text (same bucket -> candidate -> exact check).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("bucket").alias("ba")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("bucket").alias("bb")
+    )
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.75)
+    )

@@ -1,0 +1,348 @@
+"""Text-analysis operators for LLM-corpus pipelines (SURVEY.md §2B.2
+L4/L6): token statistics, language-ID heuristic, quality scoring and
+filtering, document fingerprinting, n-gram statistics. All pure
+JVM-side column expressions (no Python in the hot path) and all
+exactly oracle-checkable — counts are integers, ratios are single
+double divisions of integers, hashes use the portable md5 family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.functions.hashing import MERSENNE_P, md5_hash32, md5_hash32_sql
+from target_hdfs_spark.functions.textfuncs import TOKENS_SQL, tokens
+from target_hdfs_spark.registry import query
+from target_hdfs_spark.sources.readers import load_table
+
+_TOK = TOKENS_SQL.format(expr="text")
+
+# Tiny per-language marker-token lists for the lang-ID heuristic. The
+# mechanism (vote counting + deterministic argmax) is the operator; on
+# real corpora these lists are the top-N stopwords per language.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "value", "row"),
+    "es": ("el", "la", "de", "y", "valor", "fila"),
+    "fr": ("le", "la", "de", "et", "valeur", "ligne"),
+    "de": ("der", "die", "das", "und", "wert", "zeile"),
+}
+
+
+# ---------------------------------------------------------------------------
+# L4a: corpus token statistics by language/source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_token_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(len({_TOK})) AS total_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "agg"),
+)
+def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape by (lang, source): doc counts, token totals,
+    char-length stats. Integer sums -> exact; avg is one double
+    division at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4b: per-token frequency (the explode path at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q51_token_frequencies",
+    oracle=f"""
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest({_TOK}) AS token FROM documents)
+    GROUP BY token
+    """,
+    tags=("text", "explode", "agg"),
+)
+def q51_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency + document frequency per token — the building
+    block for TF-IDF and vocabulary pruning.
+
+    Scale: explode is pipelined; tf combines map-side; df is the
+    distinct-heavy part (Spark expands (token, doc_id) once).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4c: TF-IDF (SQL-expressible doc-frequency join formulation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q52_tfidf",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           CAST(tf.tf AS DOUBLE) * (1.0 + n.n_docs) / (1.0 + df.df) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE df.df >= 50
+    """,
+    tags=("text", "tfidf", "join"),
+)
+def q52_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via the doc-frequency join, with a *rational* idf
+    (tf * (1+N)/(1+df)) instead of the usual log-idf: the ranking is
+    order-equivalent (x -> ln is monotone) and the arithmetic is three
+    exact integer-derived doubles — JVM Math.log and libm log disagree
+    in the last ulp, so transcendentals are banned from checkable
+    outputs engine-wide.
+
+    Scale: two shuffles (tf, df) + a broadcast of the df table; the
+    corpus-size scalar is a literal cross join, not a collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df.filter(F.col("df") >= 50)), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.lit(1.0) + F.col("n_docs"))
+                / (F.lit(1.0) + F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4d: language-ID heuristic (marker-token voting)
+# ---------------------------------------------------------------------------
+
+
+def _score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return f"len(list_filter({_TOK}, x -> x IN ({markers})))"
+
+
+@query(
+    "q53_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+             {", ".join(f"{_score_sql(lang)} AS score_{lang}" for lang in _LANG_MARKERS)}
+      FROM documents
+    )
+    SELECT doc_id, actual_lang,
+      CASE
+        WHEN score_en = 0 AND score_es = 0 AND score_fr = 0 AND score_de = 0 THEN 'unknown'
+        WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+        WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+        WHEN score_fr >= score_de THEN 'fr'
+        ELSE 'de'
+      END AS predicted_lang
+    FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def q53_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token votes per language,
+    deterministic priority-ordered argmax. Scan-side array expressions
+    only — at 100 TB this is a free pass over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+
+    def _is_marker(ms: tuple[str, ...]):
+        # closure factory — a default-arg lambda would become a
+        # two-parameter (element, index) array lambda
+        return lambda x: x.isin(list(ms))
+
+    scores = {
+        lang: F.size(F.filter(tok, _is_marker(ms)))
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["de"] == 0),
+            "unknown",
+        )
+        .when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en"
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return scored.select("doc_id", "actual_lang", predicted.alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# L6: quality scoring + filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q54_quality_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, n_chars,
+             len({_TOK}) AS n_tokens,
+             len(list_distinct({_TOK})) AS n_unique_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_tokens, n_unique_tokens,
+           CAST(n_unique_tokens AS DOUBLE) / n_tokens AS unique_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len
+    FROM m
+    WHERE n_tokens >= 20
+      AND n_chars BETWEEN 100 AND 10000
+      AND CAST(n_unique_tokens AS DOUBLE) / n_tokens >= 0.2
+    """,
+    tags=("text", "quality", "filter"),
+)
+def q54_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-corpus quality gate: length bounds, minimum token count,
+    minimum unique-token ratio (the classic repetition filter).
+    Integer counts + single double divisions -> exact.
+
+    Scale: pure scan-side filter — no shuffle at all; this is the
+    first pass that typically drops half the raw corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+    )
+    unique_ratio = F.col("n_unique_tokens").cast("double") / F.col("n_tokens")
+    return (
+        m.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "n_tokens",
+            "n_unique_tokens",
+            unique_ratio.alias("unique_ratio"),
+            (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_chars").between(100, 10000))
+            & (F.col("unique_ratio") >= 0.2)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4e: document fingerprint (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q55_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_TOK}, t -> {md5_hash32_sql('t')})),
+             (acc, x) -> (acc * 31 + x) % {MERSENNE_P}
+           ) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q55_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: left-fold rolling
+    polynomial hash over token hashes (same fold, same modulus on both
+    engines -> exact). Unlike content-hash dedup this is stable under
+    whitespace normalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(tokens("text"), md5_hash32),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % MERSENNE_P,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# L4f: word-bigram statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q56_bigram_counts",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    bg AS (
+      SELECT unnest(
+        CASE WHEN len(ts) >= 2 THEN
+          list_transform(generate_series(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+1], ' '))
+        ELSE [] END
+      ) AS bigram
+      FROM tok
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg
+    GROUP BY bigram
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("text", "ngram"),
+)
+def q56_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequencies (>= 5 occurrences) — n-gram language
+    statistics over the corpus, built from the shared shingling
+    primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    bigrams = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

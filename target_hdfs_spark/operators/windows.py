@@ -1,0 +1,149 @@
+"""Time-window operators over the events stream table — batch analogs
+of the streaming surface (SURVEY.md §2B.3 S2/S3). The same
+``window()`` / ``session_window()`` expressions run unchanged under
+Structured Streaming (streaming/ingest.py); verifying them in batch
+mode against the SQL oracle verifies the streaming semantics too,
+minus watermarking (covered by tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.registry import query
+from target_hdfs_spark.sources.readers import load_table
+
+
+@query(
+    "q31_tumbling_window",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '1 day', ts) AS window_start,
+      time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+      event_type,
+      COUNT(*) AS n_events,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window", "time", "streaming-analog"),
+)
+def q31_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event type (S2 batch analog).
+
+    Scale: a tumbling window is just a computed grouping key — one
+    shuffle, map-side combined. Identical code runs under
+    readStream + withWatermark.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 day")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@query(
+    "q32_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_id
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_id
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    tags=("window", "time", "streaming-analog"),
+)
+def q32_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide): every event lands in
+    size/slide = 2 windows. The oracle materializes the same two
+    bucket assignments explicitly.
+
+    Scale: Spark expands each row into size/slide window copies before
+    the shuffle — cost is linear in that factor; keep slide a sane
+    fraction of size at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q33_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "session", "streaming-analog"),
+)
+def q33_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap (S3).
+    Spark's session_window merges events < gap apart; session end is
+    last event + gap. The oracle reproduces exactly that with the
+    lag + cumulative-sum sessionization.
+
+    Scale: session_window shuffles once on user_id then merges
+    in-partition — same cost shape as the window-function fallback,
+    but it also runs unchanged under Structured Streaming with state
+    cleanup by watermark.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
