@@ -1,0 +1,67 @@
+"""CLI entry point: `python -m target_hdfs_spark.ingest --config cfg.json`
+
+Reads Singer messages on stdin, writes Parquet per stream under the
+configured destination, echoes STATE lines to stdout after their
+records are durable — the reference's `tap | target-hdfs --config c`
+pipe (reference: target_hdfs/target.py:51-52, README.md:61-65).
+
+`--about` prints the config surface as JSON (reference R1/R2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from target_hdfs_spark.config import TargetConfig
+from target_hdfs_spark.session import get_spark
+from target_hdfs_spark.sources.singer import SingerPipe
+
+ABOUT = {
+    "name": "target_hdfs_spark",
+    "capabilities": ["about", "stream-maps", "record-flattening", "state"],
+    "settings": {
+        "hdfs_destination_path": {"type": "string", "required": True},
+        "hdfs_block_size_limit": {"type": ["integer", "string", "null"]},
+        "skip_existing_files": {"type": "boolean", "default": False},
+        "compression_method": {
+            "type": "string",
+            "default": "gzip",
+            "enum": ["gzip", "snappy", "zstd", "brotli", "none"],
+        },
+        "partition_cols": {"type": "string"},
+        "extra_fields": {"type": "string"},
+        "extra_fields_types": {"type": "string"},
+        "add_record_metadata": {"type": "boolean", "default": False},
+        "max_batch_size": {"type": "integer", "default": 10000},
+        "flattening_max_depth": {"type": ["integer", "null"]},
+        "target_file_bytes": {"type": ["integer", "string", "null"]},
+    },
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="target-hdfs-spark")
+    parser.add_argument("--config", help="path to config JSON")
+    parser.add_argument("--about", action="store_true", help="print config surface")
+    args = parser.parse_args(argv)
+
+    if args.about:
+        print(json.dumps(ABOUT, indent=2))
+        return 0
+    if not args.config:
+        parser.error("--config is required unless --about")
+
+    with open(args.config) as fh:
+        config = TargetConfig.from_dict(json.load(fh))
+    spark = get_spark(app_name="target_hdfs_spark_ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    pipe = SingerPipe(spark, config)
+    for state_line in pipe.process_lines(sys.stdin):
+        print(state_line, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

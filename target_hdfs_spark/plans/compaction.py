@@ -1,0 +1,183 @@
+"""Small-file compaction — the Spark-native equivalent of the
+reference's defining append-to-recent-file behavior (SURVEY.md §4.3).
+
+The reference keeps file counts low by downloading the most recent
+HDFS file when it is under 85% of the block size, seeding its buffer
+with it, and later rewriting it in place (reference:
+target_hdfs/sinks.py:31-44, target_hdfs/utils/hdfs.py:91-117). Spark
+cannot append rows to an existing Parquet file, so the engine
+(a) prevents small files at write time (plans/writer.py sizing) and
+(b) repairs them with this job: gather all undersized files in a
+stream directory, rewrite them as consolidated files into a temp dir,
+then commit by moving the new files in and deleting the old ones —
+the same write-new-then-swap commit the reference performs per file
+(reference: target_hdfs/utils/hdfs.py:56-73), generalized from "the
+most recent file" to "all undersized files" (the mtime-max selection
+at hdfs.py:85-88 is the k=1 special case).
+
+Guards preserved:
+- strict schema equality before touching anything (hdfs.py:111-116);
+- `skip_existing_files` / `partition_cols` opt-outs mirror the
+  reference's disabling of append mode (sinks.py:38, target.py:39-44)
+  — partitioned datasets are compacted per partition directory.
+
+Scale: listing and planning are Hadoop-FS metadata calls; the rewrite
+reads only undersized files (never the healthy ones) and is one
+narrow Spark job per directory. Safe to run while writers append new
+files: the job only ever deletes files it read.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from target_hdfs_spark.plans.writer import (
+    BLOCK_FILL_FACTOR,
+    SchemaChangedError,
+    _normalize,
+    get_block_size,
+)
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str
+    size: int
+    mtime: int
+
+
+@dataclass(frozen=True)
+class CompactionReport:
+    directory: str
+    files_before: int
+    files_compacted: int
+    files_after: int
+    bytes_compacted: int
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jpath, jvm
+
+
+def list_parquet_files(spark: SparkSession, directory: str) -> list[FileEntry]:
+    """Non-recursive `*.parquet` listing; empty when the directory is
+    missing (reference: target_hdfs/utils/hdfs.py:76-82)."""
+    fs, jpath, _ = _fs(spark, directory)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for status in fs.listStatus(jpath):
+        p = status.getPath().toString()
+        if status.isFile() and p.endswith(".parquet"):
+            out.append(FileEntry(p, int(status.getLen()), int(status.getModificationTime())))
+    return out
+
+
+def most_recent_file(spark: SparkSession, directory: str) -> FileEntry | None:
+    """Max-mtime parquet file (reference: target_hdfs/utils/hdfs.py:85-88)."""
+    files = list_parquet_files(spark, directory)
+    return max(files, key=lambda f: f.mtime) if files else None
+
+
+def list_partition_dirs(spark: SparkSession, directory: str) -> list[str]:
+    """Immediate `col=value` child directories of a partitioned dataset."""
+    fs, jpath, _ = _fs(spark, directory)
+    if not fs.exists(jpath):
+        return []
+    return [
+        s.getPath().toString()
+        for s in fs.listStatus(jpath)
+        if s.isDirectory() and "=" in s.getPath().getName()
+    ]
+
+
+def compact_directory(
+    spark: SparkSession,
+    directory: str,
+    size_limit: int | None = None,
+    expected_schema=None,
+) -> CompactionReport:
+    """Merge all undersized parquet files in one directory.
+
+    `size_limit` defaults to 85% of the FS block size (reference:
+    target_hdfs/utils/hdfs.py:97-101). Files >= the limit are never
+    touched (the reference's new-file condition, hdfs.py:104-106).
+    """
+    limit = size_limit or int(get_block_size(spark) * BLOCK_FILL_FACTOR)
+    files = list_parquet_files(spark, directory)
+    small = [f for f in files if f.size < limit]
+    report = CompactionReport(directory, len(files), 0, len(files), 0)
+    if len(small) < 2:
+        return report
+
+    small_df = spark.read.parquet(*[f.path for f in small])
+    if expected_schema is not None and _normalize(small_df.schema) != _normalize(
+        expected_schema
+    ):
+        raise SchemaChangedError(
+            f"compaction schema drift at {directory}: "
+            f"{_normalize(small_df.schema)} != {_normalize(expected_schema)}"
+        )
+
+    fs, _, jvm = _fs(spark, directory)
+    tmp_dir = directory.rstrip("/") + "__compact_tmp"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    if fs.exists(tmp_path):
+        fs.delete(tmp_path, True)
+
+    total_bytes = sum(f.size for f in small)
+    n_out = max(1, -(-total_bytes // limit))  # ceil-div: fill to the limit
+    (
+        small_df.repartition(n_out)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(tmp_dir)
+    )
+
+    # Commit: move consolidated files in, then delete the inputs —
+    # new data becomes visible before old data disappears, so a
+    # concurrent reader sees duplicates at worst, never a gap (same
+    # ordering as the reference's copy-to-_new-then-rename,
+    # reference: target_hdfs/utils/hdfs.py:56-73).
+    moved = 0
+    for status in fs.listStatus(tmp_path):
+        name = status.getPath().getName()
+        if status.isFile() and name.endswith(".parquet"):
+            dest = jvm.org.apache.hadoop.fs.Path(
+                f"{directory.rstrip('/')}/compacted-{status.getModificationTime()}-{moved}-{name}"
+            )
+            if not fs.rename(status.getPath(), dest):
+                raise OSError(f"rename failed: {status.getPath()} -> {dest}")
+            moved += 1
+    for f in small:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f.path), False)
+    fs.delete(tmp_path, True)
+
+    return CompactionReport(
+        directory=directory,
+        files_before=len(files),
+        files_compacted=len(small),
+        files_after=len(files) - len(small) + moved,
+        bytes_compacted=total_bytes,
+    )
+
+
+def compact_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    size_limit: int | None = None,
+    partitioned: bool = False,
+) -> list[CompactionReport]:
+    """Compact a stream directory; partitioned datasets are handled
+    per partition child so partition layout is preserved (the
+    reference disables append mode entirely for partition_cols,
+    reference: target_hdfs/sinks.py:38 — compacting within each
+    partition directory is the generalization that keeps its
+    invariant: files never move across partition boundaries)."""
+    dirs = list_partition_dirs(spark, stream_dir) if partitioned else [stream_dir]
+    return [compact_directory(spark, d, size_limit) for d in dirs]

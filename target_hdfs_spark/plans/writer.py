@@ -1,0 +1,138 @@
+"""Size-governed, compressed, optionally hive-partitioned Parquet
+writes with the reference's strict schema-drift guard.
+
+Reference behaviors re-expressed (SURVEY.md §2A):
+- R12/R13: compression + partition_cols -> `option("compression")` /
+  `partitionBy` (no local staging: Spark writes straight to the
+  destination FS, and the FileOutputCommitter provides the atomic
+  visibility the reference built by hand with `<dest>_new` + rename,
+  reference: target_hdfs/utils/hdfs.py:56-73).
+- R15: file-size governance -> `maxRecordsPerFile` derived from the
+  target byte size and a sampled on-disk row width, instead of the
+  reference's rewrite-until-85%-of-blocksize loop
+  (reference: target_hdfs/utils/hdfs.py:97-106).
+- R16: block size from the Hadoop conf Spark already holds — no
+  `hdfs getconf` subprocess (reference: target_hdfs/utils/hdfs.py:34-41).
+- R27: strict schema equality against the existing dataset, failing
+  with SchemaChangedError exactly where the reference does
+  (reference: target_hdfs/utils/hdfs.py:111-116).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from target_hdfs_spark.config import TargetConfig
+
+DEFAULT_BLOCK_SIZE = 128 * 1024 * 1024
+BLOCK_FILL_FACTOR = 0.85  # reference: target_hdfs/utils/hdfs.py:100
+
+
+class SchemaChangedError(RuntimeError):
+    """Stream schema no longer matches the data already at the
+    destination (reference: target_hdfs/utils/hdfs.py:17-18)."""
+
+
+def get_block_size(spark: SparkSession) -> int:
+    """dfs.blocksize from the live Hadoop conf (no subprocess)."""
+    try:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        return int(conf.getLongBytes("dfs.blocksize", DEFAULT_BLOCK_SIZE))
+    except Exception:
+        return DEFAULT_BLOCK_SIZE
+
+
+def target_file_bytes(spark: SparkSession, config: TargetConfig) -> int:
+    """Explicit limit, else 85% of the FS block size (R15 parity)."""
+    if config.target_file_bytes:
+        return int(config.target_file_bytes)
+    if config.block_size_limit:
+        return int(config.block_size_limit)
+    return int(get_block_size(spark) * BLOCK_FILL_FACTOR)
+
+
+def existing_schema(spark: SparkSession, path: str) -> T.StructType | None:
+    """Schema of the dataset already at `path`, or None if absent."""
+    try:
+        return spark.read.parquet(path).schema
+    except Exception:
+        return None
+
+
+def _normalize(schema: T.StructType) -> list[tuple[str, str]]:
+    # Nullability is writer-dependent noise; name + type is the
+    # contract (the reference compares pa.Schema equality on files it
+    # wrote itself, where nullability is stable).
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def enforce_schema_unchanged(
+    spark: SparkSession, df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
+) -> None:
+    """Raise SchemaChangedError when `df` no longer matches the data
+    at `path` (strict name+type equality, R27)."""
+    existing = existing_schema(spark, path)
+    if existing is None:
+        return
+    incoming = _normalize(df.schema)
+    # partitionBy moves partition columns to the end of the on-disk
+    # schema (and may widen types via directory inference) — compare
+    # them by name only, data columns by name+type.
+    part = set(partition_cols)
+    got = [c for c in _normalize(existing) if c[0] not in part]
+    want = [c for c in incoming if c[0] not in part]
+    if sorted(got) != sorted(want) or {f.name for f in existing.fields} != {
+        c[0] for c in incoming
+    }:
+        raise SchemaChangedError(
+            f"schema drift at {path}:\n  existing={got}\n  incoming={want}"
+        )
+
+
+def estimate_rows_per_file(
+    df: DataFrame, target_bytes: int, sample_rows: int = 10_000
+) -> int:
+    """Rows per output file for a byte-size target, from a sampled
+    in-memory row width and a parquet compression factor.
+
+    The 0.25 factor is deliberately conservative (columnar encoding +
+    gzip routinely achieves 4x on text-ish data); overshooting rows
+    yields slightly-large files, undershooting yields small files the
+    compactor would have to fix — so we bias large. Driver-side cost:
+    one limit(sample) pass, never a full collect.
+    """
+    sample = df.limit(sample_rows).rdd.map(lambda r: len(str(r))).collect()
+    if not sample:
+        return 1_000_000
+    avg_mem_width = max(sum(sample) / len(sample), 1.0)
+    est_disk_width = avg_mem_width * 0.25
+    return max(int(target_bytes / est_disk_width), 1000)
+
+
+def write_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    config: TargetConfig,
+    mode: str = "append",
+    rows_per_file: int | None = None,
+) -> None:
+    """The engine's single write path (R12/R13/R15/R26/R27).
+
+    `skip_existing_files=True` (R26) bypasses the drift guard and
+    always lays down new files — the same opt-out the reference wires
+    through `HDFSSink.__init__` (reference: target_hdfs/sinks.py:30,38).
+    """
+    if not config.skip_existing_files:
+        enforce_schema_unchanged(spark, df, path, config.partition_cols)
+    if rows_per_file is None:
+        rows_per_file = estimate_rows_per_file(df, target_file_bytes(spark, config))
+    writer = (
+        df.write.mode(mode)
+        .option("compression", config.compression)
+        .option("maxRecordsPerFile", rows_per_file)
+    )
+    if config.partition_cols:
+        writer = writer.partitionBy(*config.partition_cols)
+    writer.parquet(path)

@@ -1,0 +1,224 @@
+"""Singer protocol ingest: line-delimited JSON messages -> per-stream
+typed DataFrames -> governed Parquet writes, with STATE passthrough.
+
+This is the reference's entire runtime re-expressed (SURVEY.md §3.1):
+
+    SCHEMA   -> register stream (JSON Schema -> StructType)
+    RECORD   -> validate/coerce, buffer; flush at max_batch_size
+    STATE    -> flush everything, then emit the state line
+                (at-least-once: state only after durable writes,
+                reference semantics R28)
+    ACTIVATE_VERSION -> record version (stamped when metadata is on)
+
+Two ingest paths share every transform and the writer:
+
+- `SingerPipe.process_lines` — protocol-faithful stdin loop. The
+  driver-side record buffer is bounded by max_batch_size; each flush
+  becomes one small Spark job. This path exists for wire parity, not
+  throughput.
+- `ingest_jsonl_dir` — the 100 TB path: records already staged as
+  JSONL files are read with `spark.read.json(schema=...)` so parsing,
+  validation and writing all run distributed; the driver never sees a
+  record.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from target_hdfs_spark.config import TargetConfig
+from target_hdfs_spark.plans.writer import write_stream
+from target_hdfs_spark.sources.jsonschema import jsonschema_to_spark
+from target_hdfs_spark.transforms import (
+    apply_stream_map,
+    flatten,
+    with_extra_fields,
+    with_record_metadata,
+)
+
+
+class RecordValidationError(ValueError):
+    """A RECORD does not conform to its stream's declared schema."""
+
+
+@dataclass
+class _StreamBuffer:
+    schema: T.StructType
+    records: list[tuple] = field(default_factory=list)
+    version: int | None = None
+    rows_written: int = 0
+    files_flushed: int = 0
+
+
+def _coerce(value, dtype: T.DataType, path: str):
+    """Coerce a JSON value to its Spark type (timestamps/dates arrive
+    as ISO-8601 strings on the Singer wire). Raises
+    RecordValidationError on type mismatches — the engine's analog of
+    the SDK's JSON Schema record validation (R5)."""
+    if value is None:
+        return None
+    try:
+        if isinstance(dtype, T.TimestampType):
+            if isinstance(value, dt.datetime):
+                return value
+            return dt.datetime.fromisoformat(str(value).replace("Z", "+00:00"))
+        if isinstance(dtype, T.DateType):
+            if isinstance(value, dt.date) and not isinstance(value, dt.datetime):
+                return value
+            return dt.date.fromisoformat(str(value)[:10])
+        if isinstance(dtype, T.LongType):
+            if isinstance(value, bool) or not isinstance(value, (int, float)):
+                raise ValueError(f"not an integer: {value!r}")
+            return int(value)
+        if isinstance(dtype, T.DoubleType):
+            if isinstance(value, bool) or not isinstance(value, (int, float)):
+                raise ValueError(f"not a number: {value!r}")
+            return float(value)
+        if isinstance(dtype, T.BooleanType):
+            if not isinstance(value, bool):
+                raise ValueError(f"not a boolean: {value!r}")
+            return value
+        if isinstance(dtype, T.StringType):
+            if isinstance(value, (dict, list)):
+                return json.dumps(value, separators=(",", ":"))
+            return str(value)
+        if isinstance(dtype, T.StructType):
+            if not isinstance(value, dict):
+                raise ValueError(f"not an object: {value!r}")
+            return tuple(_coerce(value.get(f.name), f.dataType, f"{path}.{f.name}")
+                         for f in dtype.fields)
+        if isinstance(dtype, T.ArrayType):
+            if not isinstance(value, list):
+                raise ValueError(f"not an array: {value!r}")
+            return [_coerce(v, dtype.elementType, f"{path}[]") for v in value]
+        return value
+    except RecordValidationError:
+        raise
+    except (ValueError, TypeError) as e:
+        raise RecordValidationError(f"field {path}: {e}") from e
+
+
+class SingerPipe:
+    """Stateful Singer message processor (one instance per run)."""
+
+    def __init__(self, spark: SparkSession, config: TargetConfig):
+        self.spark = spark
+        self.config = config
+        self.streams: dict[str, _StreamBuffer] = {}
+
+    # -- message loop -----------------------------------------------------
+
+    def process_lines(self, lines: Iterable[str]) -> Iterator[str]:
+        """Consume Singer message lines; yield STATE lines only after
+        all buffered records that precede them are durably written."""
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            msg = json.loads(line)
+            mtype = msg.get("type")
+            if mtype == "SCHEMA":
+                self._on_schema(msg)
+            elif mtype == "RECORD":
+                self._on_record(msg)
+            elif mtype == "STATE":
+                self.flush_all()
+                yield json.dumps(msg.get("value", {}), separators=(",", ":"))
+            elif mtype == "ACTIVATE_VERSION":
+                buf = self.streams.get(msg["stream"])
+                if buf is not None:
+                    buf.version = msg.get("version")
+            # unknown types are ignored (forward compatibility)
+        self.flush_all()
+
+    def _on_schema(self, msg: dict) -> None:
+        name = msg["stream"]
+        new_schema = jsonschema_to_spark(msg["schema"])
+        existing = self.streams.get(name)
+        if existing is not None and existing.schema != new_schema:
+            # flush under the old schema before switching; the write
+            # path then raises SchemaChangedError against on-disk data
+            # (strict drift semantics, reference hdfs.py:111-116)
+            self._flush(name)
+        self.streams[name] = _StreamBuffer(schema=new_schema)
+
+    def _on_record(self, msg: dict) -> None:
+        name = msg["stream"]
+        buf = self.streams.get(name)
+        if buf is None:
+            raise RecordValidationError(f"RECORD for undeclared stream {name!r}")
+        rec = msg["record"]
+        buf.records.append(
+            tuple(_coerce(rec.get(f.name), f.dataType, f.name) for f in buf.schema.fields)
+        )
+        if len(buf.records) >= self.config.max_batch_size:
+            self._flush(name)
+
+    # -- flush path --------------------------------------------------------
+
+    def flush_all(self) -> None:
+        for name in list(self.streams):
+            self._flush(name)
+
+    def _flush(self, name: str) -> None:
+        buf = self.streams[name]
+        if not buf.records:
+            return
+        df = self.spark.createDataFrame(buf.records, schema=buf.schema)
+        df = self._shape(name, df, buf)
+        write_stream(
+            self.spark,
+            df,
+            self.config.stream_path(name),
+            self.config,
+            rows_per_file=max(self.config.max_batch_size, 1),
+        )
+        buf.rows_written += len(buf.records)
+        buf.files_flushed += 1
+        buf.records.clear()
+
+    def _shape(self, name: str, df: DataFrame, buf: _StreamBuffer) -> DataFrame:
+        df = flatten(df, self.config.flattening_max_depth)
+        smap = self.config.stream_maps.get(name)
+        if smap:
+            df = apply_stream_map(df, smap)
+        df = with_extra_fields(df, self.config.extra_fields, self.config.extra_fields_types)
+        if self.config.add_record_metadata:
+            df = with_record_metadata(df)
+            if buf.version is not None:
+                df = df.withColumn("_sdc_table_version", F.lit(buf.version).cast("bigint"))
+        return df
+
+
+def ingest_jsonl_dir(
+    spark: SparkSession,
+    config: TargetConfig,
+    stream_name: str,
+    jsonl_path: str,
+    json_schema: dict,
+) -> None:
+    """Distributed ingest of staged Singer RECORD payloads (one JSON
+    object per line, record fields at top level).
+
+    Scale: `spark.read.json` with an explicit schema parses on the
+    executors with no driver involvement and no schema inference pass;
+    corrupt lines land in `_corrupt_record` and fail loudly rather
+    than silently dropping (PERMISSIVE + explicit check would be the
+    lenient variant; strict is the reference's posture)."""
+    schema = jsonschema_to_spark(json_schema)
+    df = spark.read.schema(schema).option("mode", "FAILFAST").json(jsonl_path)
+    df = flatten(df, config.flattening_max_depth)
+    smap = config.stream_maps.get(stream_name)
+    if smap:
+        df = apply_stream_map(df, smap)
+    df = with_extra_fields(df, config.extra_fields, config.extra_fields_types)
+    if config.add_record_metadata:
+        df = with_record_metadata(df)
+    write_stream(spark, df, config.stream_path(stream_name), config)

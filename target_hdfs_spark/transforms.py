@@ -1,0 +1,96 @@
+"""Record-shaping transforms: struct flattening, extra-field
+injection, Singer `_sdc_*` metadata columns, and config-driven stream
+maps. All pure DataFrame -> DataFrame functions (testable with no
+cluster, reference §3.3 boundary), all JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SEP = "__"
+
+
+def flatten_columns(
+    schema: T.StructType, max_depth: int | None = None, prefix: str = ""
+) -> list[Column]:
+    """Recursive StructType walker emitting `a.b` -> `a__b` columns.
+
+    The reference inherits this shape from target-parquet's
+    `flatten_record` (capability: meltano.yml:19, pin pyproject.toml:18):
+    nested *objects* flatten to `parent__child` columns; arrays are NOT
+    exploded (they stay as list columns). `max_depth` bounds recursion;
+    structs below the bound serialize to JSON strings.
+    """
+    cols: list[Column] = []
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        out_name = path.replace(".", SEP)
+        if isinstance(f.dataType, T.StructType):
+            if max_depth is not None and path.count(".") + 1 > max_depth:
+                cols.append(F.to_json(F.col(path)).alias(out_name))
+            else:
+                cols.extend(flatten_columns(f.dataType, max_depth, prefix=f"{path}."))
+        else:
+            cols.append(F.col(path).alias(out_name))
+    return cols
+
+
+def flatten(df: DataFrame, max_depth: int | None = None) -> DataFrame:
+    """Flatten all nested structs into `__`-joined top-level columns."""
+    if not any(isinstance(f.dataType, T.StructType) for f in df.schema.fields):
+        return df
+    return df.select(*flatten_columns(df.schema, max_depth))
+
+
+_EXTRA_TYPES = {
+    "string": "string",
+    "integer": "bigint",
+    "number": "double",
+    "boolean": "boolean",
+}
+
+
+def with_extra_fields(
+    df: DataFrame, fields: dict[str, str], types: dict[str, str]
+) -> DataFrame:
+    """Append operator-declared constant columns (reference config
+    `extra_fields` / `extra_fields_types`, README.md:40-41)."""
+    for name, value in fields.items():
+        spark_type = _EXTRA_TYPES.get(types.get(name, "string"), "string")
+        df = df.withColumn(name, F.lit(value).cast(spark_type))
+    return df
+
+
+def with_record_metadata(df: DataFrame) -> DataFrame:
+    """Singer `_sdc_*` audit columns (inherited surface, SURVEY §1.3).
+
+    `_sdc_received_at`/`_sdc_batched_at` are stamped at ingest time;
+    `_sdc_extracted_at` passes through if the tap provided it.
+    """
+    now = F.current_timestamp()
+    df = df.withColumn("_sdc_received_at", now).withColumn("_sdc_batched_at", now)
+    if "_sdc_extracted_at" not in df.columns:
+        df = df.withColumn("_sdc_extracted_at", F.lit(None).cast("timestamp"))
+    return df
+
+
+def apply_stream_map(df: DataFrame, stream_map: dict) -> DataFrame:
+    """Config-driven per-stream reshaping (Meltano `stream_maps`
+    capability, meltano.yml:18): SQL-expression columns, column drops
+    (value None), and a row filter under the `__filter__` key. All
+    expressions are Spark SQL strings -> fully Catalyst-optimizable.
+    """
+    flt = stream_map.get("__filter__")
+    if flt:
+        df = df.filter(F.expr(flt))
+    drops = [k for k, v in stream_map.items() if v is None and k != "__filter__"]
+    if drops:
+        df = df.drop(*drops)
+    for name, expr in stream_map.items():
+        if name == "__filter__" or expr is None:
+            continue
+        df = df.withColumn(name, F.expr(str(expr)))
+    return df

@@ -1,0 +1,181 @@
+"""End-to-end Singer pipeline tests: message lines in -> Parquet out,
+mirroring the SDK-standard-suite scenarios the reference relies on
+(reference: tests/test_core.py:26-29): multi-stream routing, state
+passthrough ordering, schema drift failure, partitioned layout,
+record validation, batching."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from target_hdfs_spark.config import TargetConfig
+from target_hdfs_spark.plans.writer import SchemaChangedError
+from target_hdfs_spark.sources.singer import RecordValidationError, SingerPipe
+
+
+def _schema_msg(stream, props):
+    return json.dumps({"type": "SCHEMA", "stream": stream, "schema": {"properties": props}})
+
+
+def _rec(stream, **record):
+    return json.dumps({"type": "RECORD", "stream": stream, "record": record})
+
+
+USERS_PROPS = {
+    "id": {"type": "integer"},
+    "name": {"type": "string"},
+    "joined": {"type": "string", "format": "date-time"},
+    "profile": {"type": "object", "properties": {"city": {"type": "string"}}},
+}
+
+
+def test_end_to_end_two_streams_with_state(spark, tmp_path):
+    config = TargetConfig(destination_path=str(tmp_path), compression="snappy")
+    pipe = SingerPipe(spark, config)
+    lines = [
+        _schema_msg("users", USERS_PROPS),
+        _schema_msg("orders", {"id": {"type": "integer"}, "total": {"type": "number"}}),
+        _rec("users", id=1, name="ann", joined="2024-01-01T10:00:00Z",
+             profile={"city": "berlin"}),
+        _rec("orders", id=10, total=99.5),
+        _rec("users", id=2, name="bob", joined="2024-01-02T11:30:00Z", profile=None),
+        json.dumps({"type": "STATE", "value": {"bookmark": 2}}),
+        _rec("orders", id=11, total=1.25),
+    ]
+    states = list(pipe.process_lines(lines))
+    assert states == ['{"bookmark":2}']
+
+    users = spark.read.parquet(str(tmp_path / "users"))
+    assert sorted(users.columns) == ["id", "joined", "name", "profile__city"]
+    rows = {r.id: r for r in users.collect()}
+    assert rows[1].profile__city == "berlin"
+    assert rows[2].profile__city is None
+    assert rows[1].joined.year == 2024
+
+    orders = spark.read.parquet(str(tmp_path / "orders"))
+    assert orders.count() == 2
+
+
+def test_state_only_after_flush(spark, tmp_path):
+    """STATE must not be emitted before preceding records are durable."""
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+
+    lines = [
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1),
+        json.dumps({"type": "STATE", "value": {"n": 1}}),
+    ]
+    gen = pipe.process_lines(lines)
+    state = next(gen)
+    # at the moment the state line is yielded, the record is on disk
+    assert spark.read.parquet(str(tmp_path / "s")).count() == 1
+    assert state == '{"n":1}'
+
+
+def test_schema_drift_fails_loudly(spark, tmp_path):
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1),
+    ]))
+    pipe2 = SingerPipe(spark, config)
+    with pytest.raises(SchemaChangedError):
+        list(pipe2.process_lines([
+            _schema_msg("s", {"id": {"type": "string"}}),
+            _rec("s", id="x"),
+        ]))
+
+
+def test_skip_existing_files_bypasses_drift_guard(spark, tmp_path):
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([_schema_msg("s", {"id": {"type": "integer"}}), _rec("s", id=1)]))
+
+    config2 = TargetConfig(destination_path=str(tmp_path), skip_existing_files=True)
+    pipe2 = SingerPipe(spark, config2)
+    list(pipe2.process_lines([
+        _schema_msg("s2", {"id": {"type": "integer"}}),
+        _rec("s2", id=2),
+    ]))
+    assert spark.read.parquet(str(tmp_path / "s2")).count() == 1
+
+
+def test_partitioned_layout(spark, tmp_path):
+    config = TargetConfig(
+        destination_path=str(tmp_path), partition_cols=("country",), compression="snappy"
+    )
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("u", {"id": {"type": "integer"}, "country": {"type": "string"}}),
+        _rec("u", id=1, country="de"),
+        _rec("u", id=2, country="fr"),
+        _rec("u", id=3, country="de"),
+    ]))
+    base = tmp_path / "u"
+    assert (base / "country=de").is_dir() and (base / "country=fr").is_dir()
+    df = spark.read.parquet(str(base))
+    assert df.count() == 3
+    assert {r.country for r in df.collect()} == {"de", "fr"}
+
+
+def test_record_validation_rejects_bad_types(spark, tmp_path):
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+    with pytest.raises(RecordValidationError, match="not an integer"):
+        list(pipe.process_lines([
+            _schema_msg("s", {"id": {"type": "integer"}}),
+            _rec("s", id="not-a-number"),
+        ]))
+
+
+def test_record_for_undeclared_stream_fails(spark, tmp_path):
+    pipe = SingerPipe(spark, TargetConfig(destination_path=str(tmp_path)))
+    with pytest.raises(RecordValidationError, match="undeclared stream"):
+        list(pipe.process_lines([_rec("ghost", id=1)]))
+
+
+def test_batching_flushes_at_max_batch_size(spark, tmp_path):
+    config = TargetConfig(destination_path=str(tmp_path), max_batch_size=5)
+    pipe = SingerPipe(spark, config)
+    lines = [_schema_msg("s", {"id": {"type": "integer"}})]
+    lines += [_rec("s", id=i) for i in range(12)]
+    list(pipe.process_lines(lines))
+    df = spark.read.parquet(str(tmp_path / "s"))
+    assert df.count() == 12
+    assert {r.id for r in df.collect()} == set(range(12))
+
+
+def test_extra_fields_and_metadata(spark, tmp_path):
+    config = TargetConfig(
+        destination_path=str(tmp_path),
+        extra_fields={"env": "prod"},
+        extra_fields_types={"env": "string"},
+        add_record_metadata=True,
+    )
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1),
+    ]))
+    row = spark.read.parquet(str(tmp_path / "s")).collect()[0]
+    assert row.env == "prod"
+    assert row._sdc_received_at is not None
+
+
+def test_stream_maps_applied(spark, tmp_path):
+    config = TargetConfig(
+        destination_path=str(tmp_path),
+        stream_maps={"s": {"__filter__": "id > 1", "id2": "id * 10"}},
+    )
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1),
+        _rec("s", id=2),
+    ]))
+    rows = spark.read.parquet(str(tmp_path / "s")).collect()
+    assert len(rows) == 1 and rows[0].id2 == 20
