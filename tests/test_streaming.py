@@ -1,0 +1,213 @@
+"""Structured Streaming tests (SURVEY §2B.3): batch-parity of the
+foreachBatch ingest (S1), checkpoint restart-resume (S6), windowed
+aggregation parity with the batch oracle queries (S2/S3), stateful
+dedup (S5), and late-data drop under a watermark (S4)."""
+
+from __future__ import annotations
+
+import json
+
+from target_hdfs_spark.config import TargetConfig
+from target_hdfs_spark.streaming.ingest import (
+    dedup_within_watermark,
+    session_counts_stream,
+    stream_jsonl_dir,
+    tumbling_counts_stream,
+)
+
+SCHEMA = {
+    "properties": {
+        "id": {"type": "integer"},
+        "user": {"type": "string"},
+        "at": {"type": "string", "format": "date-time"},
+        "v": {"type": "number"},
+    }
+}
+
+
+def _write_jsonl(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _rows(n0, n, user="u1", day=13):
+    return [
+        {"id": i, "user": user, "at": f"2026-08-{day:02d}T10:{i % 60:02d}:00Z", "v": i * 1.5}
+        for i in range(n0, n0 + n)
+    ]
+
+
+def test_stream_ingest_batch_parity(spark, tmp_path):
+    """S1: the streamed output equals running the batch writer once."""
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write_jsonl(src / "a.jsonl", _rows(0, 5))
+    _write_jsonl(src / "b.jsonl", _rows(5, 5))
+    config = TargetConfig(destination_path=str(out), compression="snappy")
+
+    q = stream_jsonl_dir(
+        spark, config, "ev", SCHEMA, str(src), str(ckpt), available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out / "ev"))
+    assert got.count() == 10
+    assert {r.id for r in got.collect()} == set(range(10))
+    assert dict(got.dtypes)["at"] == "timestamp"
+
+
+def test_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """S6: restart with the same checkpoint skips already-committed
+    files; new files are picked up exactly once."""
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write_jsonl(src / "a.jsonl", _rows(0, 4))
+    config = TargetConfig(destination_path=str(out), compression="snappy")
+
+    q = stream_jsonl_dir(spark, config, "ev", SCHEMA, str(src), str(ckpt))
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(out / "ev")).count() == 4
+
+    _write_jsonl(src / "b.jsonl", _rows(4, 3))
+    q2 = stream_jsonl_dir(spark, config, "ev", SCHEMA, str(src), str(ckpt))
+    q2.awaitTermination(120)
+    got = spark.read.parquet(str(out / "ev"))
+    assert got.count() == 7  # 4 + 3, no replay of a.jsonl
+    assert {r.id for r in got.collect()} == set(range(7))
+
+
+def _streamed_rows(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path):
+    """S2: streamed windowed counts == the same aggregation in batch
+    (the oracle strategy for streaming ops)."""
+    src = tmp_path / "src"
+    rows = _rows(0, 30)
+    _write_jsonl(src / "a.jsonl", rows)
+    from target_hdfs_spark.sources.jsonschema import jsonschema_to_spark
+
+    schema = jsonschema_to_spark(SCHEMA)
+    stream = spark.readStream.schema(schema).json(str(src))
+    got = _streamed_rows(
+        spark, tumbling_counts_stream(stream, "at", "10 minutes"), "tumbling_t"
+    )
+
+    batch = spark.read.schema(schema).json(str(src))
+    import pyspark.sql.functions as F
+
+    want = (
+        batch.groupBy(F.window("at", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_session_window_stream(spark, tmp_path):
+    """S3: streamed session windows produce gap-merged sessions."""
+    src = tmp_path / "src"
+    rows = [
+        {"id": 1, "user": "u1", "at": "2026-08-13T10:00:00Z", "v": 1.0},
+        {"id": 2, "user": "u1", "at": "2026-08-13T10:03:00Z", "v": 1.0},
+        # > 5 min gap -> new session
+        {"id": 3, "user": "u1", "at": "2026-08-13T10:20:00Z", "v": 1.0},
+        {"id": 4, "user": "u2", "at": "2026-08-13T10:00:00Z", "v": 1.0},
+    ]
+    _write_jsonl(src / "a.jsonl", rows)
+    from target_hdfs_spark.sources.jsonschema import jsonschema_to_spark
+
+    schema = jsonschema_to_spark(SCHEMA)
+    stream = spark.readStream.schema(schema).json(str(src))
+    got = _streamed_rows(
+        spark, session_counts_stream(stream, "at", "user", "5 minutes"), "session_t"
+    )
+    per_user = sorted((r.user, r.n_events) for r in got)
+    assert per_user == [("u1", 1), ("u1", 2), ("u2", 1)]
+
+
+def test_stateful_dedup_within_watermark(spark, tmp_path):
+    """S5: replayed records (same key, same/near timestamps) collapse."""
+    src = tmp_path / "src"
+    rows = _rows(0, 5) + _rows(0, 5)  # exact replay, same file
+    _write_jsonl(src / "a.jsonl", rows)
+    from target_hdfs_spark.sources.jsonschema import jsonschema_to_spark
+
+    schema = jsonschema_to_spark(SCHEMA)
+    stream = spark.readStream.schema(schema).json(str(src))
+    deduped = dedup_within_watermark(stream, ["id"], "at", "30 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT id FROM dedup_t").collect()
+    assert sorted(r.id for r in got) == list(range(5))
+
+
+def test_late_data_dropped_after_window_eviction(spark, tmp_path):
+    """S4: Spark's actual watermark guarantee (verified empirically on
+    4.1.2): a window in append mode is emitted exactly once — when the
+    end-of-batch watermark passes its end and its state is evicted —
+    and rows arriving after that eviction are dropped, never
+    resurrecting or double-emitting the window. (Rows merely below the
+    operative watermark but whose window state still exists ARE
+    aggregated — watermark drops are best-effort until eviction.)
+
+    Four micro-batches in mtime order: 12:00 opens window A; 13:00 and
+    13:30 advance the watermark so A is emitted and evicted; then a
+    too-late 12:00:30 row must vanish.
+    """
+    import time
+
+    src = tmp_path / "src"
+    files = [
+        ("f1.jsonl", [{"id": 1, "user": "u", "at": "2026-08-13T12:00:00Z", "v": 1.0}]),
+        ("f2.jsonl", [{"id": 2, "user": "u", "at": "2026-08-13T13:00:00Z", "v": 1.0}]),
+        ("f3.jsonl", [{"id": 3, "user": "u", "at": "2026-08-13T13:30:00Z", "v": 1.0}]),
+        ("f4.jsonl", [
+            {"id": 4, "user": "u", "at": "2026-08-13T12:00:30Z", "v": 1.0},  # too late
+            {"id": 5, "user": "u", "at": "2026-08-13T14:00:00Z", "v": 1.0},
+        ]),
+    ]
+    for name, rows in files:
+        _write_jsonl(src / name, rows)
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    from target_hdfs_spark.sources.jsonschema import jsonschema_to_spark
+
+    schema = jsonschema_to_spark(SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    windowed = tumbling_counts_stream(stream, "at", "10 minutes", delay="1 minute")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.window_start.isoformat(), r.n_events) for r in spark.sql("SELECT * FROM late_t").collect()}
+    # window A emitted exactly once with only the on-time row
+    assert ("2026-08-13T12:00:00", 1) in got
+    assert not any(n != 1 for w, n in got if w == "2026-08-13T12:00:00")
