@@ -228,15 +228,20 @@ def q04_semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
     )
     """,
     tags=("join", "anti"),
 )
 def q05_anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers that never placed an order (left-anti join)."""
+    """Customers that never placed an urgent order (left-anti join;
+    the priority filter keeps the result non-degenerate on this data —
+    every customer has *some* order)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")

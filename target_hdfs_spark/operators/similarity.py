@@ -226,13 +226,14 @@ def q47_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_cos_sql('a.v', 'b.v')} AS cos_sim
     FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.v', 'b.v')} >= 0.75
+    WHERE {_cos_sql('a.v', 'b.v')} >= 0.25
     """,
     tags=("similarity", "dedup", "lsh"),
 )
 def q48_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate pairs: LSH-bucketed candidate
-    generation, exact cosine filter at 0.75 — the embedding analog of
+    generation, exact cosine filter at 0.25 (tuned to this corpus's cosine
+    distribution, p99~0.29) — the embedding analog of
     MinHash+verify for text (same bucket -> candidate -> exact check).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -248,5 +249,5 @@ def q48_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.75)
+        .filter(F.col("cos_sim") >= 0.25)
     )
