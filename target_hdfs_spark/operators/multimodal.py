@@ -201,3 +201,35 @@ def q61_image_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("height").alias("max_height"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L5c: frame-sampling pipeline (mapInPandas row explosion; rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q62_frame_sampling",
+    oracle=None,
+    tags=("multimodal", "video", "mapInPandas"),
+)
+def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: every
+    16th 4-byte "frame" of each document's byte stream becomes a row,
+    then frames are aggregated per doc. The byte slicing stands in for
+    a codec (none installed here); the Arrow-batched row-explosion
+    plumbing is the real operator shape.
+
+    Scale: mapInPandas explosion is linear and map-only; downstream
+    aggregation combines map-side. Rows-only check (binary slicing
+    is engine plumbing, not SQL semantics).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("video")
+    )
+    frames = sample_frames(docs, "video", every_k=16, frame_bytes=4)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_idx").alias("first_frame"),
+        F.max("frame_idx").alias("last_frame"),
+    )

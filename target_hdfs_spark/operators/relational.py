@@ -847,3 +847,272 @@ def q22_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens("text").alias("n_tokens"), "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# E4/E9/E15 composed — TPC-H Q3 shape (join-agg-topk pipeline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q23_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q23_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue orders in a segment/date window (TPC-H Q3 shape):
+    selective dimension filter -> fact join -> aggregate -> top-k.
+
+    Scale: the segment filter shrinks customer before its join
+    (pushed to the scan); orderBy+limit compiles to per-partition
+    top-k, never a global sort. Deterministic under ties via the
+    (o_orderdate, l_orderkey) tiebreakers.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    disc = F.lit(1).cast("decimal(12,4)") - dec("l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(to_double(F.sum(dec("l_extendedprice") * disc)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9 + HAVING — aggregate filter (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_large_volume_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, big.total_qty
+    FROM (
+      SELECT l_orderkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 150
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    """,
+    tags=("agg", "having", "join"),
+)
+def q24_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold (TPC-H Q18
+    shape): HAVING via a post-aggregation filter, then a key join back
+    to the fact header.
+
+    Scale: the aggregate+filter shrinks the join's build side to the
+    few qualifying orders; AQE turns the join into a broadcast at
+    runtime.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_qty_dec"),
+        )
+        .filter(F.col("_qty_dec") > 150)
+        .select("l_orderkey", to_double(F.col("_qty_dec")).alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return big.join(orders, big.l_orderkey == orders.o_orderkey).select(
+        "o_orderkey", "o_custkey", "total_qty"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3/E9 — scalar-subquery comparison (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_below_average_lineitems",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+    tags=("agg", "subquery", "join"),
+)
+def q25_below_average_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line items below half their part's average quantity (TPC-H Q17
+    shape): the correlated scalar subquery expressed as an aggregate
+    join — exactly how Catalyst de-correlates it internally, but
+    explicit so the plan is predictable.
+
+    Scale: one shuffle for the per-part average (map-side combined),
+    one broadcast-or-shuffle join back; never a per-row subquery.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (to_double(F.sum(dec("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pa_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E13/E14 — distribution window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26_window_distribution",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderpriority,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume,
+      ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def q26_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over a totally-ordered window.
+    All three are rational functions of integer ranks -> exact double
+    equality across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E14 — RANGE frame (value-range windows, not row counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_range_frame_spend",
+    oracle="""
+    SELECT
+      o_custkey, o_orderkey, day_n,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER (
+        PARTITION BY o_custkey ORDER BY day_n
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+      ) AS VARCHAR) AS DOUBLE) AS spend_30d
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_n
+      FROM orders
+    )
+    """,
+    tags=("window", "range-frame"),
+)
+def q27_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer: a RANGE frame over a day
+    number (value-based, so rows with equal days aggregate together —
+    semantically different from a 30-ROW frame).
+
+    Scale: same single shuffle as any partitioned window; the exact
+    decimal running sum keeps it oracle-checkable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    base = orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice", days.alias("day_n")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_n")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_n",
+        to_double(F.sum(dec("o_totalprice")).over(w)).alias("spend_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E11 — CUBE and SQL-API grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass (Expand node
+    before the shuffle, k-fold map output — still combined map-side)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "q29_grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    tags=("agg", "grouping-sets", "sql-api"),
+)
+def q29_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the spark.sql entry point — the
+    engine's SQL API surface (every DataFrame query here has an
+    equivalent through spark.sql; this one exercises that path)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q29_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+        FROM q29_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )

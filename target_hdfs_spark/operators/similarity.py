@@ -251,3 +251,41 @@ def q48_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.25)
     )
+
+
+# ---------------------------------------------------------------------------
+# L3d/L5: vector statistics (norms per label — exact fold arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q49_embedding_norms",
+    oracle=f"""
+    WITH emb AS (
+      SELECT label,
+             sqrt({_DOT_SQL.format(a='CAST(embedding AS DOUBLE[])',
+                                   b='CAST(embedding AS DOUBLE[])')}) AS norm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           MIN(norm) AS min_norm, MAX(norm) AS max_norm
+    FROM emb GROUP BY label
+    """,
+    tags=("similarity", "vector", "agg"),
+)
+def q49_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile: count + min/max L2 norm.
+    min/max of doubles are exact (no accumulation), so the whole
+    result is bit-deterministic; a mean would need the decimal route.
+
+    Scale: map-only norm computation, one tiny groupBy(label) shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.sqrt(dot_fold(as_double_array("embedding"),
+                                 as_double_array("embedding"))).alias("norm")
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("norm").alias("min_norm"),
+        F.max("norm").alias("max_norm"),
+    )

@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests: binary columns + typed metadata structs,
+Arrow-batched decode, frame sampling, and the honest NotImplementedError
+stub for real codecs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from target_hdfs_spark.operators.multimodal import (
+    decode_image_meta,
+    encode_fake_image,
+    sample_frames,
+    with_image_meta,
+)
+
+
+def test_fake_image_roundtrip():
+    blob = encode_fake_image(640, 480, b"payload")
+    assert decode_image_meta(blob) == (640, 480, 7, "fake1")
+
+
+def test_decode_unknown_and_null():
+    assert decode_image_meta(b"garbage") == (0, 0, 7, "unknown")
+    assert decode_image_meta(None) == (0, 0, 0, "null")
+
+
+def test_real_codecs_are_explicit_stubs():
+    jpeg_header = b"\xff\xd8\xff\xe0" + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        decode_image_meta(jpeg_header)
+
+
+def test_with_image_meta_schema_and_values(spark):
+    rows = [
+        (1, encode_fake_image(64, 32, b"\x01\x02\x03")),
+        (2, b"not-an-image"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    out = with_image_meta(df, "image")
+    assert isinstance(out.schema["image_meta"].dataType, T.StructType)
+    got = {r.doc_id: r.image_meta for r in out.collect()}
+    assert got[1].width == 64 and got[1].height == 32
+    assert got[1].n_payload_bytes == 3 and got[1].format == "fake1"
+    assert got[2].format == "unknown"
+    assert got[3].format == "null"
+
+
+def test_sample_frames_explosion(spark):
+    # 128-byte payload, 4-byte frames -> 32 frames, every 16th -> idx 0, 16
+    payload = bytes(range(128))
+    df = spark.createDataFrame([(7, payload)], "doc_id long, video binary")
+    out = sample_frames(df, "video", every_k=16, frame_bytes=4)
+    rows = sorted(out.collect(), key=lambda r: r.frame_idx)
+    assert [(r.doc_id, r.frame_idx) for r in rows] == [(7, 0), (7, 16)]
+    assert bytes(rows[0].frame) == bytes([0, 1, 2, 3])
+    assert bytes(rows[1].frame) == bytes([64, 65, 66, 67])
+
+
+def test_sample_frames_skips_null_payloads(spark):
+    df = spark.createDataFrame([(1, None), (2, bytes(8))], "doc_id long, video binary")
+    out = sample_frames(df, "video", every_k=1, frame_bytes=4)
+    assert {r.doc_id for r in out.collect()} == {2}
