@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        skew,
         text,
         windows,
     )
