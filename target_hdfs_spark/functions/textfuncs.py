@@ -26,7 +26,15 @@ TOKENS_SQL = (
 
 def shingles(tok: Column, w: int = 3) -> Column:
     """w-word shingles of a token array (single whole-doc shingle when
-    shorter than w tokens)."""
+    shorter than w tokens).
+
+    PERFORMANCE CONTRACT: pass a *column reference* to a materialized
+    token array, never the tokens() expression itself — the lambda
+    body embeds `tok` verbatim, so an expression argument is
+    re-evaluated per shingle index (O(tokens^2) tokenization; measured
+    5x slowdown at sf0.1). Bind tokens with
+    ``df.select(tokens(...).alias("toks"))`` first.
+    """
     return F.when(
         F.size(tok) >= w,
         F.transform(

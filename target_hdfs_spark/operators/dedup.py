@@ -134,8 +134,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     Scale: explode keeps it linear; the k mins combine map-side, so
     the shuffle carries one row per (doc, k mins), not per shingle.
     """
-    hashed = docs.select(
-        id_col, F.explode(F.transform(shingles(tokens(text_col)), md5_hash32)).alias("h")
+    with_toks = docs.select(id_col, tokens(text_col).alias("_toks"))
+    hashed = with_toks.select(
+        id_col,
+        F.explode(F.transform(shingles(F.col("_toks")), md5_hash32)).alias("h"),
     )
     return hashed.groupBy(id_col).agg(
         *[
@@ -372,7 +374,8 @@ def q45_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        docs.select("doc_id", F.explode(shingles(tokens("text"))).alias("shingle"))
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

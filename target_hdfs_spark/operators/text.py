@@ -177,8 +177,11 @@ def q53_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token votes per language,
     deterministic priority-ordered argmax. Scan-side array expressions
     only — at 100 TB this is a free pass over the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
+    # bind tokens once: each score re-uses the materialized array
+    # instead of re-tokenizing per language (see shingles() contract)
+    with_toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("_toks")
+    )
 
     def _is_marker(ms: tuple[str, ...]):
         # closure factory — a default-arg lambda would become a
@@ -186,10 +189,10 @@ def q53_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lambda x: x.isin(list(ms))
 
     scores = {
-        lang: F.size(F.filter(tok, _is_marker(ms)))
+        lang: F.size(F.filter(F.col("_toks"), _is_marker(ms)))
         for lang, ms in _LANG_MARKERS.items()
     }
-    scored = docs.select(
+    scored = with_toks.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
         *[c.alias(f"score_{lang}") for lang, c in scores.items()],
@@ -243,13 +246,14 @@ def q54_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     first pass that typically drops half the raw corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
     m = docs.select(
+        "doc_id", "lang", "n_chars", tokens("text").alias("_toks")
+    ).select(
         "doc_id",
         "lang",
         "n_chars",
-        F.size(tok).alias("n_tokens"),
-        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+        F.size(F.col("_toks")).alias("n_tokens"),
+        F.size(F.array_distinct(F.col("_toks"))).alias("n_unique_tokens"),
     )
     unique_ratio = F.col("n_unique_tokens").cast("double") / F.col("n_tokens")
     return (
@@ -331,8 +335,10 @@ def q56_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram frequencies (>= 5 occurrences) — n-gram language
     statistics over the corpus, built from the shared shingling
     primitive."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
+    with_toks = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("_toks")
+    )
+    tok = F.col("_toks")
     bigrams = F.when(
         F.size(tok) >= 2,
         F.transform(
@@ -341,7 +347,7 @@ def q56_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        with_toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
