@@ -289,3 +289,106 @@ def q49_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm").alias("min_norm"),
         F.max("norm").alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L3e: IVF-style ANN (coarse quantizer + in-cell search — the other
+# classic scale path besides LSH)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+_IVF_TOPK = 3
+
+_ASSIGN_SQL = f"""
+    emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_DOT_SQL.format(a='e.v', b='c.cv')} DESC, c.cid
+             ) AS crn
+      FROM emb e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT vec_id, v, cid AS cell FROM assign WHERE crn = 1
+    )
+"""
+
+
+@query(
+    "q63_ann_ivf",
+    oracle=f"""
+    WITH {_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_sql('q.qv', 'e.v')} AS cos_sim
+      FROM q JOIN cells e ON e.cell = q.cell AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+      ) AS rn
+      FROM scored
+    )
+    WHERE rn <= {_IVF_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: a deterministic coarse
+    quantizer (centroids := the first N_CENTROIDS vectors; assignment
+    by max dot product, centroid-id tiebreak) partitions the corpus
+    into cells; search runs exact cosine inside the query's cell only
+    (nprobe=1).
+
+    Against real data the centroids come from k-means — the
+    *engine-shape* is identical: a broadcast centroid table, a map-side
+    argmax assignment, an equi-join on cell id. Everything is exact
+    fold arithmetic, so even this ANN index is value-checked against
+    the oracle.
+
+    Scale: assignment is a broadcast cross join (corpus x K) evaluated
+    scan-side; the cell equi-join replaces the O(n) probe of brute
+    force with cell-sized candidate sets; recall tunes with K and
+    nprobe (probe the p nearest cells by centroid distance).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("cid")
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot")
+        )
+        .withColumn("crn", F.row_number().over(wassign))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    queries = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = cells.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _IVF_TOPK
+    )

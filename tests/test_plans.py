@@ -1,0 +1,63 @@
+"""Physical-plan assertions: pin the optimizer properties the engine
+relies on at scale (pushdown, pruning, broadcast, top-k, single-pass
+aggregation). A regression here is a 100 TB performance bug even when
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from target_hdfs_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+SPECS = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 of 16 lineitem columns read — l_orderkey and friends pruned
+    assert "l_orderkey" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_q03_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q03_local_supplier_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "o_orderdate" in plan and "PushedFilters" in plan
+
+
+def test_q12_topk_never_global_sorts(spark):
+    plan = plan_of(spark, "q12_global_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_q42_minhash_single_pass(spark):
+    plan = plan_of(spark, "q42_minhash_signatures")
+    # exactly one md5 evaluation site and one shuffle: the signature
+    # pipeline is explode -> partial agg -> exchange -> final agg
+    assert plan.count("md5") == 1, f"md5 recomputed: {plan.count('md5')} sites"
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan  # map-side combine of the 16 minima
+
+
+def test_q46_broadcasts_query_vectors(spark):
+    plan = plan_of(spark, "q46_cosine_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q21_sample_inside_scan_stage(spark):
+    plan = plan_of(spark, "q21_sample")
+    assert "Sample" in plan
+    assert "Exchange" not in plan  # sampling never shuffles
+
+
+def test_q54_quality_filter_no_shuffle(spark):
+    plan = plan_of(spark, "q54_quality_filter")
+    assert "Exchange" not in plan  # pure scan-side filter pipeline
