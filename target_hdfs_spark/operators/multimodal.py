@@ -233,3 +233,68 @@ def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("frame_idx").alias("first_frame"),
         F.max("frame_idx").alias("last_frame"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L5d: audio feature extraction (windowed byte statistics; rows-only)
+# ---------------------------------------------------------------------------
+
+
+def extract_audio_features(
+    df: DataFrame, binary_col: str = "audio", window_bytes: int = 256
+) -> DataFrame:
+    """Audio-style feature extraction over opaque payloads: fixed-width
+    windows -> per-window (mean, peak) "amplitude" statistics. A real
+    deployment decodes PCM frames first (codec not installed here —
+    same honest-stub posture as decode_image_meta); the windowing,
+    Arrow batching and (id, window_idx, features) output shape are the
+    production plumbing.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("window_idx", T.IntegerType()),
+            T.StructField("mean_amplitude", T.DoubleType()),
+            T.StructField("peak_amplitude", T.IntegerType()),
+        ]
+    )
+
+    def feature_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple[int, int, float, int]] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                for idx in range(0, len(b) // window_bytes):
+                    win = b[idx * window_bytes : (idx + 1) * window_bytes]
+                    rows.append((doc_id, idx, sum(win) / len(win), max(win)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "window_idx", "mean_amplitude", "peak_amplitude"],
+            )
+
+    return df.mapInPandas(feature_batches, out_schema)
+
+
+@query(
+    "q64_audio_features",
+    oracle=None,
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature pipeline over binary payloads: windowed amplitude
+    stats via Arrow-batched mapInPandas, aggregated per doc. Completes
+    the image (q61) / video (q62) / audio multimodal trio. Rows-only.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("audio")
+    )
+    feats = extract_audio_features(docs, "audio", window_bytes=64)
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("mean_amplitude").alias("min_mean_amp"),
+        F.max("peak_amplitude").alias("max_peak_amp"),
+    )

@@ -1,0 +1,52 @@
+"""Writer tests: compression codecs, file-size governance, rows-per-
+file estimation."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from target_hdfs_spark.config import TargetConfig
+from target_hdfs_spark.plans.writer import (
+    estimate_rows_per_file,
+    target_file_bytes,
+    write_stream,
+)
+
+
+@pytest.mark.parametrize("codec,ext", [("gzip", ".gz.parquet"), ("snappy", ".snappy.parquet"), ("zstd", ".zstd.parquet")])
+def test_compression_codecs_roundtrip(spark, tmp_path, codec, ext):
+    df = spark.range(100).selectExpr("id AS v", "concat('row-', id) AS s")
+    config = TargetConfig(destination_path=str(tmp_path), compression=codec)
+    write_stream(spark, df, str(tmp_path / "s"), config, rows_per_file=1000)
+    files = glob.glob(str(tmp_path / "s" / "*.parquet"))
+    assert files and all(f.endswith(ext) for f in files), files
+    got = spark.read.parquet(str(tmp_path / "s"))
+    assert got.count() == 100
+    assert got.agg({"v": "sum"}).collect()[0][0] == sum(range(100))
+
+
+def test_rows_per_file_governs_file_count(spark, tmp_path):
+    df = spark.range(1000).repartition(1)
+    config = TargetConfig(destination_path=str(tmp_path), compression="snappy")
+    write_stream(spark, df, str(tmp_path / "s"), config, rows_per_file=250)
+    files = glob.glob(str(tmp_path / "s" / "*.parquet"))
+    assert len(files) == 4  # 1000 rows / 250 per file
+
+
+def test_target_file_bytes_precedence(spark):
+    # explicit target wins over block-size-derived default
+    c1 = TargetConfig(destination_path="/x", target_file_bytes="1M")
+    assert target_file_bytes(spark, c1) == 1 << 20
+    c2 = TargetConfig(destination_path="/x", block_size_limit="2M")
+    assert target_file_bytes(spark, c2) == 2 << 20
+    c3 = TargetConfig(destination_path="/x")
+    assert target_file_bytes(spark, c3) > 0
+
+
+def test_estimate_rows_per_file_scales_with_target(spark):
+    df = spark.range(5000).selectExpr("id", "concat('x', id) AS s")
+    small = estimate_rows_per_file(df, 1 << 20)
+    large = estimate_rows_per_file(df, 64 << 20)
+    assert large >= small >= 1000
