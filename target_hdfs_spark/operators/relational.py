@@ -1116,3 +1116,230 @@ def q29_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# E6/E9 — NOT IN as anti join over aggregates (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type
+    """,
+    tags=("join", "anti", "agg"),
+)
+def q35_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier counts per brand/type excluding blacklisted
+    suppliers (TPC-H Q16 shape). NOT IN compiles to a left-anti join —
+    note NOT IN's null trap doesn't apply (s_suppkey is a key), which
+    is why the anti-join rewrite is semantically safe here.
+
+    Scale: the blacklist is tiny and broadcast; count(distinct)
+    expands (brand,type,suppkey) once before the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9/E6 — global-average comparison + anti join (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_rich_inactive_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    """,
+    tags=("agg", "subquery", "anti"),
+)
+def q36_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no recent orders (TPC-H
+    Q22 shape): a global scalar aggregate broadcast into the filter,
+    then an anti join against recent orders.
+
+    Scale: the scalar is a 1-row broadcast cross join (never a
+    collect); the anti join's build side is date-filtered at the scan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (to_double(F.sum(dec("c_acctbal"))) / F.count(F.lit(1))).alias("a")
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9/E13 — per-group minimum selection (TPC-H Q2 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_cheapest_supplier_per_part",
+    oracle="""
+    SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    ) m ON m.l_partkey = l.l_partkey AND l.l_extendedprice = m.min_price
+    QUALIFY row_number() OVER (
+      PARTITION BY l.l_partkey ORDER BY l.l_suppkey, l.l_orderkey, l.l_linenumber
+    ) = 1
+    """,
+    tags=("agg", "join", "window"),
+)
+def q37_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest line item per part (TPC-H Q2's correlated-min shape):
+    per-group min via aggregate join-back, with a deterministic
+    row_number tiebreak for equal-price ties.
+
+    Scale: the min-aggregate combines map-side; the join-back is an
+    equi-join Catalyst can broadcast when the distinct-part count
+    allows; no window over the full table (the window runs on the
+    already-min-filtered rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    mins = mins.withColumnRenamed("l_partkey", "m_partkey")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.join(
+            mins,
+            (li.l_partkey == mins.m_partkey)
+            & (li.l_extendedprice == mins.min_price),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9 — argmax aggregates + ordered collect
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q38_argmax_aggregates",
+    oracle="""
+    SELECT c_nationkey,
+           max_by(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000000
+                          + c_custkey) AS richest_customer,
+           min_by(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000000
+                          + c_custkey) AS poorest_customer,
+           list_sort(list(c_mktsegment)) AS segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "argmax", "collect"),
+)
+def q38_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates) with an integer-encoded
+    (balance, custkey) ordering key — exact for 2-decimal balances and
+    a total order, so ties are deterministic (DuckDB's max_by cannot
+    compare structs; the encoded key is the portable formulation).
+    collect_list is made order-insensitive via sort_array — collect
+    order is partition-dependent, so sorting is the only checkable
+    formulation.
+
+    Scale: all three are single-pass hash aggregates with map-side
+    combine.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    rank_key = (
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint") * F.lit(10_000_000)
+        + F.col("c_custkey")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by(F.col("c_name"), rank_key).alias("richest_customer"),
+        F.min_by(F.col("c_name"), rank_key).alias("poorest_customer"),
+        F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E19 — null semantics (three-valued logic, null-safe equality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'P') AS status_or_null,
+             o_totalprice
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT
+      t.o_orderkey,
+      t.status_or_null,
+      coalesce(t.status_or_null, 'PENDING') AS status_filled,
+      (t.status_or_null IS NOT DISTINCT FROM NULL) AS is_pending,
+      CASE WHEN t.status_or_null = 'F' THEN 'final'
+           WHEN t.status_or_null IS NULL THEN 'pending'
+           ELSE 'other' END AS bucket
+    FROM t
+    """,
+    tags=("scalar", "null"),
+)
+def q39_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: NULLIF-generated nulls, COALESCE
+    fill, null-safe equality (Spark `<=>` == SQL IS NOT DISTINCT
+    FROM), and CASE branches over null."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    status = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    t = orders.select("o_orderkey", status.alias("status_or_null"))
+    return t.select(
+        "o_orderkey",
+        "status_or_null",
+        F.coalesce(F.col("status_or_null"), F.lit("PENDING")).alias("status_filled"),
+        F.col("status_or_null").eqNullSafe(F.lit(None).cast("string")).alias("is_pending"),
+        F.when(F.col("status_or_null") == "F", "final")
+        .when(F.col("status_or_null").isNull(), "pending")
+        .otherwise("other")
+        .alias("bucket"),
+    )
