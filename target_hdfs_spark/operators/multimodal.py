@@ -20,7 +20,6 @@ executors; `spark.sql.files.maxPartitionBytes` governs batch memory.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -5,8 +5,6 @@ results stay correct."""
 
 from __future__ import annotations
 
-import pytest
-
 from target_hdfs_spark.registry import all_queries
 
 SF_DIR = "/root/testdata/sf0.001"
