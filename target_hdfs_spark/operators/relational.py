@@ -1343,3 +1343,197 @@ def q39_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E6/E18 — semi-join existence count (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q65_priority_order_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("semi", "agg", "datetime"),
+)
+def q65_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one late-shipping line item, counted by
+    priority (TPC-H Q4 shape): a correlated EXISTS with a cross-table
+    predicate -> semi join on key + condition.
+
+    Scale: the semi join never duplicates orders rows; the date window
+    pushes to the orders scan.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9/E19 — conditional aggregation buckets (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q66_priority_shipping_buckets",
+    oracle="""
+    SELECT
+      l_linestatus,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        AS high_line_count,
+      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "conditional", "join"),
+)
+def q66_priority_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-vs-other line counts per line status (TPC-H Q12 shape):
+    conditional aggregation — CASE inside SUM — the standard
+    one-pass alternative to two filtered scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9/E19 — ratio-of-conditional-sums metric (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q67_brand_revenue_share",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CASE WHEN p_brand LIKE 'Brand#1%' THEN
+            CAST(l_extendedprice AS DECIMAL(12,4))
+            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+          ELSE CAST(0 AS DECIMAL(25,8)) END) AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+      * 100 AS brand1_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    tags=("agg", "conditional", "ratio"),
+)
+def q67_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-family revenue share (TPC-H Q14 shape): a global ratio of
+    conditional decimal sums — both numerator and denominator exact,
+    one double division at the end."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,4)") - dec("l_discount")
+    )
+    branded = F.when(
+        F.col("p_brand").like("Brand#1%"), disc_price
+    ).otherwise(F.lit(0).cast("decimal(25,8)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                to_double(F.sum(branded))
+                / to_double(F.sum(disc_price))
+                * 100
+            ).alias("brand1_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3/E4 — disjunctive multi-attribute join predicates (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q68_disjunctive_predicates",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_items,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+        AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE
+      (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 21)
+      OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30
+        AND l_quantity BETWEEN 10 AND 40)
+      OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+        AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("filter", "disjunction", "join"),
+)
+def q68_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over an OR-of-conjunctions predicate spanning both join
+    sides (TPC-H Q19 shape) — the classic test of predicate handling:
+    Catalyst extracts the common join key, pushes the per-table parts
+    of each disjunct into the scans, and evaluates the residual on
+    joined rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,4)") - dec("l_discount")
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        to_double(F.sum(disc_price)).alias("revenue"),
+    )

@@ -392,3 +392,89 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _IVF_TOPK
     )
+
+
+# ---------------------------------------------------------------------------
+# L3f: binary (sign) quantization + Hamming-distance search
+# ---------------------------------------------------------------------------
+
+def _qword_sql(vec: str, lo: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN ({vec})[{lo + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def quantize_words(vec: Column) -> tuple[Column, Column]:
+    """Sign-quantize a 64-dim double array into two 32-bit words.
+    64x compression (512B float32 -> 8B); Hamming distance on the
+    words approximates angular distance (same guarantee family as
+    sign-random-projection LSH, applied to the raw dims)."""
+    def word(lo: int) -> Column:
+        acc = None
+        for j in range(32):
+            term = F.when(
+                F.element_at(vec, lo + j + 1) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            acc = term if acc is None else acc + term
+        return acc.cast("bigint")
+
+    return word(0), word(32)
+
+
+@query(
+    "q69_hamming_neighbors",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id,
+             {_qword_sql('CAST(embedding AS DOUBLE[])', 0)} AS w1,
+             {_qword_sql('CAST(embedding AS DOUBLE[])', 32)} AS w2
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, w1 AS qw1, w2 AS qw2 FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             bit_count(xor(e.w1, q.qw1)) + bit_count(xor(e.w2, q.qw2)) AS hamming
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, CAST(hamming AS BIGINT) AS hamming, rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, vec_id
+      ) AS rn FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "quantization", "hamming"),
+)
+def q69_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest neighbors under sign-quantized Hamming distance:
+    embeddings compressed 64x to two int32 words, distance = popcount
+    of XOR. Integer-only -> exact across engines.
+
+    Scale: this is the memory-bound regime's answer — the quantized
+    corpus fits executor RAM at sizes where float vectors cannot, the
+    distance kernel is two XOR+POPCNT instructions, and the same
+    re-rank pattern as IVF/LSH applies (Hamming shortlist -> exact
+    cosine on candidates).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    w1, w2 = quantize_words(F.col("v"))
+    coded = emb.select("vec_id", w1.alias("w1"), w2.alias("w2"))
+    queries = coded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    hamming = (
+        F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+        + F.bit_count(F.col("w2").bitwiseXOR(F.col("qw2")))
+    ).cast("bigint")
+    scored = coded.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id", hamming.alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
