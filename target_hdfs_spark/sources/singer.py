@@ -137,6 +137,7 @@ class SingerPipe:
                     buf.version = msg.get("version")
             # unknown types are ignored (forward compatibility)
         self.flush_all()
+        self._finalize_versions()
 
     def _on_schema(self, msg: dict) -> None:
         name = msg["stream"]
@@ -160,6 +161,22 @@ class SingerPipe:
         )
         if len(buf.records) >= self.config.max_batch_size:
             self._flush(name)
+
+    def _finalize_versions(self) -> None:
+        """End-of-stream ACTIVATE_VERSION semantics: rows of versions
+        older than the activated one get `_sdc_deleted_at` stamped
+        (soft delete — the Singer SDK's non-hard-delete finalization).
+        Only applies when record metadata is on (the version column
+        exists on disk)."""
+        if not self.config.add_record_metadata:
+            return
+        from target_hdfs_spark.plans.upsert import soft_delete_older_versions
+
+        for name, buf in self.streams.items():
+            if buf.version is not None:
+                soft_delete_older_versions(
+                    self.spark, self.config.stream_path(name), int(buf.version)
+                )
 
     # -- flush path --------------------------------------------------------
 

@@ -74,6 +74,10 @@ def with_record_metadata(df: DataFrame) -> DataFrame:
     df = df.withColumn("_sdc_received_at", now).withColumn("_sdc_batched_at", now)
     if "_sdc_extracted_at" not in df.columns:
         df = df.withColumn("_sdc_extracted_at", F.lit(None).cast("timestamp"))
+    # always present so ACTIVATE_VERSION soft-delete rewrites don't
+    # change the on-disk schema (drift guard stays green across runs)
+    if "_sdc_deleted_at" not in df.columns:
+        df = df.withColumn("_sdc_deleted_at", F.lit(None).cast("timestamp"))
     return df
 
 

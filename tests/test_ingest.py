@@ -179,3 +179,50 @@ def test_stream_maps_applied(spark, tmp_path):
     ]))
     rows = spark.read.parquet(str(tmp_path / "s")).collect()
     assert len(rows) == 1 and rows[0].id2 == 20
+
+
+def test_activate_version_soft_deletes_older(spark, tmp_path):
+    """Full-refresh semantics: after ACTIVATE_VERSION, rows written
+    under older versions are soft-deleted at end of stream."""
+    config = TargetConfig(destination_path=str(tmp_path), add_record_metadata=True)
+    schema_line = _schema_msg("s", {"id": {"type": "integer"}})
+
+    # run 1: version 1 rows
+    pipe1 = SingerPipe(spark, config)
+    list(pipe1.process_lines([
+        schema_line,
+        json.dumps({"type": "ACTIVATE_VERSION", "stream": "s", "version": 1}),
+        _rec("s", id=1),
+        _rec("s", id=2),
+    ]))
+    # run 2: version 2 rows; finalization stamps the version-1 rows
+    pipe2 = SingerPipe(spark, config)
+    list(pipe2.process_lines([
+        schema_line,
+        json.dumps({"type": "ACTIVATE_VERSION", "stream": "s", "version": 2}),
+        _rec("s", id=3),
+    ]))
+
+    df = spark.read.parquet(str(tmp_path / "s"))
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1]._sdc_deleted_at is not None
+    assert rows[2]._sdc_deleted_at is not None
+    assert rows[3]._sdc_deleted_at is None
+    assert rows[3]._sdc_table_version == 2
+
+
+def test_third_run_after_finalization_keeps_schema_stable(spark, tmp_path):
+    """The soft-delete rewrite must not change the on-disk schema —
+    a third ingest run has to pass the drift guard."""
+    config = TargetConfig(destination_path=str(tmp_path), add_record_metadata=True)
+    schema_line = _schema_msg("s", {"id": {"type": "integer"}})
+    for version, ids in [(1, [1]), (2, [2]), (3, [3])]:
+        pipe = SingerPipe(spark, config)
+        list(pipe.process_lines([
+            schema_line,
+            json.dumps({"type": "ACTIVATE_VERSION", "stream": "s", "version": version}),
+            *[_rec("s", id=i) for i in ids],
+        ]))
+    df = spark.read.parquet(str(tmp_path / "s"))
+    rows = {r.id: r._sdc_deleted_at is not None for r in df.collect()}
+    assert rows == {1: True, 2: True, 3: False}

@@ -1,0 +1,89 @@
+"""Upsert / soft-delete jobs: row-level MERGE over plain Parquet with
+partition pruning, and ACTIVATE_VERSION soft-delete finalization."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from target_hdfs_spark.plans.upsert import soft_delete_older_versions, upsert
+from target_hdfs_spark.plans.writer import SchemaChangedError
+
+
+def test_upsert_replaces_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    base.write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    upsert(spark, updates, path, keys=["k"])
+
+    got = {r.k: (r.s, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_upsert_first_write(spark, tmp_path):
+    path = str(tmp_path / "t")
+    updates = spark.createDataFrame([(1, "a")], "k long, s string")
+    upsert(spark, updates, path, keys=["k"])
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_schema_drift_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, s string").write.parquet(path)
+    bad = spark.createDataFrame([(1, 5)], "k long, other_col long")
+    with pytest.raises(SchemaChangedError):
+        upsert(spark, bad, path, keys=["k"])
+
+
+def test_partition_pruned_upsert_leaves_other_partitions_untouched(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "de", 1.0), (2, "de", 2.0), (3, "fr", 3.0), (4, "us", 4.0)],
+        "k long, country string, v double",
+    )
+    base.write.partitionBy("country").parquet(path)
+    untouched_before = sorted(glob.glob(f"{path}/country=us/*.parquet"))
+
+    updates = spark.createDataFrame(
+        [(2, "de", 99.0), (5, "fr", 5.0)], "k long, country string, v double"
+    )
+    upsert(spark, updates, path, keys=["k"], partition_col="country")
+
+    got = {r.k: (r.country, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("de", 1.0),
+        2: ("de", 99.0),
+        3: ("fr", 3.0),
+        4: ("us", 4.0),
+        5: ("fr", 5.0),
+    }
+    # the us partition's files were not rewritten
+    assert sorted(glob.glob(f"{path}/country=us/*.parquet")) == untouched_before
+
+
+def test_soft_delete_older_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], "k long, _sdc_table_version long"
+    )
+    df.write.parquet(path)
+    n = soft_delete_older_versions(spark, path, active_version=2)
+    assert n == 2
+    got = spark.read.parquet(path)
+    stamped = {r.k: r._sdc_deleted_at is not None for r in got.collect()}
+    assert stamped == {1: True, 2: True, 3: False}
+    # idempotent: already-stamped rows are not restamped
+    assert soft_delete_older_versions(spark, path, active_version=2) == 0
+
+
+def test_soft_delete_noop_without_version_col(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "k long").write.parquet(path)
+    assert soft_delete_older_versions(spark, path, active_version=5) == 0
