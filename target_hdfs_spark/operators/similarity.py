@@ -478,3 +478,182 @@ def q69_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", hamming.alias("hamming"))
     w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# L3g: multi-probe IVF (nprobe=2) — recall knob of the IVF scale path
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q70_ann_ivf_multiprobe",
+    oracle=f"""
+    WITH {_ASSIGN_SQL},
+    qcells AS (
+      SELECT vec_id AS query_id, v AS qv, cid AS cell
+      FROM assign WHERE vec_id < 5 AND crn <= 2
+    ),
+    scored AS (
+      SELECT DISTINCT q.query_id, e.vec_id,
+             {_cos_sql('q.qv', 'e.v')} AS cos_sim
+      FROM qcells q JOIN cells e ON e.cell = q.cell AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+      ) AS rn
+      FROM scored
+    )
+    WHERE rn <= {_IVF_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+)
+def q70_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query probes its TWO nearest cells
+    (by centroid dot product), roughly doubling candidates and closing
+    most of the recall gap of nprobe=1 (q63) at a fraction of brute
+    force — the standard recall/cost knob of IVF indexes.
+
+    Scale: identical plan shape to q63 with a 2x candidate fan-out;
+    DISTINCT dedups the corner case where both probed cells contain
+    the same candidate (impossible with rn=1 corpus assignment, kept
+    for safety under future nprobe>1 corpus replication).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot"))
+        .withColumn("crn", F.row_number().over(wassign))
+    )
+    cells = assign.filter(F.col("crn") == 1).select(
+        "vec_id", "v", F.col("cid").alias("cell")
+    )
+    qcells = assign.filter((F.col("vec_id") < 5) & (F.col("crn") <= 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cid").alias("qcell"),
+    )
+    scored = (
+        cells.join(
+            F.broadcast(qcells),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _IVF_TOPK
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3h: ANN recall measurement (index quality as a first-class query)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q71_ann_recall",
+    oracle=f"""
+    WITH {_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells WHERE vec_id < 5),
+    exact_scored AS (
+      SELECT q.query_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id
+             ) AS rn
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    truth AS (SELECT query_id, vec_id FROM exact_scored WHERE rn <= {_IVF_TOPK}),
+    ann_scored AS (
+      SELECT q.query_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id
+             ) AS rn
+      FROM q JOIN cells e ON e.cell = q.cell AND e.vec_id <> q.query_id
+    ),
+    ann AS (SELECT query_id, vec_id FROM ann_scored WHERE rn <= {_IVF_TOPK}),
+    hits AS (
+      SELECT t.query_id, COUNT(a.vec_id) AS n_hits
+      FROM truth t LEFT JOIN ann a
+        ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+      GROUP BY t.query_id
+    )
+    SELECT query_id,
+           CAST(n_hits AS DOUBLE) / {_IVF_TOPK} AS recall_at_k
+    FROM hits
+    """,
+    tags=("similarity", "ann", "recall"),
+)
+def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index (q63) against exact brute force —
+    index quality measured *inside* the engine, deterministically
+    (both rankings are total orders, so recall is a fixed rational
+    per query and the oracle checks it exactly).
+
+    Scale: this is the query you run on a sample after (re)building an
+    ANN index at 100 TB — recall regression detection as a pipeline
+    step, not a notebook afterthought.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+    cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot"))
+        .withColumn("crn", F.row_number().over(wassign))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    queries = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    truth = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("query_id", "vec_id")
+    )
+    ann = (
+        cells.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("query_id", F.col("vec_id").alias("ann_vec_id"))
+    )
+    hits = (
+        truth.join(
+            ann,
+            (truth.query_id == ann.query_id)
+            & (truth.vec_id == ann.ann_vec_id),
+            "left",
+        )
+        .groupBy(truth.query_id)
+        .agg(F.count(ann.ann_vec_id).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        (F.col("n_hits").cast("double") / F.lit(_IVF_TOPK)).alias("recall_at_k"),
+    )
