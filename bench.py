@@ -37,6 +37,8 @@ HEADLINE = [
     "q46_cosine_topk",
     "q51_token_frequencies",
     "q54_quality_filter",
+    "q63_ann_ivf",
+    "q69_hamming_neighbors",
 ]
 
 

@@ -1537,3 +1537,56 @@ def q68_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         to_double(F.sum(disc_price)).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E24 — grouped-map applyInPandas (per-group pandas transformation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q72_applyinpandas_minmax_norm",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN mx = mn THEN 0.5
+                ELSE (o_totalprice - mn) / (mx - mn) END AS price_norm
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             MIN(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+             MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+      FROM orders
+    )
+    """,
+    tags=("udf", "applyInPandas", "groupby"),
+)
+def q72_applyinpandas_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer min-max normalization via grouped-map
+    applyInPandas — the UDAF-ish member of the UDF surface (scalar
+    pandas_udf = q22, mapInPandas = q61/q62, grouped map = here).
+    Min/max are order-independent and the normalization is one double
+    division, so even the Python-side computation is exact against the
+    SQL-window oracle.
+
+    Scale: one shuffle on the grouping key; each group becomes a
+    pandas DataFrame in an Arrow batch. Groups must fit in executor
+    memory — the documented constraint of grouped-map (use window
+    functions when they can express the logic; this operator is for
+    when they can't, e.g. per-group model scoring).
+    """
+    import pandas as pd  # noqa: F401
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        if mx == mn:
+            pdf["price_norm"] = 0.5
+        else:
+            pdf["price_norm"] = (pdf["o_totalprice"] - mn) / (mx - mn)
+        return pdf[["o_custkey", "o_orderkey", "price_norm"]]
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        norm, "o_custkey long, o_orderkey long, price_norm double"
+    )
