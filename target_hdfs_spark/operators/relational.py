@@ -1590,3 +1590,208 @@ def q72_applyinpandas_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame
     return orders.groupBy("o_custkey").applyInPandas(
         norm, "o_custkey long, o_orderkey long, price_norm double"
     )
+
+
+# ---------------------------------------------------------------------------
+# E4/E18 — nation-pair trade volume (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q73_nation_pair_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+        AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "self-join-dim", "agg"),
+)
+def q73_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations by year (TPC-H Q7
+    shape): the nation dimension joins TWICE under different roles
+    (supplier side / customer side) with a symmetric pair predicate.
+
+    Scale: both nation joins broadcast; the pair filter cuts the fact
+    stream before aggregation; year extraction is scan-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    disc = F.lit(1).cast("decimal(12,4)") - dec("l_discount")
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(to_double(F.sum(dec("l_extendedprice") * disc)).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9/E19 — market-share ratio per year (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q74_market_share",
+    oracle="""
+    SELECT o_year,
+      CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(25,8)) END) AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS volume,
+             n.n_name AS nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n ON s_nationkey = n.n_nationkey
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("agg", "ratio", "join"),
+)
+def q74_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's supplier market share per order year (TPC-H Q8
+    shape): a grouped ratio of conditional decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    volume = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount"))
+    national = F.when(F.col("n_name") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(25,8)")
+    )
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (to_double(F.sum(national)) / to_double(F.sum(volume))).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4/E9 — distribution of counts (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q75_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("join", "outer", "agg", "distribution"),
+)
+def q75_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-customer order counts (TPC-H Q13 shape): LEFT
+    join with an ON-clause filter (customers with zero matches count
+    as 0 — semantically different from a WHERE filter), then a
+    second aggregation over the counts.
+
+    Scale: two shuffles, both combine map-side; the outer join keeps
+    every customer row exactly once.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count(orders.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# E9/E15 — argmax against a derived aggregate (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q76_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                  * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("agg", "subquery", "argmax"),
+)
+def q76_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum quarterly revenue (TPC-H Q15
+    shape): a derived aggregate view joined against its own global
+    max — the scalar subquery expressed as a broadcast of a 1-row
+    aggregate, exactly how Catalyst de-correlates it.
+
+    Exactness note: the max is selected on the string-routed double,
+    so the equality compare sees identical bits on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    disc = F.lit(1).cast("decimal(12,4)") - dec("l_discount")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        to_double(F.sum(dec("l_extendedprice") * disc)).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

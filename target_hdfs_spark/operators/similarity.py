@@ -657,3 +657,94 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         (F.col("n_hits").cast("double") / F.lit(_IVF_TOPK)).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L3i: quantized shortlist -> exact re-rank (the production ANN shape)
+# ---------------------------------------------------------------------------
+
+_SHORTLIST = 20
+_RERANK_TOPK = 5
+
+
+@query(
+    "q77_hamming_rerank",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_qword_sql('CAST(embedding AS DOUBLE[])', 0)} AS w1,
+             {_qword_sql('CAST(embedding AS DOUBLE[])', 32)} AS w2
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, w1 AS qw1, w2 AS qw2
+      FROM emb WHERE vec_id < 5
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id, qv, v
+      FROM (
+        SELECT q.query_id, e.vec_id, q.qv, e.v,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY bit_count(xor(e.w1, q.qw1)) + bit_count(xor(e.w2, q.qw2)),
+                          e.vec_id
+               ) AS hrn
+        FROM q JOIN emb e ON e.vec_id <> q.query_id
+      ) WHERE hrn <= {_SHORTLIST}
+    )
+    SELECT query_id, vec_id, cos_sim, rn
+    FROM (
+      SELECT query_id, vec_id,
+             {_cos_sql('qv', 'v')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_cos_sql('qv', 'v')} DESC, vec_id
+             ) AS rn
+      FROM shortlist
+    )
+    WHERE rn <= {_RERANK_TOPK}
+    """,
+    tags=("similarity", "ann", "rerank", "quantization"),
+)
+def q77_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN, the shape production systems actually run:
+    a cheap Hamming-distance shortlist over 64x-compressed codes
+    (top-{_SHORTLIST}), then exact cosine re-ranking of the shortlist
+    (top-{_RERANK_TOPK}). Integer shortlist + fold-exact cosine ->
+    the whole composition is value-checked.
+
+    Scale: stage 1 touches only 8-byte codes (cache-resident even for
+    billions of vectors); stage 2 reads full vectors for shortlist
+    candidates only — IO proportional to k, not corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    w1, w2 = quantize_words(F.col("v"))
+    coded = emb.select("vec_id", "v", w1.alias("w1"), w2.alias("w2"))
+    queries = coded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    hamming = (
+        F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+        + F.bit_count(F.col("w2").bitwiseXOR(F.col("qw2")))
+    )
+    wham = Window.partitionBy("query_id").orderBy(hamming, F.col("vec_id"))
+    shortlist = (
+        coded.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("hrn", F.row_number().over(wham))
+        .filter(F.col("hrn") <= _SHORTLIST)
+    )
+    wcos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        shortlist.select(
+            "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+        )
+        .withColumn("rn", F.row_number().over(wcos))
+        .filter(F.col("rn") <= _RERANK_TOPK)
+    )

@@ -136,3 +136,38 @@ def session_counts_stream(
             "n_events",
         )
     )
+
+
+def stream_stream_attribution_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    attribution_window: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joins the view events of
+    the same user within the preceding attribution window (S-surface:
+    double-watermarked interval join).
+
+    Both sides carry watermarks so Spark can bound the join state: a
+    buffered view can be dropped once the watermark passes its
+    timestamp + window (no unbounded state at 100 TB event rates).
+    Expects (user_id, event_id, ts, value) on both inputs.
+    """
+    p = purchases.withWatermark("ts", delay).alias("p")
+    v = views.withWatermark("ts", delay).alias("v")
+    return p.join(
+        v,
+        F.expr(
+            f"""
+            p.user_id = v.user_id AND
+            v.ts < p.ts AND
+            v.ts >= p.ts - INTERVAL {attribution_window}
+            """
+        ),
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("v.ts").alias("view_ts"),
+    )

@@ -211,3 +211,54 @@ def test_late_data_dropped_after_window_eviction(spark, tmp_path):
     # window A emitted exactly once with only the on-time row
     assert ("2026-08-13T12:00:00", 1) in got
     assert not any(n != 1 for w, n in got if w == "2026-08-13T12:00:00")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Double-watermarked stream-stream join produces exactly the rows
+    the equivalent batch interval join produces."""
+    from target_hdfs_spark.streaming.ingest import stream_stream_attribution_join
+    from target_hdfs_spark.sources.jsonschema import jsonschema_to_spark
+    import pyspark.sql.functions as F
+
+    psrc, vsrc = tmp_path / "p", tmp_path / "v"
+    purchases = [
+        {"id": 1, "user": "u1", "at": "2026-08-13T10:00:00Z", "v": 1.0},
+        {"id": 2, "user": "u1", "at": "2026-08-13T11:00:00Z", "v": 1.0},
+        {"id": 3, "user": "u2", "at": "2026-08-13T10:10:00Z", "v": 1.0},
+    ]
+    views = [
+        {"id": 10, "user": "u1", "at": "2026-08-13T09:45:00Z", "v": 0.0},  # -> p1
+        {"id": 11, "user": "u1", "at": "2026-08-13T09:20:00Z", "v": 0.0},  # too old
+        {"id": 12, "user": "u1", "at": "2026-08-13T10:50:00Z", "v": 0.0},  # -> p2
+        {"id": 13, "user": "u2", "at": "2026-08-13T10:05:00Z", "v": 0.0},  # -> p3
+        {"id": 14, "user": "u3", "at": "2026-08-13T10:00:00Z", "v": 0.0},  # no purchase
+    ]
+    _write_jsonl(psrc / "a.jsonl", purchases)
+    _write_jsonl(vsrc / "a.jsonl", views)
+
+    schema = jsonschema_to_spark(SCHEMA)
+
+    def prep(df):
+        return df.select(
+            F.col("user").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.col("at").alias("ts"),
+            "v",
+        )
+
+    pstream = prep(spark.readStream.schema(schema).json(str(psrc)))
+    vstream = prep(spark.readStream.schema(schema).json(str(vsrc)))
+    joined = stream_stream_attribution_join(pstream, vstream, "30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ssjoin_t").collect()
+    )
+    assert got == [(1, 10), (2, 12), (3, 13)]
