@@ -748,3 +748,90 @@ def q77_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wcos))
         .filter(F.col("rn") <= _RERANK_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# L3j: k-means centroid training for IVF (iterative; rows-only)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = N_CENTROIDS, iterations: int = 3
+) -> list[list[float]]:
+    """Deterministic Lloyd's iterations for IVF coarse centroids.
+
+    Initialization is the first k vectors by vec_id (deterministic);
+    assignment ties break by centroid index. Per-cluster means are
+    computed distributed (posexplode -> groupBy (cluster, dim)); only
+    the k x dim centroid matrix is ever collected — the corpus never
+    reaches the driver.
+
+    Iterative refinement is inherently sequential across iterations,
+    which is why IVF *training* is a job, while IVF *search* (q63/q70)
+    stays a pure declarative query against the trained centroids.
+    """
+    centroids = [
+        [float(x) for x in row.v]
+        for row in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iterations):
+        cent_df = emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid int, cv array<double>"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+        assigned = (
+            emb.crossJoin(F.broadcast(cent_df))
+            .select(
+                "vec_id", "v", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        dims = assigned.select(
+            "cid", F.posexplode(F.col("v")).alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cid", F.transform(F.col("dm"), lambda s: s.m).alias("centroid"))
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for row in means:
+            new_centroids[row.cid] = [float(x) for x in row.centroid]
+        centroids = new_centroids
+    return centroids
+
+
+@query(
+    "q78_kmeans_ivf_cells",
+    oracle=None,
+    tags=("similarity", "kmeans", "iterative"),
+)
+def q78_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train IVF centroids with 3 Lloyd iterations, then report cell
+    occupancy (cluster sizes). Rows-only: per-dimension float means
+    depend on aggregation order, so the trained centroids are not
+    bit-reproducible across engines — the documented exception class
+    (iterative algorithms) in the driver contract.
+
+    Scale: each iteration is one broadcast-assign + one explode-agg
+    job; driver holds only k x dim floats.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    centroids = kmeans_train(emb, k=N_CENTROIDS, iterations=3)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, cv array<double>"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .select("vec_id", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -352,3 +352,123 @@ def q56_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# L4g: document chunking (fixed-size token windows with overlap) — the
+# operator every LLM training/RAG pipeline runs over the whole corpus
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64
+_STRIDE = 48  # 16-token overlap
+
+
+@query(
+    "q57_document_chunks",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(
+               CASE WHEN len(ts) <= {_CHUNK}
+                 THEN [array_to_string(ts, ' ')]
+                 ELSE list_transform(
+                   generate_series(0, CAST(ceil((len(ts) - {_CHUNK})
+                                              / {_STRIDE}.0) AS BIGINT)),
+                   i -> array_to_string(ts[(i * {_STRIDE} + 1):(i * {_STRIDE} + {_CHUNK})], ' '))
+               END
+             ) AS chunk_text,
+             generate_subscripts(
+               CASE WHEN len(ts) <= {_CHUNK}
+                 THEN [array_to_string(ts, ' ')]
+                 ELSE list_transform(
+                   generate_series(0, CAST(ceil((len(ts) - {_CHUNK})
+                                              / {_STRIDE}.0) AS BIGINT)),
+                   i -> array_to_string(ts[(i * {_STRIDE} + 1):(i * {_STRIDE} + {_CHUNK})], ' '))
+               END, 1
+             ) - 1 AS chunk_idx
+      FROM tok
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+           len(string_split(chunk_text, ' ')) AS n_tokens
+    FROM chunks
+    """,
+    tags=("text", "chunking", "llm"),
+)
+def q57_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: {_CHUNK}-token chunks with
+    {_CHUNK - _STRIDE}-token overlap (stride {_STRIDE}); short docs
+    yield one whole-doc chunk. The tokenizer-agnostic shape of
+    training-corpus and RAG-index construction.
+
+    Scale: pure scan-side array expressions + one explode — linear,
+    shuffle-free; chunk boundaries are deterministic functions of the
+    token array, so resharding the corpus cannot change the output.
+    """
+    with_toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("_toks")
+    )
+    ts = F.col("_toks")
+    n_chunks_tail = F.ceil(
+        (F.size(ts) - F.lit(_CHUNK)) / F.lit(float(_STRIDE))
+    ).cast("int")
+    chunk_arr = F.when(
+        F.size(ts) <= _CHUNK, F.array(F.concat_ws(" ", ts))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks_tail),
+            lambda i: F.concat_ws(" ", F.slice(ts, i * _STRIDE + 1, _CHUNK)),
+        )
+    )
+    return (
+        with_toks.select("doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_text",
+            F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6b: PII-style redaction (regex scrubbing pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q58_redacted_documents",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[0-9][0-9]+', '<NUM>', 'g'),
+             'value', '<VAL>', 'g'
+           ) AS redacted,
+           len(regexp_extract_all(text, '[0-9][0-9]+')) AS n_num_hits
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("text", "redaction", "llm"),
+)
+def q58_redacted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scrubbing pass: global regex replacement of sensitive
+    patterns (multi-digit numbers, a term blacklist) plus a hit count
+    for auditing. Patterns are kept to the regex subset with identical
+    semantics in Java regex and RE2 (no lookaround, no backrefs).
+
+    Scale: scan-side regexp_replace chain, shuffle-free; at 100 TB
+    this is one linear pass fused into whatever else reads the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[0-9][0-9]+", "<NUM>"),
+        "value",
+        "<VAL>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9][0-9]+"))).alias(
+            "n_num_hits"
+        ),
+    )
