@@ -1795,3 +1795,336 @@ def q76_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# E3/E9 — global filtered aggregate (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q79_forecast_revenue_change",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * CAST(l_discount AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+             AS potential_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "agg", "scan"),
+)
+def q79_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue impact of discount elimination (TPC-H Q6 shape): a
+    single global aggregate under three pushable predicates — the
+    purest scan-bound query; its cost at 100 TB is IO after row-group
+    skipping, nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        to_double(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias(
+            "potential_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4/E9/E18 — product profit by nation/year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+      CAST(CAST(SUM(
+        CAST(l_extendedprice AS DECIMAL(12,4))
+          * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+        - CAST(l_quantity AS DECIMAL(12,4))
+          * (CAST(p_retailprice AS DECIMAL(12,4)) * CAST(0.20 AS DECIMAL(4,2)))
+      ) AS VARCHAR) AS DOUBLE) AS profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice, l_discount, l_quantity, p_retailprice
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation n ON s_nationkey = n.n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit_base
+    GROUP BY nation, o_year
+    """,
+    tags=("join", "agg", "datetime"),
+)
+def q80_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product profit per supplier nation and order year (TPC-H Q9
+    shape; the schema has no partsupp, so unit cost is proxied as 20%
+    of retail price — the join/aggregate topology is Q9's).
+
+    Scale: the p_name LIKE filter prunes part before its broadcast;
+    the decimal profit expression keeps mixed +/- aggregation exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,4)") - dec("l_discount")
+    ) - dec("l_quantity") * (
+        dec("p_retailprice") * F.lit(0.20).cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(to_double(F.sum(profit)).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4/E9/E15 — returned-item ranking (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q81_returned_item_ranking",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+        AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q81_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who returned the most revenue in a quarter (TPC-H Q10
+    shape): selective fact filter -> star join -> aggregate -> top-20
+    with deterministic tiebreak."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = F.lit(1).cast("decimal(12,4)") - dec("l_discount")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(to_double(F.sum(dec("l_extendedprice") * disc)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9 + scalar threshold — important inventory share (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q82_important_part_value",
+    oracle="""
+    WITH part_value AS (
+      SELECT l_partkey,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                  * CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS value
+      FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(value) AS t, COUNT(*) AS n FROM part_value)
+    SELECT pv.l_partkey, pv.value
+    FROM part_value pv CROSS JOIN total
+    WHERE pv.value > 1.5 * total.t / total.n
+    """,
+    tags=("agg", "subquery", "threshold"),
+)
+def q82_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts representing a significant share of total traded value
+    (TPC-H Q11 shape; no partsupp table, so value = shipped
+    price x quantity): per-group aggregate filtered against a scaled
+    global scalar (1.5x the average part value — scale-free, unlike a
+    fixed share), broadcast not collected.
+
+    Exactness: both sides are string-routed doubles and the threshold
+    is the same double product -> identical comparisons.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    value = dec("l_extendedprice") * dec("l_quantity")
+    part_value = li.groupBy("l_partkey").agg(
+        to_double(F.sum(value)).alias("value")
+    )
+    total = part_value.agg(
+        F.sum("value").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        part_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(1.5) * F.col("t") / F.col("n"))
+        .select("l_partkey", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6 nested — dominant suppliers of a brand (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q83_dominant_brand_suppliers",
+    oracle="""
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'
+    ),
+    supplier_part_qty AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sq
+      FROM lineitem JOIN brand_parts ON p_partkey = l_partkey
+      GROUP BY l_suppkey, l_partkey
+    ),
+    part_qty AS (
+      SELECT l_partkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS tq,
+             COUNT(DISTINCT l_suppkey) AS ns
+      FROM lineitem JOIN brand_parts ON p_partkey = l_partkey
+      GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM supplier_part_qty spq
+      JOIN part_qty pq ON pq.l_partkey = spq.l_partkey
+      WHERE spq.l_suppkey = s.s_suppkey AND spq.sq > 2.0 * pq.tq / pq.ns
+    )
+    """,
+    tags=("semi", "agg", "nested"),
+)
+def q83_dominant_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped a dominant share (2x the average
+    supplier share) of any Brand#2 part's volume (TPC-H Q20 shape):
+    nested aggregates feeding a semi join — the 'excess stock'
+    topology without the partsupp table, with a scale-free dominance
+    threshold.
+
+    Scale: both aggregates shrink before the semi join; the brand
+    filter prunes part first and broadcasts.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey")
+    )
+    spq = li.groupBy("l_suppkey", "l_partkey").agg(
+        to_double(F.sum(dec("l_quantity"))).alias("sq")
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        to_double(F.sum(dec("l_quantity"))).alias("tq"),
+        F.count_distinct("l_suppkey").alias("ns"),
+    )
+    dominant = (
+        spq.join(F.broadcast(pq), spq.l_partkey == pq.pq_partkey)
+        .filter(F.col("sq") > F.lit(2.0) * F.col("tq") / F.col("ns"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# E6 multi-condition — sole-late-supplier ranking (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q84_sole_late_suppliers",
+    oracle="""
+    WITH order_stats AS (
+      SELECT l.l_orderkey,
+             COUNT(DISTINCT l.l_suppkey) AS n_supps,
+             COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                                 THEN l.l_suppkey END) AS n_late_supps
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey
+    ),
+    late_items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late_items li
+    JOIN order_stats os
+      ON os.l_orderkey = li.l_orderkey
+         AND os.n_supps > 1 AND os.n_late_supps = 1
+    JOIN supplier s ON s.s_suppkey = li.l_suppkey
+    GROUP BY s.s_name
+    """,
+    tags=("agg", "multi-exists", "join"),
+)
+def q84_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on multi-supplier
+    orders (TPC-H Q21 shape — the hardest TPC-H topology). The
+    classic EXISTS/NOT-EXISTS pair over self-joined lineitem is
+    expressed as order-level aggregates (supplier count, late-supplier
+    count) joined back — identical semantics, one pass over the fact
+    table instead of three.
+
+    Scale: this rewrite is exactly what you do at 100 TB — the
+    aggregate join-back shuffles lineitem once; the EXISTS form would
+    shuffle it three times.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, orders.o_orderkey == li.l_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "is_late"
+        ),
+    )
+    order_stats = joined.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supps"),
+    )
+    late_items = (
+        joined.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    qualifying = late_items.join(
+        order_stats.filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)),
+        "l_orderkey",
+    )
+    return (
+        qualifying.join(F.broadcast(supp), supp.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
