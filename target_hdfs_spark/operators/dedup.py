@@ -400,3 +400,167 @@ def q45_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.05)
     )
+
+
+# ---------------------------------------------------------------------------
+# L2e: dedup clusters — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_LSH_PAIRS_SQL = f"""
+    hashed AS (
+      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {", ".join(_minhash_sql_exprs())} FROM hashed
+    ),
+    bands AS (
+      SELECT doc_id, b.band_idx, b.band_key
+      FROM sigs, UNNEST([{", ".join(
+          "{'band_idx': %d, 'band_key': concat_ws('_', %s)}" % (
+              b, ", ".join(f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+          )
+          for b in range(BANDS)
+      )}]) AS t(b)
+    ),
+    ok_buckets AS (
+      SELECT band_idx, band_key FROM bands
+      GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+    ),
+    kept AS (
+      SELECT bands.* FROM bands JOIN ok_buckets USING (band_idx, band_key)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM kept a JOIN kept c
+        ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+           AND a.doc_id < c.doc_id
+    )
+"""
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, node_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation connected components over an undirected
+    edge list -> (node, cluster) where cluster is the smallest node id
+    in the component. The fixpoint is unique, so the iterative
+    computation is exactly reproducible (and oracle-checkable) despite
+    being a loop.
+
+    Scale: each iteration is one join + one min-aggregate (both on the
+    node key); iterations needed = graph diameter (near-dup clusters
+    are shallow). The per-iteration convergence check moves one count
+    to the driver, never data. For web-scale graphs swap in the
+    large-star/small-star variant; the interface stays the same.
+    """
+    sess = nodes.sparkSession
+    undirected = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("cluster")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            undirected.join(labels, undirected.doc_a == labels.node)
+            .groupBy(F.col("doc_b").alias("node2"))
+            .agg(F.min("cluster").alias("neighbor_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("neighbor_cluster"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster", "old"), "node")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(node_col), "cluster")
+
+
+@query(
+    "q85_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    undirected AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT doc_a, doc_b FROM undirected
+      UNION
+      SELECT r.src, u.doc_b
+      FROM reach r JOIN undirected u ON u.doc_a = r.dst
+    )
+    SELECT d.doc_id,
+           least(d.doc_id,
+                 coalesce((SELECT MIN(r.dst) FROM reach r WHERE r.src = d.doc_id),
+                          d.doc_id)) AS cluster
+    FROM documents d
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def q85_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the MinHash-LSH
+    near-dup pair graph — every document labeled with the minimum
+    doc_id of its duplicate cluster (singletons label themselves).
+    The downstream dedup keeps one representative per cluster, which
+    q40's survivor rule (min id) then makes deterministic end-to-end.
+
+    Exactness: the min-label fixpoint is unique, so Spark's iterative
+    propagation and the oracle's recursive transitive closure agree
+    exactly — an *iterative* operator with a full value check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    ok_buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n").between(2, MAX_BUCKET))
+        .select("band_idx", "band_key")
+    )
+    kept = bands.join(ok_buckets, ["band_idx", "band_key"])
+    a, c = kept.alias("a"), kept.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # pin the pair graph before iterating
+    )
+    return connected_components(docs.select("doc_id"), pairs)
