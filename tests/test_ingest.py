@@ -226,3 +226,61 @@ def test_third_run_after_finalization_keeps_schema_stable(spark, tmp_path):
     df = spark.read.parquet(str(tmp_path / "s"))
     rows = {r.id: r._sdc_deleted_at is not None for r in df.collect()}
     assert rows == {1: True, 2: True, 3: False}
+
+
+def test_missing_fields_become_null(spark, tmp_path):
+    """Records may omit schema fields (Singer taps do this routinely)."""
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}, "opt": {"type": "string"}}),
+        _rec("s", id=1),           # opt missing
+        _rec("s", id=2, opt="x"),
+    ]))
+    rows = {r.id: r.opt for r in spark.read.parquet(str(tmp_path / "s")).collect()}
+    assert rows == {1: None, 2: "x"}
+
+
+def test_extra_record_fields_ignored(spark, tmp_path):
+    """Fields not in the declared schema are dropped, not errors."""
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1, surprise="zzz", nested={"a": 1}),
+    ]))
+    df = spark.read.parquet(str(tmp_path / "s"))
+    assert df.columns == ["id"]
+    assert df.collect()[0].id == 1
+
+
+def test_unicode_content_roundtrips(spark, tmp_path):
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+    text = "héllo wörld — 中文 🚀 \"quotes\" \\backslash"
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}, "t": {"type": "string"}}),
+        _rec("s", id=1, t=text),
+    ]))
+    assert spark.read.parquet(str(tmp_path / "s")).collect()[0].t == text
+
+
+def test_stream_name_with_special_chars(spark, tmp_path):
+    """Stream names with dots/dashes map to filesystem paths safely."""
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("my-stream.v2", {"id": {"type": "integer"}}),
+        _rec("my-stream.v2", id=7),
+    ]))
+    df = spark.read.parquet(str(tmp_path / "my-stream.v2"))
+    assert df.collect()[0].id == 7
+
+
+def test_state_without_pending_records_passes_through(spark, tmp_path):
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+    states = list(pipe.process_lines([
+        json.dumps({"type": "STATE", "value": {"initial": True}}),
+    ]))
+    assert states == ['{"initial":true}']

@@ -28,3 +28,13 @@ def test_rows_only_executes(spark, name):
     df = SPECS[name].fn(spark, SF_DIR)
     assert df.columns, f"{name} returned no columns"
     assert df.count() >= 0
+
+
+def test_registry_is_idempotent():
+    """Calling all_queries() repeatedly (as the driver may) returns the
+    same stable registry."""
+    a = all_queries()
+    b = all_queries()
+    assert a.keys() == b.keys()
+    assert all(a[k].fn is b[k].fn for k in a)
+    assert all(a[k].oracle == b[k].oracle for k in a)
