@@ -91,7 +91,9 @@ class TargetConfig:
             skip_existing_files=bool(raw.get("skip_existing_files", False)),
             compression=raw.get("compression_method", "gzip"),
             partition_cols=tuple(
-                c for c in str(raw.get("partition_cols", "") or "").split(",") if c
+                c.strip()
+                for c in str(raw.get("partition_cols", "") or "").split(",")
+                if c.strip()
             ),
             extra_fields=extra_fields,
             extra_fields_types=extra_types,

@@ -85,15 +85,29 @@ def most_recent_file(spark: SparkSession, directory: str) -> FileEntry | None:
 
 
 def list_partition_dirs(spark: SparkSession, directory: str) -> list[str]:
-    """Immediate `col=value` child directories of a partitioned dataset."""
-    fs, jpath, _ = _fs(spark, directory)
+    """Leaf `col=value` directories of a (possibly multi-column)
+    partitioned dataset — recurses through nested partition levels
+    (`year=2024/month=1/...`) and returns the directories that
+    actually hold data files; a single-level listing would make the
+    repair job a silent no-op for multi-column partitioning."""
+    fs, jpath, jvm = _fs(spark, directory)
     if not fs.exists(jpath):
         return []
-    return [
-        s.getPath().toString()
-        for s in fs.listStatus(jpath)
-        if s.isDirectory() and "=" in s.getPath().getName()
-    ]
+    leaves: list[str] = []
+
+    def walk(p) -> None:
+        children = [
+            s for s in fs.listStatus(p)
+            if s.isDirectory() and "=" in s.getPath().getName()
+        ]
+        if children:
+            for s in children:
+                walk(s.getPath())
+        elif "=" in p.getName():
+            leaves.append(p.toString())
+
+    walk(jpath)
+    return leaves
 
 
 def compact_directory(
@@ -125,7 +139,12 @@ def compact_directory(
         )
 
     fs, _, jvm = _fs(spark, directory)
-    tmp_dir = directory.rstrip("/") + "__compact_tmp"
+    # tmp dir INSIDE the directory with a leading underscore: Spark and
+    # Hive skip `_`/`.`-prefixed paths during listing and partition
+    # discovery, so concurrent readers of a partitioned root never see
+    # the in-flight rewrite (a sibling dir named `<part>=v__compact_tmp`
+    # would surface as a bogus partition value with duplicate rows).
+    tmp_dir = directory.rstrip("/") + "/_compact_tmp"
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp_dir)
     if fs.exists(tmp_path):
         fs.delete(tmp_path, True)

@@ -36,6 +36,28 @@ def _fs_for(spark: SparkSession, path: str):
     return jpath.getFileSystem(hconf), jvm
 
 
+def _swap_dirs(fs, jvm, new_dir: str, dst_dir: str) -> None:
+    """Atomic-ish directory replacement without a no-data window:
+    stage old aside, rename new in, delete old — a crash leaves
+    either the old or the new dataset in place, never neither
+    (the delete-then-rename alternative has a gap where readers see
+    nothing)."""
+    dst = jvm.org.apache.hadoop.fs.Path(dst_dir)
+    old = jvm.org.apache.hadoop.fs.Path(dst_dir.rstrip("/") + "__old")
+    new = jvm.org.apache.hadoop.fs.Path(new_dir)
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_old = fs.exists(dst)
+    if had_old and not fs.rename(dst, old):
+        raise OSError(f"swap: could not stage old dataset {dst}")
+    if not fs.rename(new, dst):
+        if had_old:
+            fs.rename(old, dst)  # roll back
+        raise OSError(f"swap: could not commit new dataset {dst}")
+    if had_old:
+        fs.delete(old, True)
+
+
 def upsert(
     spark: SparkSession,
     updates: DataFrame,
@@ -70,7 +92,12 @@ def upsert(
             r[0]
             for r in updates.select(partition_col).distinct().collect()
         ]
-        kept = existing.filter(F.col(partition_col).isin(affected))
+        kept = existing.filter(
+            F.col(partition_col).isin(affected)
+            if None not in affected
+            else (F.col(partition_col).isin([v for v in affected if v is not None])
+                  | F.col(partition_col).isNull())
+        )
         merged = kept.join(
             F.broadcast(updates.select(*keys)), keys, "left_anti"
         ).unionByName(updates)
@@ -79,23 +106,37 @@ def upsert(
             .partitionBy(partition_col)
             .parquet(tmp)
         )
-        # swap only the affected partition directories
-        for val in affected:
-            src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{partition_col}={val}")
-            dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{partition_col}={val}")
-            if fs.exists(dst):
-                fs.delete(dst, True)
-            if fs.exists(src):
-                fs.rename(src, dst)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        # Swap the partition directories Spark ACTUALLY wrote: the
+        # tmp listing carries the hive-escaped names (%XX escapes,
+        # __HIVE_DEFAULT_PARTITION__ for null) — reconstructing them
+        # from raw Python values would miss escaped/null partitions
+        # and silently drop their updates.
+        tmp_jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+        for status in fs.listStatus(tmp_jpath):
+            name = status.getPath().getName()
+            if not status.isDirectory() or "=" not in name:
+                continue
+            dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}")
+            old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}__old")
+            if fs.exists(old):
+                fs.delete(old, True)
+            had_old = fs.exists(dst)
+            if had_old and not fs.rename(dst, old):
+                raise OSError(f"upsert: could not stage old partition {dst}")
+            if not fs.rename(status.getPath(), dst):
+                # roll back so the dataset keeps the old partition
+                if had_old:
+                    fs.rename(old, dst)
+                raise OSError(f"upsert: could not commit partition {dst}")
+            if had_old:
+                fs.delete(old, True)
+        fs.delete(tmp_jpath, True)
     else:
         merged = existing.join(
             F.broadcast(updates.select(*keys)), keys, "left_anti"
         ).unionByName(updates)
         merged.write.mode("overwrite").parquet(tmp)
-        dst = jvm.org.apache.hadoop.fs.Path(path)
-        fs.delete(dst, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+        _swap_dirs(fs, jvm, tmp, path)
 
 
 def soft_delete_older_versions(
@@ -134,7 +175,5 @@ def soft_delete_older_versions(
     tmp = path.rstrip("/") + "__softdel_tmp"
     updated.write.mode("overwrite").parquet(tmp)
     fs, jvm = _fs_for(spark, path)
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+    _swap_dirs(fs, jvm, tmp, path)
     return n_stale

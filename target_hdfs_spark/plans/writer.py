@@ -94,18 +94,29 @@ def estimate_rows_per_file(
     df: DataFrame, target_bytes: int, sample_rows: int = 10_000
 ) -> int:
     """Rows per output file for a byte-size target, from a sampled
-    in-memory row width and a parquet compression factor.
+    serialized row width and a parquet compression factor.
+
+    The width sample is one JVM-side aggregate over a limited prefix
+    (avg(length(to_json(struct(*)))) — no Python RDD round-trip, no
+    per-row pickling). It still executes the upstream plan once for
+    the sample prefix; callers on hot paths pass `rows_per_file`
+    explicitly (the Singer pipe does).
 
     The 0.25 factor is deliberately conservative (columnar encoding +
     gzip routinely achieves 4x on text-ish data); overshooting rows
     yields slightly-large files, undershooting yields small files the
-    compactor would have to fix — so we bias large. Driver-side cost:
-    one limit(sample) pass, never a full collect.
+    compactor would have to fix — so we bias large.
     """
-    sample = df.limit(sample_rows).rdd.map(lambda r: len(str(r))).collect()
-    if not sample:
+    from pyspark.sql import functions as F
+
+    row = (
+        df.limit(sample_rows)
+        .select(F.avg(F.length(F.to_json(F.struct(*df.columns)))).alias("w"))
+        .collect()
+    )
+    avg_mem_width = float(row[0].w) if row and row[0].w is not None else 0.0
+    if avg_mem_width <= 0:
         return 1_000_000
-    avg_mem_width = max(sum(sample) / len(sample), 1.0)
     est_disk_width = avg_mem_width * 0.25
     return max(int(target_bytes / est_disk_width), 1000)
 

@@ -76,6 +76,9 @@ def _coerce(value, dtype: T.DataType, path: str):
         if isinstance(dtype, T.LongType):
             if isinstance(value, bool) or not isinstance(value, (int, float)):
                 raise ValueError(f"not an integer: {value!r}")
+            if isinstance(value, float) and not value.is_integer():
+                # silent truncation would corrupt data; 2.0 is fine, 1.9 is not
+                raise ValueError(f"non-integral value for integer field: {value!r}")
             return int(value)
         if isinstance(dtype, T.DoubleType):
             if isinstance(value, bool) or not isinstance(value, (int, float)):
@@ -143,7 +146,13 @@ class SingerPipe:
         name = msg["stream"]
         new_schema = jsonschema_to_spark(msg["schema"])
         existing = self.streams.get(name)
-        if existing is not None and existing.schema != new_schema:
+        if existing is not None:
+            if existing.schema == new_schema:
+                # Taps re-send SCHEMA routinely (often once per batch);
+                # an identical schema must NOT touch the buffer —
+                # replacing it here would silently drop unflushed
+                # records that a later STATE would falsely confirm.
+                return
             # flush under the old schema before switching; the write
             # path then raises SchemaChangedError against on-disk data
             # (strict drift semantics, reference hdfs.py:111-116)

@@ -13,8 +13,11 @@ restarts), the trigger is the batch-size threshold, and the same
 
 Scale: file-source streaming with `maxFilesPerTrigger` bounds
 per-batch memory; the foreachBatch body is a normal distributed write
-(no driver data path); checkpoints make restarts idempotent per
-micro-batch — replayed files are skipped, not rewritten.
+(no driver data path). Restart semantics: the source side replays at
+most the one uncommitted micro-batch; the sink skips replayed batches
+via per-batch_id markers, leaving only the write->marker gap as the
+residual at-least-once window (pair with dedup_within_watermark or
+q40-style key dedup for end-to-end exactly-once effect).
 """
 
 from __future__ import annotations
@@ -69,7 +72,22 @@ def stream_jsonl_dir(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.json(source_dir)
 
+    # Sink-side idempotence markers: foreachBatch can replay a batch
+    # whose write succeeded but whose checkpoint commit didn't (driver
+    # crash in between). A marker per committed batch_id lets the
+    # replay skip the duplicate append. The write->marker gap is the
+    # residual at-least-once window — same guarantee class as the
+    # reference's write-then-emit-STATE ordering (R28), narrowed to
+    # one marker creation.
+    marker_dir = checkpoint_dir.rstrip("/") + "/_batch_markers"
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/batch-{batch_id}")
+        fs = marker.getFileSystem(hconf)
+        if fs.exists(marker):
+            return  # replayed batch already durable — skip, don't duplicate
         shaped = shape_stream(batch_df, config, stream_name)
         write_stream(
             spark,
@@ -78,6 +96,7 @@ def stream_jsonl_dir(
             config,
             rows_per_file=max(config.max_batch_size, 1),
         )
+        fs.mkdirs(marker)
 
     writer = raw.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

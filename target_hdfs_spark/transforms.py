@@ -86,15 +86,20 @@ def apply_stream_map(df: DataFrame, stream_map: dict) -> DataFrame:
     capability, meltano.yml:18): SQL-expression columns, column drops
     (value None), and a row filter under the `__filter__` key. All
     expressions are Spark SQL strings -> fully Catalyst-optimizable.
+
+    Evaluation order matches stream-map semantics (expressions see the
+    original record): computed columns first, then the row filter,
+    then drops — so `{"ssn": None, "ssn_masked": "substr(ssn,1,3)"}`
+    (mask-then-drop) and filters over mapped columns both work.
     """
+    for name, expr in stream_map.items():
+        if name == "__filter__" or expr is None:
+            continue
+        df = df.withColumn(name, F.expr(str(expr)))
     flt = stream_map.get("__filter__")
     if flt:
         df = df.filter(F.expr(flt))
     drops = [k for k, v in stream_map.items() if v is None and k != "__filter__"]
     if drops:
         df = df.drop(*drops)
-    for name, expr in stream_map.items():
-        if name == "__filter__" or expr is None:
-            continue
-        df = df.withColumn(name, F.expr(str(expr)))
     return df

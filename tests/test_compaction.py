@@ -84,3 +84,34 @@ def test_compact_partitioned_per_directory(spark, tmp_path):
     assert df.count() == 6
     # partition layout preserved
     assert (path / "p=a").is_dir() and (path / "p=b").is_dir()
+
+
+def test_compact_multi_column_partitions(spark, tmp_path):
+    """Regression: nested partition levels (year=/month=) must be
+    compacted at the leaves, not silently skipped."""
+    path = tmp_path / "stream"
+    for m in ("1", "2"):
+        for i in range(3):
+            df = spark.createDataFrame([(i, "2024", m)], "v long, y string, m string")
+            df.coalesce(1).write.mode("append").partitionBy("y", "m").parquet(str(path))
+    reports = compact_stream(
+        spark, str(path), size_limit=10 * 1024 * 1024, partitioned=True
+    )
+    assert len(reports) == 2  # two leaf dirs
+    assert all(r.files_compacted == 3 for r in reports)
+    df = spark.read.parquet(str(path))
+    assert df.count() == 6
+
+
+def test_compact_tmp_dir_invisible_to_readers(spark, tmp_path):
+    """The in-flight tmp dir is underscore-prefixed inside the data
+    dir, so partition discovery never sees it (crash-safety for
+    concurrent readers)."""
+    path = tmp_path / "stream"
+    _write_small_files(spark, path, n_files=3)
+    # simulate a crashed compaction leaving its tmp dir behind
+    leftover = path / "_compact_tmp"
+    leftover.mkdir()
+    spark.range(99).coalesce(1).write.parquet(str(leftover / "junk"))
+    df = spark.read.parquet(str(path))
+    assert df.count() == 30  # junk under _compact_tmp is not read

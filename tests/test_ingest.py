@@ -284,3 +284,39 @@ def test_state_without_pending_records_passes_through(spark, tmp_path):
         json.dumps({"type": "STATE", "value": {"initial": True}}),
     ]))
     assert states == ['{"initial":true}']
+
+
+def test_resent_identical_schema_keeps_buffer(spark, tmp_path):
+    """Regression: taps re-send SCHEMA per batch; an identical schema
+    must not discard buffered records (data loss confirmed by STATE)."""
+    config = TargetConfig(destination_path=str(tmp_path))
+    pipe = SingerPipe(spark, config)
+    schema_line = _schema_msg("s", {"id": {"type": "integer"}})
+    states = list(pipe.process_lines([
+        schema_line,
+        _rec("s", id=1),
+        _rec("s", id=2),
+        schema_line,  # re-sent, identical
+        _rec("s", id=3),
+        json.dumps({"type": "STATE", "value": {"n": 3}}),
+    ]))
+    assert states == ['{"n":3}']
+    df = spark.read.parquet(str(tmp_path / "s"))
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+
+
+def test_non_integral_float_rejected_for_integer_field(spark, tmp_path):
+    """Regression: int coercion must not silently truncate 1.9 -> 1."""
+    pipe = SingerPipe(spark, TargetConfig(destination_path=str(tmp_path)))
+    with pytest.raises(RecordValidationError, match="non-integral"):
+        list(pipe.process_lines([
+            _schema_msg("s", {"id": {"type": "integer"}}),
+            _rec("s", id=1.9),
+        ]))
+    # integral floats are accepted (JSON number 2.0 for an int field)
+    pipe2 = SingerPipe(spark, TargetConfig(destination_path=str(tmp_path)))
+    list(pipe2.process_lines([
+        _schema_msg("s2", {"id": {"type": "integer"}}),
+        _rec("s2", id=2.0),
+    ]))
+    assert spark.read.parquet(str(tmp_path / "s2")).collect()[0].id == 2

@@ -77,3 +77,21 @@ def test_stream_map_filter_drop_compute(spark):
     assert len(rows) == 1
     assert rows[0].v2 == 100
     assert "s" not in out.columns
+
+
+def test_stream_map_mask_then_drop(spark):
+    """Regression: expressions see original columns even when those
+    columns are dropped by the same map (mask-then-drop)."""
+    df = spark.createDataFrame([(1, "123456789")], "id long, ssn string")
+    out = apply_stream_map(
+        df, {"ssn": None, "ssn_masked": "concat(substr(ssn, 1, 3), '***')"}
+    )
+    row = out.collect()[0]
+    assert row.ssn_masked == "123***"
+    assert "ssn" not in out.columns
+
+
+def test_stream_map_filter_on_mapped_column(spark):
+    df = spark.createDataFrame([(1,), (5,)], "v long")
+    out = apply_stream_map(df, {"v2": "v * 10", "__filter__": "v2 > 20"})
+    assert [r.v2 for r in out.collect()] == [50]

@@ -87,3 +87,20 @@ def test_soft_delete_noop_without_version_col(spark, tmp_path):
     path = str(tmp_path / "t")
     spark.createDataFrame([(1,)], "k long").write.parquet(path)
     assert soft_delete_older_versions(spark, path, active_version=5) == 0
+
+
+def test_partitioned_upsert_null_and_escaped_values(spark, tmp_path):
+    """Regression: hive-escaped partition names (null ->
+    __HIVE_DEFAULT_PARTITION__, ':' -> %3A) must survive the swap."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, "a:b", 2.0), (3, "plain", 3.0)],
+        "k long, part string, v double",
+    )
+    base.write.partitionBy("part").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, None, 99.0), (2, "a:b", 88.0)], "k long, part string, v double"
+    )
+    upsert(spark, updates, path, keys=["k"], partition_col="part")
+    got = {r.k: (r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (None, 99.0), 2: ("a:b", 88.0), 3: ("plain", 3.0)}
