@@ -2128,3 +2128,128 @@ def q84_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# E4 — full outer join (one-side-only keys on both sides)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q86_full_outer_year_activity",
+    oracle="""
+    WITH order_years AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS y, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    ship_years AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS y, COUNT(*) AS n_shipments
+      FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(o.y, s.y) AS year,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(s.n_shipments, 0) AS n_shipments
+    FROM order_years o FULL OUTER JOIN ship_years s ON o.y = s.y
+    """,
+    tags=("join", "full-outer", "agg"),
+)
+def q86_full_outer_year_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order activity vs shipment activity per year via FULL OUTER
+    join — ship years extend past the last order year, so both
+    null-padded sides occur (left/right outer are the degenerate
+    halves of this plan; q75 covers left).
+
+    Scale: full outer forces a shuffle join (no broadcast path);
+    both inputs here are pre-aggregated to year granularity first so
+    the expensive join touches dozens of rows, not the fact tables.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oy = orders.groupBy(F.year("o_orderdate").alias("oy")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sy = li.groupBy(F.year("l_shipdate").alias("sy")).agg(
+        F.count(F.lit(1)).alias("n_shipments")
+    )
+    return oy.join(sy, oy.oy == sy.sy, "full_outer").select(
+        F.coalesce(F.col("oy"), F.col("sy")).alias("year"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("n_shipments"), F.lit(0)).alias("n_shipments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E16 — bag-semantics set operations (ALL variants)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_bag_set_ops",
+    oracle="""
+    WITH a AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 0),
+         b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'intersect_all' AS tag, c_nationkey FROM (
+      SELECT c_nationkey FROM a INTERSECT ALL SELECT c_nationkey FROM b
+    )
+    UNION ALL
+    SELECT 'except_all' AS tag, c_nationkey FROM (
+      SELECT c_nationkey FROM a EXCEPT ALL SELECT c_nationkey FROM b
+    )
+    """,
+    tags=("setops", "bag"),
+)
+def q87_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset semantics (duplicate
+    multiplicities are min'd / subtracted, not collapsed), the
+    complement of q13's distinct-set variants."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 0).select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return (
+        a.intersectAll(b).withColumn("tag", F.lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("tag", F.lit("except_all")))
+        .select("tag", "c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E22 inverse — unpivot / melt
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q88_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, value
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey_as_metric
+      FROM orders WHERE o_orderkey <= 1000
+    )
+    UNPIVOT (value FOR metric IN (o_totalprice, custkey_as_metric))
+    """,
+    tags=("unpivot", "reshape"),
+)
+def q88_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns to (key, metric, value)
+    rows — the inverse of q19's pivot, used to normalize metric tables
+    before generic aggregation.
+
+    Scale: unpivot is a row-local Expand (k output rows per input
+    row), pipelined with no shuffle.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_custkey").cast("double").alias("custkey_as_metric"),
+        )
+    )
+    return orders.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "custkey_as_metric"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -190,3 +190,36 @@ def stream_stream_attribution_join(
         F.col("v.event_id").alias("view_id"),
         F.col("v.ts").alias("view_ts"),
     )
+
+
+def stream_stream_attribution_join_outer(
+    purchases: DataFrame,
+    views: DataFrame,
+    attribution_window: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Left-outer variant of the attribution join: purchases with no
+    view inside the window still emit, null-padded — but only once the
+    watermark proves no matching view can still arrive. That
+    watermark-gated emission is the semantic difference from batch
+    left joins, and why both sides MUST carry watermarks and the join
+    a time bound: otherwise unmatched rows would wait forever.
+    """
+    p = purchases.withWatermark("ts", delay).alias("p")
+    v = views.withWatermark("ts", delay).alias("v")
+    return p.join(
+        v,
+        F.expr(
+            f"""
+            p.user_id = v.user_id AND
+            v.ts < p.ts AND
+            v.ts >= p.ts - INTERVAL {attribution_window}
+            """
+        ),
+        "left_outer",
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("v.event_id").alias("view_id"),
+    )

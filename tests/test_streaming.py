@@ -262,3 +262,56 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssjoin_t").collect()
     )
     assert got == [(1, 10), (2, 12), (3, 13)]
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: matched purchases pair up;
+    unmatched purchases emit null-padded once the watermark passes
+    (a trailing fresh event advances the watermark far enough)."""
+    import time
+    from target_hdfs_spark.streaming.ingest import stream_stream_attribution_join_outer
+    from target_hdfs_spark.sources.jsonschema import jsonschema_to_spark
+    import pyspark.sql.functions as F
+
+    psrc, vsrc = tmp_path / "p", tmp_path / "v"
+    _write_jsonl(psrc / "a.jsonl", [
+        {"id": 1, "user": "u1", "at": "2026-08-13T10:00:00Z", "v": 1.0},  # matched
+        {"id": 2, "user": "u2", "at": "2026-08-13T10:00:00Z", "v": 1.0},  # no view
+    ])
+    time.sleep(1.1)
+    # late fresh purchase pushes the watermark hours past the others
+    _write_jsonl(psrc / "b.jsonl", [
+        {"id": 9, "user": "u9", "at": "2026-08-13T15:00:00Z", "v": 1.0},
+    ])
+    _write_jsonl(vsrc / "a.jsonl", [
+        {"id": 10, "user": "u1", "at": "2026-08-13T09:50:00Z", "v": 0.0},
+        {"id": 19, "user": "u9", "at": "2026-08-13T15:30:00Z", "v": 0.0},  # keeps v side fresh
+    ])
+
+    schema = jsonschema_to_spark(SCHEMA)
+
+    def prep(df):
+        return df.select(
+            F.col("user").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.col("at").alias("ts"),
+            "v",
+        )
+
+    pstream = prep(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(psrc))
+    )
+    vstream = prep(spark.readStream.schema(schema).json(str(vsrc)))
+    joined = stream_stream_attribution_join_outer(pstream, vstream, "30 minutes",
+                                                  delay="1 minute")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssouter_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.purchase_id, r.view_id) for r in spark.sql("SELECT * FROM ssouter_t").collect()}
+    assert (1, 10) in got            # matched pair
+    assert (2, None) in got          # unmatched emitted null-padded
