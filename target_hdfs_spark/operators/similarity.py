@@ -835,3 +835,193 @@ def q78_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
     )
     return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# ---------------------------------------------------------------------------
+# L3k: product quantization — codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_K = 16         # centroids per subspace (codebook: first K vectors)
+
+_L2_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+    "(acc, x) -> acc + x)"
+)
+
+_PQ_BASE_SQL = f"""
+    emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    subspaces AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub_idx),
+    sub_vectors AS (
+      SELECT vec_id, sub_idx,
+             v[(sub_idx * {PQ_SUBDIM} + 1):(sub_idx * {PQ_SUBDIM} + {PQ_SUBDIM})] AS sv
+      FROM emb CROSS JOIN subspaces
+    ),
+    codebook AS (
+      SELECT vec_id AS cid, sub_idx, sv AS cv
+      FROM sub_vectors WHERE vec_id < {PQ_K}
+    ),
+    codes AS (
+      SELECT vec_id, sub_idx, cid AS code
+      FROM (
+        SELECT s.vec_id, s.sub_idx, c.cid,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.sub_idx
+                 ORDER BY {_L2_SQL.format(a='s.sv', b='c.cv')}, c.cid
+               ) AS rn
+        FROM sub_vectors s JOIN codebook c ON c.sub_idx = s.sub_idx
+      ) WHERE rn = 1
+    )
+"""
+
+
+def l2sq_fold(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (order-stable, exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    subspaces = spark.range(PQ_M).select(F.col("id").cast("int").alias("sub_idx"))
+    sub_vectors = emb.crossJoin(F.broadcast(subspaces)).select(
+        "vec_id",
+        "sub_idx",
+        F.slice(
+            F.col("v"), F.col("sub_idx") * PQ_SUBDIM + 1, PQ_SUBDIM
+        ).alias("sv"),
+    )
+    codebook = sub_vectors.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("sub_idx").alias("cb_sub"), F.col("sv").alias("cv")
+    )
+    w = Window.partitionBy("vec_id", "sub_idx").orderBy(F.col("d"), F.col("cid"))
+    codes = (
+        sub_vectors.join(F.broadcast(codebook), F.col("sub_idx") == F.col("cb_sub"))
+        .select(
+            "vec_id", "sub_idx", "cid",
+            l2sq_fold(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_idx", F.col("cid").alias("code"))
+    )
+    return emb, sub_vectors, codebook, codes
+
+
+@query(
+    "q89_pq_codes",
+    oracle=f"""
+    WITH {_PQ_BASE_SQL}
+    SELECT vec_id, sub_idx, code FROM codes
+    """,
+    tags=("similarity", "pq", "quantization"),
+)
+def q89_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: the 64-dim vector split into
+    {PQ_M} subvectors, each assigned its nearest codebook entry
+    ({PQ_K} per subspace; codebook := the first {PQ_K} vectors'
+    subvectors, a deterministic stand-in for trained sub-k-means).
+    {PQ_M} x 4-bit codes = 4 bytes/vector — 128x compression with
+    finer granularity than the 1-bit sign quantization of q69.
+
+    Exactness: squared-L2 folds + row_number argmin with cid
+    tiebreak -> every code value-checked.
+    """
+    _, _, _, codes = _pq_parts(spark, sf_dir)
+    return codes
+
+
+@query(
+    "q90_pq_adc_search",
+    oracle=f"""
+    WITH {_PQ_BASE_SQL},
+    q AS (
+      SELECT vec_id AS query_id, sub_idx, sv AS qsv
+      FROM sub_vectors WHERE vec_id < 5
+    ),
+    subdists AS (
+      SELECT q.query_id, codes.vec_id, codes.sub_idx,
+             MIN({_L2_SQL.format(a='q.qsv', b='cb.cv')}) AS sd
+      FROM codes
+      JOIN codebook cb ON cb.cid = codes.code AND cb.sub_idx = codes.sub_idx
+      JOIN q ON q.sub_idx = codes.sub_idx
+      WHERE codes.vec_id <> q.query_id
+      GROUP BY 1, 2, 3
+    ),
+    pivoted AS (
+      SELECT query_id, vec_id,
+             {", ".join(f"MIN(CASE WHEN sub_idx = {m} THEN sd END) AS d{m}" for m in range(PQ_M))}
+      FROM subdists GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id,
+           {" + ".join(f"d{m}" for m in range(PQ_M))} AS adc_dist,
+           rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {" + ".join(f"d{m}" for m in range(PQ_M))}, vec_id
+      ) AS rn
+      FROM pivoted
+    )
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "pq", "ann"),
+)
+def q90_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-5 search over PQ codes: exact
+    query subvectors against the corpus's quantized codes — distance
+    = sum of per-subspace squared-L2 to the coded centroid. The
+    {PQ_M} sub-distances are pivoted to columns and added in a fixed
+    order, keeping the float sum deterministic (a groupBy SUM would
+    be accumulation-order-dependent).
+
+    Scale: the corpus contributes only 4-byte codes; per-query work is
+    a {PQ_K} x {PQ_M} lookup table plus one add per code — the regime
+    where billion-vector search fits one machine's cache.
+    """
+    _, sub_vectors, codebook, codes = _pq_parts(spark, sf_dir)
+    q = sub_vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sub_idx").alias("q_sub"),
+        F.col("sv").alias("qsv"),
+    )
+    subdists = (
+        codes.join(
+            F.broadcast(codebook),
+            (F.col("cid") == F.col("code")) & (F.col("cb_sub") == F.col("sub_idx")),
+        )
+        .join(
+            F.broadcast(q),
+            (F.col("q_sub") == F.col("sub_idx"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", "vec_id", "sub_idx",
+            l2sq_fold(F.col("qsv"), F.col("cv")).alias("sd"),
+        )
+    )
+    pivoted = (
+        subdists.groupBy("query_id", "vec_id")
+        .pivot("sub_idx", list(range(PQ_M)))
+        .agg(F.min("sd"))
+    )
+    total = None
+    for m in range(PQ_M):
+        c = F.col(str(m))
+        total = c if total is None else total + c
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        pivoted.withColumn("adc_dist", total)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "adc_dist", "rn")
+    )

@@ -104,3 +104,35 @@ def test_partitioned_upsert_null_and_escaped_values(spark, tmp_path):
     upsert(spark, updates, path, keys=["k"], partition_col="part")
     got = {r.k: (r.part, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {1: (None, 99.0), 2: ("a:b", 88.0), 3: ("plain", 3.0)}
+
+
+def test_upsert_recovers_from_stale_old_dir(spark, tmp_path):
+    """Crash leftovers: a stale `__old` staging dir from an interrupted
+    earlier swap must not block or corrupt the next upsert."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, s string").write.parquet(path)
+    # simulate an interrupted swap's leftover
+    stale = tmp_path / "t__old"
+    stale.mkdir()
+    (stale / "junk.txt").write_text("leftover")
+
+    updates = spark.createDataFrame([(1, "A"), (2, "b")], "k long, s string")
+    upsert(spark, updates, path, keys=["k"])
+    got = {r.k: r.s for r in spark.read.parquet(path).collect()}
+    assert got == {1: "A", 2: "b"}
+    assert not stale.exists()  # cleaned up by the swap
+
+
+def test_soft_delete_recovers_from_stale_tmp(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "k long, _sdc_table_version long"
+    ).write.parquet(path)
+    stale_tmp = tmp_path / "t__softdel_tmp"
+    stale_tmp.mkdir()
+    (stale_tmp / "junk.txt").write_text("leftover")
+    n = soft_delete_older_versions(spark, path, active_version=2)
+    assert n == 1
+    rows = {r.k: r._sdc_deleted_at is not None
+            for r in spark.read.parquet(path).collect()}
+    assert rows == {1: True, 2: False}
