@@ -1,0 +1,115 @@
+"""Seeded query fuzzer: random filter/aggregation trees are compiled
+from ONE AST into both a Spark DataFrame plan and DuckDB SQL, then
+compared exactly — a miniature sqllogictest that covers expression
+corners no hand-written registry query exercises.
+
+Deterministic (seeded RNG) so failures reproduce; each case embeds
+its seed in the assertion message.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.functions.decimals import dec, to_double
+from target_hdfs_spark.sources.readers import load_table
+from tests.oracle_compare import _norm_cell
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+
+def _rand_pred(rng: random.Random, depth: int = 0):
+    """Returns (spark_col_fn, sql_str). spark_col_fn: df -> Column."""
+    kind = rng.random()
+    if depth < 2 and kind < 0.35:
+        (la, lsql) = _rand_pred(rng, depth + 1)
+        (ra, rsql) = _rand_pred(rng, depth + 1)
+        op = rng.choice(["AND", "OR"])
+        if op == "AND":
+            return (lambda df: la(df) & ra(df), f"({lsql} AND {rsql})")
+        return (lambda df: la(df) | ra(df), f"({lsql} OR {rsql})")
+    if depth < 2 and kind < 0.45:
+        (ia, isql) = _rand_pred(rng, depth + 1)
+        return (lambda df: ~ia(df), f"(NOT {isql})")
+    choice = rng.random()
+    if choice < 0.4:
+        col = rng.choice(NUM_COLS)
+        thr = round(rng.uniform(0, 50 if col == "l_quantity" else 1), 2)
+        if col == "l_extendedprice":
+            thr = round(rng.uniform(1000, 90000), 2)
+        op = rng.choice(["<", "<=", ">", ">=", "="])
+        ops = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__", "=": "__eq__"}
+        return (
+            lambda df, c=col, o=ops[op], t=thr: getattr(F.col(c), o)(F.lit(t)),
+            f"{col} {op} {thr}",
+        )
+    if choice < 0.7:
+        col = rng.choice(INT_COLS)
+        lo = rng.randint(0, 3000)
+        hi = lo + rng.randint(0, 3000)
+        return (
+            lambda df, c=col, a=lo, b=hi: F.col(c).between(a, b),
+            f"{col} BETWEEN {lo} AND {hi}",
+        )
+    col = rng.choice(STR_COLS)
+    vals = rng.sample(["A", "N", "R", "F", "O"], k=rng.randint(1, 3))
+    vlist = ", ".join(f"'{v}'" for v in vals)
+    return (
+        lambda df, c=col, vs=tuple(vals): F.col(c).isin(list(vs)),
+        f"{col} IN ({vlist})",
+    )
+
+
+AGGS = [
+    # (spark_fn, sql_template) — decimal-exact by convention
+    (lambda c: to_double(F.sum(dec(c))),
+     "CAST(CAST(SUM(CAST({c} AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)"),
+    (lambda c: F.min(F.col(c)), "MIN({c})"),
+    (lambda c: F.max(F.col(c)), "MAX({c})"),
+    (lambda c: F.count(F.col(c)), "COUNT({c})"),
+    (lambda c: F.count_distinct(F.col(c)), "COUNT(DISTINCT {c})"),
+]
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_fuzzed_filter_aggregate(spark, seed):
+    rng = random.Random(1_000_003 * (seed + 1))
+    pred_fn, pred_sql = _rand_pred(rng)
+    group_col = rng.choice(STR_COLS + [None])
+    agg_col = rng.choice(NUM_COLS + INT_COLS)
+    agg_fn, agg_sql = rng.choice(AGGS)
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    sdf = li.filter(pred_fn(li))
+    if group_col:
+        sdf = sdf.groupBy(group_col).agg(agg_fn(agg_col).alias("m"))
+    else:
+        sdf = sdf.agg(agg_fn(agg_col).alias("m"))
+
+    sql = (
+        f"SELECT {group_col + ', ' if group_col else ''}"
+        f"{agg_sql.format(c=agg_col)} AS m "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet') "
+        f"WHERE {pred_sql}"
+        + (f" GROUP BY {group_col}" if group_col else "")
+    )
+    con = duckdb.connect()
+    drows = con.execute(sql).fetchall()
+    srows = [tuple(r) for r in sdf.collect()]
+
+    # global aggregates: Spark's agg() always returns one row, SQL
+    # returns one row too (empty input -> nulls/0) — normalize both
+    s_norm = sorted(tuple(_norm_cell(v) for v in r) for r in srows)
+    d_norm = sorted(tuple(_norm_cell(v) for v in r) for r in drows)
+    assert s_norm == d_norm, (
+        f"seed={seed} pred=[{pred_sql}] group={group_col} "
+        f"agg={agg_sql.format(c=agg_col)}\nspark={s_norm[:3]}\nduck={d_norm[:3]}"
+    )
