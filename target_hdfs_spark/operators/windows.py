@@ -103,7 +103,7 @@ def q32_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                    OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -127,9 +127,11 @@ def q32_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q33_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 10-minute inactivity gap (S3).
-    Spark's session_window merges events < gap apart; session end is
-    last event + gap. The oracle reproduces exactly that with the
-    lag + cumulative-sum sessionization.
+    Spark's session_window merges events <= gap apart (an event landing
+    EXACTLY at last+gap still merges — boundary semantics pinned by
+    tests/test_session_property.py); session end is last event + gap.
+    The oracle reproduces exactly that with the lag + cumulative-sum
+    sessionization (new session strictly beyond the gap).
 
     Scale: session_window shuffles once on user_id then merges
     in-partition — same cost shape as the window-function fallback,
