@@ -2253,3 +2253,35 @@ def q88_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# E19 bitwise — Morton z-values (the data-skipping sort key, checkable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q91_zorder_values",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({" + ".join(
+               f"(((o_custkey >> {i}) % 2) << {2 * i})"
+               f" + (((o_orderkey >> {i}) % 2) << {2 * i + 1})"
+               for i in range(16)
+           )} AS BIGINT) AS zval
+    FROM orders
+    WHERE o_orderkey <= 4000
+    """,
+    tags=("scalar", "bitwise", "zorder"),
+)
+def q91_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) interleave of two integer keys — the sort key
+    behind plans/zorder.write_zordered, exposed as a checkable scalar
+    query (bitwise shift/mask surface; exact integer math)."""
+    from target_hdfs_spark.plans.zorder import zvalue
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    return orders.select(
+        "o_orderkey",
+        zvalue(F.col("o_custkey"), F.col("o_orderkey")).alias("zval"),
+    )
