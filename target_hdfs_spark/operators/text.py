@@ -8,6 +8,7 @@ double divisions of integers, hashes use the portable md5 family.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -471,4 +472,65 @@ def q58_redacted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9][0-9]+"))).alias(
             "n_num_hits"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4h: Unicode normalization (NFC + accent folding) — the text-prep
+# pass multilingual corpora need before hashing/dedup
+# ---------------------------------------------------------------------------
+
+# deterministic non-ASCII suffix so the operator has real work on this
+# ASCII corpus: decomposed e+accent, precomposed é, ß, CJK, ligature
+_UNI_SUFFIX = " café café straße 中文 ﬁne"
+
+
+@query(
+    "q59_unicode_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           nfc_normalize(text || '{_UNI_SUFFIX}') AS nfc_text,
+           strip_accents(nfc_normalize(text || '{_UNI_SUFFIX}')) AS folded_text,
+           length(nfc_normalize(text || '{_UNI_SUFFIX}')) AS n_chars_nfc
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("text", "unicode", "udf"),
+)
+def q59_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + accent folding via an Arrow
+    pandas_udf over Python's unicodedata — value-checked against
+    DuckDB's native nfc_normalize/strip_accents (both implement the
+    Unicode standard, so a *Python* UDF still gets an exact oracle).
+    A deterministic non-ASCII suffix gives the operator real
+    decomposed/precomposed/ligature cases on this ASCII corpus.
+
+    Scale: Arrow-batched, map-only — the canonical text-prep pass
+    before any hashing/dedup so visually-identical strings collide.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: "pd.Series") -> "pd.Series":
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    @pandas_udf("string")
+    def fold_accents(s: "pd.Series") -> "pd.Series":
+        def fold(x: str) -> str:
+            return "".join(
+                c for c in unicodedata.normalize("NFD", x)
+                if not unicodedata.combining(c)
+            )
+        # NFC at the end: strip_accents returns recomposed text
+        return s.map(lambda x: unicodedata.normalize("NFC", fold(x)))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    with_suffix = F.concat(F.col("text"), F.lit(_UNI_SUFFIX))
+    return docs.select(
+        "doc_id",
+        nfc(with_suffix).alias("nfc_text"),
+        fold_accents(nfc(with_suffix)).alias("folded_text"),
+        F.length(nfc(with_suffix)).alias("n_chars_nfc"),
     )
