@@ -564,3 +564,110 @@ def q85_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # pin the pair graph before iterating
     )
     return connected_components(docs.select("doc_id"), pairs)
+
+
+# ---------------------------------------------------------------------------
+# L2f: candidate generation + exact verification in one pipeline —
+# the production near-dup query (LSH recall, exact precision)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q92_lsh_verified_pairs",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL},
+    doc_shingles AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN doc_shingles sa ON sa.doc_id = p.doc_a
+      JOIN doc_shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - c.n_common) AS jaccard
+    FROM common c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - c.n_common) >= 0.2
+    """,
+    tags=("dedup", "minhash", "lsh", "verify"),
+)
+def q92_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-duplicate query: MinHash-LSH candidate
+    generation (probabilistic recall) followed by exact shingle-set
+    Jaccard verification (exact precision, threshold 0.2) — composed
+    as one plan.
+
+    Scale: exact Jaccard runs on candidate pairs ONLY (vs q45's
+    all-shared-shingle pairs) — the verification cost is proportional
+    to LSH candidates, which the hot-bucket cap already bounds; this
+    is the shape that stays tractable at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    ok_buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n").between(2, MAX_BUCKET))
+        .select("band_idx", "band_key")
+    )
+    kept = bands.join(ok_buckets, ["band_idx", "band_key"])
+    a, c = kept.alias("a"), kept.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b"))
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("b_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
