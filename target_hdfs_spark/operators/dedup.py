@@ -56,6 +56,51 @@ _SHINGLE_HASHES_SQL = (
 )
 
 
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from a minhash signature table:
+    band the signature (BANDS x ROWS_PER_BAND), suppress hot buckets
+    (> MAX_BUCKET docs), self-join surviving buckets. The single
+    implementation behind q43 / q85 / q92 — banding changes happen
+    here once (the oracle twin is _LSH_PAIRS_SQL)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    ok_buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n").between(2, MAX_BUCKET))
+        .select("band_idx", "band_key")
+    )
+    kept = bands.join(ok_buckets, ["band_idx", "band_key"])
+    a, c = kept.alias("a"), kept.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # L1a: exact dedup with deterministic survivor
 # ---------------------------------------------------------------------------
@@ -240,42 +285,7 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
-    )
-    ok_buckets = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n").between(2, MAX_BUCKET))
-        .select("band_idx", "band_key")
-    )
-    kept = bands.join(ok_buckets, ["band_idx", "band_key"])
-    a, c = kept.alias("a"), kept.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.band_idx") == F.col("c.band_idx"))
-            & (F.col("a.band_key") == F.col("c.band_key"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return lsh_candidate_pairs(sig)
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +497,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter while labels were still moving: returning
+        # the partial labels would silently split clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(graph diameter exceeds the bound; raise max_iter)"
+        )
     return labels.select(F.col("node").alias(node_col), "cluster")
 
 
@@ -526,43 +543,8 @@ def q85_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
-    )
-    ok_buckets = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n").between(2, MAX_BUCKET))
-        .select("band_idx", "band_key")
-    )
-    kept = bands.join(ok_buckets, ["band_idx", "band_key"])
-    a, c = kept.alias("a"), kept.alias("c")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.band_idx") == F.col("c.band_idx"))
-            & (F.col("a.band_key") == F.col("c.band_key"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
-        .localCheckpoint(eager=True)  # pin the pair graph before iterating
-    )
+    # pin the pair graph before iterating
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
     return connected_components(docs.select("doc_id"), pairs)
 
 
@@ -610,42 +592,7 @@ def q92_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
-    )
-    ok_buckets = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n").between(2, MAX_BUCKET))
-        .select("band_idx", "band_key")
-    )
-    kept = bands.join(ok_buckets, ["band_idx", "band_key"])
-    a, c = kept.alias("a"), kept.alias("c")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.band_idx") == F.col("c.band_idx"))
-            & (F.col("a.band_key") == F.col("c.band_key"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = lsh_candidate_pairs(sig)
     sh = (
         docs.select("doc_id", tokens("text").alias("_toks"))
         .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))

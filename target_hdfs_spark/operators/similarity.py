@@ -320,6 +320,32 @@ _ASSIGN_SQL = f"""
 """
 
 
+
+def _ivf_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, cid, dot, crn) — every vector scored against the
+    fixed IVF codebook (centroids := first N_CENTROIDS vectors), with
+    crn ranking the centroids per vector (crn=1 is the cell
+    assignment). Single implementation behind q63 / q70 / q71."""
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot"))
+        .withColumn("crn", F.row_number().over(w))
+    )
+
+
+def _ivf_cells(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, cell): each vector in its nearest centroid's cell."""
+    return (
+        _ivf_assign(emb)
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+
+
 @query(
     "q63_ann_ivf",
     oracle=f"""
@@ -362,21 +388,7 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    wassign = Window.partitionBy("vec_id").orderBy(
-        F.col("dot").desc(), F.col("cid")
-    )
-    cells = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "v", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot")
-        )
-        .withColumn("crn", F.row_number().over(wassign))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
-    )
+    cells = _ivf_cells(emb)
     queries = cells.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -523,15 +535,7 @@ def q70_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    wassign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot"))
-        .withColumn("crn", F.row_number().over(wassign))
-    )
+    assign = _ivf_assign(emb)
     cells = assign.filter(F.col("crn") == 1).select(
         "vec_id", "v", F.col("cid").alias("cell")
     )
@@ -607,17 +611,7 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    wassign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
-    cells = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot"))
-        .withColumn("crn", F.row_number().over(wassign))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
-    )
+    cells = _ivf_cells(emb)
     queries = cells.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -9,16 +9,18 @@ Without a table format (Delta/Iceberg) an upsert must rewrite data
 files; the cost control is *touching only the partitions that contain
 affected keys*:
 
-1. prune: semi-join the existing dataset's partition values against
-   the updates to find affected partitions;
+1. prune: find every partition holding an affected key — both the
+   partitions the updates land in AND the partitions currently holding
+   old copies of those keys (keys may move across partitions);
 2. rewrite: for affected partitions only — anti-join out the updated
    keys, union the new rows, write to a temp dir;
-3. commit: swap rewritten partitions in (add-new-then-delete-old,
-   same visibility ordering as compaction), leave every other
-   partition byte-untouched.
+3. commit: swap rewritten partitions in (stage-old -> rename-new ->
+   delete-old, with crash recovery), leave every other partition
+   byte-untouched.
 
 Scale: an upsert touching 0.1% of partitions rewrites 0.1% of the
-dataset; the anti-join is shuffle-free when updates broadcast.
+dataset; the key probe is a semi-join that prunes to partition values
+only.
 """
 
 from __future__ import annotations
@@ -36,12 +38,30 @@ def _fs_for(spark: SparkSession, path: str):
     return jpath.getFileSystem(hconf), jvm
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jvm = _fs_for(spark, path)
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(path)))
+
+
+def _recover_interrupted_swap(fs, jvm, dst_dir: str) -> None:
+    """Heal the one non-atomic window of :func:`_swap_dirs`: a crash
+    between stage-old and rename-new leaves `dst` absent with the data
+    stranded at `dst__old`. Restore it before doing anything else —
+    otherwise a subsequent writer would treat the dataset as missing
+    and discard the staged copy."""
+    dst = jvm.org.apache.hadoop.fs.Path(dst_dir)
+    old = jvm.org.apache.hadoop.fs.Path(dst_dir.rstrip("/") + "__old")
+    if not fs.exists(dst) and fs.exists(old):
+        if not fs.rename(old, dst):
+            raise OSError(f"swap recovery failed: {old} -> {dst}")
+
+
 def _swap_dirs(fs, jvm, new_dir: str, dst_dir: str) -> None:
-    """Atomic-ish directory replacement without a no-data window:
-    stage old aside, rename new in, delete old — a crash leaves
-    either the old or the new dataset in place, never neither
-    (the delete-then-rename alternative has a gap where readers see
-    nothing)."""
+    """Directory replacement with no no-data window in normal
+    operation: stage old aside, rename new in, delete old. The one
+    crash window (between the two renames) leaves the data stranded at
+    `dst__old`; callers run :func:`_recover_interrupted_swap` on entry
+    so the next job heals it before reading."""
     dst = jvm.org.apache.hadoop.fs.Path(dst_dir)
     old = jvm.org.apache.hadoop.fs.Path(dst_dir.rstrip("/") + "__old")
     new = jvm.org.apache.hadoop.fs.Path(new_dir)
@@ -58,6 +78,25 @@ def _swap_dirs(fs, jvm, new_dir: str, dst_dir: str) -> None:
         fs.delete(old, True)
 
 
+def _reject_duplicate_update_keys(updates: DataFrame, keys: list[str]) -> None:
+    """Standard MERGE posture: multiple source rows per key is an
+    error, not a silent double-insert (CDC batches must be reduced to
+    latest-per-key first)."""
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_desc = ", ".join(f"{k}={dup[0][k]!r}" for k in keys)
+        raise ValueError(
+            f"updates contain multiple rows for key ({key_desc}); "
+            "reduce to one row per key (e.g. latest by sequence) before upsert"
+        )
+
+
 def upsert(
     spark: SparkSession,
     updates: DataFrame,
@@ -66,18 +105,24 @@ def upsert(
     partition_col: str | None = None,
 ) -> None:
     """MERGE `updates` into the Parquet dataset at `path`: rows whose
-    `keys` match are replaced, new keys are inserted.
+    `keys` match are replaced (wherever they currently live, including
+    other partitions), new keys are inserted. Duplicate keys within
+    `updates` are rejected.
 
-    With `partition_col`, only partitions present in `updates` are
+    With `partition_col`, only partitions containing affected keys are
     rewritten (partition-pruned merge); without it the whole dataset
     rewrites (correct, priced for small tables).
     """
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
-        # first write: nothing to merge
+    _reject_duplicate_update_keys(updates, keys)
+    fs, jvm = _fs_for(spark, path)
+    _recover_interrupted_swap(fs, jvm, path)
+    if not _path_exists(spark, path):
+        # genuinely first write: nothing to merge. (An existence check,
+        # NOT a bare try/except around the read — a transient read
+        # failure must surface, not silently overwrite the dataset.)
         updates.write.mode("overwrite").parquet(path)
         return
+    existing = spark.read.parquet(path)
     if sorted(_normalize(existing.schema)) != sorted(_normalize(updates.schema)):
         raise SchemaChangedError(
             f"upsert schema drift at {path}: "
@@ -85,19 +130,22 @@ def upsert(
         )
 
     tmp = path.rstrip("/") + "__upsert_tmp"
-    fs, jvm = _fs_for(spark, path)
 
     if partition_col:
+        # affected partitions = where updates land + where old copies
+        # of the updated keys currently live (keys can move partitions)
+        update_parts = updates.select(F.col(partition_col).alias("_p"))
+        moved_parts = existing.join(
+            F.broadcast(updates.select(*keys)), keys, "left_semi"
+        ).select(F.col(partition_col).alias("_p"))
         affected = [
-            r[0]
-            for r in updates.select(partition_col).distinct().collect()
+            r[0] for r in update_parts.unionByName(moved_parts).distinct().collect()
         ]
-        kept = existing.filter(
-            F.col(partition_col).isin(affected)
-            if None not in affected
-            else (F.col(partition_col).isin([v for v in affected if v is not None])
-                  | F.col(partition_col).isNull())
-        )
+        non_null = [v for v in affected if v is not None]
+        cond = F.col(partition_col).isin(non_null)
+        if None in affected:
+            cond = cond | F.col(partition_col).isNull()
+        kept = existing.filter(cond)
         merged = kept.join(
             F.broadcast(updates.select(*keys)), keys, "left_anti"
         ).unionByName(updates)
@@ -106,16 +154,18 @@ def upsert(
             .partitionBy(partition_col)
             .parquet(tmp)
         )
-        # Swap the partition directories Spark ACTUALLY wrote: the
-        # tmp listing carries the hive-escaped names (%XX escapes,
-        # __HIVE_DEFAULT_PARTITION__ for null) — reconstructing them
-        # from raw Python values would miss escaped/null partitions
-        # and silently drop their updates.
+        # Swap the partition directories Spark ACTUALLY wrote: the tmp
+        # listing carries the hive-escaped names (%XX escapes,
+        # __HIVE_DEFAULT_PARTITION__ for null). A rewritten partition
+        # that came out EMPTY (all its rows were keys that moved away)
+        # won't appear in tmp — delete those destinations explicitly.
         tmp_jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+        written = set()
         for status in fs.listStatus(tmp_jpath):
             name = status.getPath().getName()
             if not status.isDirectory() or "=" not in name:
                 continue
+            written.add(name)
             dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}")
             old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}__old")
             if fs.exists(old):
@@ -124,12 +174,26 @@ def upsert(
             if had_old and not fs.rename(dst, old):
                 raise OSError(f"upsert: could not stage old partition {dst}")
             if not fs.rename(status.getPath(), dst):
-                # roll back so the dataset keeps the old partition
                 if had_old:
-                    fs.rename(old, dst)
+                    fs.rename(old, dst)  # roll back
                 raise OSError(f"upsert: could not commit partition {dst}")
             if had_old:
                 fs.delete(old, True)
+        # partitions that were affected but produced no output rows
+        # (every row they held was a key that moved elsewhere) must be
+        # dropped, or the stale copies would survive. String-compare
+        # decoded directory values against affected values.
+        affected_strs = {str(v) for v in affected if v is not None}
+        base = jvm.org.apache.hadoop.fs.Path(path)
+        for status in fs.listStatus(base):
+            name = status.getPath().getName()
+            if not status.isDirectory() or "=" not in name or name in written:
+                continue
+            value = _partition_value_of(name, partition_col)
+            if (value is None and None in affected) or (
+                value is not None and value in affected_strs
+            ):
+                fs.delete(status.getPath(), True)
         fs.delete(tmp_jpath, True)
     else:
         merged = existing.join(
@@ -137,6 +201,17 @@ def upsert(
         ).unionByName(updates)
         merged.write.mode("overwrite").parquet(tmp)
         _swap_dirs(fs, jvm, tmp, path)
+
+
+def _partition_value_of(dir_name: str, partition_col: str):
+    """Decode a hive partition directory name back to its value
+    (string-typed comparison; __HIVE_DEFAULT_PARTITION__ -> None)."""
+    raw = dir_name.split("=", 1)[1]
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(raw)
 
 
 def soft_delete_older_versions(
@@ -149,11 +224,17 @@ def soft_delete_older_versions(
     """Singer ACTIVATE_VERSION finalization: stamp `deleted_at_col` on
     every live row whose `version_col` predates `active_version`
     (soft delete — the SDK's non-hard-delete behavior). Returns the
-    number of rows stamped.
+    number of rows stamped. A missing dataset (stream that activated a
+    version but never wrote records — a full-truncate refresh) is a
+    no-op, not a crash.
 
     Implemented as a whole-dataset rewrite with the swap commit; on a
     partitioned stream, pair with the partition-pruned upsert instead.
     """
+    fs, jvm = _fs_for(spark, path)
+    _recover_interrupted_swap(fs, jvm, path)
+    if not _path_exists(spark, path):
+        return 0
     existing = spark.read.parquet(path)
     if version_col not in existing.columns:
         return 0
@@ -174,6 +255,5 @@ def soft_delete_older_versions(
     )
     tmp = path.rstrip("/") + "__softdel_tmp"
     updated.write.mode("overwrite").parquet(tmp)
-    fs, jvm = _fs_for(spark, path)
     _swap_dirs(fs, jvm, tmp, path)
     return n_stale

@@ -59,6 +59,12 @@ def write_zordered(
     any global sort-write, paid once at write time for every future
     scan's benefit.
     """
+    from target_hdfs_spark.plans.upsert import (
+        _fs_for,
+        _recover_interrupted_swap,
+        _swap_dirs,
+    )
+
     bounds = df.agg(
         F.min(F.col(col_a).cast("double")).alias("a_lo"),
         F.max(F.col(col_a).cast("double")).alias("a_hi"),
@@ -69,6 +75,11 @@ def write_zordered(
         quantize(F.col(col_a), F.col("a_lo"), F.col("a_hi")),
         quantize(F.col(col_b), F.col("b_lo"), F.col("b_hi")),
     )
+    # write-tmp-then-swap (the repo's rewrite discipline): re-laying-
+    # out an existing dataset must not destroy it on a mid-job failure
+    fs, jvm = _fs_for(df.sparkSession, path)
+    _recover_interrupted_swap(fs, jvm, path)
+    tmp = path.rstrip("/") + "__zorder_tmp"
     (
         df.crossJoin(F.broadcast(bounds))
         .withColumn("_z", z)
@@ -77,5 +88,6 @@ def write_zordered(
         .drop("_z", "a_lo", "a_hi", "b_lo", "b_hi")
         .write.mode("overwrite")
         .option("compression", compression)
-        .parquet(path)
+        .parquet(tmp)
     )
+    _swap_dirs(fs, jvm, tmp, path)

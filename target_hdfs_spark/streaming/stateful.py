@@ -52,8 +52,11 @@ def _score_group(
 ) -> Iterable[pd.DataFrame]:
     n, total, total_sq = state.get if state.exists else (0, 0.0, 0.0)
     out: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])  # deterministic order
+    # Groups larger than the Arrow batch size arrive as MULTIPLE
+    # chunks in arbitrary order — concatenate before sorting, or the
+    # fold order (and thus the z-scores) is run-dependent.
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    for pdf in (whole.sort_values(["ts", "event_id"]),):
         for event_id, value in zip(pdf["event_id"], pdf["value"]):
             if n >= MIN_PRIOR:
                 mean = total / n

@@ -320,3 +320,16 @@ def test_non_integral_float_rejected_for_integer_field(spark, tmp_path):
         _rec("s2", id=2.0),
     ]))
     assert spark.read.parquet(str(tmp_path / "s2")).collect()[0].id == 2
+
+
+def test_activate_version_with_zero_records(spark, tmp_path):
+    """A full-truncate refresh (SCHEMA + ACTIVATE_VERSION, no RECORDs)
+    must not crash finalization when the stream never wrote files."""
+    config = TargetConfig(destination_path=str(tmp_path), add_record_metadata=True)
+    pipe = SingerPipe(spark, config)
+    states = list(pipe.process_lines([
+        _schema_msg("empty_stream", {"id": {"type": "integer"}}),
+        json.dumps({"type": "ACTIVATE_VERSION", "stream": "empty_stream", "version": 3}),
+        json.dumps({"type": "STATE", "value": {"done": True}}),
+    ]))
+    assert states == ['{"done":true}']

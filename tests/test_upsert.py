@@ -136,3 +136,61 @@ def test_soft_delete_recovers_from_stale_tmp(spark, tmp_path):
     rows = {r.k: r._sdc_deleted_at is not None
             for r in spark.read.parquet(path).collect()}
     assert rows == {1: True, 2: False}
+
+
+def test_upsert_key_moving_across_partitions(spark, tmp_path):
+    """Regression: a key whose partition value changes must not leave
+    its stale copy in the old partition."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "us", 1.0), (2, "us", 2.0), (3, "de", 3.0)],
+        "k long, country string, v double",
+    )
+    base.write.partitionBy("country").parquet(path)
+    # key 1 moves us -> de
+    updates = spark.createDataFrame([(1, "de", 99.0)], "k long, country string, v double")
+    upsert(spark, updates, path, keys=["k"], partition_col="country")
+    got = {r.k: (r.country, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("de", 99.0), 2: ("us", 2.0), 3: ("de", 3.0)}
+
+
+def test_upsert_emptied_partition_is_dropped(spark, tmp_path):
+    """If every key of a partition moves away, the partition dir must
+    disappear rather than keep stale rows."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "us", 1.0), (2, "de", 2.0)], "k long, country string, v double"
+    )
+    base.write.partitionBy("country").parquet(path)
+    updates = spark.createDataFrame([(1, "de", 9.0)], "k long, country string, v double")
+    upsert(spark, updates, path, keys=["k"], partition_col="country")
+    got = {r.k: (r.country, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("de", 9.0), 2: ("de", 2.0)}
+    import os
+    assert not os.path.exists(f"{path}/country=us")
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, s string").write.parquet(path)
+    dup = spark.createDataFrame([(2, "x"), (2, "y")], "k long, s string")
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        upsert(spark, dup, path, keys=["k"])
+
+
+def test_soft_delete_missing_dataset_is_noop(spark, tmp_path):
+    assert soft_delete_older_versions(spark, str(tmp_path / "never_written"), 5) == 0
+
+
+def test_interrupted_swap_recovers(spark, tmp_path):
+    """A crash between stage-old and rename-new leaves data at
+    `path__old`; the next upsert must restore it, not treat the
+    dataset as missing."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string").write.parquet(path)
+    import shutil
+    shutil.move(path, path + "__old")  # simulate the crash window
+    updates = spark.createDataFrame([(2, "B")], "k long, s string")
+    upsert(spark, updates, path, keys=["k"])
+    got = {r.k: r.s for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B"}  # old data recovered, then merged
