@@ -113,3 +113,58 @@ def test_fuzzed_filter_aggregate(spark, seed):
         f"seed={seed} pred=[{pred_sql}] group={group_col} "
         f"agg={agg_sql.format(c=agg_col)}\nspark={s_norm[:3]}\nduck={d_norm[:3]}"
     )
+
+
+JOIN_AGG_COLS = ["l_quantity", "l_extendedprice", "o_totalprice"]
+JOIN_GROUP_COLS = ["l_returnflag", "o_orderstatus", "o_orderpriority", None]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzzed_join_aggregate(spark, seed):
+    """Join fuzz: random lineitem|><|orders predicates + aggregates,
+    one AST -> both engines."""
+    rng = random.Random(7_777_777 * (seed + 3))
+    pred_fn, pred_sql = _rand_pred(rng)
+    group_col = rng.choice(JOIN_GROUP_COLS)
+    agg_col = rng.choice(JOIN_AGG_COLS)
+    agg_fn, agg_sql = rng.choice(AGGS)
+    how = rng.choice(["inner", "left_semi"])
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    if how == "inner":
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        from_sql = (
+            f"read_parquet('{SF_DIR}/lineitem.parquet') l "
+            f"JOIN read_parquet('{SF_DIR}/orders.parquet') o "
+            f"ON l.l_orderkey = o.o_orderkey"
+        )
+    else:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        from_sql = (
+            f"read_parquet('{SF_DIR}/lineitem.parquet') l "
+            f"WHERE EXISTS (SELECT 1 FROM read_parquet('{SF_DIR}/orders.parquet') o "
+            f"WHERE o.o_orderkey = l.l_orderkey)"
+        )
+        if group_col and group_col.startswith("o_"):
+            group_col = "l_returnflag"
+        if agg_col.startswith("o_"):
+            agg_col = "l_quantity"
+
+    sdf = joined.filter(pred_fn(joined))
+    sdf = (
+        sdf.groupBy(group_col).agg(agg_fn(agg_col).alias("m"))
+        if group_col
+        else sdf.agg(agg_fn(agg_col).alias("m"))
+    )
+    where_kw = "AND" if how == "left_semi" else "WHERE"
+    sql = (
+        f"SELECT {group_col + ', ' if group_col else ''}"
+        f"{agg_sql.format(c=agg_col)} AS m FROM {from_sql} "
+        f"{where_kw} {pred_sql}"
+        + (f" GROUP BY {group_col}" if group_col else "")
+    )
+    con = duckdb.connect()
+    d = sorted(tuple(_norm_cell(v) for v in r) for r in con.execute(sql).fetchall())
+    s = sorted(tuple(_norm_cell(v) for v in r) for r in sdf.collect())
+    assert s == d, f"seed={seed} how={how} pred=[{pred_sql}] group={group_col}"
