@@ -30,12 +30,24 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="treat path as hive-partitioned; compact each partition dir",
     )
+    parser.add_argument(
+        "--compression",
+        default="gzip",
+        help="codec for rewritten files; match the dataset's configured "
+        "compression_method (default gzip)",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark(app_name="target_hdfs_spark_compact")
     spark.sparkContext.setLogLevel("ERROR")
     limit = convert_size_to_bytes(args.size_limit) if args.size_limit else None
-    reports = compact_stream(spark, args.path, limit, partitioned=args.partitioned)
+    reports = compact_stream(
+        spark,
+        args.path,
+        limit,
+        partitioned=args.partitioned,
+        compression=args.compression,
+    )
     for r in reports:
         print(
             json.dumps(

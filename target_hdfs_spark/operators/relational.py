@@ -786,9 +786,13 @@ def q20_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle O(sketch size) instead of O(distinct values) at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+        # scalar columns, not an array: the driver's pandas-based
+        # canonicalizer cannot sort list-valued cells
+        F.element_at(pcts, 1).alias("price_p50"),
+        F.element_at(pcts, 2).alias("price_p95"),
     )
 
 
@@ -1270,7 +1274,7 @@ def q37_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
                           + c_custkey) AS richest_customer,
            min_by(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000000
                           + c_custkey) AS poorest_customer,
-           list_sort(list(c_mktsegment)) AS segments
+           array_to_string(list_sort(list(c_mktsegment)), '|') AS segments
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -1296,7 +1300,9 @@ def q38_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_nationkey").agg(
         F.max_by(F.col("c_name"), rank_key).alias("richest_customer"),
         F.min_by(F.col("c_name"), rank_key).alias("poorest_customer"),
-        F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+        # pipe-joined (not an array column): driver canonicalizer can't
+        # sort list cells; order-insensitivity preserved via sort first
+        F.array_join(F.sort_array(F.collect_list("c_mktsegment")), "|").alias("segments"),
     )
 
 
@@ -1400,9 +1406,11 @@ def q65_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_linestatus,
-      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT)
         AS high_line_count,
-      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT)
         AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

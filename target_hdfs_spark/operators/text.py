@@ -40,7 +40,7 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     oracle=f"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(len({_TOK})) AS total_tokens,
+           CAST(SUM(len({_TOK})) AS BIGINT) AS total_tokens,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars

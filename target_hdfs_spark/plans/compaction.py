@@ -115,12 +115,16 @@ def compact_directory(
     directory: str,
     size_limit: int | None = None,
     expected_schema=None,
+    compression: str = "gzip",
 ) -> CompactionReport:
     """Merge all undersized parquet files in one directory.
 
     `size_limit` defaults to 85% of the FS block size (reference:
     target_hdfs/utils/hdfs.py:97-101). Files >= the limit are never
     touched (the reference's new-file condition, hdfs.py:104-106).
+    `compression` should match the dataset's configured codec
+    (TargetConfig.compression, default gzip) so compaction never
+    silently changes the codec of a dataset.
     """
     limit = size_limit or int(get_block_size(spark) * BLOCK_FILL_FACTOR)
     files = list_parquet_files(spark, directory)
@@ -154,7 +158,7 @@ def compact_directory(
     (
         small_df.repartition(n_out)
         .write.mode("overwrite")
-        .option("compression", "snappy")
+        .option("compression", compression)
         .parquet(tmp_dir)
     )
 
@@ -191,6 +195,7 @@ def compact_stream(
     stream_dir: str,
     size_limit: int | None = None,
     partitioned: bool = False,
+    compression: str = "gzip",
 ) -> list[CompactionReport]:
     """Compact a stream directory; partitioned datasets are handled
     per partition child so partition layout is preserved (the
@@ -199,4 +204,7 @@ def compact_stream(
     partition directory is the generalization that keeps its
     invariant: files never move across partition boundaries)."""
     dirs = list_partition_dirs(spark, stream_dir) if partitioned else [stream_dir]
-    return [compact_directory(spark, d, size_limit) for d in dirs]
+    return [
+        compact_directory(spark, d, size_limit, compression=compression)
+        for d in dirs
+    ]

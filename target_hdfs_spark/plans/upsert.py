@@ -113,6 +113,18 @@ def upsert(
     rewritten (partition-pruned merge); without it the whole dataset
     rewrites (correct, priced for small tables).
     """
+    if partition_col:
+        from pyspark.sql import types as T
+
+        ptype = updates.schema[partition_col].dataType
+        if isinstance(ptype, T.BooleanType):
+            # Spark's partition-directory type inference cannot
+            # round-trip booleans (flag=true reads back as string), so
+            # the second upsert would always fail the drift guard.
+            raise ValueError(
+                f"partition_col {partition_col!r} is boolean: Spark cannot "
+                "round-trip boolean hive partitions; cast to string first"
+            )
     _reject_duplicate_update_keys(updates, keys)
     fs, jvm = _fs_for(spark, path)
     _recover_interrupted_swap(fs, jvm, path)
@@ -120,7 +132,13 @@ def upsert(
         # genuinely first write: nothing to merge. (An existence check,
         # NOT a bare try/except around the read — a transient read
         # failure must surface, not silently overwrite the dataset.)
-        updates.write.mode("overwrite").parquet(path)
+        # Bootstrap MUST honor partition_col: an unpartitioned bootstrap
+        # followed by a partitioned merge would rename partition dirs in
+        # next to root-level part files and lose the untouched keys.
+        writer = updates.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
         return
     existing = spark.read.parquet(path)
     if sorted(_normalize(existing.schema)) != sorted(_normalize(updates.schema)):
@@ -132,15 +150,35 @@ def upsert(
     tmp = path.rstrip("/") + "__upsert_tmp"
 
     if partition_col:
+        # A partitioned merge over an unpartitioned layout would rename
+        # partition dirs next to root-level part files and silently lose
+        # data — refuse instead.
+        base_jpath = jvm.org.apache.hadoop.fs.Path(path)
+        for status in fs.listStatus(base_jpath):
+            name = status.getPath().getName()
+            if status.isFile() and not name.startswith(("_", ".")):
+                raise ValueError(
+                    f"upsert(partition_col={partition_col!r}) over an "
+                    f"unpartitioned dataset at {path}: found root-level data "
+                    f"file {name!r}; rewrite the dataset partitioned first"
+                )
         # affected partitions = where updates land + where old copies
-        # of the updated keys currently live (keys can move partitions)
+        # of the updated keys currently live (keys can move partitions).
+        # Collect each value alongside its Spark string rendering: the
+        # raw value drives the pruning filter, the string rendering is
+        # what hive directory names decode to (bools, dates, timestamps
+        # all render differently from Python str()).
         update_parts = updates.select(F.col(partition_col).alias("_p"))
         moved_parts = existing.join(
             F.broadcast(updates.select(*keys)), keys, "left_semi"
         ).select(F.col(partition_col).alias("_p"))
-        affected = [
-            r[0] for r in update_parts.unionByName(moved_parts).distinct().collect()
-        ]
+        affected_rows = (
+            update_parts.unionByName(moved_parts)
+            .distinct()
+            .select("_p", F.col("_p").cast("string").alias("_ps"))
+            .collect()
+        )
+        affected = [r["_p"] for r in affected_rows]
         non_null = [v for v in affected if v is not None]
         cond = F.col(partition_col).isin(non_null)
         if None in affected:
@@ -181,9 +219,10 @@ def upsert(
                 fs.delete(old, True)
         # partitions that were affected but produced no output rows
         # (every row they held was a key that moved elsewhere) must be
-        # dropped, or the stale copies would survive. String-compare
-        # decoded directory values against affected values.
-        affected_strs = {str(v) for v in affected if v is not None}
+        # dropped, or the stale copies would survive. Compare decoded
+        # directory values against the SPARK string rendering of each
+        # affected value (matches how Spark names hive directories).
+        affected_strs = {r["_ps"] for r in affected_rows if r["_ps"] is not None}
         base = jvm.org.apache.hadoop.fs.Path(path)
         for status in fs.listStatus(base):
             name = status.getPath().getName()

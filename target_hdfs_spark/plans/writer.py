@@ -53,11 +53,28 @@ def target_file_bytes(spark: SparkSession, config: TargetConfig) -> int:
 
 
 def existing_schema(spark: SparkSession, path: str) -> T.StructType | None:
-    """Schema of the dataset already at `path`, or None if absent."""
+    """Schema of the dataset already at `path`, or None if absent.
+
+    Only genuinely-absent datasets map to None (path missing, or an
+    empty directory with nothing to infer from). Any other read failure
+    propagates: swallowing a transient FS error here would silently
+    disable the schema-drift guard and append anyway.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path).schema
-    except Exception:
-        return None
+    except AnalysisException as e:
+        get_class = getattr(e, "getErrorClass", None)
+        klass = (get_class() if get_class else None) or ""
+        msg = str(e)
+        if (
+            klass in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            or "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise
 
 
 def _normalize(schema: T.StructType) -> list[tuple[str, str]]:

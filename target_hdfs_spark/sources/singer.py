@@ -157,6 +157,16 @@ class SingerPipe:
             # path then raises SchemaChangedError against on-disk data
             # (strict drift semantics, reference hdfs.py:111-116)
             self._flush(name)
+            # carry the activated version and counters across the
+            # schema change — dropping them would silently skip version
+            # stamping and end-of-stream soft-delete finalization
+            self.streams[name] = _StreamBuffer(
+                schema=new_schema,
+                version=existing.version,
+                rows_written=existing.rows_written,
+                files_flushed=existing.files_flushed,
+            )
+            return
         self.streams[name] = _StreamBuffer(schema=new_schema)
 
     def _on_record(self, msg: dict) -> None:

@@ -115,3 +115,30 @@ def test_compact_tmp_dir_invisible_to_readers(spark, tmp_path):
     spark.range(99).coalesce(1).write.parquet(str(leftover / "junk"))
     df = spark.read.parquet(str(path))
     assert df.count() == 30  # junk under _compact_tmp is not read
+
+
+def test_compact_preserves_configured_compression(spark, tmp_path):
+    """ADVICE r1: compaction must not silently change the dataset's
+    codec (the write path default is gzip; compaction used to hardcode
+    snappy)."""
+    import glob as _glob
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        spark.createDataFrame([(i, "x" * 100)], "k long, s string").coalesce(
+            1
+        ).write.mode("append").option("compression", "gzip").parquet(path)
+
+    compact_directory(spark, path, size_limit=10 * 1024 * 1024, compression="gzip")
+    files = _glob.glob(f"{path}/*.parquet")
+    assert files
+    import pyarrow.parquet as pq
+
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        codecs = {
+            meta.row_group(rg).column(c).compression
+            for rg in range(meta.num_row_groups)
+            for c in range(meta.num_columns)
+        }
+        assert codecs == {"GZIP"}, f"{f}: {codecs}"

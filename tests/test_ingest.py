@@ -333,3 +333,28 @@ def test_activate_version_with_zero_records(spark, tmp_path):
         json.dumps({"type": "STATE", "value": {"done": True}}),
     ]))
     assert states == ['{"done":true}']
+
+
+def test_activate_version_survives_schema_change(spark, tmp_path):
+    """ADVICE r1: a genuine schema change must carry the previously
+    received ACTIVATE_VERSION into the replacement buffer so version
+    stamping and end-of-stream soft-delete finalization still run."""
+    config = TargetConfig(
+        destination_path=str(tmp_path),
+        add_record_metadata=True,
+        skip_existing_files=True,  # allow the post-drift write
+    )
+    pipe = SingerPipe(spark, config)
+    lines = [
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        json.dumps({"type": "ACTIVATE_VERSION", "stream": "s", "version": 7}),
+        # genuine schema change BEFORE any record: old buffer replaced
+        _schema_msg("s", {"id": {"type": "integer"}, "extra": {"type": "string"}}),
+        _rec("s", id=1, extra="x"),
+    ]
+    list(pipe.process_lines(lines))
+    df = spark.read.parquet(str(tmp_path / "s"))
+    rows = df.collect()
+    assert len(rows) == 1
+    # version 7 was stamped despite the schema swap in between
+    assert rows[0]["_sdc_table_version"] == 7

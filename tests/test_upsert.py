@@ -194,3 +194,66 @@ def test_interrupted_swap_recovers(spark, tmp_path):
     upsert(spark, updates, path, keys=["k"])
     got = {r.k: r.s for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B"}  # old data recovered, then merged
+
+
+def test_partitioned_bootstrap_writes_partitioned_layout(spark, tmp_path):
+    """ADVICE r1 (high): bootstrap with partition_col must lay down a
+    hive-partitioned dataset, or a later partitioned merge corrupts it."""
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame(
+        [(1, "de", 1.0), (2, "fr", 2.0)], "k long, country string, v double"
+    )
+    upsert(spark, first, path, keys=["k"], partition_col="country")
+    assert glob.glob(f"{path}/country=de/*.parquet")
+    assert glob.glob(f"{path}/country=fr/*.parquet")
+
+    # the original repro: a subsequent single-key upsert must not lose
+    # the untouched key
+    second = spark.createDataFrame([(1, "de", 9.0)], "k long, country string, v double")
+    upsert(spark, second, path, keys=["k"], partition_col="country")
+    got = {r.k: (r.country, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("de", 9.0), 2: ("fr", 2.0)}
+
+
+def test_partitioned_upsert_over_unpartitioned_layout_fails_fast(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "de", 1.0)], "k long, country string, v double"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "fr", 2.0)], "k long, country string, v double"
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        upsert(spark, updates, path, keys=["k"], partition_col="country")
+    # dataset untouched
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_emptied_partition_dropped_for_nonstring_types(spark, tmp_path):
+    """ADVICE r1 (low): emptied-partition cleanup must compare hive
+    directory names against the SPARK rendering of partition values,
+    not Python str() — exercised with a date-typed partition column."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    base = spark.createDataFrame(
+        [(1, d1, 1.0), (2, d2, 2.0)], "k long, day date, v double"
+    )
+    upsert(spark, base, path, keys=["k"], partition_col="day")
+    assert glob.glob(f"{path}/day=2024-01-01/*.parquet")
+
+    # move the only day=2024-01-01 key to day=2024-01-02: the emptied
+    # partition must be deleted, not left stale
+    moved = spark.createDataFrame([(1, d2, 9.0)], "k long, day date, v double")
+    upsert(spark, moved, path, keys=["k"], partition_col="day")
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (d2, 9.0), 2: (d2, 2.0)}
+    assert not glob.glob(f"{path}/day=2024-01-01/*.parquet")
+
+
+def test_upsert_boolean_partition_col_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, True, 1.0)], "k long, flag boolean, v double")
+    with pytest.raises(ValueError, match="boolean"):
+        upsert(spark, df, path, keys=["k"], partition_col="flag")
