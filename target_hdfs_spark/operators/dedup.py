@@ -57,12 +57,10 @@ _SHINGLE_HASHES_SQL = (
 
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from a minhash signature table:
-    band the signature (BANDS x ROWS_PER_BAND), suppress hot buckets
-    (> MAX_BUCKET docs), self-join surviving buckets. The single
-    implementation behind q43 / q85 / q92 — banding changes happen
-    here once (the oracle twin is _LSH_PAIRS_SQL)."""
+def _band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) banding of a minhash signature
+    table — the shared first stage of candidate generation and bucket
+    telemetry."""
     band_structs = F.array(
         *[
             F.struct(
@@ -78,26 +76,81 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
-    ok_buckets = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n").between(2, MAX_BUCKET))
-        .select("band_idx", "band_key")
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from a minhash signature table:
+    band the signature (BANDS x ROWS_PER_BAND), self-join buckets of
+    2..MAX_BUCKET docs, and STAR-LINK hot buckets (> MAX_BUCKET docs):
+    each doc pairs with the bucket's minimum doc_id only. The single
+    implementation behind q43 / q85 / q92 — banding changes happen
+    here once (the oracle twin is _LSH_PAIRS_SQL).
+
+    Hot-bucket star linking (vs round-1's silent drop): a degenerate
+    bucket (template-heavy / near-constant content) would re-create
+    the quadratic pair space; dropping it loses ALL its pairs — a
+    recall cliff. The star keeps O(bucket_n) pairs that preserve the
+    bucket's connectivity exactly, so downstream connected-components
+    dedup (q85) sees the same clusters as the full pair set, while the
+    worst executor stays linear in the bucket size. Pairwise verifiers
+    (q92) see the star edges as candidates like any others.
+    """
+    bands = _band_table(sig)
+    sizes = bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    ok_buckets = sizes.filter(F.col("bucket_n").between(2, MAX_BUCKET)).select(
+        "band_idx", "band_key"
+    )
+    hot_buckets = sizes.filter(F.col("bucket_n") > MAX_BUCKET).select(
+        "band_idx", "band_key"
     )
     kept = bands.join(ok_buckets, ["band_idx", "band_key"])
     a, c = kept.alias("a"), kept.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.band_idx") == F.col("c.band_idx"))
-            & (F.col("a.band_key") == F.col("c.band_key"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
+    normal_pairs = a.join(
+        c,
+        (F.col("a.band_idx") == F.col("c.band_idx"))
+        & (F.col("a.band_key") == F.col("c.band_key"))
+        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+    hot_docs = bands.join(hot_buckets, ["band_idx", "band_key"])
+    hot_roots = hot_docs.groupBy("band_idx", "band_key").agg(
+        F.min("doc_id").alias("root")
+    )
+    star_pairs = (
+        hot_docs.join(hot_roots, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") > F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return normal_pairs.unionByName(star_pairs).distinct()
+
+
+def lsh_bucket_stats(sig: DataFrame) -> DataFrame:
+    """Per-band LSH bucket telemetry: bucket counts, the largest
+    bucket, how many buckets went hot (star-linked), and the resulting
+    pair volumes. At 100 TB this is the side output an operator watches
+    to catch signature degeneracy BEFORE it becomes a skewed join."""
+    bands = _band_table(sig)
+    sizes = bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    hot = F.col("bucket_n") > MAX_BUCKET
+    normal = F.col("bucket_n").between(2, MAX_BUCKET)
+    return sizes.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("bucket_n").cast("bigint").alias("max_bucket_n"),
+        F.sum(F.when(hot, 1).otherwise(0)).cast("bigint").alias("n_hot_buckets"),
+        F.sum(
+            F.when(normal, F.expr("bucket_n * (bucket_n - 1) DIV 2")).otherwise(0)
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
+        .cast("bigint")
+        .alias("n_join_pairs"),
+        F.sum(F.when(hot, F.col("bucket_n") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_star_pairs"),
     )
 
 
@@ -199,6 +252,62 @@ def _minhash_sql_exprs() -> list[str]:
     ]
 
 
+# Oracle twins of _band_table / lsh_candidate_pairs, shared by q43 /
+# q85 / q92 / q93 so the banding + hot-bucket-star semantics live in
+# exactly one SQL place, mirroring the single Python implementation.
+def _lsh_bands_sql() -> str:
+    return f"""
+    hashed AS (
+      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {", ".join(_minhash_sql_exprs())} FROM hashed
+    ),
+    bands AS (
+      SELECT doc_id, b.band_idx, b.band_key
+      FROM sigs, UNNEST([{", ".join(
+          "{'band_idx': %d, 'band_key': concat_ws('_', %s)}" % (
+              b, ", ".join(f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+          )
+          for b in range(BANDS)
+      )}]) AS t(b)
+    )"""
+
+
+_LSH_BANDS_SQL = _lsh_bands_sql()
+
+_LSH_PAIRS_SQL = f"""{_LSH_BANDS_SQL},
+    bucket_sizes AS (
+      SELECT band_idx, band_key, COUNT(*) AS bucket_n
+      FROM bands GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT bands.* FROM bands
+      JOIN bucket_sizes USING (band_idx, band_key)
+      WHERE bucket_n BETWEEN 2 AND {MAX_BUCKET}
+    ),
+    hot_docs AS (
+      SELECT bands.* FROM bands
+      JOIN bucket_sizes USING (band_idx, band_key)
+      WHERE bucket_n > {MAX_BUCKET}
+    ),
+    hot_roots AS (
+      SELECT band_idx, band_key, MIN(doc_id) AS root
+      FROM hot_docs GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM kept a JOIN kept c
+        ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+           AND a.doc_id < c.doc_id
+      UNION
+      SELECT r.root AS doc_a, d.doc_id AS doc_b
+      FROM hot_docs d JOIN hot_roots r USING (band_idx, band_key)
+      WHERE d.doc_id > r.root
+    )
+"""
+
+
 @query(
     "q42_minhash_signatures",
     oracle=f"""
@@ -242,32 +351,8 @@ def q42_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q43_minhash_lsh_pairs",
     oracle=f"""
-    WITH hashed AS (
-      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM documents
-    ),
-    sigs AS (
-      SELECT doc_id, {", ".join(_minhash_sql_exprs())} FROM hashed
-    ),
-    bands AS (
-      SELECT doc_id, b.band_idx, b.band_key
-      FROM sigs, UNNEST([{", ".join(
-          "{'band_idx': %d, 'band_key': concat_ws('_', %s)}" % (
-              b, ", ".join(f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-          )
-          for b in range(BANDS)
-      )}]) AS t(b)
-    ),
-    ok_buckets AS (
-      SELECT band_idx, band_key FROM bands
-      GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
-    ),
-    kept AS (
-      SELECT bands.* FROM bands JOIN ok_buckets USING (band_idx, band_key)
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-    FROM kept a JOIN kept c
-      ON a.band_idx = c.band_idx AND a.band_key = c.band_key
-         AND a.doc_id < c.doc_id
+    WITH {_LSH_PAIRS_SQL}
+    SELECT DISTINCT doc_a, doc_b FROM pairs
     """,
     tags=("dedup", "minhash", "lsh"),
 )
@@ -278,14 +363,51 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the self-join key is (band_idx, band_key) — only docs that
     collide in a bucket are ever compared, which is the mechanism that
     replaces the O(n^2) pair space at 100 TB. Hot buckets (> MAX_BUCKET
-    docs, i.e. degenerate near-constant content) are dropped BEFORE the
-    self-join — the standard LSH hot-bucket suppression; without it one
-    pathological bucket re-creates the quadratic join this operator
-    exists to avoid (observed: 132 s -> sub-second at sf0.1).
+    docs, i.e. degenerate near-constant content) are star-linked to the
+    bucket minimum instead of self-joined — connectivity-preserving
+    suppression; a full self-join on one pathological bucket re-creates
+    the quadratic join this operator exists to avoid (observed: 132 s
+    -> sub-second at sf0.1), while dropping the bucket entirely (round
+    1) silently lost every pair in it.
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     return lsh_candidate_pairs(sig)
+
+
+@query(
+    "q93_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_LSH_BANDS_SQL},
+    bucket_sizes AS (
+      SELECT band_idx, band_key, COUNT(*) AS bucket_n
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(bucket_n) AS BIGINT) AS max_bucket_n,
+           CAST(SUM(CASE WHEN bucket_n > {MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot_buckets,
+           CAST(SUM(CASE WHEN bucket_n BETWEEN 2 AND {MAX_BUCKET}
+                         THEN bucket_n * (bucket_n - 1) // 2 ELSE 0 END) AS BIGINT)
+             AS n_join_pairs,
+           CAST(SUM(CASE WHEN bucket_n > {MAX_BUCKET}
+                         THEN bucket_n - 1 ELSE 0 END) AS BIGINT)
+             AS n_star_pairs
+    FROM bucket_sizes
+    GROUP BY band_idx
+    """,
+    tags=("dedup", "lsh", "telemetry"),
+)
+def q93_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-skew telemetry (the side output q43's docstring
+    promises): per band, how many buckets exist, the largest bucket,
+    how many went hot, and the join-pair vs star-pair volumes the
+    candidate stage will generate. An operator at 100 TB watches
+    n_hot_buckets / max_bucket_n to catch content degeneracy before
+    it skews the self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_bucket_stats(minhash_signatures(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -416,95 +538,100 @@ def q45_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2e: dedup clusters — connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 
-_LSH_PAIRS_SQL = f"""
-    hashed AS (
-      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM documents
-    ),
-    sigs AS (
-      SELECT doc_id, {", ".join(_minhash_sql_exprs())} FROM hashed
-    ),
-    bands AS (
-      SELECT doc_id, b.band_idx, b.band_key
-      FROM sigs, UNNEST([{", ".join(
-          "{'band_idx': %d, 'band_key': concat_ws('_', %s)}" % (
-              b, ", ".join(f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-          )
-          for b in range(BANDS)
-      )}]) AS t(b)
-    ),
-    ok_buckets AS (
-      SELECT band_idx, band_key FROM bands
-      GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
-    ),
-    kept AS (
-      SELECT bands.* FROM bands JOIN ok_buckets USING (band_idx, band_key)
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      FROM kept a JOIN kept c
-        ON a.band_idx = c.band_idx AND a.band_key = c.band_key
-           AND a.doc_id < c.doc_id
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: for every node u, connect each strictly
+    larger neighbor v to min(N(u) ∪ {u}). Input `e` is any directed
+    edge list; symmetrized internally. Output edges all point
+    high → low (source > target)."""
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-"""
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("_mv")).alias("_mn"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round over high → low edges: for every node u,
+    connect u and all its smaller neighbors to the minimum among
+    them. Output edges still point high → low."""
+    mins = e.groupBy("u").agg(F.min("v").alias("_mn"))
+    leaf_edges = e.join(mins, "u").select(F.col("v").alias("w"), F.col("_mn"))
+    center_edges = mins.select(F.col("u").alias("w"), F.col("_mn"))
+    return (
+        leaf_edges.unionAll(center_edges)
+        .filter(F.col("w") != F.col("_mn"))
+        .select(F.col("w").alias("u"), F.col("_mn").alias("v"))
+        .distinct()
+    )
 
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, node_col: str = "doc_id", max_iter: int = 20
 ) -> DataFrame:
-    """Min-label propagation connected components over an undirected
-    edge list -> (node, cluster) where cluster is the smallest node id
-    in the component. The fixpoint is unique, so the iterative
-    computation is exactly reproducible (and oracle-checkable) despite
-    being a loop.
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") -> (node, cluster) where cluster is the smallest node
+    id in the component. The fixpoint — a star forest rooted at each
+    component's minimum — is unique, so the iterative computation is
+    exactly reproducible (and oracle-checkable) despite being a loop.
 
-    Scale: each iteration is one join + one min-aggregate (both on the
-    node key); iterations needed = graph diameter (near-dup clusters
-    are shallow). The per-iteration convergence check moves one count
-    to the driver, never data. For web-scale graphs swap in the
-    large-star/small-star variant; the interface stays the same.
+    Scale: O(log^2 n) rounds regardless of graph diameter (label
+    propagation needs diameter rounds — a chain graph kills it); each
+    round is two groupBy+join stages on the node key. Convergence is
+    detected STRUCTURALLY, not probabilistically: the edge set is a
+    fixpoint iff every source has exactly one target and no target is
+    itself a source (a high→low star forest) — two scalar checks,
+    never data, to the driver. Both operations preserve the component
+    partition, so stopping at the structural fixpoint is exact.
     """
-    sess = nodes.sparkSession
-    undirected = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("cluster")
-    )
+    converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            undirected.join(labels, undirected.doc_a == labels.node)
-            .groupBy(F.col("doc_b").alias("node2"))
-            .agg(F.min("cluster").alias("neighbor_cluster"))
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # star-forest check: (a) one distinct target per source,
+        # (b) no target is also a source (no chains)
+        fanout = (
+            e.groupBy("u")
+            .agg(F.count_distinct("v").alias("nt"))
+            .agg(F.max("nt").alias("mx"))
+            .collect()
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("neighbor_cluster"), F.col("cluster")),
-                ).alias("cluster"),
+        if not fanout or fanout[0]["mx"] is None or fanout[0]["mx"] <= 1:
+            chains = (
+                e.alias("a")
+                .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+                .count()
             )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster", "old"), "node")
-            .filter(F.col("cluster") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # exhausted max_iter while labels were still moving: returning
-        # the partial labels would silently split clusters
+            if chains == 0:
+                converged = True
+                break
+    if not converged:
+        # returning partial edges would silently split clusters
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            f"(graph diameter exceeds the bound; raise max_iter)"
+            f"connected_components did not converge in {max_iter} "
+            f"alternating star rounds (pathological graph; raise max_iter)"
         )
-    return labels.select(F.col("node").alias(node_col), "cluster")
+    labels = nodes.select(F.col(node_col).alias("node")).join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("_root")),
+        "node",
+        "left",
+    )
+    return labels.select(
+        F.col("node").alias(node_col),
+        F.coalesce(F.col("_root"), F.col("node")).alias("cluster"),
+    )
 
 
 @query(

@@ -3,13 +3,15 @@ video modeled as opaque ``binary`` columns plus typed metadata structs,
 with decode / feature-extraction / resize / frame-sampling implemented
 as Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the actual byte decoding
-is STUBBED: ``decode_image`` raises ``NotImplementedError`` for real
-formats and supports the engine's deterministic test format ``FAKE1``
-(a 12-byte header: magic ``FAKE`` + uint32 width + uint32 height,
-little-endian, then payload). Everything around the stub — schemas,
-batch iteration, partitioning behavior, output struct shape — is real
-and tested (tests/test_multimodal.py).
+Real formats decoded with pure-Python header parsers (no codec libs
+in this container): PNG (signature + IHDR width/height/depth) and
+WAV (RIFF/WAVE fmt chunk: channels, sample rate, bits per sample).
+Header CRCs are NOT verified — this is metadata extraction, not
+integrity checking (same posture as file(1) / imghdr). Full pixel /
+PCM decode needs a codec library and stays an explicit
+NotImplementedError stub (JPEG branch). The engine's deterministic
+test format ``FAKE1`` (magic ``FAKE`` + uint32 width + uint32 height,
+little-endian, then payload) is kept for fixture tests.
 
 Scale: binary payloads ride in the same parquet row groups; metadata
 predicates (width/height/n_bytes) prune *before* any decode; the
@@ -46,24 +48,104 @@ def encode_fake_image(width: int, height: int, payload: bytes) -> bytes:
     return _HEADER.pack(FAKE_MAGIC, width, height) + payload
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# signature (8) + IHDR chunk: length (4) + type (4) + data (13) + crc (4)
+PNG_HEADER_LEN = 8 + 4 + 4 + 13 + 4
+
+WAV_HEADER = struct.Struct("<4sI4s4sIHHIIHH")  # RIFF..WAVE fmt chunk
+WAV_HEADER_LEN = WAV_HEADER.size  # 36
+WAV_DATA_PREFIX_LEN = 8  # 'data' + uint32 size
+
+
 def decode_image_meta(blob: bytes) -> tuple[int, int, int, str]:
     """Parse image header -> (width, height, payload_bytes, format).
 
-    Real codecs (JPEG/PNG/...) are not available in this environment;
-    their branches are explicit stubs so the plumbing is honest about
-    what it can decode.
+    PNG: real parse of the 8-byte signature + IHDR chunk (width and
+    height are big-endian uint32 at offsets 16/20 per the PNG spec).
+    Chunk CRCs are not verified (metadata extraction, not integrity).
+    JPEG needs an entropy decode for dimensions in the general case —
+    kept as an explicit stub since no codec library ships here.
     """
     if blob is None:
         return (0, 0, 0, "null")
+    blob = bytes(blob)
+    if blob[:8] == PNG_SIG:
+        if len(blob) >= PNG_HEADER_LEN and blob[12:16] == b"IHDR":
+            w = int.from_bytes(blob[16:20], "big")
+            h = int.from_bytes(blob[20:24], "big")
+            return (w, h, len(blob) - PNG_HEADER_LEN, "png")
+        return (0, 0, len(blob), "png_corrupt")
     if blob[:4] == FAKE_MAGIC and len(blob) >= _HEADER.size:
         _, w, h = _HEADER.unpack(blob[: _HEADER.size])
         return (w, h, len(blob) - _HEADER.size, "fake1")
-    if blob[:3] == b"\xff\xd8\xff" or blob[:8] == b"\x89PNG\r\n\x1a\n":
+    if blob[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "real image codecs are not installed in this environment; "
-            "plug a decoder into decode_image_meta"
+            "JPEG dimension decode requires a codec library not installed "
+            "in this environment; plug a decoder into decode_image_meta"
         )
     return (0, 0, len(blob), "unknown")
+
+
+def encode_png(width: int, height: int, payload: bytes = b"") -> bytes:
+    """Minimal structurally-valid PNG prefix: signature + IHDR (8-bit
+    RGB, CRC computed properly via zlib) followed by `payload` standing
+    in for the IDAT/IEND stream. Test-fixture twin of the parser."""
+    import zlib
+
+    ihdr_data = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, color RGB, std compression
+    )
+    crc = zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF
+    return (
+        PNG_SIG
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr_data
+        + crc.to_bytes(4, "big")
+        + payload
+    )
+
+
+def decode_audio_meta(blob: bytes) -> tuple[int, int, int, int, str]:
+    """Parse a WAV (RIFF/WAVE) header -> (n_channels, sample_rate,
+    bits_per_sample, n_data_bytes, format). Pure-Python little-endian
+    struct parse of the canonical 16-byte PCM fmt chunk; non-WAV blobs
+    report format 'unknown'."""
+    if blob is None:
+        return (0, 0, 0, 0, "null")
+    blob = bytes(blob)
+    if len(blob) >= WAV_HEADER_LEN and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        (_, _, _, fmt_id, fmt_size, _audio_fmt, n_ch, rate, _brate, _align, bits) = (
+            WAV_HEADER.unpack(blob[:WAV_HEADER_LEN])
+        )
+        if fmt_id != b"fmt " or fmt_size != 16:
+            return (0, 0, 0, len(blob), "wav_corrupt")
+        data_bytes = max(0, len(blob) - WAV_HEADER_LEN - WAV_DATA_PREFIX_LEN)
+        return (n_ch, rate, bits, data_bytes, "wav")
+    return (0, 0, 0, len(blob), "unknown")
+
+
+def encode_wav(
+    n_channels: int, sample_rate: int, bits: int, payload: bytes = b""
+) -> bytes:
+    """Minimal valid PCM WAV blob (fixture twin of decode_audio_meta)."""
+    block_align = n_channels * bits // 8
+    header = WAV_HEADER.pack(
+        b"RIFF",
+        36 + WAV_DATA_PREFIX_LEN + len(payload) - 8,
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    return header + b"data" + len(payload).to_bytes(4, "little") + payload
 
 
 def with_image_meta(df: DataFrame, binary_col: str = "image") -> DataFrame:
@@ -85,6 +167,43 @@ def with_image_meta(df: DataFrame, binary_col: str = "image") -> DataFrame:
             pdf["image_meta"] = [
                 {"width": w, "height": h, "n_payload_bytes": n, "format": f}
                 for (w, h, n, f) in metas
+            ]
+            yield pdf
+
+    return df.mapInPandas(decode_batches, out_schema)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_data_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def with_audio_meta(df: DataFrame, binary_col: str = "audio") -> DataFrame:
+    """Append a typed metadata struct parsed from a WAV binary column
+    (Arrow-batched mapInPandas, same shape as with_image_meta)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("audio_meta", AUDIO_META_SCHEMA)]
+    )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            metas = [decode_audio_meta(b) for b in pdf[binary_col]]
+            pdf = pdf.copy()
+            pdf["audio_meta"] = [
+                {
+                    "n_channels": c,
+                    "sample_rate": r,
+                    "bits_per_sample": b,
+                    "n_data_bytes": n,
+                    "format": f,
+                }
+                for (c, r, b, n, f) in metas
             ]
             yield pdf
 
@@ -163,28 +282,48 @@ def q60_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q61_image_decode_pipeline",
-    oracle=None,
+    oracle="""
+    SELECT 'png' AS format,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_payload_bytes,
+           CAST(MAX(doc_id % 127 + 1) AS INT) AS max_width,
+           CAST(MAX(doc_id % 97 + 1) AS INT) AS max_height
+    FROM documents
+    """,
     tags=("multimodal", "udf", "mapInPandas"),
 )
 def q61_image_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal plumbing: synthesize FAKE1 image blobs
-    from document bytes, decode metadata via Arrow-batched
-    mapInPandas, filter on decoded width (predicate-after-decode), and
-    aggregate. Rows-only check: binary synthesis keeps the pipeline
-    self-contained, the decode semantics are engine-specific plumbing.
+    """End-to-end image decode: synthesize VALID PNGs per document
+    (signature + IHDR with a real CRC computed JVM-side via crc32 +
+    unhex; text bytes stand in for the IDAT stream), decode width /
+    height / payload size with the pure-Python PNG header parser over
+    Arrow-batched mapInPandas, filter on decoded width, aggregate.
+
+    Exactness: the oracle recomputes the expected aggregates from the
+    same (doc_id, text) inputs, so the check proves the synthesized
+    header round-trips through the real parser bit-for-bit.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Deterministic fake image blob per doc: single-byte width/height
-    # (< 128 so the chr() byte is 1-byte UTF-8) + 3 zero bytes each =
-    # little-endian uint32 header fields, then the text payload.
+    # width/height are single low bytes (1..127) inside big-endian
+    # uint32 fields, so chr() stays 1-byte UTF-8
+    w_bytes = F.concat(
+        F.lit(bytes(3)), F.encode(F.expr("chr(doc_id % 127 + 1)"), "UTF-8")
+    )
+    h_bytes = F.concat(
+        F.lit(bytes(3)), F.encode(F.expr("chr(doc_id % 97 + 1)"), "UTF-8")
+    )
+    ihdr_data = F.concat(w_bytes, h_bytes, F.lit(bytes([8, 2, 0, 0, 0])))
+    crc = F.unhex(
+        F.lpad(F.hex(F.crc32(F.concat(F.lit(b"IHDR"), ihdr_data))), 8, "0")
+    )
     imgs = docs.select(
         "doc_id",
         F.concat(
-            F.lit(FAKE_MAGIC),
-            F.encode(F.expr("chr(doc_id % 127 + 1)"), "UTF-8"),
-            F.lit(bytes([0, 0, 0])),
-            F.encode(F.expr("chr(doc_id % 97 + 1)"), "UTF-8"),
-            F.lit(bytes([0, 0, 0])),
+            F.lit(PNG_SIG),
+            F.lit((13).to_bytes(4, "big")),
+            F.lit(b"IHDR"),
+            ihdr_data,
+            crc,
             F.encode("text", "UTF-8"),
         ).alias("image"),
     )
@@ -276,6 +415,62 @@ def extract_audio_features(
             )
 
     return df.mapInPandas(feature_batches, out_schema)
+
+
+@query(
+    "q94_wav_audio_meta",
+    oracle="""
+    SELECT 'wav' AS format,
+           CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_data_bytes,
+           CAST(MAX(8000) AS INT) AS max_sample_rate,
+           CAST(MAX(8 + 8 * (doc_id % 2)) AS INT) AS max_bits
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def q94_wav_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV header decode end-to-end: synthesize PCM WAV blobs per
+    document (RIFF/WAVE fmt chunk; channels and bit depth derived from
+    doc_id, text bytes as the data chunk), parse them with the
+    pure-Python WAV parser via Arrow-batched mapInPandas, aggregate by
+    channel count. The oracle recomputes expected values from the same
+    inputs — proving the header round-trips through the real parser.
+    RIFF/data size fields are zero placeholders (the parser, like any
+    stream parser, does not trust container sizes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        F.lit(bytes(4)),  # RIFF size placeholder
+        F.lit(b"WAVEfmt "),
+        F.lit((16).to_bytes(4, "little")),
+        F.lit((1).to_bytes(2, "little")),  # PCM
+        F.encode(F.expr("chr(doc_id % 2 + 1)"), "UTF-8"),
+        F.lit(b"\x00"),
+        F.lit((8000).to_bytes(4, "little")),
+        F.lit(bytes(4)),  # byte rate placeholder
+        F.lit(bytes(2)),  # block align placeholder
+        F.encode(F.expr("chr(8 + 8 * (doc_id % 2))"), "UTF-8"),
+        F.lit(b"\x00"),
+        F.lit(b"data"),
+        F.lit(bytes(4)),  # data size placeholder
+        F.encode("text", "UTF-8"),
+    )
+    clips = docs.select("doc_id", wav.alias("audio"))
+    meta = with_audio_meta(clips, "audio")
+    return (
+        meta.select("doc_id", "audio_meta.*")
+        .filter(F.col("format") == "wav")
+        .groupBy("format", "n_channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_data_bytes").alias("total_data_bytes"),
+            F.max("sample_rate").alias("max_sample_rate"),
+            F.max("bits_per_sample").alias("max_bits"),
+        )
+    )
 
 
 @query(

@@ -62,3 +62,35 @@ def test_sample_frames_skips_null_payloads(spark):
     df = spark.createDataFrame([(1, None), (2, bytes(8))], "doc_id long, video binary")
     out = sample_frames(df, "video", every_k=1, frame_bytes=4)
     assert {r.doc_id for r in out.collect()} == {2}
+
+
+def test_png_header_roundtrip():
+    from target_hdfs_spark.operators.multimodal import decode_image_meta, encode_png
+
+    blob = encode_png(1920, 1080, b"idat-stand-in")
+    assert decode_image_meta(blob) == (1920, 1080, 13, "png")
+    # signature without a full IHDR -> corrupt, not a crash
+    assert decode_image_meta(blob[:10]) == (0, 0, 10, "png_corrupt")
+
+
+def test_wav_header_roundtrip():
+    from target_hdfs_spark.operators.multimodal import decode_audio_meta, encode_wav
+
+    blob = encode_wav(2, 44100, 16, b"\x00" * 100)
+    assert decode_audio_meta(blob) == (2, 44100, 16, 100, "wav")
+    assert decode_audio_meta(b"RIFFxxxxNOPE")[-1] == "unknown"
+    assert decode_audio_meta(None) == (0, 0, 0, 0, "null")
+
+
+def test_with_audio_meta_schema_and_values(spark):
+    from target_hdfs_spark.operators.multimodal import encode_wav, with_audio_meta
+
+    rows = [(1, encode_wav(1, 8000, 8, b"abc")), (2, b"not-audio"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    out = with_audio_meta(df, "audio")
+    got = {r.doc_id: r.audio_meta for r in out.collect()}
+    assert got[1].n_channels == 1 and got[1].sample_rate == 8000
+    assert got[1].bits_per_sample == 8 and got[1].n_data_bytes == 3
+    assert got[1].format == "wav"
+    assert got[2].format == "unknown"
+    assert got[3].format == "null"
