@@ -29,6 +29,7 @@ files: the job only ever deletes files it read.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -62,6 +63,71 @@ def _fs(spark: SparkSession, path: str):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(hconf), jpath, jvm
+
+
+MANIFEST_NAME = "_compact_manifest.json"
+
+
+def _manifest_path(jvm, directory: str):
+    return jvm.org.apache.hadoop.fs.Path(f"{directory.rstrip('/')}/{MANIFEST_NAME}")
+
+
+def _write_manifest(fs, jvm, directory: str, input_names: list[str]) -> None:
+    """Atomically publish the commit intent: the exact input files the
+    in-flight compaction will delete. Written AFTER the consolidated
+    tmp files are durable, BEFORE any of them moves in — from that
+    point the commit can always be completed by recovery."""
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{directory.rstrip('/')}/{MANIFEST_NAME}.tmp"
+    )
+    dst = _manifest_path(jvm, directory)
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps({"inputs": input_names}).encode("utf-8")))
+    out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise OSError(f"could not publish compaction manifest in {directory}")
+
+
+def _move_tmp_files_in(fs, jvm, tmp_path, directory: str) -> int:
+    moved = 0
+    for status in fs.listStatus(tmp_path):
+        name = status.getPath().getName()
+        if status.isFile() and name.endswith(".parquet"):
+            dest = jvm.org.apache.hadoop.fs.Path(
+                f"{directory.rstrip('/')}/compacted-{status.getModificationTime()}-{moved}-{name}"
+            )
+            if not fs.rename(status.getPath(), dest):
+                raise OSError(f"rename failed: {status.getPath()} -> {dest}")
+            moved += 1
+    return moved
+
+
+def _recover_interrupted_compaction(fs, jvm, directory: str) -> None:
+    """Complete a compaction commit that crashed mid-way. The manifest
+    marks the point of no return: once it exists, the consolidated
+    files are durable in the tmp dir, so recovery finishes the commit
+    (move remaining tmp files in, delete the listed inputs, drop the
+    manifest). Without this, a crash between move-in and input-delete
+    would leave the rows duplicated PERMANENTLY — and a rerun would
+    bake the duplicates into the compacted output."""
+    man = _manifest_path(jvm, directory)
+    if not fs.exists(man):
+        return
+    stream = fs.open(man)
+    body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    stream.close()
+    inputs = json.loads(body)["inputs"]
+    tmp_path = jvm.org.apache.hadoop.fs.Path(directory.rstrip("/") + "/_compact_tmp")
+    if fs.exists(tmp_path):
+        _move_tmp_files_in(fs, jvm, tmp_path, directory)
+        fs.delete(tmp_path, True)
+    for name in inputs:
+        p = jvm.org.apache.hadoop.fs.Path(f"{directory.rstrip('/')}/{name}")
+        if fs.exists(p):
+            fs.delete(p, False)
+    fs.delete(man, False)
 
 
 def list_parquet_files(spark: SparkSession, directory: str) -> list[FileEntry]:
@@ -127,6 +193,9 @@ def compact_directory(
     silently changes the codec of a dataset.
     """
     limit = size_limit or int(get_block_size(spark) * BLOCK_FILL_FACTOR)
+    fs, _, jvm = _fs(spark, directory)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(directory)):
+        _recover_interrupted_compaction(fs, jvm, directory)
     files = list_parquet_files(spark, directory)
     small = [f for f in files if f.size < limit]
     report = CompactionReport(directory, len(files), 0, len(files), 0)
@@ -142,7 +211,6 @@ def compact_directory(
             f"{_normalize(small_df.schema)} != {_normalize(expected_schema)}"
         )
 
-    fs, _, jvm = _fs(spark, directory)
     # tmp dir INSIDE the directory with a leading underscore: Spark and
     # Hive skip `_`/`.`-prefixed paths during listing and partition
     # discovery, so concurrent readers of a partitioned root never see
@@ -162,24 +230,21 @@ def compact_directory(
         .parquet(tmp_dir)
     )
 
-    # Commit: move consolidated files in, then delete the inputs —
-    # new data becomes visible before old data disappears, so a
-    # concurrent reader sees duplicates at worst, never a gap (same
-    # ordering as the reference's copy-to-_new-then-rename,
-    # reference: target_hdfs/utils/hdfs.py:56-73).
-    moved = 0
-    for status in fs.listStatus(tmp_path):
-        name = status.getPath().getName()
-        if status.isFile() and name.endswith(".parquet"):
-            dest = jvm.org.apache.hadoop.fs.Path(
-                f"{directory.rstrip('/')}/compacted-{status.getModificationTime()}-{moved}-{name}"
-            )
-            if not fs.rename(status.getPath(), dest):
-                raise OSError(f"rename failed: {status.getPath()} -> {dest}")
-            moved += 1
+    # Commit: publish the manifest (intent = these inputs are now
+    # superseded by the durable tmp files), move consolidated files
+    # in, delete the inputs, drop the manifest. New data becomes
+    # visible before old data disappears, so a concurrent reader sees
+    # duplicates at worst, never a gap (same ordering as the
+    # reference's copy-to-_new-then-rename, target_hdfs/utils/
+    # hdfs.py:56-73) — and a crash anywhere after the manifest is
+    # finished by _recover_interrupted_compaction on the next run.
+    input_names = [f.path.rstrip("/").rsplit("/", 1)[-1] for f in small]
+    _write_manifest(fs, jvm, directory, input_names)
+    moved = _move_tmp_files_in(fs, jvm, tmp_path, directory)
     for f in small:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f.path), False)
     fs.delete(tmp_path, True)
+    fs.delete(_manifest_path(jvm, directory), False)
 
     return CompactionReport(
         directory=directory,

@@ -56,6 +56,29 @@ def _recover_interrupted_swap(fs, jvm, dst_dir: str) -> None:
             raise OSError(f"swap recovery failed: {old} -> {dst}")
 
 
+def _recover_interrupted_partition_swaps(fs, jvm, path: str) -> None:
+    """Heal the per-partition swap crash window of the partitioned
+    upsert: a crash between staging a partition aside and committing
+    its replacement strands `<col>=<v>__old` next to a missing
+    `<col>=<v>`. This MUST run before any read of the dataset —
+    Spark's partition discovery would parse `v__old` as a bogus
+    partition value and surface stale rows."""
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(base):
+        return
+    for status in fs.listStatus(base):
+        name = status.getPath().getName()
+        if not status.isDirectory() or "=" not in name or not name.endswith("__old"):
+            continue
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name[: -len('__old')]}")
+        if fs.exists(dst):
+            # crash landed after the commit rename, before cleanup:
+            # the new partition is live, drop the staged copy
+            fs.delete(status.getPath(), True)
+        elif not fs.rename(status.getPath(), dst):
+            raise OSError(f"partition swap recovery failed: {name}")
+
+
 def _swap_dirs(fs, jvm, new_dir: str, dst_dir: str) -> None:
     """Directory replacement with no no-data window in normal
     operation: stage old aside, rename new in, delete old. The one
@@ -76,6 +99,17 @@ def _swap_dirs(fs, jvm, new_dir: str, dst_dir: str) -> None:
         raise OSError(f"swap: could not commit new dataset {dst}")
     if had_old:
         fs.delete(old, True)
+
+
+def recover_dataset(spark: SparkSession, path: str) -> None:
+    """Entry-point recovery for a dataset managed by the swap
+    protocols: heal a whole-dataset swap stranded at `path__old` and
+    any per-partition swaps stranded at `<part>=<v>__old`. Every
+    engine job runs this on entry; exposed publicly so operators can
+    also heal a dataset before handing it to plain readers."""
+    fs, jvm = _fs_for(spark, path)
+    _recover_interrupted_swap(fs, jvm, path)
+    _recover_interrupted_partition_swaps(fs, jvm, path)
 
 
 def _reject_duplicate_update_keys(updates: DataFrame, keys: list[str]) -> None:
@@ -128,6 +162,7 @@ def upsert(
     _reject_duplicate_update_keys(updates, keys)
     fs, jvm = _fs_for(spark, path)
     _recover_interrupted_swap(fs, jvm, path)
+    _recover_interrupted_partition_swaps(fs, jvm, path)
     if not _path_exists(spark, path):
         # genuinely first write: nothing to merge. (An existence check,
         # NOT a bare try/except around the read — a transient read
@@ -272,6 +307,7 @@ def soft_delete_older_versions(
     """
     fs, jvm = _fs_for(spark, path)
     _recover_interrupted_swap(fs, jvm, path)
+    _recover_interrupted_partition_swaps(fs, jvm, path)
     if not _path_exists(spark, path):
         return 0
     existing = spark.read.parquet(path)
