@@ -232,7 +232,15 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     Scale: explode keeps it linear; the k mins combine map-side, so
     the shuffle carries one row per (doc, k mins), not per shingle.
     """
-    with_toks = docs.select(id_col, tokens(text_col).alias("_toks"))
+    from target_hdfs_spark.sources.readers import fan_out
+
+    # parallelize-before-amplify: rebalance the compact (id, text)
+    # rows across all cores BEFORE the shingle explosion + md5 chain —
+    # a single-row-group input would otherwise run the whole sketch
+    # stage on one task (see fan_out docstring)
+    with_toks = fan_out(docs.select(id_col, text_col), id_col).select(
+        id_col, tokens(text_col).alias("_toks")
+    )
     hashed = with_toks.select(
         id_col,
         F.explode(F.transform(shingles(F.col("_toks")), md5_hash32)).alias("h"),

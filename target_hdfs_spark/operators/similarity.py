@@ -59,6 +59,18 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v) corpus, hash-fanned-out across cores before the
+    fold-heavy vector math — a single-row-group input would otherwise
+    run every distance computation on one task (readers.fan_out)."""
+    from target_hdfs_spark.sources.readers import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    return fan_out(emb, "vec_id")
+
+
 _DOT_SQL = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
@@ -107,9 +119,7 @@ def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: query vectors are broadcast, so the corpus streams through
     map-side; rank<=k avoids a global sort. 100 TB path is q47.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -185,9 +195,7 @@ def q47_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with plane count / multiple hash tables. Everything stays
     JVM-side and shuffle-minimal.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -236,9 +244,7 @@ def q48_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution, p99~0.29) — the embedding analog of
     MinHash+verify for text (same bucket -> candidate -> exact check).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("bucket").alias("ba")
@@ -385,9 +391,7 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     force with cell-sized candidate sets; recall tunes with K and
     nprobe (probe the p nearest cells by centroid distance).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     cells = _ivf_cells(emb)
     queries = cells.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -471,9 +475,7 @@ def q69_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank pattern as IVF/LSH applies (Hamming shortlist -> exact
     cosine on candidates).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     w1, w2 = quantize_words(F.col("v"))
     coded = emb.select("vec_id", w1.alias("w1"), w2.alias("w2"))
     queries = coded.filter(F.col("vec_id") < 5).select(
@@ -532,9 +534,7 @@ def q70_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same candidate (impossible with rn=1 corpus assignment, kept
     for safety under future nprobe>1 corpus replication).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     assign = _ivf_assign(emb)
     cells = assign.filter(F.col("crn") == 1).select(
         "vec_id", "v", F.col("cid").alias("cell")
@@ -608,9 +608,7 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN index at 100 TB — recall regression detection as a pipeline
     step, not a notebook afterthought.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     cells = _ivf_cells(emb)
     queries = cells.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -711,9 +709,7 @@ def q77_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions of vectors); stage 2 reads full vectors for shortlist
     candidates only — IO proportional to k, not corpus size.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     w1, w2 = quantize_words(F.col("v"))
     coded = emb.select("vec_id", "v", w1.alias("w1"), w2.alias("w2"))
     queries = coded.filter(F.col("vec_id") < 5).select(
@@ -814,9 +810,7 @@ def q78_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each iteration is one broadcast-assign + one explode-agg
     job; driver holds only k x dim floats.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     centroids = kmeans_train(emb, k=N_CENTROIDS, iterations=3)
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cid int, cv array<double>"
@@ -883,9 +877,7 @@ def l2sq_fold(a: Column, b: Column) -> Column:
 
 
 def _pq_parts(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
+    emb = _load_vectors(spark, sf_dir)
     subspaces = spark.range(PQ_M).select(F.col("id").cast("int").alias("sub_idx"))
     sub_vectors = emb.crossJoin(F.broadcast(subspaces)).select(
         "vec_id",

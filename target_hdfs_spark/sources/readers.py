@@ -46,3 +46,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def fan_out(df: DataFrame, key: str, partitions: int | None = None) -> DataFrame:
+    """Hash-repartition a compact input on `key` before a
+    compute-amplifying chain (minhash shingle explosion, per-vector
+    distance math, codec decode).
+
+    Why this is the right call at BOTH ends of the scale: the shuffle
+    moves the pre-explosion form (a few bytes per row), which is the
+    cheapest point in the pipeline to rebalance; the expensive work
+    after it then uses every core. Small SF exposes the need acutely —
+    the test tables are single-row-group parquet files, and one row
+    group = one scan task, so without this the md5/fold-heavy stages
+    run on 1 of 32 cores. At 100 TB inputs arrive as thousands of
+    splits, but skewed or few-splits inputs (one giant gzip JSONL, a
+    coalesced upstream write) hit the identical failure mode.
+
+    Hash partitioning is deterministic and every downstream operator
+    in this engine is partitioning-invariant (the seeded-sample query
+    q21 is the one partitioning-sensitive op; it does not use this).
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
