@@ -59,14 +59,15 @@ def main() -> None:
     # Warmup: JVM, codegen, parquet footer caches.
     run_once(specs[names[0]], spark, sf_dir)
 
-    # Two timed runs per query, best-of kept: run 1 pays Catalyst
+    # Three timed runs per query, best-of kept: run 1 pays Catalyst
     # planning + whole-stage codegen compilation (a per-plan constant,
-    # irrelevant at 100 TB where execution dominates); run 2 is the
-    # steady-state number a cluster would see.
+    # irrelevant at 100 TB where execution dominates); later runs are
+    # the steady-state number a cluster would see, and the third run
+    # absorbs JIT warmup drift on the heavier sketch plans.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run_once(specs[name], spark, sf_dir)
             best = min(best, time.perf_counter() - t0)

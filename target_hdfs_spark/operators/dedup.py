@@ -424,11 +424,9 @@ def q93_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BITS = 32
 
-
-@query(
-    "q44_simhash",
-    oracle=f"""
-    WITH tok AS (
+# Oracle twin of simhash_table: CTE chain ending in `simhashes`.
+_SIMHASH_SQL = f"""
+    tok AS (
       SELECT doc_id, unnest({_TOK}) AS token FROM documents
     ),
     hashed AS (
@@ -441,27 +439,28 @@ _SIMHASH_BITS = 32
             for j in range(_SIMHASH_BITS)
         )}
       FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id,
-      ({" + ".join(f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS))})
-        AS simhash
-    FROM bits
-    """,
-    tags=("dedup", "simhash"),
-)
-def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: each bit is the sign of the
-    weighted vote of token-hash bits. Integer arithmetic only ->
-    exactly reproducible; Hamming-distance blocking on the signature
-    is the downstream near-dup scale path.
+    ),
+    simhashes AS (
+      SELECT doc_id,
+        ({" + ".join(f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END"
+                     for j in range(_SIMHASH_BITS))})
+          AS simhash
+      FROM bits
+    )"""
 
-    Scale: explode + one groupBy(doc_id) — linear; the 32 conditional
-    sums combine map-side.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    hashed = tok.select("doc_id", md5_hash32("token").alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
+
+def simhash_table(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, simhash) 32-bit SimHash per document: each bit is the sign
+    of the weighted vote of token-hash bits. Integer arithmetic only
+    -> exactly reproducible (oracle twin: _SIMHASH_SQL)."""
+    from target_hdfs_spark.sources.readers import fan_out
+
+    tok = fan_out(docs.select(id_col, text_col), id_col).select(
+        id_col, F.explode(tokens(text_col)).alias("token")
+    )
+    hashed = tok.select(id_col, md5_hash32("token").alias("h"))
+    votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), j) % 2 == 1, 1).otherwise(-1)
@@ -473,7 +472,103 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_SIMHASH_BITS):
         term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+    return votes.select(id_col, sim.cast("bigint").alias("simhash"))
+
+
+@query(
+    "q44_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SQL}
+    SELECT doc_id, simhash FROM simhashes
+    """,
+    tags=("dedup", "simhash"),
+)
+def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (see simhash_table).
+
+    Scale: explode + one groupBy(doc_id) — linear; the 32 conditional
+    sums combine map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_table(docs)
+
+
+@query(
+    "q96_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    banded AS (
+      SELECT doc_id, simhash, b.band_idx,
+             (simhash >> (8 * b.band_idx)) & 255 AS band_val
+      FROM simhashes,
+           UNNEST([{", ".join("{'band_idx': %d}" % b for b in range(4))}]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                      c.doc_id AS doc_b, c.simhash AS sim_b
+      FROM banded a JOIN banded c
+        ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+           AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) <= 3
+    """,
+    tags=("dedup", "simhash", "hamming"),
+)
+def q96_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via byte-band blocking + Hamming verify:
+    the 32-bit signature splits into 4 bytes; by pigeonhole, any pair
+    within Hamming distance 3 agrees on at least one full byte, so
+    blocking on byte bands finds ALL such pairs (exact recall for the
+    d<=3 predicate, no all-pairs scan). Pure integer arithmetic ->
+    exact across engines.
+
+    Scale: the band self-join touches only byte-colliding docs — the
+    same bucketed shape as MinHash-LSH (q43), with the verification
+    (popcount of XOR) costing a few cycles per candidate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sim = simhash_table(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sim.select("doc_id", "simhash", F.explode(band_structs).alias("b")).select(
+        "doc_id",
+        "simhash",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("c.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -752,4 +847,53 @@ def q92_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(zb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2g: LSH candidates + edit-distance verification (character-level
+# near-dup — catches small in-place edits Jaccard shingles miss)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_lsh_editdistance_pairs",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL}
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE levenshtein(da.text, db.text) * 10
+          <= 4 * greatest(len(da.text), len(db.text))
+    """,
+    tags=("dedup", "lsh", "editdistance"),
+)
+def q95_lsh_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash-LSH candidate generation verified by
+    character-level Levenshtein distance (relative threshold 0.4,
+    compared in integers: lev*10 <= 4*maxlen, so the check is exact).
+    Complements q92's Jaccard verifier: edit distance is the right
+    precision metric for templated/boilerplate edits where shingle
+    sets barely change.
+
+    Scale: the O(len^2) DP runs on LSH candidates ONLY (bounded by
+    the hot-bucket cap), never all pairs; both engines implement
+    levenshtein natively, so the verification stays engine-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    lev = F.levenshtein("_ta", "_tb").cast("int")
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("edit_dist", lev)
+        .filter(
+            F.col("edit_dist") * 10
+            <= 4 * F.greatest(F.length("_ta"), F.length("_tb"))
+        )
+        .select("doc_a", "doc_b", "edit_dist")
     )

@@ -2293,3 +2293,83 @@ def q91_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zvalue(F.col("o_custkey"), F.col("o_orderkey")).alias("zval"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profiling: per-column null / distinct / range summary —
+# the first job any pipeline runs against a new 100 TB drop
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q97_table_profile",
+    oracle="""
+    SELECT 'l_orderkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+           CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+           CAST(CAST(MIN(l_quantity) AS DECIMAL(12,2)) AS VARCHAR),
+           CAST(CAST(MAX(l_quantity) AS DECIMAL(12,2)) AS VARCHAR)
+    FROM lineitem
+    """,
+    tags=("profile", "quality", "agg"),
+)
+def q97_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of lineitem (row count, null
+    count, exact distinct count, min/max rendered as strings): the
+    schema-on-read sanity check a training pipeline runs before
+    touching a new data drop. Doubles are profiled through a
+    DECIMAL(12,2) cast so both engines render ranges identically
+    (raw double-to-string formatting diverges between engines).
+
+    Scale: one pass per column with map-side combine; the exact
+    distinct count is the one shuffle-heavy term — swap in
+    approx_count_distinct (q20) when exactness isn't required.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str, min_max_cast: str | None = None) -> DataFrame:
+        c = F.col(col)
+        mn, mx = F.min(c), F.max(c)
+        if min_max_cast:
+            mn, mx = mn.cast(min_max_cast), mx.cast(min_max_cast)
+        return li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias("n_nulls"),
+            F.count_distinct(c).alias("n_distinct"),
+            mn.cast("string").alias("min_value"),
+            mx.cast("string").alias("max_value"),
+        ).select(F.lit(col).alias("column_name"), "*")
+
+    parts = [
+        profile("l_orderkey"),
+        profile("l_returnflag"),
+        profile("l_shipdate"),
+        profile("l_quantity", "decimal(12,2)"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

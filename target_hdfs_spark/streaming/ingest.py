@@ -223,3 +223,45 @@ def stream_stream_attribution_join_outer(
         F.col("p.ts").alias("purchase_ts"),
         F.col("v.event_id").alias("view_id"),
     )
+
+
+def state_metrics(query: StreamingQuery) -> list[dict]:
+    """State-store metrics from the query's most recent progress that
+    reported state operators (S6 surface): per operator — name, rows
+    held, rows updated this batch, rows evicted by the watermark, and
+    state memory. These are the numbers an operator alarms on at
+    100 TB/day: monotonically growing `rows_total` with zero
+    `rows_removed` means a missing/ineffective watermark (unbounded
+    state); `memory_used_bytes` drives state-store sizing.
+    """
+    for prog in reversed(query.recentProgress):
+        ops = prog.get("stateOperators") or []
+        if ops:
+            return [
+                {
+                    "operator": op.get("operatorName"),
+                    "rows_total": op.get("numRowsTotal"),
+                    "rows_updated": op.get("numRowsUpdated"),
+                    "rows_removed": op.get("numRowsRemoved"),
+                    "memory_used_bytes": op.get("memoryUsedBytes"),
+                }
+                for op in ops
+            ]
+    return []
+
+
+def progress_summary(query: StreamingQuery) -> dict:
+    """One-line operational rollup of the latest micro-batch: batch id,
+    input row count, processing rate, and total state rows across
+    operators (0 for stateless queries)."""
+    prog = query.lastProgress
+    if not prog:
+        return {}
+    ops = prog.get("stateOperators") or []
+    return {
+        "batch_id": prog.get("batchId"),
+        "num_input_rows": prog.get("numInputRows"),
+        "rows_per_sec": prog.get("processedRowsPerSecond"),
+        "state_rows_total": sum(op.get("numRowsTotal") or 0 for op in ops),
+        "n_state_operators": len(ops),
+    }

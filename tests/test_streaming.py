@@ -315,3 +315,46 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     got = {(r.purchase_id, r.view_id) for r in spark.sql("SELECT * FROM ssouter_t").collect()}
     assert (1, 10) in got            # matched pair
     assert (2, None) in got          # unmatched emitted null-padded
+
+
+def test_state_metrics_surface_watermark_eviction(spark, tmp_path):
+    """State-store metrics (S6 surface): a watermarked stateful agg
+    reports its state operator with row counts; the stateless ingest
+    query reports none."""
+    from target_hdfs_spark.sources.jsonschema import jsonschema_to_spark
+    from target_hdfs_spark.streaming.ingest import progress_summary, state_metrics
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write_jsonl(src / "a.jsonl", _rows(0, 30))
+    schema = jsonschema_to_spark(SCHEMA)
+    stream = spark.readStream.schema(schema).json(str(src))
+    windowed = tumbling_counts_stream(stream, "at", "10 minutes")
+    q = (
+        windowed.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    mets = state_metrics(q)
+    assert len(mets) == 1
+    m = mets[0]
+    assert m["rows_total"] is not None and m["rows_total"] >= 0
+    assert m["memory_used_bytes"] is None or m["memory_used_bytes"] >= 0
+
+    summary = progress_summary(q)
+    assert summary["n_state_operators"] == 1
+    assert summary["batch_id"] is not None
+
+    # stateless ingest query: no state operators
+    config = TargetConfig(destination_path=str(tmp_path / "out2"), compression="snappy")
+    q2 = stream_jsonl_dir(
+        spark, config, "ev", SCHEMA, str(src), str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert state_metrics(q2) == []
+    s2 = progress_summary(q2)
+    assert s2 == {} or s2["n_state_operators"] == 0
