@@ -261,12 +261,13 @@ def _minhash_sql_exprs() -> list[str]:
 
 
 # Oracle twins of _band_table / lsh_candidate_pairs, shared by q43 /
-# q85 / q92 / q93 so the banding + hot-bucket-star semantics live in
-# exactly one SQL place, mirroring the single Python implementation.
-def _lsh_bands_sql() -> str:
+# q85 / q92 / q93 / q98 so the banding + hot-bucket-star semantics
+# live in exactly one SQL place, mirroring the single Python
+# implementation. `source` is any relation exposing (doc_id, text).
+def _lsh_bands_sql(source: str = "documents") -> str:
     return f"""
     hashed AS (
-      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM documents
+      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM {source}
     ),
     sigs AS (
       SELECT doc_id, {", ".join(_minhash_sql_exprs())} FROM hashed
@@ -282,9 +283,8 @@ def _lsh_bands_sql() -> str:
     )"""
 
 
-_LSH_BANDS_SQL = _lsh_bands_sql()
-
-_LSH_PAIRS_SQL = f"""{_LSH_BANDS_SQL},
+def _lsh_pairs_sql(source: str = "documents") -> str:
+    return f"""{_lsh_bands_sql(source)},
     bucket_sizes AS (
       SELECT band_idx, band_key, COUNT(*) AS bucket_n
       FROM bands GROUP BY 1, 2
@@ -314,6 +314,10 @@ _LSH_PAIRS_SQL = f"""{_LSH_BANDS_SQL},
       WHERE d.doc_id > r.root
     )
 """
+
+
+_LSH_BANDS_SQL = _lsh_bands_sql()
+_LSH_PAIRS_SQL = _lsh_pairs_sql()
 
 
 @query(
@@ -703,23 +707,24 @@ def connected_components(
     converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # star-forest check: (a) one distinct target per source,
-        # (b) no target is also a source (no chains)
-        fanout = (
+        # star-forest check, ONE job per round: a violation is either
+        # (a) a source with two distinct targets or (b) an edge whose
+        # target is itself a source (a chain). Union both violation
+        # probes and limit(1) — Spark early-exits on the first hit.
+        multi_target = (
             e.groupBy("u")
             .agg(F.count_distinct("v").alias("nt"))
-            .agg(F.max("nt").alias("mx"))
-            .collect()
+            .filter(F.col("nt") > 1)
+            .select(F.lit(1).alias("bad"))
         )
-        if not fanout or fanout[0]["mx"] is None or fanout[0]["mx"] <= 1:
-            chains = (
-                e.alias("a")
-                .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
-                .count()
-            )
-            if chains == 0:
-                converged = True
-                break
+        chains = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+            .select(F.lit(1).alias("bad"))
+        )
+        if multi_target.unionAll(chains).limit(1).count() == 0:
+            converged = True
+            break
     if not converged:
         # returning partial edges would silently split clusters
         raise RuntimeError(
@@ -896,4 +901,128 @@ def q95_lsh_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 4 * F.greatest(F.length("_ta"), F.length("_tb"))
         )
         .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The flagship composition: a complete corpus-curation pipeline in ONE
+# plan — quality gate -> lang whitelist -> exact dedup -> near-dup
+# cluster dedup -> per-lang summary. This is the end-to-end shape a
+# training-data build runs at 100 TB; every stage above is an operator
+# the engine exposes individually (q54, q40, q43, q85).
+# ---------------------------------------------------------------------------
+
+_Q98_LANGS = ("en", "de", "fr", "es")
+
+
+@query(
+    "q98_corpus_pipeline",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+      SELECT doc_id, lang, text, n_chars,
+             len({_TOK}) AS n_tokens,
+             len(list_distinct({_TOK})) AS n_unique_tokens
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM m
+      WHERE n_tokens >= 20
+        AND n_chars BETWEEN 100 AND 10000
+        AND CAST(n_unique_tokens AS DOUBLE) / n_tokens >= 0.2
+        AND lang IN {repr(_Q98_LANGS)}
+    ),
+    ex AS (
+      SELECT * FROM quality
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ),
+    {_lsh_pairs_sql("ex")},
+    undirected AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT doc_a, doc_b FROM undirected
+      UNION
+      SELECT r.src, u.doc_b
+      FROM reach r JOIN undirected u ON u.doc_a = r.dst
+    ),
+    labels AS (
+      SELECT e.doc_id,
+             least(e.doc_id,
+                   coalesce((SELECT MIN(r.dst) FROM reach r
+                             WHERE r.src = e.doc_id), e.doc_id)) AS cluster
+      FROM ex e
+    ),
+    keep AS (
+      SELECT e.* FROM ex e
+      JOIN labels l ON l.doc_id = e.doc_id AND l.cluster = e.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM keep
+    GROUP BY lang
+    """,
+    tags=("dedup", "pipeline", "composition"),
+)
+def q98_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as one declarative plan:
+
+    1. quality gate (token count, length band, unique-token ratio —
+       q54 semantics);
+    2. language whitelist;
+    3. exact dedup on text, deterministic min-doc_id survivor (q40);
+    4. near-dup cluster dedup: MinHash-LSH pairs over the survivors
+       (q43) -> connected components (q85) -> keep each cluster's
+       minimum doc_id;
+    5. per-language corpus summary.
+
+    Exactness: every stage is integer/string arithmetic plus the
+    unique min-label fixpoint, so the full five-stage composition is
+    value-exact against the oracle — the strongest kind of check,
+    because stage boundaries (filter-before-dedup, dedup-before-
+    cluster) are where composition bugs hide.
+
+    Scale: stages pipeline without materialization except the pair
+    graph checkpoint before iteration; LSH + star contraction keep the
+    near-dup stage bounded (no all-pairs anywhere).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+    quality = m.filter(
+        (F.col("n_tokens") >= 20)
+        & F.col("n_chars").between(100, 10000)
+        & (F.col("n_unique_tokens").cast("double") / F.col("n_tokens") >= 0.2)
+        & F.col("lang").isin(*_Q98_LANGS)
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    ex = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sig = minhash_signatures(ex.select("doc_id", "text"))
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    labels = connected_components(ex.select("doc_id"), pairs)
+    keep = ex.join(
+        labels.filter(F.col("doc_id") == F.col("cluster")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return keep.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
     )
