@@ -2373,3 +2373,39 @@ def q97_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# E12 companion: EXACT interpolated percentiles (the value-checkable
+# twin of q20's sketches)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25,
+           quantile_cont(l_extendedprice, 0.50) AS price_p50,
+           quantile_cont(l_extendedprice, 0.75) AS price_p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q99_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group: both engines
+    compute (1-h)*lo + h*hi over the same sorted values, so the result
+    is value-exact across engines — upgrading the percentile surface
+    from q20's rows-only sketches to a hard-signal check.
+
+    Scale: exact percentiles materialize per-group sorted values (the
+    cost q20's KLL sketch avoids); use this form when groups are
+    bounded, the sketch when they are not.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("price_p25"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("price_p50"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("price_p75"),
+    )

@@ -168,3 +168,59 @@ def test_fuzzed_join_aggregate(spark, seed):
     d = sorted(tuple(_norm_cell(v) for v in r) for r in con.execute(sql).fetchall())
     s = sorted(tuple(_norm_cell(v) for v in r) for r in sdf.collect())
     assert s == d, f"seed={seed} how={how} pred=[{pred_sql}] group={group_col}"
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzzed_window(spark, seed):
+    """Window fuzz: random ranking / offset / running-sum windows over
+    a random filtered lineitem, one AST -> both engines. Order keys
+    always end in (l_orderkey, l_linenumber) so every ordering is
+    total — without that, row_number/lag are partition-order lottery.
+    """
+    from pyspark.sql.window import Window
+
+    rng = random.Random(31_337 * (seed + 11))
+    pred_fn, pred_sql = _rand_pred(rng)
+    part_col = rng.choice(STR_COLS)
+    order_col = rng.choice(INT_COLS + NUM_COLS)
+    over_sql = (
+        f"PARTITION BY {part_col} "
+        f"ORDER BY {order_col}, l_orderkey, l_linenumber"
+    )
+    w = Window.partitionBy(part_col).orderBy(order_col, "l_orderkey", "l_linenumber")
+    kind = rng.choice(["row_number", "rank", "dense_rank", "lag", "lead", "cumsum"])
+    if kind == "row_number":
+        sc, ssql = F.row_number().over(w), f"row_number() OVER ({over_sql})"
+    elif kind == "rank":
+        sc, ssql = F.rank().over(w), f"rank() OVER ({over_sql})"
+    elif kind == "dense_rank":
+        sc, ssql = F.dense_rank().over(w), f"dense_rank() OVER ({over_sql})"
+    elif kind == "lag":
+        sc = F.lag(order_col, 1).over(w)
+        ssql = f"lag({order_col}, 1) OVER ({over_sql})"
+    elif kind == "lead":
+        sc = F.lead(order_col, 1).over(w)
+        ssql = f"lead({order_col}, 1) OVER ({over_sql})"
+    else:
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sc = to_double(F.sum(dec(order_col)).over(wf))
+        ssql = (
+            f"CAST(CAST(SUM(CAST({order_col} AS DECIMAL(12,4))) "
+            f"OVER ({over_sql} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"AS VARCHAR) AS DOUBLE)"
+        )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    sdf = (
+        li.filter(pred_fn(li))
+        .select(part_col, "l_orderkey", "l_linenumber", sc.alias("wv"))
+    )
+    sql = (
+        f"SELECT {part_col}, l_orderkey, l_linenumber, {ssql} AS wv "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet') "
+        f"WHERE {pred_sql}"
+    )
+    con = duckdb.connect()
+    d = sorted(tuple(_norm_cell(v) for v in r) for r in con.execute(sql).fetchall())
+    s = sorted(tuple(_norm_cell(v) for v in r) for r in sdf.collect())
+    assert s == d, f"seed={seed} kind={kind} part={part_col} order={order_col} pred=[{pred_sql}]"

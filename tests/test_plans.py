@@ -59,3 +59,27 @@ def test_q21_sample_inside_scan_stage(spark):
 def test_q54_quality_filter_no_shuffle(spark):
     plan = plan_of(spark, "q54_quality_filter")
     assert "Exchange" not in plan  # pure scan-side filter pipeline
+
+
+def test_q96_simhash_blocking_is_equi_join(spark):
+    """The byte-band blocking must be a hash equi-join — a cartesian
+    or nested-loop plan would mean the pigeonhole blocking degenerated
+    to all-pairs (the O(n^2) this operator exists to avoid)."""
+    plan = plan_of(spark, "q96_simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q95_editdistance_runs_on_candidates_only(spark):
+    plan = plan_of(spark, "q95_lsh_editdistance_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # verification stays engine-side
+
+
+def test_q99_percentiles_single_shuffle(spark):
+    """Exact percentiles: one hash-partitioned exchange on the group
+    key, no global sort."""
+    plan = plan_of(spark, "q99_exact_percentiles")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
