@@ -534,3 +534,68 @@ def q59_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold_accents(nfc(with_suffix)).alias("folded_text"),
         F.length(nfc(with_suffix)).alias("n_chars_nfc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-based dataset splitting — the reproducible
+# train/val/test split every training-data build needs (seeded
+# sample() is partition-order-dependent and engine-specific; a
+# content-hash bucket is stable across engines, reruns, and cluster
+# layouts, and new data lands in splits without reshuffling old rows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q100_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             {md5_hash32_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT *,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM s
+    GROUP BY split
+    """,
+    tags=("sample", "split", "hash"),
+)
+def q100_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by md5 bucket of a salted doc key.
+
+    Why a hash split and not sample(): the assignment is a pure
+    function of the row's identity — identical on every engine, every
+    rerun, every partitioning, and stable as the corpus grows (new
+    docs never move old docs between splits). The salt prefix
+    decorrelates this split from any other hash use of doc_id.
+
+    Scale: the bucket is a scan-side expression (no shuffle to assign);
+    the summary is one hash aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        md5_hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

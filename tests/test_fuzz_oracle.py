@@ -224,3 +224,41 @@ def test_fuzzed_window(spark, seed):
     d = sorted(tuple(_norm_cell(v) for v in r) for r in con.execute(sql).fetchall())
     s = sorted(tuple(_norm_cell(v) for v in r) for r in sdf.collect())
     assert s == d, f"seed={seed} kind={kind} part={part_col} order={order_col} pred=[{pred_sql}]"
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzzed_set_ops(spark, seed):
+    """Set-op fuzz: two random filtered projections combined with a
+    random bag/set operator, one AST -> both engines (E16 surface:
+    UNION ALL / INTERSECT [ALL] / EXCEPT [ALL])."""
+    rng = random.Random(4_242_43 * (seed + 5))
+    p1, s1 = _rand_pred(rng)
+    p2, s2 = _rand_pred(rng)
+    cols = rng.sample(STR_COLS + INT_COLS, k=rng.randint(2, 3))
+    collist = ", ".join(cols)
+    op = rng.choice(["union_all", "intersect", "intersect_all", "except", "except_all"])
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    a = li.filter(p1(li)).select(*cols)
+    b = li.filter(p2(li)).select(*cols)
+    if op == "union_all":
+        sdf, sql_op = a.unionAll(b), "UNION ALL"
+    elif op == "intersect":
+        sdf, sql_op = a.intersect(b), "INTERSECT"
+    elif op == "intersect_all":
+        sdf, sql_op = a.intersectAll(b), "INTERSECT ALL"
+    elif op == "except":
+        sdf, sql_op = a.subtract(b), "EXCEPT"
+    else:
+        sdf, sql_op = a.exceptAll(b), "EXCEPT ALL"
+
+    src = f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    sql = (
+        f"SELECT {collist} FROM {src} WHERE {s1} "
+        f"{sql_op} "
+        f"SELECT {collist} FROM {src} WHERE {s2}"
+    )
+    con = duckdb.connect()
+    d = sorted(tuple(_norm_cell(v) for v in r) for r in con.execute(sql).fetchall())
+    s = sorted(tuple(_norm_cell(v) for v in r) for r in sdf.collect())
+    assert s == d, f"seed={seed} op={op} cols={cols}\np1=[{s1}]\np2=[{s2}]"
