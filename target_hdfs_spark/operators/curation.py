@@ -1,0 +1,335 @@
+"""Corpus-curation operators a large-scale training-data pipeline
+needs beyond dedup/similarity (SURVEY.md §2B.2 extensions):
+
+- benchmark decontamination (train/eval n-gram overlap join),
+- token-budget sequence packing (constant-length batch assembly),
+- Gopher-style repetition quality metrics (map-side only, no shuffle),
+- deterministic hash-based stratified sampling (exact-checkable,
+  unlike rand()-based q21),
+- SCD-2 interval construction over an event stream (change capture).
+
+No reference analog (the reference is an ingest target with no query
+surface, see reference/target_hdfs/sinks.py); these are mandate-surface
+operators. All outputs are scalar columns, integer-exact aggregates or
+single double divisions, per the oracle-parity recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.functions.hashing import md5_hash32, md5_hash32_sql
+from target_hdfs_spark.functions.textfuncs import (
+    TOKENS_SQL,
+    shingles,
+    shingles_sql,
+    tokens,
+)
+from target_hdfs_spark.registry import query
+from target_hdfs_spark.sources.readers import fan_out, load_table
+
+_TOK = TOKENS_SQL.format(expr="text")
+
+# Eval-set membership predicate for decontamination: a deterministic
+# doc_id slice stands in for the benchmark suite (~1% of the corpus).
+_EVAL_MOD = 97
+
+# Overlap n-gram width. Production decontamination uses 8-13 word
+# n-grams; the synthetic corpus draws from a ~30-word vocabulary, so
+# 3-grams give the same join shape with a realistic hit rate.
+_NGRAM = 3
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: train docs sharing an n-gram with eval docs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_decontamination",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({shingles_sql(_TOK, _NGRAM)}) AS gram
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT gram, doc_id AS eval_id
+      FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    tr AS (
+      SELECT doc_id, gram FROM grams WHERE doc_id % {_EVAL_MOD} <> 0
+    )
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.gram) AS n_shared_ngrams,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+    """,
+    tags=("curation", "dedup", "join"),
+)
+def q101_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: find training documents that share at
+    least one word n-gram with any eval document, with the count of
+    shared distinct n-grams and of eval docs hit.
+
+    Scale shape: the eval side (a benchmark suite) is small and
+    fixed-size regardless of corpus scale, so it is broadcast —
+    the 100 TB training side streams map-side through the join and
+    only contaminated docs reach the one groupBy shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(docs, "doc_id").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id", F.explode(shingles(F.col("toks"), _NGRAM)).alias("gram")
+    )
+    ev = (
+        grams.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram", F.col("doc_id").alias("eval_id"))
+        .distinct()
+    )
+    tr = grams.where(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing (constant-length batch assembly)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "q102_sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, len({_TOK}) AS n_tokens FROM documents
+    ),
+    binned AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(floor(
+               (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM sized
+    )
+    SELECT lang, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM binned
+    GROUP BY lang, bin_id
+    """,
+    tags=("curation", "window", "agg"),
+)
+def q102_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: stream documents (per language, in
+    doc_id order) into ~512-token training bins; a document lands in
+    the bin where its cumulative stream position starts. Emits one row
+    per bin with doc count and token total.
+
+    Scale shape: packing inherently needs an order, but only WITHIN a
+    partition key — the window is partitioned by lang, so there is no
+    global sort; each language packs in parallel. At 100 TB the key
+    would be (lang, shard_id) to bound partition size; the plan is
+    identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(float(_PACK_BUDGET))
+        ).cast("bigint"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality metrics (map-side, zero shuffle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q103_repetition_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOK} AS toks, {shingles_sql(_TOK, 2)} AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_max(list_transform(list_distinct(toks),
+                x -> len(list_filter(toks, t -> t = x)))) AS DOUBLE)
+             / len(toks) AS top_token_frac,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             AS dup_2gram_frac,
+           (CAST(list_max(list_transform(list_distinct(toks),
+                 x -> len(list_filter(toks, t -> t = x)))) AS DOUBLE)
+              / len(toks) > 0.2
+            OR 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+              / len(grams) > 0.4) AS repetitive
+    FROM base
+    WHERE len(toks) > 0
+    """,
+    tags=("curation", "text", "quality"),
+)
+def q103_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics: most-frequent-
+    token fraction and duplicate-2-gram fraction, plus the combined
+    repetition flag (Rae et al. 2021, 'Scaling Language Models', App. A
+    quality heuristics — public paper, reimplemented).
+
+    Scale shape: entirely map-side array expressions inside one
+    codegen stage — no shuffle, no UDF; per-doc cost is
+    O(distinct_tokens * n_tokens) which is bounded by doc length. This
+    is the filter you run FIRST at 100 TB, before any shuffling op."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).withColumn("grams", shingles(F.col("toks"), 2))
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("toks")),
+                lambda x: F.size(
+                    F.filter(F.col("toks"), lambda t: t == x)
+                ),
+            )
+        ).cast("double")
+        / F.size("toks")
+    )
+    dup_frac = F.lit(1.0) - (
+        F.size(F.array_distinct(F.col("grams"))).cast("double")
+        / F.size("grams")
+    )
+    return base.where(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_2gram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.4)).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-based stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_PCT = 20  # keep bucket < 20 of 100
+
+
+@query(
+    "q104_stratified_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           {md5_hash32_sql("'smp|' || CAST(doc_id AS VARCHAR)")} % 100
+             AS bucket
+    FROM documents
+    WHERE {md5_hash32_sql("'smp|' || CAST(doc_id AS VARCHAR)")} % 100
+          < {_SAMPLE_PCT}
+    """,
+    tags=("curation", "sampling"),
+)
+def q104_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample via the portable md5 bucket of the
+    doc key: reproducible across engines, runs, and partitionings
+    (unlike rand()-seeded q21, which is rows-only-checkable). The
+    salt prefix decorrelates this split from any other hash use of
+    doc_id (e.g. q100's train/test split).
+
+    Scale shape: pure map-side filter pushed into the scan stage; the
+    hash rate is uniform within every stratum so per-lang proportions
+    hold without a per-stratum pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        md5_hash32(F.concat(F.lit("smp|"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") < _SAMPLE_PCT)
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 interval construction (change-data capture over events)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q105_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+      WHERE user_id % 37 = 0
+    ),
+    changes AS (
+      SELECT user_id, event_type, value, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM changes
+    """,
+    tags=("curation", "window", "cdc"),
+)
+def q105_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log:
+    collapse consecutive same-type events per user, then stamp each
+    change row with a [valid_from, valid_to) interval; the open
+    interval is flagged is_current. Deterministic tie-break on
+    (ts, event_id).
+
+    Scale shape: both windows partition on user_id, so the second
+    window reuses the first's hash partitioning (one Exchange total);
+    no global sort anywhere."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 37 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -109,6 +109,11 @@ PRIORITY_ORDER = (
     "q55_fingerprint",
     "q54_quality_filter",         # L6
     "q100_hash_split",
+    "q101_decontamination",       # curation: train/eval overlap
+    "q102_sequence_packing",      # curation: token-budget packing
+    "q103_repetition_quality",    # curation: Gopher repetition
+    "q104_stratified_hash_sample",  # curation: deterministic sample
+    "q105_scd2_intervals",        # curation: CDC/SCD-2
     "q97_table_profile",
     # multimodal
     "q60_binary_metadata",        # L5
@@ -140,6 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so `import target_hdfs_spark` stays cheap.
     from target_hdfs_spark.operators import (  # noqa: F401
         asof,
+        curation,
         dedup,
         multimodal,
         relational,
