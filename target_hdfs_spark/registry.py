@@ -94,9 +94,6 @@ PRIORITY_ORDER = (
     "q42_minhash_signatures",     # L2
     "q43_minhash_lsh_pairs",
     "q44_simhash",
-    "q95_lsh_editdistance_pairs",
-    "q96_simhash_hamming_pairs",
-    "q93_lsh_bucket_stats",
     # similarity / ANN
     "q46_cosine_topk",            # L3 exact baseline
     "q47_ann_lsh_bucketed",
@@ -109,11 +106,8 @@ PRIORITY_ORDER = (
     "q55_fingerprint",
     "q54_quality_filter",         # L6
     "q100_hash_split",
-    "q101_decontamination",       # curation: train/eval overlap
-    "q102_sequence_packing",      # curation: token-budget packing
-    "q103_repetition_quality",    # curation: Gopher repetition
+    "q101_decontamination",       # curation family representative
     "q104_stratified_hash_sample",  # curation: deterministic sample
-    "q105_scd2_intervals",        # curation: CDC/SCD-2
     "q97_table_profile",
     # multimodal
     "q60_binary_metadata",        # L5
@@ -123,11 +117,18 @@ PRIORITY_ORDER = (
     "q31_tumbling_window",        # S2
     "q33_session_window",         # S3
     "q34_salted_skew_agg",
-    # flagships (positions 48-51)
+    # flagships (positions 48-50 — kept inside the round-1 driver's
+    # observed 50-query sweep window)
     "q85_dedup_clusters",
     "q92_lsh_verified_pairs",
     "q98_corpus_pipeline",
     # second representatives of already-covered families
+    "q95_lsh_editdistance_pairs",  # L2 variants (q42-q44 cover L2 early)
+    "q96_simhash_hamming_pairs",
+    "q93_lsh_bucket_stats",
+    "q102_sequence_packing",      # curation: token-budget packing
+    "q103_repetition_quality",    # curation: Gopher repetition
+    "q105_scd2_intervals",        # curation: CDC/SCD-2
     "q39_null_semantics",
     "q25_below_average_lineitems",
     "q41_hash_dedup_groups",
