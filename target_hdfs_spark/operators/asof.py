@@ -130,3 +130,78 @@ def q30_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_id="event_id",
         right_id="event_id",
     )
+
+
+@query(
+    "q107_pit_feature_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, 0 AS tag, event_id,
+             event_id AS p_event_id, value AS purchase_value,
+             CAST(NULL AS DOUBLE) AS _v_val, CAST(NULL AS DOUBLE) AS _c_val
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1 AS tag, event_id,
+             NULL, NULL, value, NULL
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, 1 AS tag, event_id,
+             NULL, NULL, NULL, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p_event_id AS event_id, user_id, ts, purchase_value,
+           last_view_value, last_click_value
+    FROM (
+      SELECT *,
+        last_value(_v_val IGNORE NULLS) OVER w AS last_view_value,
+        last_value(_c_val IGNORE NULLS) OVER w AS last_click_value
+      FROM tagged
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, tag, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    WHERE tag = 0
+    """,
+    tags=("asof", "window", "feature-store"),
+)
+def q107_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time multi-feature join (the feature-store pattern):
+    for every purchase event, attach the most recent strictly-earlier
+    view value AND click value of the same user — two independent
+    feature streams, no leakage from the future.
+
+    Built as two chained as-of joins; because the feature streams are
+    independent, this equals one tagged union with two carried-forward
+    columns, which is what the oracle runs. Both as-of passes shuffle
+    on the same user_id key, so the second reuses the first's
+    partitioning (Exchange reuse; at 1000 executors this is one
+    shuffle of each feature table, never a range-join explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    with_view = asof_join(
+        purchases,
+        views,
+        by="user_id",
+        ts="ts",
+        right_values={"value": "last_view_value"},
+        left_id="event_id",
+        right_id="event_id",
+    )
+    return asof_join(
+        with_view,
+        clicks,
+        by="user_id",
+        ts="ts",
+        right_values={"value": "last_click_value"},
+        left_id="event_id",
+        right_id="event_id",
+    )

@@ -274,6 +274,145 @@ def q104_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-group fixed-k deterministic sample (hash-priority top-k)
+# ---------------------------------------------------------------------------
+
+_GROUP_K = 5
+
+
+@query(
+    "q106_group_topk_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, rn
+    FROM (
+      SELECT doc_id, lang, source,
+             CAST(row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY {md5_hash32_sql("'gsmp|' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS BIGINT) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_GROUP_K}
+    """,
+    tags=("curation", "sampling", "window"),
+)
+def q106_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: exactly k docs per (lang,
+    source), chosen as the k smallest salted-md5 priorities — the
+    deterministic, engine-portable analog of per-group reservoir
+    sampling. Complements q104 (rate-based sampling: ~p% per stratum,
+    variable count) with an exact-count guarantee per stratum.
+
+    Scale shape: one shuffle on the stratum key; Spark's
+    WindowGroupLimit pushes the rn <= k cut below the full sort, so
+    each partition keeps a k-heap rather than sorting the stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        md5_hash32(F.concat(F.lit("gsmp|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= _GROUP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact substring duplication (char-window fingerprints)
+# ---------------------------------------------------------------------------
+
+_WIN = 24  # char-window width (~4 words at this corpus's token length)
+
+_WINDOWS_SQL = (
+    f"CASE WHEN length(text) >= {_WIN} THEN "
+    f"list_transform(generate_series(1, length(text) - {_WIN - 1}), "
+    f"i -> substring(text, CAST(i AS INTEGER), {_WIN})) "
+    f"ELSE [] END"
+)
+
+
+@query(
+    "q108_substring_duplication",
+    oracle=f"""
+    WITH wins AS (
+      SELECT DISTINCT doc_id, unnest({_WINDOWS_SQL}) AS win
+      FROM documents
+    ),
+    dup AS (
+      SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id
+    ),
+    dups AS (
+      SELECT w.doc_id, COUNT(*) AS n_dup_windows
+      FROM wins w JOIN dup USING (win)
+      GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           t.n_windows,
+           COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+           CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE) / t.n_windows
+             AS dup_frac
+    FROM totals t LEFT JOIN dups d ON t.doc_id = d.doc_id
+    """,
+    tags=("curation", "dedup", "explode"),
+)
+def q108_substring_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring duplication (the char-window
+    formulation of Lee et al. 2021, 'Deduplicating Training Data Makes
+    Language Models Better' — public paper, reimplemented): for each
+    document, the fraction of its distinct 24-char windows that also
+    appear verbatim in at least one other document.
+
+    Scale shape: windows are hash-partitioned by value for the
+    distinct-doc count (the same shuffle a shingle-based minhash
+    pays); at 100 TB the window stream is the corpus x ~window_width,
+    so production runs hash the windows to 8-byte fingerprints first —
+    same plan, 1/3 the shuffle bytes. Here windows stay as strings so
+    the oracle is exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    windows = F.when(
+        F.length("text") >= _WIN,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - F.lit(_WIN - 1)),
+            lambda i: F.col("text").substr(i, F.lit(_WIN)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", F.explode(windows).alias("win"))
+        .distinct()
+    )
+    dup = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("win")
+    )
+    totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dups = (
+        wins.join(dup, "win")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return totals.join(dups, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        (
+            F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+            / F.col("n_windows")
+        ).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD-2 interval construction (change-data capture over events)
 # ---------------------------------------------------------------------------
 

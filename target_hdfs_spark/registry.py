@@ -129,6 +129,9 @@ PRIORITY_ORDER = (
     "q102_sequence_packing",      # curation: token-budget packing
     "q103_repetition_quality",    # curation: Gopher repetition
     "q105_scd2_intervals",        # curation: CDC/SCD-2
+    "q106_group_topk_sample",     # curation: fixed-k stratum sample
+    "q107_pit_feature_join",      # E8 variant: multi-feature PIT
+    "q108_substring_duplication",  # curation: char-window dup
     "q39_null_semantics",
     "q25_below_average_lineitems",
     "q41_hash_dedup_groups",
