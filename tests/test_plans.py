@@ -83,3 +83,50 @@ def test_q99_percentiles_single_shuffle(spark):
     plan = plan_of(spark, "q99_exact_percentiles")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q101_broadcasts_eval_side(spark):
+    """Decontamination must broadcast the (small, fixed-size) eval
+    n-gram set — a shuffled join here would move the full training
+    corpus's n-gram stream twice at 100 TB."""
+    plan = plan_of(spark, "q101_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q102_packing_no_global_sort(spark):
+    """Sequence packing orders only within the lang partition; a
+    rangepartitioning exchange would mean an accidental global sort."""
+    plan = plan_of(spark, "q102_sequence_packing")
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q103_repetition_no_shuffle(spark):
+    """Gopher repetition metrics are pure map-side array expressions —
+    any Exchange means the per-doc computation regressed to a shuffle
+    (this is the filter that must run FIRST, before shuffling ops)."""
+    plan = plan_of(spark, "q103_repetition_quality")
+    assert "Exchange" not in plan
+
+
+def test_q104_sample_filter_in_scan_stage(spark):
+    """Hash-bucket sampling is a scan-side filter; no Exchange."""
+    plan = plan_of(spark, "q104_stratified_hash_sample")
+    assert "Exchange" not in plan
+
+
+def test_q106_group_topk_uses_window_group_limit(spark):
+    """Per-stratum top-k must use WindowGroupLimit (per-partition
+    k-heap) rather than fully sorting every stratum."""
+    plan = plan_of(spark, "q106_group_topk_sample")
+    assert "WindowGroupLimit" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q107_pit_two_window_passes_share_key(spark):
+    """Chained as-of joins partition on the same user_id key — no
+    range join, no cartesian, exactly the union-and-fill shape."""
+    plan = plan_of(spark, "q107_pit_feature_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
