@@ -132,6 +132,7 @@ PRIORITY_ORDER = (
     "q106_group_topk_sample",     # curation: fixed-k stratum sample
     "q107_pit_feature_join",      # E8 variant: multi-feature PIT
     "q108_substring_duplication",  # curation: char-window dup
+    "q109_bloom_join_reduction",  # scale pattern: bloom semi-join
     "q39_null_semantics",
     "q25_below_average_lineitems",
     "q41_hash_dedup_groups",

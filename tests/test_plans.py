@@ -130,3 +130,12 @@ def test_q107_pit_two_window_passes_share_key(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_q109_bloom_probe_stays_map_side(spark):
+    """The bloom probe is 4 broadcast equi-joins + the exact verify —
+    the fact table must reach the final groupBy through exactly one
+    hash exchange (no shuffle for the probe itself)."""
+    plan = plan_of(spark, "q109_bloom_join_reduction")
+    assert plan.count("BroadcastHashJoin") >= 5  # 4 probes + verify
+    assert "CartesianProduct" not in plan
