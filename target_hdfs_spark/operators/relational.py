@@ -2409,3 +2409,67 @@ def q99_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.50)).alias("price_p50"),
         F.percentile("l_extendedprice", F.lit(0.75)).alias("price_p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E9/E12 extension: robust (trimmed) aggregation — rank-based tail cut
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_trimmed_mean",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_kept,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                     AS VARCHAR) AS DOUBLE) / COUNT(*) AS trimmed_mean,
+           MIN(l_extendedprice) AS lo_cut,
+           MAX(l_extendedprice) AS hi_cut
+    FROM r
+    WHERE rn > n // 20 AND rn <= n - n // 20
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "robust", "window"),
+)
+def q112_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per group: rank-cut both tails, aggregate the
+    middle 90% (robust location estimate — outlier-resistant quality
+    stats for pipeline monitoring). Exact despite ties: the sort key
+    IS the aggregated value, so equal-keyed rows are interchangeable
+    and the trimmed multiset is deterministic; the mean goes through
+    the decimal-sum/string route.
+
+    Scale shape: one hash shuffle on the group key; rank and count are
+    two window passes over the SAME partitioning (no extra Exchange),
+    and the cut happens before the aggregate, so only the kept rows
+    feed the final agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = r.where(
+        (F.col("rn") > F.expr("n DIV 20"))
+        & (F.col("rn") <= F.col("n") - F.expr("n DIV 20"))
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (to_double(F.sum(dec("l_extendedprice"))) / F.count(F.lit(1))).alias(
+            "trimmed_mean"
+        ),
+        F.min("l_extendedprice").alias("lo_cut"),
+        F.max("l_extendedprice").alias("hi_cut"),
+    )

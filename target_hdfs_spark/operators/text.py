@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from target_hdfs_spark.functions.hashing import MERSENNE_P, md5_hash32, md5_hash32_sql
 from target_hdfs_spark.functions.textfuncs import TOKENS_SQL, tokens
 from target_hdfs_spark.registry import query
-from target_hdfs_spark.sources.readers import load_table
+from target_hdfs_spark.sources.readers import fan_out, load_table
 
 _TOK = TOKENS_SQL.format(expr="text")
 
@@ -598,4 +598,112 @@ def q100_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4h: sub-word (BPE-ish) token counting — tokenizer fertility metrics
+# ---------------------------------------------------------------------------
+
+# Class-only pattern (letter runs | digit runs | single symbol) keeps
+# Java-regex and RE2 semantics identical; it is the skeleton of the
+# GPT-2 pre-tokenizer with the lookahead/contraction cases removed
+# (those are not portable across regex engines).
+_SUBTOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q110_subword_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOK}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(trim(text)), '{_SUBTOK_RE}'))
+                AS BIGINT) AS n_sub_tokens,
+           CAST(len(regexp_extract_all(lower(trim(text)), '{_SUBTOK_RE}'))
+                AS DOUBLE) / len({_TOK}) AS fertility
+    FROM documents
+    WHERE len({_TOK}) > 0
+    """,
+    tags=("text", "tokenize"),
+)
+def q110_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with BOTH tokenizers the mandate names:
+    whitespace words and a BPE-ish regex sub-word pass; fertility =
+    sub-tokens per word (the standard tokenizer-cost metric used to
+    budget training compute). Map-side regex only, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.trim(F.col("text")))
+    n_ws = F.size(tokens("text")).cast("bigint")
+    n_sub = F.size(
+        F.regexp_extract_all(lowered, F.lit(_SUBTOK_RE), 0)
+    ).cast("bigint")
+    return (
+        docs.where(F.size(tokens("text")) > 0)
+        .select(
+            "doc_id",
+            n_ws.alias("n_ws_tokens"),
+            n_sub.alias("n_sub_tokens"),
+            (n_sub.cast("double") / n_ws).alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4i: out-of-vocabulary rate against a corpus-derived top-K vocabulary
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 20
+
+
+@query(
+    "q111_oov_rate",
+    oracle=f"""
+    WITH tf AS (
+      SELECT token, COUNT(*) AS tf
+      FROM (SELECT unnest({_TOK}) AS token FROM documents)
+      GROUP BY token
+    ),
+    vocab AS (
+      SELECT token FROM tf
+      ORDER BY tf DESC, token
+      LIMIT {_VOCAB_K}
+    ),
+    doc_tokens AS (
+      SELECT doc_id, unnest({_TOK}) AS token FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM doc_tokens d LEFT JOIN vocab v ON d.token = v.token
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "join"),
+)
+def q111_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-K token vocabulary (ties broken lexicographically — exact).
+    The two-phase shape is the scale pattern: the vocabulary is a
+    corpus-wide aggregate that collapses to K rows, broadcast back
+    into a map-side membership probe; only the tiny vocab and the
+    per-doc aggregation shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(docs, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(_VOCAB_K)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    oov = F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )

@@ -133,6 +133,9 @@ PRIORITY_ORDER = (
     "q107_pit_feature_join",      # E8 variant: multi-feature PIT
     "q108_substring_duplication",  # curation: char-window dup
     "q109_bloom_join_reduction",  # scale pattern: bloom semi-join
+    "q110_subword_token_counts",  # L4: BPE-ish tokenizer fertility
+    "q111_oov_rate",              # L4/L6: corpus-vocab OOV quality
+    "q112_trimmed_mean",          # E9/E12: robust aggregation
     "q39_null_semantics",
     "q25_below_average_lineitems",
     "q41_hash_dedup_groups",
