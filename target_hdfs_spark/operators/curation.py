@@ -472,3 +472,83 @@ def q105_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted Bernoulli sampling (integer-exact hash threshold)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           least(n_chars, 400) * 25 AS keep_threshold
+    FROM documents
+    WHERE {md5_hash32_sql("'wsmp|' || CAST(doc_id AS VARCHAR)")} % 10000
+          < least(n_chars, 400) * 25
+    """,
+    tags=("curation", "sampling"),
+)
+def q113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document weighted Bernoulli sampling: keep probability
+    proportional to a quality proxy (length, capped), implemented as
+    an INTEGER hash-threshold test so both engines agree bit-for-bit
+    (P(keep) = min(n_chars,400)/400). This is the quality-weighted
+    mixing step of a training-data pipeline, made reproducible:
+    resampling with the same salt yields the same corpus.
+
+    Scale shape: map-side filter in the scan stage, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        md5_hash32(F.concat(F.lit("wsmp|"), F.col("doc_id").cast("string")))
+        % 10000
+    )
+    thr = F.least(F.col("n_chars"), F.lit(400)) * 25
+    return docs.where(h < thr).select(
+        "doc_id", "lang", "n_chars", thr.alias("keep_threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-weighted corpus mixture (epoch replication / upsampling)
+# ---------------------------------------------------------------------------
+
+_MIX_SQL = (
+    "CASE WHEN source IN ('src0','src1','src2') THEN 3 "
+    "WHEN source IN ('src3','src4','src5','src6') THEN 2 ELSE 1 END"
+)
+
+
+@query(
+    "q114_corpus_mixture",
+    oracle=f"""
+    SELECT doc_id, source,
+           unnest(generate_series(1, {_MIX_SQL})) AS copy_id
+    FROM documents
+    """,
+    tags=("curation", "mixture", "explode"),
+)
+def q114_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted corpus mixing: upsample high-quality sources by
+    an integer epoch weight (3x / 2x / 1x), materializing one row per
+    virtual copy with a copy index — the standard mixture-weights step
+    before sequence packing, kept deterministic so the training corpus
+    is reproducible.
+
+    Scale shape: map-side explode (row amplification <= max weight);
+    no shuffle. At 100 TB the weights are fractional in general —
+    combine with q113's hash-threshold for the fractional part."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 3)
+        .when(F.col("source").isin("src3", "src4", "src5", "src6"), 2)
+        .otherwise(1)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), weight.cast("bigint"))
+        ).alias("copy_id"),
+    )

@@ -136,6 +136,8 @@ PRIORITY_ORDER = (
     "q110_subword_token_counts",  # L4: BPE-ish tokenizer fertility
     "q111_oov_rate",              # L4/L6: corpus-vocab OOV quality
     "q112_trimmed_mean",          # E9/E12: robust aggregation
+    "q113_weighted_sample",       # curation: weighted Bernoulli
+    "q114_corpus_mixture",        # curation: source-weighted mixing
     "q39_null_semantics",
     "q25_below_average_lineitems",
     "q41_hash_dedup_groups",
