@@ -223,12 +223,26 @@ def q103_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.col("grams"))).cast("double")
         / F.size("grams")
     )
-    return base.where(F.size("toks") > 0).select(
+    # Two-stage select: the fractions feed both a value column and the
+    # flag, and higher-order functions run interpreted (no codegen, no
+    # runtime CSE) — a single projection evaluates the O(distinct x n)
+    # token scan TWICE per row (measured: 2 array_max sites in the
+    # executed plan vs 1 here; CollapseProject declines to inline
+    # non-cheap expressions used more than once).
+    staged = base.where(F.size("toks") > 0).select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_tokens"),
         top_frac.alias("top_token_frac"),
         dup_frac.alias("dup_2gram_frac"),
-        ((top_frac > 0.2) | (dup_frac > 0.4)).alias("repetitive"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "dup_2gram_frac",
+        (
+            (F.col("top_token_frac") > 0.2) | (F.col("dup_2gram_frac") > 0.4)
+        ).alias("repetitive"),
     )
 
 

@@ -637,14 +637,21 @@ def q110_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sub = F.size(
         F.regexp_extract_all(lowered, F.lit(_SUBTOK_RE), 0)
     ).cast("bigint")
-    return (
-        docs.where(F.size(tokens("text")) > 0)
-        .select(
-            "doc_id",
-            n_ws.alias("n_ws_tokens"),
-            n_sub.alias("n_sub_tokens"),
-            (n_sub.cast("double") / n_ws).alias("fertility"),
-        )
+    # Two-stage select so the regex pass and the tokenizer run once
+    # per row (both feed two output columns; see q103 for the
+    # interpreted-projection recompute note).
+    staged = docs.where(F.size(tokens("text")) > 0).select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_sub.alias("n_sub_tokens"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_sub_tokens",
+        (
+            F.col("n_sub_tokens").cast("double") / F.col("n_ws_tokens")
+        ).alias("fertility"),
     )
 
 
