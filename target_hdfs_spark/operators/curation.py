@@ -566,3 +566,79 @@ def q114_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1).cast("bigint"), weight.cast("bigint"))
         ).alias("copy_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard export manifest (order-independent
+# checksums — the integrity record a 100 TB shard writer emits)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+# 60-bit content hash: 15 md5 hex chars always fit a positive int64,
+# and XOR-folding them is order-independent, so the checksum needs no
+# sort and no ordered aggregation anywhere.
+_DOC_H64_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "q115_shard_manifest",
+    oracle=f"""
+    SELECT {md5_hash32_sql("'shard|' || CAST(doc_id AS VARCHAR)")} % {_N_SHARDS}
+             AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOK})) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+           CAST(bit_xor({_DOC_H64_SQL}) AS BIGINT) AS checksum
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("curation", "export", "manifest"),
+)
+def q115_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest: deterministic hash assignment of
+    documents to a fixed shard count, with per-shard doc/token/byte
+    totals and an ORDER-INDEPENDENT checksum (XOR-fold of a 60-bit
+    per-document content hash). Re-running the export reproduces the
+    same manifest bit-for-bit, and a re-read shard can be verified
+    without sorting — the integrity record a shard writer emits
+    alongside the data.
+
+    Scale shape: one hash-partition shuffle on shard_id with full
+    map-side partial aggregation (count/sum/xor all combine); the
+    XOR checksum is what makes verification shuffle-only — an ordered
+    checksum (md5 of concatenated rows) would need a global sort per
+    shard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h64 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    shard = (
+        md5_hash32(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+        % _N_SHARDS
+    )
+    return (
+        docs.select(
+            shard.alias("shard_id"),
+            F.size(tokens("text")).alias("_nt"),
+            F.col("n_chars").alias("_nc"),
+            h64.alias("_h"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.sum("_nc").cast("bigint").alias("n_bytes"),
+            F.bit_xor("_h").alias("checksum"),
+        )
+    )

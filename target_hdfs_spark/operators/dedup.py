@@ -1026,3 +1026,164 @@ def q98_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2h: incremental dedup — triage a NEW batch against an existing base
+# corpus without re-deduplicating the base (the daily-ingest shape: at
+# 100 TB you dedup the 0.1% that arrived today against the index, not
+# the whole corpus)
+# ---------------------------------------------------------------------------
+
+_INC_MOD = 5  # doc_id % 5 == 0 -> the "incoming batch" (~20%)
+_INC_JACCARD = 0.2
+
+
+@query(
+    "q116_incremental_dedup",
+    oracle=f"""
+    WITH {_lsh_bands_sql()},
+    base_bands AS (SELECT * FROM bands WHERE doc_id % {_INC_MOD} <> 0),
+    inc_bands  AS (SELECT * FROM bands WHERE doc_id % {_INC_MOD} = 0),
+    bsz AS (
+      SELECT band_idx, band_key, COUNT(*) AS bucket_n, MIN(doc_id) AS rep
+      FROM base_bands GROUP BY 1, 2
+    ),
+    base_kept AS (
+      SELECT b.band_idx, b.band_key, b.doc_id
+      FROM base_bands b JOIN bsz USING (band_idx, band_key)
+      WHERE bucket_n <= {MAX_BUCKET}
+      UNION ALL
+      SELECT band_idx, band_key, rep AS doc_id
+      FROM bsz WHERE bucket_n > {MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT i.doc_id, k.doc_id AS base_id
+      FROM inc_bands i JOIN base_kept k USING (band_idx, band_key)
+    ),
+    doc_shingles AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_id, c.base_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN doc_shingles si ON si.doc_id = c.doc_id
+      JOIN doc_shingles sb ON sb.doc_id = c.base_id AND sb.shingle = si.shingle
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT co.doc_id, MIN(co.base_id) AS near_dup_of
+      FROM common co
+      JOIN sizes za ON za.doc_id = co.doc_id
+      JOIN sizes zb ON zb.doc_id = co.base_id
+      WHERE CAST(co.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - co.n_common)
+            >= {_INC_JACCARD}
+      GROUP BY 1
+    ),
+    base_h AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % {_INC_MOD} <> 0
+    ),
+    inc AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {_INC_MOD} = 0
+    )
+    SELECT i.doc_id,
+           (bh.h IS NOT NULL) AS exact_dup,
+           COALESCE(n.near_dup_of, -1) AS near_dup_of,
+           (bh.h IS NULL AND n.near_dup_of IS NULL) AS is_new
+    FROM inc i
+    LEFT JOIN base_h bh ON bh.h = i.h
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """,
+    tags=("dedup", "lsh", "incremental"),
+)
+def q116_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (online) dedup: triage an incoming batch against an
+    existing base corpus — exact content-hash membership, then
+    MinHash-LSH candidate probing with exact-Jaccard verification,
+    WITHOUT generating base-vs-base pairs. Each incoming doc gets
+    (exact_dup, near_dup_of = min verified base doc or -1, is_new).
+
+    Hot base buckets are probed via their min-doc_id representative
+    only (same star idea as `lsh_candidate_pairs`): the incoming doc
+    still collides with the bucket, but the verify fan-out stays
+    linear in batch size instead of bucket size.
+
+    Scale shape: this is the daily-ingest path — candidate generation
+    joins the small batch's bands against the base band index (a
+    broadcast at real batch/base ratios), and exact verification runs
+    on probed candidates only; the base corpus is never self-joined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % _INC_MOD == 0
+    sig = minhash_signatures(docs)
+    bands = _band_table(sig)
+    base_bands = bands.where(~((F.col("doc_id") % _INC_MOD) == 0))
+    inc_bands = bands.where((F.col("doc_id") % _INC_MOD) == 0)
+    bsz = base_bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n"), F.min("doc_id").alias("rep")
+    )
+    base_kept = (
+        base_bands.join(
+            bsz.where(F.col("bucket_n") <= MAX_BUCKET).select("band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .select("band_idx", "band_key", "doc_id")
+        .unionByName(
+            bsz.where(F.col("bucket_n") > MAX_BUCKET).select(
+                "band_idx", "band_key", F.col("rep").alias("doc_id")
+            )
+        )
+    )
+    cand = (
+        inc_bands.alias("i")
+        .join(base_kept.alias("k"), ["band_idx", "band_key"])
+        .select(
+            F.col("i.doc_id").alias("doc_id"), F.col("k.doc_id").alias("base_id")
+        )
+        .distinct()
+    )
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    si = sh.select(F.col("doc_id").alias("doc_id"), F.col("shingle").alias("sh_i"))
+    sb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b"))
+    common = (
+        cand.join(si, "doc_id")
+        .join(
+            sb,
+            (F.col("base_id") == F.col("b_doc")) & (F.col("sh_i") == F.col("sh_b")),
+        )
+        .groupBy("doc_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_id"), F.col("n_sh").alias("n_i"))
+    zb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_i") + F.col("n_b") - F.col("n_common")
+    )
+    near = (
+        common.join(za, "doc_id")
+        .join(zb, "base_id")
+        .where(jac >= _INC_JACCARD)
+        .groupBy("doc_id")
+        .agg(F.min("base_id").alias("near_dup_of"))
+    )
+    base_h = (
+        docs.where(~is_inc).select(F.md5("text").alias("h")).distinct()
+    )
+    inc = docs.where(is_inc).select("doc_id", F.md5("text").alias("h"))
+    return (
+        inc.join(base_h.withColumn("_hit", F.lit(1)), "h", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_hit").isNotNull().alias("exact_dup"),
+            F.coalesce(F.col("near_dup_of"), F.lit(-1)).cast("bigint").alias("near_dup_of"),
+            (F.col("_hit").isNull() & F.col("near_dup_of").isNull()).alias("is_new"),
+        )
+    )

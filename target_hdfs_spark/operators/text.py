@@ -714,3 +714,68 @@ def q111_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.cast("bigint").alias("n_oov"),
         (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6c: per-source calibrated quality gate — percentile thresholds, not
+# absolute ones (each source has its own score distribution; a global
+# cutoff over- or under-prunes whole sources)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q117_quality_percentile_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK}) AS uniq_ratio
+      FROM documents
+      WHERE len({_TOK}) > 0
+    )
+    SELECT doc_id, source, uniq_ratio,
+           PERCENT_RANK() OVER (PARTITION BY source ORDER BY uniq_ratio, doc_id)
+             AS pct_rank,
+           (PERCENT_RANK() OVER (PARTITION BY source ORDER BY uniq_ratio, doc_id)
+             >= 0.5) AS selected
+    FROM scored
+    """,
+    tags=("text", "quality", "window"),
+)
+def q117_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-calibrated quality gate: score every document
+    (unique-token ratio), rank it WITHIN its source with percent_rank,
+    and select the top half of each source — the per-source percentile
+    thresholding real pipelines use because score distributions differ
+    by source (a global cutoff would drop whole domains). Tie-break on
+    doc_id keeps the rank — hence the selection — deterministic.
+
+    Exactness: uniq_ratio is one double division of integers and
+    percent_rank is (rank-1)/(n-1), both computed identically by the
+    two engines.
+
+    Scale shape: one hash partition on source + per-partition sort; no
+    global sort. Skew note: sources are size-bounded corpus domains;
+    for a pathological mega-source, swap percent_rank for an
+    approx-quantile threshold join (same selection semantics, no
+    per-source sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.where(F.size(toks) > 0).select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("uniq_ratio"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("uniq_ratio", "doc_id")
+    pct = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "source",
+        "uniq_ratio",
+        pct.alias("pct_rank"),
+        (pct >= 0.5).alias("selected"),
+    )

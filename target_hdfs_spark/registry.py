@@ -122,6 +122,11 @@ PRIORITY_ORDER = (
     "q85_dedup_clusters",
     "q92_lsh_verified_pairs",
     "q98_corpus_pipeline",
+    # newest families first after the 50-window: export integrity,
+    # incremental (online) dedup, calibrated quality
+    "q115_shard_manifest",
+    "q116_incremental_dedup",
+    "q117_quality_percentile_filter",
     # second representatives of already-covered families
     "q95_lsh_editdistance_pairs",  # L2 variants (q42-q44 cover L2 early)
     "q96_simhash_hamming_pairs",

@@ -139,3 +139,27 @@ def test_q109_bloom_probe_stays_map_side(spark):
     plan = plan_of(spark, "q109_bloom_join_reduction")
     assert plan.count("BroadcastHashJoin") >= 5  # 4 probes + verify
     assert "CartesianProduct" not in plan
+
+
+def test_q115_manifest_single_shuffle_mapside_xor(spark):
+    plan = plan_of(spark, "q115_shard_manifest")
+    # one hash-partition shuffle on shard_id; checksum/count/sums all
+    # combine map-side (the order-independent-XOR design point)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_bit_xor" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q116_incremental_dedup_all_equi_joins(spark):
+    plan = plan_of(spark, "q116_incremental_dedup")
+    # base-vs-incoming probing must never degenerate to a product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q117_percentile_filter_no_global_sort(spark):
+    plan = plan_of(spark, "q117_quality_percentile_filter")
+    # per-source window: hash partition + per-partition sort only
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" in plan
