@@ -8,6 +8,16 @@ for the genuinely non-SQL-expressible ones -> rows-only check).
 
 All real logic lives in the target_hdfs_spark package; this module is
 pure wiring.
+
+Capability note (table formats): the sink writes parquet natively;
+``table_format="delta"|"iceberg"`` is a first-class, tested seam
+(``plans/writer.py::require_table_format``) that routes through the
+standard ``DataFrameWriter.format(...)`` API and fails fast with a
+typed ``TableFormatUnavailableError`` + remediation when the runtime
+jars are absent — as they are in this offline container. Parquet-
+native equivalents of the table-format semantics ship and are tested:
+swap-commit upsert/MERGE (plans/upsert.py), manifest-committed
+compaction (plans/compaction.py), schema-drift guard (plans/writer.py).
 """
 
 from __future__ import annotations

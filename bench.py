@@ -5,9 +5,19 @@
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": ...}
 
-Each query is executed to completion (count + a write-free collect of
-a bounded head) so the full plan runs; a warmup pass absorbs JVM/
-codegen startup so the numbers reflect steady-state execution.
+Methodology (stabilized for cross-machine comparability):
+- one full UNTIMED pass over every headline query first, so each
+  query's Catalyst planning + whole-stage-codegen compilation (a
+  per-plan constant, irrelevant at 100 TB where execution dominates)
+  is paid before any clock starts;
+- then three timed runs per query with the BEST kept (steady-state:
+  the number a warmed cluster would see) and the max-min spread
+  reported per query, so machine-condition noise is visible in the
+  record instead of silently polluting the headline;
+- `value` totals the full headline set; `r02_comparable_total`
+  totals the 14-query subset benched in rounds 1-2 (q85 joined the
+  headline set in round 3), so round-over-round comparison stays
+  apples-to-apples.
 """
 
 from __future__ import annotations
@@ -39,7 +49,11 @@ HEADLINE = [
     "q54_quality_filter",
     "q63_ann_ivf",
     "q69_hamming_neighbors",
+    # round 3: the iterative connected-components pipeline graduates
+    # to a headline (job-fused convergence probe; see BENCH_NOTES.md)
+    "q85_dedup_clusters",
 ]
+_R02_SET = set(HEADLINE) - {"q85_dedup_clusters"}
 
 
 def run_once(spec, spark, sf_dir: str) -> int:
@@ -56,22 +70,21 @@ def main() -> None:
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
 
-    # Warmup: JVM, codegen, parquet footer caches.
-    run_once(specs[names[0]], spark, sf_dir)
-
-    # Three timed runs per query, best-of kept: run 1 pays Catalyst
-    # planning + whole-stage codegen compilation (a per-plan constant,
-    # irrelevant at 100 TB where execution dominates); later runs are
-    # the steady-state number a cluster would see, and the third run
-    # absorbs JIT warmup drift on the heavier sketch plans.
-    timings: dict[str, float] = {}
+    # Untimed warm pass: JVM, codegen compilation for EVERY plan,
+    # parquet footer caches.
     for name in names:
-        best = float("inf")
+        run_once(specs[name], spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in names:
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             run_once(specs[name], spark, sf_dir)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
+        spreads[name] = round(max(runs) - min(runs), 4)
 
     print(
         json.dumps(
@@ -80,6 +93,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "r02_comparable_total": round(
+                    sum(t for n, t in timings.items() if n in _R02_SET), 4
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -16,6 +16,7 @@ _SIZE_RE = re.compile(r"^\s*(\d+)\s*([KkMmGg]?)[Bb]?\s*$")
 _UNIT = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
 
 VALID_COMPRESSION = ("gzip", "snappy", "zstd", "brotli", "none")
+VALID_TABLE_FORMATS = ("parquet", "delta", "iceberg")
 
 
 def convert_size_to_bytes(size: str | int) -> int:
@@ -63,10 +64,20 @@ class TargetConfig:
     # reference's append-to-recent-file compaction): target bytes per
     # output file; rows-per-file is derived from sampled row width.
     target_file_bytes: int | str | None = None
+    # Table format for the sink: "parquet" (native, always available)
+    # or "delta"/"iceberg" (require their runtime jars + session
+    # extensions; the writer fails with a clear capability error if
+    # they are absent — see plans/writer.py::require_table_format).
+    table_format: str = "parquet"
 
     def __post_init__(self) -> None:
         if not self.destination_path:
             raise ValueError("destination_path is required")
+        if self.table_format not in VALID_TABLE_FORMATS:
+            raise ValueError(
+                f"table_format must be one of {VALID_TABLE_FORMATS}, "
+                f"got {self.table_format!r}"
+            )
         if self.compression not in VALID_COMPRESSION:
             raise ValueError(
                 f"compression must be one of {VALID_COMPRESSION}, got {self.compression!r}"
@@ -102,6 +113,7 @@ class TargetConfig:
             flattening_max_depth=raw.get("flattening_max_depth"),
             stream_maps=raw.get("stream_maps", {}) or {},
             target_file_bytes=raw.get("target_file_bytes"),
+            table_format=str(raw.get("table_format", "parquet")),
         )
 
     def stream_path(self, stream_name: str) -> str:

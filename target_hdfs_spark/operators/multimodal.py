@@ -4,14 +4,17 @@ with decode / feature-extraction / resize / frame-sampling implemented
 as Arrow-batched ``mapInPandas`` stages.
 
 Real formats decoded with pure-Python header parsers (no codec libs
-in this container): PNG (signature + IHDR width/height/depth) and
-WAV (RIFF/WAVE fmt chunk: channels, sample rate, bits per sample).
-Header CRCs are NOT verified — this is metadata extraction, not
-integrity checking (same posture as file(1) / imghdr). Full pixel /
-PCM decode needs a codec library and stays an explicit
-NotImplementedError stub (JPEG branch). The engine's deterministic
-test format ``FAKE1`` (magic ``FAKE`` + uint32 width + uint32 height,
-little-endian, then payload) is kept for fixture tests.
+in this container): PNG (signature + IHDR width/height/depth), JPEG
+(marker-segment walk to the SOF frame header: width, height,
+component count — the standard dimension probe, no entropy decode
+needed), and WAV (RIFF/WAVE fmt chunk: channels, sample rate, bits
+per sample). Header CRCs are NOT verified — this is metadata
+extraction, not integrity checking (same posture as file(1) /
+imghdr). Full pixel / PCM decode would need a codec library; header
+metadata is complete for all three formats. The engine's
+deterministic test format ``FAKE1`` (magic ``FAKE`` + uint32 width +
+uint32 height, little-endian, then payload) is kept for fixture
+tests.
 
 Scale: binary payloads ride in the same parquet row groups; metadata
 predicates (width/height/n_bytes) prune *before* any decode; the
@@ -57,14 +60,61 @@ WAV_HEADER_LEN = WAV_HEADER.size  # 36
 WAV_DATA_PREFIX_LEN = 8  # 'data' + uint32 size
 
 
+# JPEG start-of-frame markers that carry dimensions: SOF0-SOF15 minus
+# DHT (C4), JPG (C8), DAC (CC) which share the numeric range but are
+# not frame headers (ITU T.81 table B.1).
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+# markers with no length field: TEM, SOI, EOI, RST0-7
+_JPEG_BARE_MARKERS = frozenset({0x01, 0xD8, 0xD9}) | frozenset(range(0xD0, 0xD8))
+
+
+def _jpeg_sof(blob: bytes) -> tuple[int, int, int] | None:
+    """Walk JPEG marker segments to the first SOF header and return
+    (width, height, sof_segment_end_offset), or None if the stream
+    desyncs or ends before a frame header. Pure header walk — the
+    length-prefixed segment chain (ITU T.81 §B.1.1.4) makes dimensions
+    reachable without any entropy decoding."""
+    n = len(blob)
+    i = 2  # past SOI
+    while i + 2 <= n:
+        if blob[i] != 0xFF:
+            return None  # desynchronized: not at a marker boundary
+        marker = blob[i + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            i += 1
+            continue
+        i += 2
+        if marker in _JPEG_BARE_MARKERS:
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            continue
+        if marker == 0xDA:  # SOS: entropy-coded data; SOF must precede
+            return None
+        if i + 2 > n:
+            return None
+        seg_len = int.from_bytes(blob[i : i + 2], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            # segment: len(2) precision(1) height(2) width(2) ncomp(1)
+            if i + 7 > n:
+                return None
+            h = int.from_bytes(blob[i + 3 : i + 5], "big")
+            w = int.from_bytes(blob[i + 5 : i + 7], "big")
+            return (w, h, i + seg_len)
+        i += seg_len
+    return None
+
+
 def decode_image_meta(blob: bytes) -> tuple[int, int, int, str]:
     """Parse image header -> (width, height, payload_bytes, format).
 
     PNG: real parse of the 8-byte signature + IHDR chunk (width and
     height are big-endian uint32 at offsets 16/20 per the PNG spec).
-    Chunk CRCs are not verified (metadata extraction, not integrity).
-    JPEG needs an entropy decode for dimensions in the general case —
-    kept as an explicit stub since no codec library ships here.
+    JPEG: real marker-segment walk to the SOF frame header (dimensions
+    are in the frame header, before any entropy-coded data, so no
+    codec is needed — ITU T.81 §B.2.2). Chunk CRCs / entropy streams
+    are not verified (metadata extraction, not integrity).
     """
     if blob is None:
         return (0, 0, 0, "null")
@@ -79,10 +129,11 @@ def decode_image_meta(blob: bytes) -> tuple[int, int, int, str]:
         _, w, h = _HEADER.unpack(blob[: _HEADER.size])
         return (w, h, len(blob) - _HEADER.size, "fake1")
     if blob[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG dimension decode requires a codec library not installed "
-            "in this environment; plug a decoder into decode_image_meta"
-        )
+        sof = _jpeg_sof(blob)
+        if sof is None:
+            return (0, 0, len(blob), "jpeg_corrupt")
+        w, h, payload_start = sof
+        return (w, h, len(blob) - payload_start, "jpeg")
     return (0, 0, len(blob), "unknown")
 
 
@@ -106,6 +157,32 @@ def encode_png(width: int, height: int, payload: bytes = b"") -> bytes:
         + crc.to_bytes(4, "big")
         + payload
     )
+
+
+JPEG_SOI = b"\xff\xd8"
+JPEG_APP0 = (
+    b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
+    b"\x00\x01\x00\x01\x00\x00"
+)
+# SOI + APP0 + SOF0 (precision 8, 3 components, 9 component bytes)
+JPEG_HEADER_LEN = 2 + 18 + 19
+
+
+def encode_jpeg(width: int, height: int, payload: bytes = b"") -> bytes:
+    """Minimal structurally-valid JFIF prefix: SOI + APP0 + SOF0 frame
+    header for an 8-bit 3-component image, followed by ``payload``
+    standing in for the entropy-coded stream. Fixture twin of
+    ``_jpeg_sof`` (and what q61 synthesizes JVM-side)."""
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")  # 2 len + 1 precision + 4 dims + 1 n + 9
+        + bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([3])
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # id/sampling/qtable
+    )
+    return JPEG_SOI + JPEG_APP0 + sof0 + payload
 
 
 def decode_audio_meta(blob: bytes) -> tuple[int, int, int, int, str]:
@@ -283,49 +360,61 @@ def q60_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q61_image_decode_pipeline",
     oracle="""
-    SELECT 'png' AS format,
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format,
            CAST(COUNT(*) AS BIGINT) AS n_images,
            CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_payload_bytes,
            CAST(MAX(doc_id % 127 + 1) AS INT) AS max_width,
            CAST(MAX(doc_id % 97 + 1) AS INT) AS max_height
     FROM documents
+    GROUP BY 1
     """,
     tags=("multimodal", "udf", "mapInPandas"),
 )
 def q61_image_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end image decode: synthesize VALID PNGs per document
-    (signature + IHDR with a real CRC computed JVM-side via crc32 +
-    unhex; text bytes stand in for the IDAT stream), decode width /
-    height / payload size with the pure-Python PNG header parser over
-    Arrow-batched mapInPandas, filter on decoded width, aggregate.
+    """End-to-end image decode over a MIXED-format corpus: even doc_ids
+    become VALID JFIF/SOF0 JPEGs, odd doc_ids valid PNGs (signature +
+    IHDR with a real CRC computed JVM-side via crc32 + unhex) — text
+    bytes stand in for the entropy/IDAT stream in both. The pure-Python
+    header parsers (PNG IHDR read, JPEG marker-segment walk) decode
+    width / height / payload size over Arrow-batched mapInPandas,
+    followed by filter + per-format aggregation.
 
     Exactness: the oracle recomputes the expected aggregates from the
-    same (doc_id, text) inputs, so the check proves the synthesized
-    header round-trips through the real parser bit-for-bit.
+    same (doc_id, text) inputs, so the check proves BOTH synthesized
+    headers round-trip through their real parsers bit-for-bit.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # width/height are single low bytes (1..127) inside big-endian
-    # uint32 fields, so chr() stays 1-byte UTF-8
-    w_bytes = F.concat(
-        F.lit(bytes(3)), F.encode(F.expr("chr(doc_id % 127 + 1)"), "UTF-8")
+    # width/height are single low bytes (1..127) inside the big-endian
+    # fields (uint32 for PNG, uint16 for JPEG), so chr() stays 1-byte
+    w_byte = F.encode(F.expr("chr(doc_id % 127 + 1)"), "UTF-8")
+    h_byte = F.encode(F.expr("chr(doc_id % 97 + 1)"), "UTF-8")
+    ihdr_data = F.concat(
+        F.lit(bytes(3)), w_byte, F.lit(bytes(3)), h_byte,
+        F.lit(bytes([8, 2, 0, 0, 0])),
     )
-    h_bytes = F.concat(
-        F.lit(bytes(3)), F.encode(F.expr("chr(doc_id % 97 + 1)"), "UTF-8")
-    )
-    ihdr_data = F.concat(w_bytes, h_bytes, F.lit(bytes([8, 2, 0, 0, 0])))
     crc = F.unhex(
         F.lpad(F.hex(F.crc32(F.concat(F.lit(b"IHDR"), ihdr_data))), 8, "0")
     )
+    png = F.concat(
+        F.lit(PNG_SIG),
+        F.lit((13).to_bytes(4, "big")),
+        F.lit(b"IHDR"),
+        ihdr_data,
+        crc,
+        F.encode("text", "UTF-8"),
+    )
+    # JFIF: SOI + APP0 + SOF0 (precision 8, h, w, 3 components)
+    jpeg = F.concat(
+        F.lit(JPEG_SOI + JPEG_APP0),
+        F.lit(b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])),
+        F.lit(b"\x00"), h_byte,
+        F.lit(b"\x00"), w_byte,
+        F.lit(bytes([3]) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])),
+        F.encode("text", "UTF-8"),
+    )
     imgs = docs.select(
         "doc_id",
-        F.concat(
-            F.lit(PNG_SIG),
-            F.lit((13).to_bytes(4, "big")),
-            F.lit(b"IHDR"),
-            ihdr_data,
-            crc,
-            F.encode("text", "UTF-8"),
-        ).alias("image"),
+        F.when(F.col("doc_id") % 2 == 0, jpeg).otherwise(png).alias("image"),
     )
     meta = with_image_meta(imgs, "image")
     return (
@@ -349,7 +438,7 @@ def q61_image_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q62_frame_sampling",
     oracle=None,
-    tags=("multimodal", "video", "mapInPandas"),
+    tags=("multimodal", "video", "mapInPandas", "rows-only"),
 )
 def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over opaque binary payloads: every
@@ -476,7 +565,7 @@ def q94_wav_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q64_audio_features",
     oracle=None,
-    tags=("multimodal", "audio", "mapInPandas"),
+    tags=("multimodal", "audio", "mapInPandas", "rows-only"),
 )
 def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-feature pipeline over binary payloads: windowed amplitude

@@ -775,7 +775,7 @@ def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q20_approx_aggs",
     oracle=None,
-    tags=("agg", "approx"),
+    tags=("agg", "approx", "rows-only"),
 )
 def q20_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates: approx_count_distinct (HyperLogLog++) and
@@ -804,7 +804,7 @@ def q20_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q21_sample",
     oracle=None,
-    tags=("sample",),
+    tags=("sample", "rows-only"),
 )
 def q21_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample of lineitem. Deterministic per Spark

@@ -798,7 +798,7 @@ def kmeans_train(
 @query(
     "q78_kmeans_ivf_cells",
     oracle=None,
-    tags=("similarity", "kmeans", "iterative"),
+    tags=("similarity", "kmeans", "iterative", "rows-only"),
 )
 def q78_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train IVF centroids with 3 Lloyd iterations, then report cell

@@ -34,6 +34,54 @@ class SchemaChangedError(RuntimeError):
     destination (reference: target_hdfs/utils/hdfs.py:17-18)."""
 
 
+class TableFormatUnavailableError(RuntimeError):
+    """A delta/iceberg write was requested but the format's runtime
+    jars are not on the session classpath. The write seam itself is
+    format-agnostic (`DataFrameWriter.format(...)`); this error makes
+    the capability gap explicit instead of surfacing as an opaque
+    ClassNotFoundException mid-write."""
+
+
+# classpath marker + remediation per optional table format
+_TABLE_FORMAT_MARKERS = {
+    "delta": (
+        "org.apache.spark.sql.delta.DeltaLog",
+        "add the delta-spark runtime jars and set "
+        "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension",
+    ),
+    "iceberg": (
+        "org.apache.iceberg.spark.source.IcebergSource",
+        "add the iceberg-spark-runtime jar and configure an Iceberg "
+        "catalog (spark.sql.catalog.*)",
+    ),
+}
+
+
+def table_format_available(spark: SparkSession, table_format: str) -> bool:
+    """True if the session can write `table_format` (parquet: always;
+    delta/iceberg: probe the JVM classpath for the runtime)."""
+    if table_format == "parquet":
+        return True
+    marker, _ = _TABLE_FORMAT_MARKERS[table_format]
+    try:
+        spark._jvm.java.lang.Class.forName(marker)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def require_table_format(spark: SparkSession, table_format: str) -> None:
+    """Fail fast with remediation if the format runtime is absent."""
+    if table_format not in ("parquet", *_TABLE_FORMAT_MARKERS):
+        raise ValueError(f"unknown table_format {table_format!r}")
+    if not table_format_available(spark, table_format):
+        _, remedy = _TABLE_FORMAT_MARKERS[table_format]
+        raise TableFormatUnavailableError(
+            f"table_format={table_format!r} requested but its runtime is "
+            f"not on the classpath; {remedy}"
+        )
+
+
 def get_block_size(spark: SparkSession) -> int:
     """dfs.blocksize from the live Hadoop conf (no subprocess)."""
     try:
@@ -151,7 +199,14 @@ def write_stream(
     `skip_existing_files=True` (R26) bypasses the drift guard and
     always lays down new files — the same opt-out the reference wires
     through `HDFSSink.__init__` (reference: target_hdfs/sinks.py:30,38).
+
+    `config.table_format` selects the sink format: parquet is native;
+    delta/iceberg go through the same `DataFrameWriter` seam and fail
+    fast with `TableFormatUnavailableError` (+ remediation) when their
+    runtime jars are absent — the capability is a tested interface,
+    not a silent ClassNotFoundException.
     """
+    require_table_format(spark, config.table_format)
     if not config.skip_existing_files:
         enforce_schema_unchanged(spark, df, path, config.partition_cols)
     if rows_per_file is None:
@@ -163,4 +218,7 @@ def write_stream(
     )
     if config.partition_cols:
         writer = writer.partitionBy(*config.partition_cols)
-    writer.parquet(path)
+    if config.table_format == "parquet":
+        writer.parquet(path)
+    else:
+        writer.format(config.table_format).save(path)

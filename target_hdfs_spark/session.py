@@ -33,6 +33,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead
+        # of refusing to go below default parallelism (the Spark-docs
+        # recommended production setting): a reduce stage whose data
+        # fits one advisory-sized partition runs 1 task, not 32 — at
+        # sf0.1 this removes ~30 no-op tasks per shuffle, and on a
+        # real cluster it keeps reducers advisory-sized as data grows.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

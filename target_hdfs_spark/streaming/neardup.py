@@ -1,0 +1,149 @@
+"""Streaming near-duplicate suppression with arbitrary keyed state
+(SURVEY §2B.3 × §2B.2 L2): the bucket-root dedup rule
+(operators/dedup.py::bucket_root_dedup) run over an arriving document
+stream via ``applyInPandasWithState``.
+
+Shape: JVM computes the shingle->md5 hash array once per document
+(the expensive part stays in codegen); a stateless ``mapInPandas``
+stage folds the universal-hash minima into the 16-component minhash
+signature and the single-band bucket key; then
+``groupBy(bucket).applyInPandasWithState`` holds ONE state row per
+bucket — the root representative's (doc_id, signature) — and each
+arriving document is emitted iff it is the bucket's first arrival
+(the root) or its estimated similarity to the root is below the
+threshold.
+
+Why root-only state: the state store shards by key, so per-bucket
+state must be bounded for the operator to survive 100 TB/day — one
+signature per bucket is O(buckets), not O(documents), and it is
+exactly the rule whose batch twin (q118) is oracle-checked, giving
+the streaming operator a hard equivalence target (proven on ordered
+arrivals in tests/test_streaming_neardup.py, including
+checkpoint-kill-resume).
+
+Multi-band recall (a doc is near-dup if ANY band collides) needs a
+doc to own rows under several keys at once — that is the batch path
+(q43/q85/q116); a streaming state-store operator gets one key per
+row, so single-band is the honest streaming trade-off and is
+documented as such.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from target_hdfs_spark.functions.hashing import MERSENNE_P, hash_coeffs, md5_hash32
+from target_hdfs_spark.functions.textfuncs import shingles, tokens
+from target_hdfs_spark.operators.dedup import (
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    SINGLE_BAND_SIM,
+)
+
+_COEFFS = hash_coeffs(NUM_HASHES)
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bucket", T.StringType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("root_id", T.LongType()),
+        T.StructField("est_sim", T.DoubleType()),
+    ]
+)
+
+# one root representative per bucket: its id + comma-joined signature
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("root_id", T.LongType()),
+        T.StructField("root_sig", T.StringType()),
+    ]
+)
+
+
+def _signature(hash_list) -> list[int]:
+    """16 universal-hash minima over the shingle-hash array — the same
+    (a*h + b) % p arithmetic the JVM/oracle use; Python ints are exact
+    so the components agree bit-for-bit with q118's."""
+    hs = list(hash_list)
+    if not hs:
+        return [0] * NUM_HASHES
+    return [min((a * h + b) % MERSENNE_P for h in hs) for (a, b) in _COEFFS]
+
+
+def _sig_batches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    for pdf in batches:
+        sigs = [_signature(hs) for hs in pdf["hs"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "bucket": [
+                    "_".join(str(c) for c in s[:ROWS_PER_BAND]) for s in sigs
+                ],
+                "sig": sigs,
+            }
+        )
+
+
+def _dedup_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState, threshold: float
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        root_id, root_sig_s = state.get
+        root_sig = [int(c) for c in root_sig_s.split(",")]
+    else:
+        root_id, root_sig = None, None
+    out: list[tuple[int, int, float]] = []
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # deterministic arrival order within the micro-batch: doc_id —
+    # matching the batch twin's min-doc_id root election when ids
+    # arrive in order
+    whole = whole.sort_values("doc_id")
+    for doc_id, sig in zip(whole["doc_id"], whole["sig"]):
+        sig = list(sig)
+        if root_id is None:
+            root_id, root_sig = int(doc_id), sig
+            state.update((root_id, ",".join(str(c) for c in root_sig)))
+            out.append((int(doc_id), root_id, 1.0))
+            continue
+        est = sum(a == b for a, b in zip(sig, root_sig)) / NUM_HASHES
+        if est < threshold:
+            out.append((int(doc_id), root_id, est))
+    yield pd.DataFrame(out, columns=["doc_id", "root_id", "est_sim"])
+
+
+def streaming_bucket_root_dedup(
+    docs: DataFrame, threshold: float = SINGLE_BAND_SIM
+) -> DataFrame:
+    """Streaming twin of q118: `docs` is a streaming DataFrame with
+    (doc_id, text); returns the accepted documents as
+    (doc_id, root_id, est_sim) with per-bucket root state persisted
+    in the state store across micro-batches and restarts."""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(shingles(tokens("text")), md5_hash32).alias("hs"),
+    ).filter(F.size("hs") > 0)  # batch twin drops shingle-less docs (explode)
+    with_sig = hashed.mapInPandas(_sig_batches, SIG_SCHEMA)
+
+    def fn(key, pdfs, state):
+        return _dedup_group(key, pdfs, state, threshold)
+
+    return with_sig.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -25,10 +25,11 @@ def test_decode_unknown_and_null():
     assert decode_image_meta(None) == (0, 0, 0, "null")
 
 
-def test_real_codecs_are_explicit_stubs():
+def test_jpeg_truncated_header_is_corrupt_not_crash():
+    # formerly the documented NotImplementedError stub; the JPEG
+    # marker walk is real now, and a truncated APP0 reports corrupt
     jpeg_header = b"\xff\xd8\xff\xe0" + b"\x00" * 8
-    with pytest.raises(NotImplementedError):
-        decode_image_meta(jpeg_header)
+    assert decode_image_meta(jpeg_header) == (0, 0, 12, "jpeg_corrupt")
 
 
 def test_with_image_meta_schema_and_values(spark):
@@ -94,3 +95,60 @@ def test_with_audio_meta_schema_and_values(spark):
     assert got[1].format == "wav"
     assert got[2].format == "unknown"
     assert got[3].format == "null"
+
+
+def test_jpeg_header_roundtrip():
+    from target_hdfs_spark.operators.multimodal import decode_image_meta, encode_jpeg
+
+    blob = encode_jpeg(640, 480, b"entropy-stand-in")
+    assert decode_image_meta(blob) == (640, 480, 16, "jpeg")
+    # truncated before the SOF header -> corrupt, not a crash
+    assert decode_image_meta(blob[:20]) == (0, 0, 20, "jpeg_corrupt")
+    # EOI before any SOF -> corrupt
+    assert decode_image_meta(b"\xff\xd8\xff\xd9") == (0, 0, 4, "jpeg_corrupt")
+
+
+def test_jpeg_sof_variants_and_skips():
+    from target_hdfs_spark.operators.multimodal import decode_image_meta, encode_jpeg
+
+    # progressive (SOF2) carries dimensions identically
+    prog = bytearray(encode_jpeg(31, 7, b"xy"))
+    prog[21] = 0xC2  # SOF0 -> SOF2 marker byte
+    assert decode_image_meta(bytes(prog)) == (31, 7, 2, "jpeg")
+    # a DHT segment (0xC4, inside the SOF numeric range) is skipped
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\x00\x01\x02"
+    with_dht = b"\xff\xd8" + dht + encode_jpeg(9, 9, b"zz")[2:]
+    assert decode_image_meta(with_dht) == (9, 9, 2, "jpeg")
+    # fill bytes and bare RST markers before SOF are tolerated
+    assert decode_image_meta(b"\xff\xd8\xff" + encode_jpeg(5, 6, b"q")[2:]) == (
+        5, 6, 1, "jpeg",
+    )
+    assert decode_image_meta(b"\xff\xd8\xff\xd0" + encode_jpeg(3, 4, b"ab")[2:]) == (
+        3, 4, 2, "jpeg",
+    )
+    # SOS before SOF (dimensions unreachable without entropy decode)
+    sos = b"\xff\xda" + (2).to_bytes(2, "big")
+    assert decode_image_meta(b"\xff\xd8" + sos + b"\x12\x34")[-1] == "jpeg_corrupt"
+
+
+def test_with_image_meta_mixed_formats(spark):
+    from target_hdfs_spark.operators.multimodal import (
+        encode_fake_image,
+        encode_jpeg,
+        encode_png,
+        with_image_meta,
+    )
+
+    rows = [
+        (1, encode_png(10, 20, b"p")),
+        (2, encode_jpeg(30, 40, b"jj")),
+        (3, encode_fake_image(5, 6, b"xyz")),
+        (4, b"not-an-image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    got = {r.doc_id: r.image_meta for r in with_image_meta(df, "image").collect()}
+    assert (got[1].width, got[1].height, got[1].format) == (10, 20, "png")
+    assert (got[2].width, got[2].height, got[2].format) == (30, 40, "jpeg")
+    assert (got[2].n_payload_bytes) == 2
+    assert (got[3].width, got[3].height, got[3].format) == (5, 6, "fake1")
+    assert got[4].format == "unknown"

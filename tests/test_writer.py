@@ -50,3 +50,36 @@ def test_estimate_rows_per_file_scales_with_target(spark):
     small = estimate_rows_per_file(df, 1 << 20)
     large = estimate_rows_per_file(df, 64 << 20)
     assert large >= small >= 1000
+
+
+def test_table_format_seam_parquet_always_available(spark):
+    from target_hdfs_spark.plans.writer import table_format_available
+
+    assert table_format_available(spark, "parquet") is True
+
+
+@pytest.mark.parametrize("fmt,hint", [("delta", "delta-spark"), ("iceberg", "iceberg-spark-runtime")])
+def test_table_format_seam_fails_fast_without_jars(spark, tmp_path, fmt, hint):
+    """The delta/iceberg seam is a tested interface: in this jar-less
+    environment the write fails BEFORE touching the destination, with
+    a typed error naming the missing runtime and its remediation —
+    with the jars present the same writer goes through
+    DataFrameWriter.format(fmt).save(path)."""
+    from target_hdfs_spark.plans.writer import TableFormatUnavailableError
+
+    df = spark.range(10).selectExpr("id AS v")
+    config = TargetConfig(
+        destination_path=str(tmp_path), compression="snappy", table_format=fmt
+    )
+    with pytest.raises(TableFormatUnavailableError, match=hint):
+        write_stream(spark, df, str(tmp_path / "s"), config, rows_per_file=100)
+    assert not glob.glob(str(tmp_path / "s" / "*")), "must not write on failure"
+
+
+def test_table_format_config_validation():
+    with pytest.raises(ValueError, match="table_format"):
+        TargetConfig(destination_path="/x", table_format="orc-nope")
+    c = TargetConfig.from_dict(
+        {"hdfs_destination_path": "/x", "table_format": "delta"}
+    )
+    assert c.table_format == "delta"
