@@ -98,17 +98,22 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     worst executor stays linear in the bucket size. Pairwise verifiers
     (q92) see the star edges as candidates like any others.
     """
-    bands = _band_table(sig)
-    sizes = bands.groupBy("band_idx", "band_key").agg(
-        F.count(F.lit(1)).alias("bucket_n")
+    # bucket size + root via ONE window over the bucket key instead of
+    # a sizes aggregate joined back twice: the single Exchange that
+    # hash-partitions bands by (band_idx, band_key) serves the window
+    # AND pre-partitions both sides of the bucket self-join (no
+    # re-shuffle — the join keys equal the window partition keys)
+    w = Window.partitionBy("band_idx", "band_key")
+    bands = _band_table(sig).select(
+        "doc_id",
+        "band_idx",
+        "band_key",
+        F.count(F.lit(1)).over(w).alias("bucket_n"),
+        F.min("doc_id").over(w).alias("root"),
     )
-    ok_buckets = sizes.filter(F.col("bucket_n").between(2, MAX_BUCKET)).select(
-        "band_idx", "band_key"
+    kept = bands.filter(F.col("bucket_n").between(2, MAX_BUCKET)).select(
+        "doc_id", "band_idx", "band_key"
     )
-    hot_buckets = sizes.filter(F.col("bucket_n") > MAX_BUCKET).select(
-        "band_idx", "band_key"
-    )
-    kept = bands.join(ok_buckets, ["band_idx", "band_key"])
     a, c = kept.alias("a"), kept.alias("c")
     normal_pairs = a.join(
         c,
@@ -116,13 +121,8 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         & (F.col("a.band_key") == F.col("c.band_key"))
         & (F.col("a.doc_id") < F.col("c.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-    hot_docs = bands.join(hot_buckets, ["band_idx", "band_key"])
-    hot_roots = hot_docs.groupBy("band_idx", "band_key").agg(
-        F.min("doc_id").alias("root")
-    )
     star_pairs = (
-        hot_docs.join(hot_roots, ["band_idx", "band_key"])
-        .filter(F.col("doc_id") > F.col("root"))
+        bands.filter((F.col("bucket_n") > MAX_BUCKET) & (F.col("doc_id") > F.col("root")))
         .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     return normal_pairs.unionByName(star_pairs).distinct()
