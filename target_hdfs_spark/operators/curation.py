@@ -642,3 +642,64 @@ def q115_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("_h").alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: deterministic FIXED-SIZE weighted sample — priority
+# sampling (Duffield, Lund, Thorup, "Priority sampling for estimation
+# of arbitrary subset sums", JACM 2007): priority = weight / uniform,
+# keep the k largest. Complements q113 (weighted Bernoulli: expected
+# size) with an exact-size guarantee, which is what shard-sized
+# corpus exports actually need.
+# ---------------------------------------------------------------------------
+
+_PRIORITY_K = 50
+
+
+@query(
+    "q121_priority_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(n_chars AS DOUBLE)
+             / ((CAST({md5_hash32_sql("'pri|' || CAST(doc_id AS VARCHAR)")}
+                 AS DOUBLE) + 1) / 4294967296.0) AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, priority
+    FROM pri
+    ORDER BY priority DESC, doc_id
+    LIMIT {_PRIORITY_K}
+    """,
+    tags=("curation", "sampling", "weighted", "topk"),
+)
+def q121_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic priority sampling: each document draws a
+    hash-derived uniform u in (0, 1] and a priority n_chars / u; the
+    k highest-priority documents form a fixed-size sample whose
+    inclusion odds are proportional to weight (big documents enter
+    with near-certainty, small ones with probability ~ w/tau). The
+    u's come from the portable md5 hash, so the "random" sample is
+    bit-reproducible across engines AND across reruns — auditable
+    corpus sampling. Division of two int-derived doubles is IEEE-
+    exact (no transcendentals), so the oracle matches bit-for-bit.
+
+    Scale: scan-side priority computation + a global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_hash32(F.concat(F.lit("pri|"), F.col("doc_id").cast("string")))
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars").cast("double") / u).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(_PRIORITY_K)
+    )

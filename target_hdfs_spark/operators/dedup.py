@@ -1298,3 +1298,86 @@ def q118_bucket_root_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_neardup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return bucket_root_dedup(minhash_signatures(docs))
+
+
+# ---------------------------------------------------------------------------
+# L2j: LSH candidates + shingle CONTAINMENT verification — asymmetric
+# near-dup (quote/subset detection that symmetric Jaccard misses:
+# a short doc fully contained in a long one has low Jaccard but
+# containment 1.0)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q120_minhash_containment",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL},
+    doc_shingles AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN doc_shingles sa ON sa.doc_id = p.doc_a
+      JOIN doc_shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_common AS DOUBLE) / za.n_sh AS contain_a_in_b,
+           CAST(c.n_common AS DOUBLE) / zb.n_sh AS contain_b_in_a
+    FROM common c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WHERE greatest(CAST(c.n_common AS DOUBLE) / za.n_sh,
+                   CAST(c.n_common AS DOUBLE) / zb.n_sh) >= 0.6
+    """,
+    tags=("dedup", "lsh", "containment", "verify"),
+)
+def q120_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection: LSH candidate pairs
+    verified by shingle-set CONTAINMENT (|A∩B|/|A| and |A∩B|/|B|)
+    instead of Jaccard — the quote / excerpt / superset shape (Lee et
+    al.'s "approximate containment"): a 100-shingle doc embedded in a
+    5000-shingle doc scores containment 1.0 but Jaccard 0.02, so a
+    Jaccard gate never sees it.
+
+    Scale: same candidate-bounded join shape as q92 (verification
+    touches LSH candidates only, hot buckets capped); the two
+    containment ratios reuse one n_common aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b"))
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("b_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    c_ab = F.col("n_common").cast("double") / F.col("na")
+    c_ba = F.col("n_common").cast("double") / F.col("nb")
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("contain_a_in_b"), F.col("contain_b_in_a")) >= 0.6
+        )
+    )

@@ -779,3 +779,60 @@ def q117_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
         pct.alias("pct_rank"),
         (pct >= 0.5).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6: unigram-LM quality score (model-based quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_unigram_lm_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+    cf AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_tok FROM tok)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(cf.cf) AS DOUBLE) / (n.n_tok * COUNT(*)) AS avg_tok_prob,
+           MIN(CAST(cf.cf AS DOUBLE) / n.n_tok) AS min_tok_prob
+    FROM tok JOIN cf USING (token) CROSS JOIN n
+    GROUP BY tok.doc_id, n.n_tok
+    """,
+    tags=("text", "quality", "lm"),
+)
+def q119_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality: score each document under the
+    corpus's own unigram language model — the mean and minimum corpus
+    probability of its tokens. Gibberish / OOV-heavy documents score
+    low on both; boilerplate scores high. This is the SQL-expressible
+    core of perplexity filtering (CCNet-style): the mean is arithmetic
+    rather than geometric because transcendentals (ln) are banned from
+    checkable outputs engine-wide (q52's rationale) — the ranking
+    signal is the same rare-token sensitivity.
+
+    Scale: one explode + two token-keyed shuffles (corpus frequency,
+    per-doc aggregate); the corpus token total rides as a broadcast
+    scalar, never a collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    cf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    prob = F.col("cf").cast("double") / F.col("n_tok")
+    return (
+        tok.join(cf, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # mean prob as a ratio of EXACT integer sums — avg(double)
+            # is summation-order-dependent and engines partial-agg in
+            # different orders, so the naive AVG can drift an ulp
+            (
+                F.sum("cf").cast("double")
+                / (F.first("n_tok") * F.count(F.lit(1)))
+            ).alias("avg_tok_prob"),
+            F.min(prob).alias("min_tok_prob"),
+        )
+    )

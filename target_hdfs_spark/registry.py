@@ -126,6 +126,11 @@ PRIORITY_ORDER = (
     # rewritten this round (q01 needs no canary slot — the driver's
     # entry() smoke check runs it every round anyway) ----------------
     "q85_dedup_clusters",
+    # --- new in round 3, positions 51-53: first in line for the
+    # round-4 window rotation --------------------------------------
+    "q119_unigram_lm_quality",
+    "q120_minhash_containment",
+    "q121_priority_sample",
     # --- driver-green veterans (rounds 1-2), family order ----------
     "q01_pricing_summary",
     "q02_filter_project",
