@@ -17,6 +17,7 @@ _UNIT = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
 
 VALID_COMPRESSION = ("gzip", "snappy", "zstd", "brotli", "none")
 VALID_TABLE_FORMATS = ("parquet", "delta", "iceberg")
+VALID_SCHEMA_EVOLUTION = ("strict", "additive")
 
 
 def convert_size_to_bytes(size: str | int) -> int:
@@ -69,6 +70,11 @@ class TargetConfig:
     # extensions; the writer fails with a clear capability error if
     # they are absent — see plans/writer.py::require_table_format).
     table_format: str = "parquet"
+    # Schema-drift policy: "strict" = the reference's behavior (any
+    # name/type change fails, R27); "additive" = NEW columns are
+    # accepted (old files read as null via mergeSchema) while type
+    # changes and column drops still fail loudly.
+    schema_evolution: str = "strict"
 
     def __post_init__(self) -> None:
         if not self.destination_path:
@@ -77,6 +83,11 @@ class TargetConfig:
             raise ValueError(
                 f"table_format must be one of {VALID_TABLE_FORMATS}, "
                 f"got {self.table_format!r}"
+            )
+        if self.schema_evolution not in VALID_SCHEMA_EVOLUTION:
+            raise ValueError(
+                f"schema_evolution must be one of {VALID_SCHEMA_EVOLUTION}, "
+                f"got {self.schema_evolution!r}"
             )
         if self.compression not in VALID_COMPRESSION:
             raise ValueError(
@@ -114,6 +125,7 @@ class TargetConfig:
             stream_maps=raw.get("stream_maps", {}) or {},
             target_file_bytes=raw.get("target_file_bytes"),
             table_format=str(raw.get("table_format", "parquet")),
+            schema_evolution=str(raw.get("schema_evolution", "strict")),
         )
 
     def stream_path(self, stream_name: str) -> str:

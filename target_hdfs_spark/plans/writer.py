@@ -133,10 +133,18 @@ def _normalize(schema: T.StructType) -> list[tuple[str, str]]:
 
 
 def enforce_schema_unchanged(
-    spark: SparkSession, df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    evolution: str = "strict",
 ) -> None:
-    """Raise SchemaChangedError when `df` no longer matches the data
-    at `path` (strict name+type equality, R27)."""
+    """Schema-drift guard (R27). ``evolution="strict"`` raises
+    SchemaChangedError on any name/type change (the reference's
+    behavior); ``"additive"`` accepts NEW incoming columns (readers
+    see nulls in old files via mergeSchema — `read_dataset`) but
+    still fails loudly on type changes and dropped columns, the two
+    drifts that silently corrupt downstream consumers."""
     existing = existing_schema(spark, path)
     if existing is None:
         return
@@ -147,12 +155,32 @@ def enforce_schema_unchanged(
     part = set(partition_cols)
     got = [c for c in _normalize(existing) if c[0] not in part]
     want = [c for c in incoming if c[0] not in part]
+    if evolution == "additive":
+        got_types = dict(got)
+        want_types = dict(want)
+        dropped = sorted(set(got_types) - set(want_types))
+        changed = sorted(
+            c for c in got_types if c in want_types and got_types[c] != want_types[c]
+        )
+        if dropped or changed:
+            raise SchemaChangedError(
+                f"non-additive schema drift at {path}: "
+                f"dropped={dropped} type_changed={changed}"
+            )
+        return
     if sorted(got) != sorted(want) or {f.name for f in existing.fields} != {
         c[0] for c in incoming
     }:
         raise SchemaChangedError(
             f"schema drift at {path}:\n  existing={got}\n  incoming={want}"
         )
+
+
+def read_dataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read a stream's dataset with schema merging, so additively-
+    evolved datasets surface the UNION schema (columns missing from
+    older files read as null)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def estimate_rows_per_file(
@@ -208,7 +236,9 @@ def write_stream(
     """
     require_table_format(spark, config.table_format)
     if not config.skip_existing_files:
-        enforce_schema_unchanged(spark, df, path, config.partition_cols)
+        enforce_schema_unchanged(
+            spark, df, path, config.partition_cols, config.schema_evolution
+        )
     if rows_per_file is None:
         rows_per_file = estimate_rows_per_file(df, target_file_bytes(spark, config))
     writer = (

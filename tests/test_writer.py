@@ -83,3 +83,63 @@ def test_table_format_config_validation():
         {"hdfs_destination_path": "/x", "table_format": "delta"}
     )
     assert c.table_format == "delta"
+
+
+def test_additive_schema_evolution_accepts_new_column(spark, tmp_path):
+    from target_hdfs_spark.plans.writer import read_dataset
+
+    path = str(tmp_path / "s")
+    base = TargetConfig(
+        destination_path=str(tmp_path), compression="snappy",
+        schema_evolution="additive",
+    )
+    v1 = spark.range(5).selectExpr("id AS v")
+    write_stream(spark, v1, path, base, rows_per_file=100)
+    v2 = spark.range(5, 8).selectExpr("id AS v", "concat('n-', id) AS note")
+    write_stream(spark, v2, path, base, rows_per_file=100)
+    got = read_dataset(spark, path)
+    assert set(got.columns) == {"v", "note"}
+    rows = {r.v: r.note for r in got.collect()}
+    assert len(rows) == 8
+    assert rows[1] is None and rows[6] == "n-6"
+
+
+def test_additive_still_rejects_drop_and_type_change(spark, tmp_path):
+    from target_hdfs_spark.plans.writer import SchemaChangedError
+
+    path = str(tmp_path / "s")
+    cfg = TargetConfig(
+        destination_path=str(tmp_path), compression="snappy",
+        schema_evolution="additive",
+    )
+    write_stream(
+        spark,
+        spark.range(5).selectExpr("id AS v", "concat('x', id) AS note"),
+        path, cfg, rows_per_file=100,
+    )
+    with pytest.raises(SchemaChangedError, match="dropped"):
+        write_stream(
+            spark, spark.range(3).selectExpr("id AS v"), path, cfg,
+            rows_per_file=100,
+        )
+    with pytest.raises(SchemaChangedError, match="type_changed"):
+        write_stream(
+            spark,
+            spark.range(3).selectExpr("id AS v", "CAST(id AS DOUBLE) AS note"),
+            path, cfg, rows_per_file=100,
+        )
+
+
+def test_strict_mode_still_rejects_new_column(spark, tmp_path):
+    from target_hdfs_spark.plans.writer import SchemaChangedError
+
+    path = str(tmp_path / "s")
+    cfg = TargetConfig(destination_path=str(tmp_path), compression="snappy")
+    write_stream(spark, spark.range(5).selectExpr("id AS v"), path, cfg,
+                 rows_per_file=100)
+    with pytest.raises(SchemaChangedError):
+        write_stream(
+            spark,
+            spark.range(3).selectExpr("id AS v", "id AS extra"),
+            path, cfg, rows_per_file=100,
+        )
