@@ -1235,25 +1235,29 @@ def bucket_root_dedup(sig: DataFrame, threshold: float = SINGLE_BAND_SIM) -> Dat
     Recall is that of one band (the batch multi-band path is
     q43/q85/q116); precision of the root probe is the same estimator
     LSH banding itself relies on.
+
+    Plan shape: the root's id AND full signature come from one
+    `min(struct(doc_id, sig...))` window over the bucket key — struct
+    ordering is lexicographic, doc_id leads, so the min struct IS the
+    min-doc_id row. No self-join back to fetch the root's signature,
+    so the signature pipeline runs once and the whole operator is one
+    Exchange (pinned in tests/test_plans.py).
     """
     bucket = F.concat_ws(
         "_", *[F.col(f"mh_{r}").cast("string") for r in range(ROWS_PER_BAND)]
     )
     b = sig.select("doc_id", bucket.alias("bucket"), *_sig_cols())
-    roots = b.groupBy("bucket").agg(F.min("doc_id").alias("root_id"))
-    root_sigs = b.select(
-        F.col("doc_id").alias("root_id"),
-        *[F.col(c).alias(f"r_{c}") for c in _sig_cols()],
-    )
+    w = Window.partitionBy("bucket")
+    root = F.min(F.struct("doc_id", *_sig_cols())).over(w)
     matches = sum(
-        F.when(F.col(c) == F.col(f"r_{c}"), 1).otherwise(0) for c in _sig_cols()
+        F.when(F.col(c) == F.col(f"_root.{c}"), 1).otherwise(0)
+        for c in _sig_cols()
     )
     return (
-        b.join(roots, "bucket")
-        .join(root_sigs, "root_id")
+        b.withColumn("_root", root)
         .select(
             "doc_id",
-            "root_id",
+            F.col("_root.doc_id").alias("root_id"),
             (matches.cast("double") / NUM_HASHES).alias("est_sim"),
         )
         .filter((F.col("doc_id") == F.col("root_id")) | (F.col("est_sim") < threshold))

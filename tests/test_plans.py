@@ -163,3 +163,30 @@ def test_q117_percentile_filter_no_global_sort(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
     assert "Window" in plan
+
+
+def test_q118_single_signature_pass_no_root_join(spark):
+    """Bucket-root dedup fetches the root's id AND signature from one
+    min(struct) window — a regression to a self-join would recompute
+    the md5 signature pipeline per reference."""
+    plan = plan_of(spark, "q118_bucket_root_dedup")
+    assert plan.count("md5") == 1, f"signature recomputed: {plan.count('md5')} sites"
+    # signature groupBy(doc_id) + bucket window: exactly two shuffles
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_q121_priority_sample_is_scan_side_topk(spark):
+    """Priority sampling: per-partition heaps (TakeOrderedAndProject),
+    never a global sort or any shuffle before the top-k."""
+    plan = plan_of(spark, "q121_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_q119_broadcasts_corpus_total(spark):
+    """The corpus token total joins as a broadcast scalar, not via a
+    shuffled cross join."""
+    plan = plan_of(spark, "q119_unigram_lm_quality")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
