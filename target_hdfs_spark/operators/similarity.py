@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from target_hdfs_spark.registry import query
@@ -1011,3 +1012,108 @@ def q90_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "vec_id", "adc_dist", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3k / E24: Arrow-vectorized cosine top-k — the same semantics as q46
+# through the Pandas-UDF path, as the measured reference point for
+# "built-in fold vs vectorized Python" on this engine (BENCH_NOTES).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_pandas_cosine_topk",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_sql('q.qv', 'e.v')} AS cos_sim
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+      ) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "topk", "udf", "mapInPandas"),
+)
+def q122_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q46's exact semantics through the Arrow/Pandas path: corpus
+    batches cross the Python boundary once per record batch, numpy
+    does the element products, and the accumulation runs in an
+    explicit per-dimension loop — vectorized ACROSS rows, sequential
+    ACROSS dimensions, so every row's fold order (and thus every
+    last-ulp) matches the JVM `F.aggregate` fold and the DuckDB
+    `list_reduce` twin. (A plain np.dot would pairwise-sum and drift
+    ulps — vectorization must not change the fold order when outputs
+    are exactness-checked.)
+
+    The 5 query vectors ride to the workers as a k x dim driver
+    constant (same contract as the IVF centroid matrix — scalar-scale
+    collect, never data). BENCH_NOTES records the measured JVM-fold
+    vs Arrow-UDF comparison this query exists for.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _load_vectors(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < 5).select("vec_id", "v").collect()
+    )  # k x dim scalar-scale collect (5 x 64 doubles)
+    q_ids = [int(r.vec_id) for r in qrows]
+    q_vecs = [np.asarray(r.v, dtype=np.float64) for r in qrows]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def _seq_fold_dot(mat: "np.ndarray", vec: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for j in range(mat.shape[1]):  # sequential across dims
+            acc = acc + mat[:, j] * vec[j]
+        return acc
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            sq = np.zeros(mat.shape[0], dtype=np.float64)
+            for j in range(mat.shape[1]):
+                sq = sq + mat[:, j] * mat[:, j]
+            row_norm = np.sqrt(sq)
+            vec_ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for qid, qv in zip(q_ids, q_vecs):
+                q_sq = 0.0
+                for j in range(qv.shape[0]):
+                    q_sq = q_sq + qv[j] * qv[j]
+                cos = _seq_fold_dot(mat, qv) / (np.sqrt(q_sq) * row_norm)
+                keep = vec_ids != qid
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": vec_ids[keep],
+                            "cos_sim": cos[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = emb.mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)

@@ -131,6 +131,7 @@ PRIORITY_ORDER = (
     "q119_unigram_lm_quality",
     "q120_minhash_containment",
     "q121_priority_sample",
+    "q122_pandas_cosine_topk",
     # --- driver-green veterans (rounds 1-2), family order ----------
     "q01_pricing_summary",
     "q02_filter_project",
