@@ -34,6 +34,11 @@ from target_hdfs_spark.session import get_spark
 
 # Headline set: one per operator family, weighted toward the plans
 # whose scale behavior matters (joins, windows, dedup, similarity).
+# The set is a FLOOR, not the whole bench: main() unions in the
+# slowest queries from the last full-registry sim (SIM_TIMINGS.json,
+# written by scripts/driver_sim.py), so a future expensive operator
+# cannot hide by staying off this hand-picked list.
+N_AUTO_HEADLINERS = 3
 HEADLINE = [
     "q01_pricing_summary",
     "q03_local_supplier_revenue",
@@ -56,6 +61,21 @@ HEADLINE = [
 _R02_SET = set(HEADLINE) - {"q85_dedup_clusters"}
 
 
+def auto_headliners(specs) -> list[str]:
+    """The N slowest registered queries from the last full sim that
+    are not already headliners (empty if no sim record exists)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SIM_TIMINGS.json")
+    try:
+        with open(path) as fh:
+            times = json.load(fh)["spark_wall_sec"]
+    except (OSError, KeyError, ValueError):
+        return []
+    ranked = sorted(times, key=times.get, reverse=True)
+    return [n for n in ranked if n in specs and n not in HEADLINE][
+        :N_AUTO_HEADLINERS
+    ]
+
+
 def run_once(spec, spark, sf_dir: str) -> int:
     df = spec.fn(spark, sf_dir)
     # count() forces full execution of every operator in the plan.
@@ -68,7 +88,8 @@ def main() -> None:
     spark = get_spark(app_name="target_hdfs_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
-    names = [n for n in HEADLINE if n in specs]
+    auto = auto_headliners(specs)
+    names = [n for n in HEADLINE if n in specs] + auto
 
     # Untimed warm pass: JVM, codegen compilation for EVERY plan,
     # parquet footer caches.
@@ -94,6 +115,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "auto_headliners": auto,
                 "r02_comparable_total": round(
                     sum(t for n, t in timings.items() if n in _R02_SET), 4
                 ),

@@ -1,10 +1,15 @@
 """Simulate the round driver: importlib-load __spark_entry__.py,
 run entry() plus every queries() entry at the gate SF and compare
-against oracle_sql() in DuckDB (verify-skill recipe)."""
+against oracle_sql() in DuckDB (verify-skill recipe).
+
+Side effect: writes per-query wall times to SIM_TIMINGS.json at the
+repo root — bench.py unions the slowest sim queries into its headline
+set, so an expensive operator can never hide outside the bench."""
 
 from __future__ import annotations
 
 import importlib.util
+import json
 import sys
 import time
 
@@ -37,6 +42,7 @@ queries = mod.queries()
 oracles = mod.oracle_sql()
 con = duckdb_conn(SF_DIR)
 fails = []
+sim_times: dict[str, float] = {}
 t_all = time.time()
 for name, fn in queries.items():
     t0 = time.time()
@@ -48,6 +54,7 @@ for name, fn in queries.items():
         fails.append((name, f"SPARK ERR {type(e).__name__}: {e}"))
         print(f"ERR  {name}: spark {type(e).__name__}", flush=True)
         continue
+    sim_times[name] = round(time.time() - t0, 3)  # Spark-side wall only
     if name not in oracles:
         print(f"rows {name}: {len(srows)} rows ({time.time()-t0:.1f}s)", flush=True)
         continue
@@ -74,6 +81,9 @@ for name, fn in queries.items():
         print(f"FAIL {name}: {prob}", flush=True)
     else:
         print(f"ok   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
+
+with open("SIM_TIMINGS.json", "w") as fh:
+    json.dump({"sf_dir": SF_DIR, "spark_wall_sec": sim_times}, fh, indent=1)
 
 print(f"\ntotal {time.time()-t_all:.1f}s; {len(fails)} failures", flush=True)
 for name, prob in fails:

@@ -1,9 +1,11 @@
 """Synthetic scale sweep for the sketch pipelines (round-2 verdict
-item 7): build 10x / 100x versions of the sf0.1 documents table in
-/tmp and measure q42 / q43 / q85 / q116 on them.
+item 7) and the embeddings/ANN stack (round-4 verdict item 3): build
+10x / 100x versions of the sf0.1 documents AND embeddings tables in
+/tmp and measure the sketch queries (q42/q43/q85/q116) plus the
+vector queries (q63/q69/q77/q89/q90/q122) on them.
 
-Corpus construction: documents x a copy-index frame (a shuffle-free
-fan-out), with every token suffixed by the copy index
+Documents construction: documents x a copy-index frame (a
+shuffle-free fan-out), with every token suffixed by the copy index
 (`regexp_replace(text, '(\\S+)', '$1_cN')`). Why the token rewrite:
 plain copies would make every document a 100-way near-duplicate of
 its clones — a degenerate corpus where pair volume is quadratic in
@@ -14,9 +16,19 @@ so a Kx corpus has K times the documents AND K times the duplicate
 pairs: constant duplicate density, which is what "more data" means
 for a dedup pipeline.
 
+Embeddings construction: the same fan-out, with copy c's vectors
+multiplied coordinate-wise by a copy-specific deterministic sign
+pattern s_c[i] in {-1,+1} (hash of (c, i)). Sign flips cancel inside
+any within-copy dot product (s²=1), so every copy's internal
+neighborhood structure — including the vec_id<5 query set and the
+vec_id<16 IVF codebook, which live in copy 0 with their original ids
+— is preserved EXACTLY, while cross-copy similarities land in the
+random background band: a Kx corpus has K times the vectors at
+constant neighborhood density, never K-way duplicate vectors.
+
 Usage: python scripts/scale_experiment.py [factors...]  (default 10 100)
-Writes /tmp/spark_graft_scale/scale<K>/documents.parquet once
-(reused if present) and prints per-query best-of-2 warm timings.
+Writes /tmp/spark_graft_scale/scale<K>/{documents,embeddings}.parquet
+once (reused if present) and prints per-query best-of-2 warm timings.
 """
 
 from __future__ import annotations
@@ -40,6 +52,23 @@ QUERIES = (
     "q85_dedup_clusters",
     "q116_incremental_dedup",
 )
+EMB_QUERIES = (
+    "q63_ann_ivf",
+    "q69_hamming_neighbors",
+    "q77_hamming_rerank",
+    "q89_pq_codes",
+    "q90_pq_adc_search",
+    "q122_pandas_cosine_topk",
+)
+# fixed-dimension join sweep (round-4 verdict item 4): fan ONLY the
+# fact tables (orders, lineitem) by K with key-shifted orderkeys and
+# unchanged dim foreign keys; dims stay at 1x — the real-scale shape,
+# where a 10x fact table meets the same broadcastable dimensions.
+FACT_QUERIES = (
+    "q03_local_supplier_revenue",
+    "q10_window_rank",
+)
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 ID_STRIDE = 10_000_000
 
 
@@ -68,25 +97,118 @@ def build(spark, factor: int) -> str:
     return out
 
 
+def build_embeddings(spark, factor: int) -> str:
+    """Fan the embeddings table out by `factor` with per-copy sign
+    flips (see module docstring): distinct vectors, exactly-preserved
+    within-copy neighborhoods, original ids (queries + IVF codebook)
+    only in copy 0."""
+    out = f"{ROOT}/scale{factor}"
+    dest = f"{out}/embeddings.parquet"
+    if os.path.exists(dest):
+        return out
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    copies = spark.range(factor).select(F.col("id").alias("_copy"))
+    from target_hdfs_spark.functions.hashing import md5_hash32
+
+    def flip(x, i):
+        sign = (
+            md5_hash32(
+                F.concat(F.col("_copy").cast("string"), F.lit("|"), i.cast("string"))
+            )
+            % 2
+        ) * 2 - 1
+        # copy 0 keeps its exact original bytes (queries/codebook)
+        s = F.when(F.col("_copy") == 0, F.lit(1)).otherwise(sign)
+        return (x * s.cast("float")).cast("float")
+
+    scaled = emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("_copy") * ID_STRIDE).alias("vec_id"),
+        F.transform(F.col("embedding"), flip).alias("embedding"),
+        "label",
+    )
+    scaled.repartition(32).write.mode("overwrite").parquet(dest)
+    return out
+
+
+def build_facts(spark, factor: int) -> str:
+    """Kx orders + lineitem with shifted o_orderkey/l_orderkey (copies
+    keep their join structure: same custkey/suppkey/partkey foreign
+    keys into the UNCHANGED 1x dims, which are file-copied as-is)."""
+    import shutil
+
+    out = f"{ROOT}/facts{factor}"
+    if os.path.exists(f"{out}/lineitem.parquet"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in DIM_TABLES:
+        if not os.path.exists(f"{out}/{t}.parquet"):
+            shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    copies = spark.range(factor).select(F.col("id").alias("_copy"))
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    (
+        orders.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("_copy") * ID_STRIDE).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        .drop("_copy")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    (
+        li.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("_copy") * ID_STRIDE).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .drop("_copy")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    return out
+
+
+def _sweep(spark, specs, names, factor: int, sf_dir: str) -> None:
+    for name in names:
+        spec = specs[name]
+        spec.fn(spark, sf_dir).count()  # warm
+        best, rows = 1e9, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        print(
+            f"factor={factor:>3} {name}: {best:6.2f}s  ({rows} rows)",
+            flush=True,
+        )
+
+
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [10, 100]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    factors = [int(a) for a in args] or [10, 100]
+    only = {f for f in flags if f.startswith("--only=")}
+    families = (
+        {p for f in only for p in f.split("=", 1)[1].split(",")}
+        if only
+        else {"docs", "emb", "facts"}
+    )
     spark = get_spark(app_name="scale_experiment")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     for factor in [1, *factors]:
-        sf_dir = SRC if factor == 1 else build(spark, factor)
-        for name in QUERIES:
-            spec = specs[name]
-            spec.fn(spark, sf_dir).count()  # warm
-            best, rows = 1e9, 0
-            for _ in range(2):
-                t0 = time.perf_counter()
-                rows = spec.fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            print(
-                f"factor={factor:>3} {name}: {best:6.2f}s  ({rows} rows)",
-                flush=True,
-            )
+        if "docs" in families:
+            sf_dir = SRC if factor == 1 else build(spark, factor)
+            _sweep(spark, specs, QUERIES, factor, sf_dir)
+        if "emb" in families:
+            sf_dir = SRC if factor == 1 else build_embeddings(spark, factor)
+            _sweep(spark, specs, EMB_QUERIES, factor, sf_dir)
+        if "facts" in families:
+            sf_dir = SRC if factor == 1 else build_facts(spark, factor)
+            _sweep(spark, specs, FACT_QUERIES, factor, sf_dir)
 
 
 if __name__ == "__main__":

@@ -703,3 +703,67 @@ def q121_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(_PRIORITY_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# L6g: priority-sample merge algebra — batch proof of the streaming
+# snapshot protocol (streaming/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_sample_merge_algebra",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(n_chars AS DOUBLE)
+             / ((CAST({md5_hash32_sql("'pri|' || CAST(doc_id AS VARCHAR)")}
+                 AS DOUBLE) + 1) / 4294967296.0) AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, priority
+    FROM pri
+    ORDER BY priority DESC, doc_id
+    LIMIT {_PRIORITY_K}
+    """,
+    tags=("curation", "sampling", "mergeable", "streaming-analog"),
+)
+def q124_sample_merge_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability identity the streaming sampler's snapshot
+    protocol depends on, computed the DISTRIBUTED way and checked
+    against the direct way: split the corpus into 8 shards (as 8
+    micro-batches / 8 executors would), take each shard's top-k by
+    priority, union the shard samples, and take the top-k of that.
+    Priority sampling (Duffield-Lund-Thorup) is mergeable — top-k of a
+    union == top-k of the unions' top-k's — so the oracle is the
+    GLOBAL top-k over all documents (q121's rule verbatim): a
+    driver-green row is a machine-checked proof of the merge/restart
+    algebra streaming/sampling.py::fold_batch applies per trigger
+    (round-4 verdict ask #5), not just a second copy of q121.
+
+    Scale: one shuffle on the shard key (window rank<=k stream-side),
+    then a TakeOrderedAndProject over 8k rows — the exact cost shape
+    of merging per-executor samples at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_hash32(F.concat(F.lit("pri|"), F.col("doc_id").cast("string")))
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+        (F.col("doc_id") % 8).alias("_shard"),
+    )
+    w = Window.partitionBy("_shard").orderBy(F.col("priority").desc(), "doc_id")
+    shard_topk = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _PRIORITY_K)
+        .drop("_rn", "_shard")
+    )
+    return shard_topk.orderBy(F.col("priority").desc(), "doc_id").limit(
+        _PRIORITY_K
+    )

@@ -99,6 +99,11 @@ def _jpeg_sof(blob: bytes) -> tuple[int, int, int] | None:
             # segment: len(2) precision(1) height(2) width(2) ncomp(1)
             if i + 7 > n:
                 return None
+            if i + seg_len > n:
+                # declared segment length extends past end of data —
+                # truncated inside the SOF segment; a payload offset
+                # beyond len(blob) would yield negative payload bytes
+                return None
             h = int.from_bytes(blob[i + 3 : i + 5], "big")
             w = int.from_bytes(blob[i + 5 : i + 7], "big")
             return (w, h, i + seg_len)

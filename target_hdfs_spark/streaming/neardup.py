@@ -26,6 +26,29 @@ doc to own rows under several keys at once — that is the batch path
 (q43/q85/q116); a streaming state-store operator gets one key per
 row, so single-band is the honest streaming trade-off and is
 documented as such.
+
+State lifetime: O(buckets) is the right per-key bound, but a
+year-long stream still accretes bucket roots monotonically under
+``NoTimeout``. Pass ``state_ttl_ms`` (with a ``ts_col`` event-time
+column) to arm an EVENT-TIME timeout per bucket: when the watermark
+passes the bucket's last arrival + TTL, the root is evicted from the
+state store, and the NEXT document hashing into that bucket re-elects
+itself root (exactly the cold-start rule, applied per-bucket). The
+trade-off is documented and standard: a duplicate arriving more than
+one TTL of event time after its bucket's last activity is re-admitted
+— dedup becomes exact-within-horizon, which is what keeps state
+bounded on an unbounded stream. ``None`` (default) preserves the
+unbounded exact behavior for finite replays/backfills.
+
+Why event-time and not processing-time TTL: the watermark clock is
+data-driven, so eviction is DETERMINISTIC under checkpoint replay (a
+replayed batch sees the same watermark, evicts the same roots — the
+at-least-once story stays exact), and measured on Spark 4.1.2,
+``ProcessingTimeTimeout`` + ``Trigger.AvailableNow`` never
+terminates: the wall-clock timers keep scheduling no-data
+micro-batches (observed 58+ empty batches for a single input file),
+which is fatal for the backfill/batch-drain pattern this operator
+must serve.
 """
 
 from __future__ import annotations
@@ -54,6 +77,11 @@ SIG_SCHEMA = T.StructType(
         T.StructField("bucket", T.StringType()),
         T.StructField("sig", T.ArrayType(T.LongType())),
     ]
+)
+
+# TTL mode carries the event-time column through the signature stage
+SIG_SCHEMA_TS = T.StructType(
+    [*SIG_SCHEMA.fields, T.StructField("ts", T.TimestampType())]
 )
 
 OUTPUT_SCHEMA = T.StructType(
@@ -86,20 +114,34 @@ def _signature(hash_list) -> list[int]:
 def _sig_batches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
     for pdf in batches:
         sigs = [_signature(hs) for hs in pdf["hs"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "bucket": [
-                    "_".join(str(c) for c in s[:ROWS_PER_BAND]) for s in sigs
-                ],
-                "sig": sigs,
-            }
-        )
+        out = {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "bucket": [
+                "_".join(str(c) for c in s[:ROWS_PER_BAND]) for s in sigs
+            ],
+            "sig": sigs,
+        }
+        if "ts" in pdf.columns:  # TTL mode: event time rides along
+            out["ts"] = pdf["ts"]
+        yield pd.DataFrame(out)
 
 
 def _dedup_group(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState, threshold: float
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    threshold: float,
+    ttl_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
+    if state.hasTimedOut:
+        # watermark passed last-activity + TTL with no arrivals: evict
+        # the bucket root. The next document in this bucket re-elects
+        # itself root (cold-start rule).
+        state.remove()
+        yield pd.DataFrame({"doc_id": [], "root_id": [], "est_sim": []}).astype(
+            {"doc_id": "int64", "root_id": "int64", "est_sim": "float64"}
+        )
+        return
     if state.exists:
         root_id, root_sig_s = state.get
         root_sig = [int(c) for c in root_sig_s.split(",")]
@@ -121,29 +163,54 @@ def _dedup_group(
         est = sum(a == b for a, b in zip(sig, root_sig)) / NUM_HASHES
         if est < threshold:
             out.append((int(doc_id), root_id, est))
+    if ttl_ms is not None:
+        # re-arm on every arrival: the bucket expires when the
+        # WATERMARK passes its latest event time + TTL (event-time
+        # clock — deterministic under replay, see module docstring)
+        last_ms = int(whole["ts"].max().value // 1_000_000)
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
     yield pd.DataFrame(out, columns=["doc_id", "root_id", "est_sim"])
 
 
 def streaming_bucket_root_dedup(
-    docs: DataFrame, threshold: float = SINGLE_BAND_SIM
+    docs: DataFrame,
+    threshold: float = SINGLE_BAND_SIM,
+    state_ttl_ms: int | None = None,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming twin of q118: `docs` is a streaming DataFrame with
     (doc_id, text); returns the accepted documents as
     (doc_id, root_id, est_sim) with per-bucket root state persisted
-    in the state store across micro-batches and restarts."""
+    in the state store across micro-batches and restarts.
+
+    ``state_ttl_ms`` bounds the state store on unbounded streams: a
+    bucket root is evicted once the watermark (over ``ts_col``, with
+    ``watermark_delay`` lateness allowance) passes the bucket's last
+    event time + TTL, and re-elected on the bucket's next arrival.
+    ``None`` keeps exact unbounded behavior (finite replays / the
+    q118-parity tests) and requires no event-time column."""
+    cols = ["doc_id"] if state_ttl_ms is None else ["doc_id", F.col(ts_col).alias("ts")]
     hashed = docs.select(
-        "doc_id",
+        *cols,
         F.transform(shingles(tokens("text")), md5_hash32).alias("hs"),
     ).filter(F.size("hs") > 0)  # batch twin drops shingle-less docs (explode)
-    with_sig = hashed.mapInPandas(_sig_batches, SIG_SCHEMA)
 
     def fn(key, pdfs, state):
-        return _dedup_group(key, pdfs, state, threshold)
+        return _dedup_group(key, pdfs, state, threshold, state_ttl_ms)
 
+    if state_ttl_ms is None:
+        with_sig = hashed.mapInPandas(_sig_batches, SIG_SCHEMA)
+        timeout = GroupStateTimeout.NoTimeout
+    else:
+        with_sig = hashed.mapInPandas(_sig_batches, SIG_SCHEMA_TS).withWatermark(
+            "ts", watermark_delay
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
     return with_sig.groupBy("bucket").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

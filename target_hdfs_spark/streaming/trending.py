@@ -66,10 +66,21 @@ def write_trending_topk(
     counts: DataFrame, sink_dir: str, checkpoint_dir: str, k: int = 5
 ) -> StreamingQuery:
     """Start the ranking stage: append-mode windowed counts →
-    per-window top-k → parquet sink."""
+    per-window top-k → parquet sink.
+
+    Each batch writes to its own ``batch_id=<n>`` directory in
+    OVERWRITE mode: a batch replayed after a crash between the sink
+    write and the checkpoint commit recomputes the same ranked rows
+    (append-mode windows are emitted exactly once, deterministically
+    ranked) and overwrites its own directory — duplicates cannot
+    accumulate, which a bare ``mode('append')`` to a shared directory
+    would not guarantee. This is the idempotent-foreachBatch pattern
+    also used by streaming/curation.py."""
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
-        rank_topk(batch_df, k).write.mode("append").parquet(sink_dir)
+        rank_topk(batch_df, k).write.mode("overwrite").parquet(
+            f"{sink_dir}/batch_id={batch_id}"
+        )
 
     return (
         counts.writeStream.foreachBatch(emit)
@@ -77,4 +88,12 @@ def write_trending_topk(
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_trending(spark, sink_dir: str) -> DataFrame:
+    """All finalized per-window top-k rows across committed batches
+    (``batch_id`` is a layout detail, dropped from the logical view)."""
+    return (
+        spark.read.option("basePath", sink_dir).parquet(sink_dir).drop("batch_id")
     )

@@ -129,6 +129,14 @@ def test_jpeg_sof_variants_and_skips():
     # SOS before SOF (dimensions unreachable without entropy decode)
     sos = b"\xff\xda" + (2).to_bytes(2, "big")
     assert decode_image_meta(b"\xff\xd8" + sos + b"\x12\x34")[-1] == "jpeg_corrupt"
+    # truncated INSIDE the SOF segment: dims bytes readable but the
+    # declared segment length extends past end-of-data — must be
+    # corrupt, never a negative payload_bytes
+    full = encode_jpeg(640, 480, b"entropy-stand-in")
+    truncated_in_sof = full[:29]  # SOF segment declares more bytes than remain
+    w, h, payload, fmt = decode_image_meta(truncated_in_sof)
+    assert fmt == "jpeg_corrupt"
+    assert payload >= 0
 
 
 def test_with_image_meta_mixed_formats(spark):

@@ -358,3 +358,74 @@ def test_state_metrics_surface_watermark_eviction(spark, tmp_path):
     assert state_metrics(q2) == []
     s2 = progress_summary(q2)
     assert s2 == {} or s2["n_state_operators"] == 0
+
+
+def test_session_straddles_microbatch_boundary_with_late_gap_event(
+    spark, tmp_path
+):
+    """S3 adversarial case (round-4 verdict ask #6): two events land in
+    micro-batch 1 more than a gap apart (two separate open sessions);
+    a LATE event arrives in micro-batch 2 with a timestamp INSIDE the
+    gap between them, within the watermark delay. Spark 4.1.2 must
+    merge all three into ONE session — pinning that session-window
+    state merges across micro-batch boundaries rather than finalizing
+    eagerly — and the merged result must equal the batch q33-style
+    aggregation over the full corpus."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    f1 = [
+        {"id": 1, "user": "u1", "at": "2026-08-13T10:00:00Z", "v": 1.0},
+        # 8 min > the 5-min gap: a SEPARATE session as of batch 1
+        {"id": 2, "user": "u1", "at": "2026-08-13T10:08:00Z", "v": 1.0},
+        {"id": 3, "user": "u2", "at": "2026-08-13T10:00:00Z", "v": 1.0},
+    ]
+    # batch 2: late event inside the (10:00, 10:08) gap — 4 min from
+    # BOTH neighbors, so it bridges the two batch-1 sessions
+    f2 = [{"id": 4, "user": "u1", "at": "2026-08-13T10:04:00Z", "v": 1.0}]
+    _write_jsonl(src / "a.jsonl", f1)
+    time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    _write_jsonl(src / "b.jsonl", f2)
+
+    from target_hdfs_spark.sources.jsonschema import jsonschema_to_spark
+
+    schema = jsonschema_to_spark(SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        session_counts_stream(stream, "at", "user", "5 minutes")
+        .writeStream.format("memory")
+        .queryName("session_straddle_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM session_straddle_t").collect())
+    )
+
+    batch = spark.read.schema(schema).json(str(src))
+    want = sorted(
+        map(
+            tuple,
+            batch.groupBy(F.session_window("at", "5 minutes"), "user")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # u1: the late gap event fused the straddling sessions into ONE
+    u1 = [t for t in got if t[0] == "u1"]
+    assert len(u1) == 1 and u1[0][3] == 3

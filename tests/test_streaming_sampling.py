@@ -9,6 +9,8 @@ import json
 from pyspark.sql import functions as F
 
 from target_hdfs_spark.streaming.sampling import (
+    KEEP_SNAPSHOTS,
+    _snapshot_versions,
     doc_priority,
     latest_sample,
     stream_priority_sample,
@@ -71,3 +73,48 @@ def test_stream_sample_restart_folds_new_batch(spark, tmp_path):
     assert got == _batch_topk(spark, ROWS_A + ROWS_B)
     # heavy late arrivals entered the sample
     assert any(doc_id >= 100 for doc_id, _ in got)
+
+
+def test_incomplete_snapshot_is_invisible(spark, tmp_path):
+    """A snapshot directory without _SUCCESS (crash mid-write) must be
+    ignored by readers and by the fold."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write_jsonl(src / "a.jsonl", ROWS_A)
+    _run(spark, src, sink, ckpt)
+    committed = max(_snapshot_versions(spark, str(sink)))
+    before = {
+        (r.doc_id, r.priority) for r in latest_sample(spark, str(sink)).collect()
+    }
+    # forge a half-written later snapshot: rows present, no _SUCCESS
+    bogus = sink / f"snap={committed + 7}"
+    spark.createDataFrame(
+        [(999999, 1, 1e18)], "doc_id long, n_chars long, priority double"
+    ).write.mode("overwrite").parquet(str(bogus))
+    (bogus / "_SUCCESS").unlink()
+    assert committed + 7 not in _snapshot_versions(spark, str(sink))
+    after = {
+        (r.doc_id, r.priority) for r in latest_sample(spark, str(sink)).collect()
+    }
+    assert after == before
+
+
+def test_snapshots_are_pruned(spark, tmp_path):
+    """The sink retains at most KEEP_SNAPSHOTS complete versions no
+    matter how many micro-batches have run."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    # one file per run -> one micro-batch per restart
+    for n in range(KEEP_SNAPSHOTS + 3):
+        _write_jsonl(src / f"f{n}.jsonl", [(1000 * n + i, 100 + i) for i in range(5)])
+        _run(spark, src, sink, ckpt)
+    versions = _snapshot_versions(spark, str(sink))
+    assert len(versions) <= KEEP_SNAPSHOTS
+    # and the surviving newest snapshot still equals the batch rule
+    all_rows = [
+        (1000 * n + i, 100 + i)
+        for n in range(KEEP_SNAPSHOTS + 3)
+        for i in range(5)
+    ]
+    got = {
+        (r.doc_id, r.priority) for r in latest_sample(spark, str(sink)).collect()
+    }
+    assert got == _batch_topk(spark, all_rows)

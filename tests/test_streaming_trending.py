@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from target_hdfs_spark.functions.textfuncs import tokens
 from target_hdfs_spark.streaming.trending import (
     rank_topk,
+    read_trending,
     windowed_token_counts_stream,
     write_trending_topk,
 )
@@ -48,7 +49,7 @@ def test_trending_topk_stream_matches_batch(spark, tmp_path):
 
     got = {
         (str(r.window_start), r.token, r.n, r.rnk)
-        for r in spark.read.parquet(str(sink)).collect()
+        for r in read_trending(spark, str(sink)).collect()
     }
 
     batch = spark.read.schema("ts timestamp, text string").json(str(src))
@@ -79,3 +80,36 @@ def test_trending_topk_stream_matches_batch(spark, tmp_path):
     # the tie window ranks deterministically by token (eta before zeta)
     tie = sorted(t for t in got if t[0].startswith("2026-08-13 10:2"))
     assert [t[1] for t in tie] == ["eta", "zeta"]
+
+
+def test_trending_sink_idempotent_under_batch_replay(spark, tmp_path):
+    """A replayed foreachBatch (crash between sink write and checkpoint
+    commit) must not duplicate rows: batch-id-keyed overwrite writes."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    with open(src / "docs.jsonl", "w") as fh:
+        for r in ROWS:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema("ts timestamp, text string").json(str(src))
+    counts = windowed_token_counts_stream(stream, "ts", "10 minutes", "10 minutes")
+    q = write_trending_topk(counts, str(sink), str(ckpt), k=2)
+    q.awaitTermination(120)
+    first = sorted(map(tuple, read_trending(spark, str(sink)).collect()))
+
+    # simulate the replay: re-run the emitted batch's write with the
+    # same batch_id — the sink must be unchanged, not doubled
+    finalized = spark.read.option("basePath", str(sink)).parquet(str(sink))
+    batch_ids = [r.batch_id for r in finalized.select("batch_id").distinct().collect()]
+    assert batch_ids, "stream produced no batches"
+    replay_id = batch_ids[0]
+    replay_rows = (
+        finalized.filter(F.col("batch_id") == replay_id)
+        .drop("batch_id", "rnk")
+        .select("window_start", "window_end", "token", "n")
+    )
+    rank_topk(replay_rows, 2).write.mode("overwrite").parquet(
+        f"{sink}/batch_id={replay_id}"
+    )
+    again = sorted(map(tuple, read_trending(spark, str(sink)).collect()))
+    assert again == first
