@@ -16,7 +16,18 @@ _SIZE_RE = re.compile(r"^\s*(\d+)\s*([KkMmGg]?)[Bb]?\s*$")
 _UNIT = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
 
 VALID_COMPRESSION = ("gzip", "snappy", "zstd", "brotli", "none")
-VALID_TABLE_FORMATS = ("parquet", "delta", "iceberg")
+VALID_TABLE_FORMATS = ("parquet", "orc", "delta", "iceberg")
+
+# ORC spells its codecs differently from parquet; the writer maps the
+# config's parquet-style name to the ORC equivalent ("gzip" -> zlib,
+# "brotli" has no ORC analog and falls back to zlib).
+ORC_COMPRESSION = {
+    "gzip": "zlib",
+    "snappy": "snappy",
+    "zstd": "zstd",
+    "brotli": "zlib",
+    "none": "none",
+}
 VALID_SCHEMA_EVOLUTION = ("strict", "additive")
 
 
@@ -65,10 +76,11 @@ class TargetConfig:
     # reference's append-to-recent-file compaction): target bytes per
     # output file; rows-per-file is derived from sampled row width.
     target_file_bytes: int | str | None = None
-    # Table format for the sink: "parquet" (native, always available)
-    # or "delta"/"iceberg" (require their runtime jars + session
-    # extensions; the writer fails with a clear capability error if
-    # they are absent — see plans/writer.py::require_table_format).
+    # Table format for the sink: "parquet"/"orc" (native, always
+    # available) or "delta"/"iceberg" (require their runtime jars +
+    # session extensions; the writer fails with a clear capability
+    # error if they are absent — see
+    # plans/writer.py::require_table_format).
     table_format: str = "parquet"
     # Schema-drift policy: "strict" = the reference's behavior (any
     # name/type change fails, R27); "additive" = NEW columns are

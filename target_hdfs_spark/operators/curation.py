@@ -767,3 +767,76 @@ def q124_sample_merge_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_topk.orderBy(F.col("priority").desc(), "doc_id").limit(
         _PRIORITY_K
     )
+
+
+# ---------------------------------------------------------------------------
+# L6h: temperature-balanced corpus mixture (fractional upsampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q126_temperature_mixture",
+    oracle=f"""
+    WITH src AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    m AS (SELECT MAX(n_s) AS n_max FROM src),
+    rate AS (
+      SELECT source, sqrt(CAST(n_max AS DOUBLE) / n_s) AS r
+      FROM src CROSS JOIN m
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(r) AS BIGINT)
+             + CASE WHEN (CAST({md5_hash32_sql("'mix|' || CAST(doc_id AS VARCHAR)")}
+                          AS DOUBLE) / 4294967296.0) < (r - floor(r))
+                    THEN 1 ELSE 0 END AS copies
+      FROM documents d JOIN rate USING (source)
+    )
+    SELECT doc_id, source, unnest(generate_series(1, copies)) AS copy_id
+    FROM per_doc
+    """,
+    tags=("curation", "mixture", "temperature", "sampling"),
+)
+def q126_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source mixing (alpha = 0.5): every source
+    is upsampled by rate sqrt(n_max / n_s) toward the largest source —
+    the standard temperature-sampling rebalance for multilingual /
+    multi-source training corpora, with the FRACTIONAL part of the
+    rate realized per-document by the portable md5 uniform (doc's
+    u < frac(rate) draws one extra copy). Expected copies per source
+    match the real-valued rate exactly while staying deterministic and
+    bit-reproducible: sqrt and floor are correctly-rounded IEEE ops
+    and the only cross-row aggregate is an integer COUNT, so both
+    engines compute the identical double.
+
+    Scale: source rates are a tiny broadcast (one row per source);
+    copies materialize map-side via explode (amplification <= rate
+    cap); no shuffle beyond the per-source count. The fractional-part
+    trick is what makes fractional epochs possible at 100 TB without
+    a random number generator anywhere in the lineage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_max = counts.agg(F.max("n_s").alias("n_max"))
+    rate = counts.crossJoin(F.broadcast(n_max)).select(
+        "source",
+        F.sqrt(F.col("n_max").cast("double") / F.col("n_s")).alias("r"),
+    )
+    u = (
+        md5_hash32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))).cast(
+            "double"
+        )
+        / F.lit(4294967296.0)
+    )
+    copies = F.floor("r").cast("bigint") + F.when(
+        u < (F.col("r") - F.floor("r")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        docs.join(F.broadcast(rate), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), copies)
+            ).alias("copy_id"),
+        )
+    )

@@ -836,3 +836,63 @@ def q119_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(prob).alias("min_tok_prob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4j: inverted-index construction (block-sharded posting lists)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q125_inverted_index",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+    tfd AS (
+      SELECT token, doc_id, doc_id % 8 AS block, COUNT(*) AS tf
+      FROM tok GROUP BY 1, 2, 3
+    )
+    SELECT token, block,
+           COUNT(*) AS df_block,
+           SUM(tf) AS tf_block,
+           md5(array_to_string(list_sort(list(doc_id)), ',')) AS posting_md5
+    FROM tfd
+    GROUP BY token, block
+    """,
+    tags=("text", "index", "skew"),
+)
+def q125_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction with BLOCK-SHARDED posting lists:
+    every (token, doc_id % 8) shard aggregates its documents into a
+    posting fingerprint (md5 over the sorted doc_id list) plus
+    document/term frequencies. The fingerprint makes the posting list
+    itself value-checkable against the oracle without emitting array
+    cells (a driver-canonicalizer hazard).
+
+    Scale: a naive token-keyed index is the textbook skew bomb — a
+    stopword's posting list lands on ONE reducer ('the' at 100 TB is
+    billions of entries). Sharding the aggregation key to
+    (token, doc_id % B) bounds every reducer at 1/B of the hottest
+    token and is exactly how production inverted indexes shard long
+    posting lists; readers merge the B sorted blocks. Both shuffles
+    combine map-side, and collect_list only ever sees one block.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tfd = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tfd.withColumn("block", F.col("doc_id") % 8)
+        .groupBy("token", "block")
+        .agg(
+            F.count(F.lit(1)).alias("df_block"),
+            F.sum("tf").alias("tf_block"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda d: d.cast("string"),
+                    ),
+                )
+            ).alias("posting_md5"),
+        )
+    )

@@ -58,9 +58,10 @@ _TABLE_FORMAT_MARKERS = {
 
 
 def table_format_available(spark: SparkSession, table_format: str) -> bool:
-    """True if the session can write `table_format` (parquet: always;
-    delta/iceberg: probe the JVM classpath for the runtime)."""
-    if table_format == "parquet":
+    """True if the session can write `table_format` (parquet/orc:
+    always, both ship in spark-sql; delta/iceberg: probe the JVM
+    classpath for the runtime)."""
+    if table_format in ("parquet", "orc"):
         return True
     marker, _ = _TABLE_FORMAT_MARKERS[table_format]
     try:
@@ -72,7 +73,7 @@ def table_format_available(spark: SparkSession, table_format: str) -> bool:
 
 def require_table_format(spark: SparkSession, table_format: str) -> None:
     """Fail fast with remediation if the format runtime is absent."""
-    if table_format not in ("parquet", *_TABLE_FORMAT_MARKERS):
+    if table_format not in ("parquet", "orc", *_TABLE_FORMAT_MARKERS):
         raise ValueError(f"unknown table_format {table_format!r}")
     if not table_format_available(spark, table_format):
         _, remedy = _TABLE_FORMAT_MARKERS[table_format]
@@ -100,7 +101,9 @@ def target_file_bytes(spark: SparkSession, config: TargetConfig) -> int:
     return int(get_block_size(spark) * BLOCK_FILL_FACTOR)
 
 
-def existing_schema(spark: SparkSession, path: str) -> T.StructType | None:
+def existing_schema(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> T.StructType | None:
     """Schema of the dataset already at `path`, or None if absent.
 
     Only genuinely-absent datasets map to None (path missing, or an
@@ -111,7 +114,7 @@ def existing_schema(spark: SparkSession, path: str) -> T.StructType | None:
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path).schema
+        return spark.read.format(fmt).load(path).schema
     except AnalysisException as e:
         get_class = getattr(e, "getErrorClass", None)
         klass = (get_class() if get_class else None) or ""
@@ -138,6 +141,7 @@ def enforce_schema_unchanged(
     path: str,
     partition_cols: tuple[str, ...] = (),
     evolution: str = "strict",
+    fmt: str = "parquet",
 ) -> None:
     """Schema-drift guard (R27). ``evolution="strict"`` raises
     SchemaChangedError on any name/type change (the reference's
@@ -145,7 +149,7 @@ def enforce_schema_unchanged(
     see nulls in old files via mergeSchema — `read_dataset`) but
     still fails loudly on type changes and dropped columns, the two
     drifts that silently corrupt downstream consumers."""
-    existing = existing_schema(spark, path)
+    existing = existing_schema(spark, path, fmt)
     if existing is None:
         return
     incoming = _normalize(df.schema)
@@ -176,11 +180,12 @@ def enforce_schema_unchanged(
         )
 
 
-def read_dataset(spark: SparkSession, path: str) -> DataFrame:
+def read_dataset(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Read a stream's dataset with schema merging, so additively-
     evolved datasets surface the UNION schema (columns missing from
-    older files read as null)."""
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    older files read as null). Works for both native formats (ORC
+    honors mergeSchema since Spark 3.0)."""
+    return spark.read.option("mergeSchema", "true").format(fmt).load(path)
 
 
 def estimate_rows_per_file(
@@ -237,18 +242,30 @@ def write_stream(
     require_table_format(spark, config.table_format)
     if not config.skip_existing_files:
         enforce_schema_unchanged(
-            spark, df, path, config.partition_cols, config.schema_evolution
+            spark,
+            df,
+            path,
+            config.partition_cols,
+            config.schema_evolution,
+            fmt=config.table_format if config.table_format == "orc" else "parquet",
         )
     if rows_per_file is None:
         rows_per_file = estimate_rows_per_file(df, target_file_bytes(spark, config))
+    compression = config.compression
+    if config.table_format == "orc":
+        from target_hdfs_spark.config import ORC_COMPRESSION
+
+        compression = ORC_COMPRESSION[compression]
     writer = (
         df.write.mode(mode)
-        .option("compression", config.compression)
+        .option("compression", compression)
         .option("maxRecordsPerFile", rows_per_file)
     )
     if config.partition_cols:
         writer = writer.partitionBy(*config.partition_cols)
     if config.table_format == "parquet":
         writer.parquet(path)
+    elif config.table_format == "orc":
+        writer.orc(path)
     else:
         writer.format(config.table_format).save(path)

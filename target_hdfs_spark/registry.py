@@ -79,6 +79,8 @@ PRIORITY_ORDER = (
     "q122_pandas_cosine_topk",
     "q123_trending_topk",         # r4: streaming trending batch twin
     "q124_sample_merge_algebra",  # r4: snapshot merge-algebra proof
+    "q125_inverted_index",        # r4: block-sharded posting lists
+    "q126_temperature_mixture",   # r4: sqrt-temperature upsampling
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------

@@ -190,3 +190,27 @@ def test_q119_broadcasts_corpus_total(spark):
     plan = plan_of(spark, "q119_unigram_lm_quality")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q123_trending_rank_reuses_count_exchange_layout(spark):
+    plan = plan_of(spark, "q123_trending_topk")
+    # per-window rank applies group-limit BEFORE the rank shuffle
+    # (partial WindowGroupLimit) and again after — candidate rows per
+    # window are capped on the map side at any corpus size
+    assert plan.count("WindowGroupLimit") == 2
+    assert "partial_count" in plan  # token counts combine map-side
+    # two shuffles total: (window, token) agg + window_start rank
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q124_merge_algebra_is_shard_limit_then_global_topk(spark):
+    plan = plan_of(spark, "q124_sample_merge_algebra")
+    # the distributed sample: per-shard WindowGroupLimit (map-side
+    # partial) + ONE shard shuffle, then the merge is
+    # TakeOrderedAndProject over k*shards rows — never a global sort
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # priority is computed scan-side (projected off the file scan)
+    assert plan.count("md5") == 1

@@ -232,3 +232,38 @@ def test_curation_index_bounded_and_horizon_semantics(spark, tmp_path):
     assert 9000 not in out_ids  # caught by the retained index
     assert 9001 in out_ids  # documented exact-within-horizon trade-off
     assert _index_dir_count(index) <= retention
+
+
+def test_ttl_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The production state backend at 100 TB: HDFSBackedStateStore
+    keeps every key on the executor heap, so bucket-root state at
+    billions of buckets needs the RocksDB provider (spilling,
+    changelog checkpointing). Pin that the TTL dedup operator runs
+    unchanged — same eviction + re-election semantics — with
+    spark.sql.streaming.stateStore.providerClass switched to
+    RocksDBStateStoreProvider (the provider is pinned into the
+    checkpoint, so the whole scenario runs under RocksDB)."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write_jsonl(
+        src / "f1.jsonl",
+        [(1, BASE + "alpha", "10:00:00"), (2, BASE + "alpha", "10:00:30")],
+    )
+    _write_jsonl(src / "f2.jsonl", [(10, "unrelated content " * 12, "10:30:00")])
+    _write_jsonl(src / "f3.jsonl", [(11, "wholly distinct words " * 9, "10:31:00")])
+    _write_jsonl(
+        src / "f4.jsonl",
+        [(20, BASE + "alpha", "10:40:00"), (21, BASE + "alpha", "10:40:30")],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _run_ttl_stream(spark, src, sink, ckpt)
+    finally:
+        spark.conf.set(key, prev)
+    by_id = {r.doc_id: r for r in spark.read.parquet(str(sink)).collect()}
+    assert set(by_id) == {1, 10, 11, 20}
+    assert by_id[20].root_id == 20 and by_id[20].est_sim == 1.0

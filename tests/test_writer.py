@@ -143,3 +143,53 @@ def test_strict_mode_still_rejects_new_column(spark, tmp_path):
             spark.range(3).selectExpr("id AS v", "id AS extra"),
             path, cfg, rows_per_file=100,
         )
+
+
+def test_orc_write_roundtrip_with_codec_mapping(spark, tmp_path):
+    """ORC is the second always-available native sink: same write
+    path, codec name mapped (config 'gzip' -> ORC zlib)."""
+    df = spark.range(100).selectExpr("id AS v", "concat('row-', id) AS s")
+    config = TargetConfig(
+        destination_path=str(tmp_path), compression="gzip", table_format="orc"
+    )
+    write_stream(spark, df, str(tmp_path / "s"), config, rows_per_file=1000)
+    files = glob.glob(str(tmp_path / "s" / "*.orc"))
+    assert files and all(".zlib." in f for f in files), files
+    got = spark.read.orc(str(tmp_path / "s"))
+    assert got.count() == 100
+    assert got.agg({"v": "sum"}).collect()[0][0] == sum(range(100))
+
+
+def test_orc_schema_drift_guard(spark, tmp_path):
+    """The R27 drift guard reads the EXISTING dataset in its own
+    format — an ORC sink must trip on drift exactly like parquet."""
+    import pytest as _pytest
+
+    from target_hdfs_spark.plans.writer import SchemaChangedError
+
+    path = str(tmp_path / "s")
+    config = TargetConfig(
+        destination_path=str(tmp_path), compression="snappy", table_format="orc"
+    )
+    v1 = spark.range(5).selectExpr("id AS v")
+    write_stream(spark, v1, path, config, rows_per_file=100)
+    drifted = spark.range(3).selectExpr("CAST(id AS STRING) AS v")
+    with _pytest.raises(SchemaChangedError):
+        write_stream(spark, drifted, path, config, rows_per_file=100)
+
+
+def test_orc_additive_evolution_merges_schema(spark, tmp_path):
+    from target_hdfs_spark.plans.writer import read_dataset
+
+    path = str(tmp_path / "s")
+    config = TargetConfig(
+        destination_path=str(tmp_path), compression="snappy",
+        table_format="orc", schema_evolution="additive",
+    )
+    v1 = spark.range(5).selectExpr("id AS v")
+    write_stream(spark, v1, path, config, rows_per_file=100)
+    v2 = spark.range(5, 8).selectExpr("id AS v", "concat('n-', id) AS note")
+    write_stream(spark, v2, path, config, rows_per_file=100)
+    got = read_dataset(spark, path, fmt="orc")
+    assert set(got.columns) == {"v", "note"}
+    assert got.count() == 8
