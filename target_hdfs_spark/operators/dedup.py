@@ -1385,3 +1385,140 @@ def q120_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("contain_a_in_b"), F.col("contain_b_in_a")) >= 0.6
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L2k: MULTI-band root dedup — full-recall analog of q118's rule
+# (a doc is suppressed if ANY of the 4 bands collides with its
+# bucket root at >= threshold similarity)
+# ---------------------------------------------------------------------------
+
+_EST_SQL = (
+    "CAST("
+    + " + ".join(f"CAST(x.mh_{i} = r.mh_{i} AS INT)" for i in range(NUM_HASHES))
+    + f" AS DOUBLE) / {NUM_HASHES}"
+)
+
+
+def _multiband_bands_sql() -> str:
+    """UNION ALL of the 4 band projections over `sigs` (doc_id, key,
+    full signature) — the oracle twin of the banded explode."""
+    selects = []
+    for b in range(BANDS):
+        key = ", ".join(
+            f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        cols = ", ".join(f"mh_{i}" for i in range(NUM_HASHES))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, concat_ws('_', {key}) AS band_key, "
+            f"{cols} FROM sigs"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def multiband_root_dedup(
+    sig: DataFrame, threshold: float = SINGLE_BAND_SIM
+) -> DataFrame:
+    """Multi-band bucket-root dedup: band the signature (BANDS x
+    ROWS_PER_BAND, same banding as q43's candidate generation), elect
+    each (band, key) bucket's min-doc_id row as root via one
+    min(struct) window, and keep a document iff EVERY band says
+    root-or-below-threshold. Output: (doc_id, max_root_sim) for the
+    survivors, where max_root_sim is the largest estimated similarity
+    to any non-self band root (0.0 when the doc roots all its
+    buckets).
+
+    Recall: exactly the LSH banding guarantee (any-band collision),
+    closing the single-band trade-off q118 documents — this IS the
+    dedup rule of the q43/q85 pipeline, restated root-wise so its
+    streaming twin can hold ONE signature per (band, bucket) of state
+    (O(BANDS x buckets), not O(documents)).
+
+    Plan shape: one banded explode (x BANDS row amplification), one
+    Exchange on (band_idx, band_key) serving the min(struct) window,
+    one Exchange on doc_id for the all-bands conjunction. No
+    self-join anywhere; the signature pipeline runs once.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("b"), *_sig_cols()
+    ).select(
+        "doc_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+        *_sig_cols(),
+    )
+    w = Window.partitionBy("band_idx", "band_key")
+    root = F.min(F.struct("doc_id", *_sig_cols())).over(w)
+    matches = sum(
+        F.when(F.col(c) == F.col(f"_root.{c}"), 1).otherwise(0)
+        for c in _sig_cols()
+    )
+    per_band = bands.withColumn("_root", root).select(
+        "doc_id",
+        F.col("_root.doc_id").alias("root_id"),
+        (matches.cast("double") / NUM_HASHES).alias("est"),
+    )
+    ok = (F.col("doc_id") == F.col("root_id")) | (F.col("est") < threshold)
+    est_nonself = F.when(F.col("doc_id") != F.col("root_id"), F.col("est"))
+    return (
+        per_band.groupBy("doc_id")
+        .agg(
+            F.bool_and(ok).alias("_all_ok"),
+            F.coalesce(F.max(est_nonself), F.lit(0.0)).alias("max_root_sim"),
+        )
+        .filter(F.col("_all_ok"))
+        .select("doc_id", "max_root_sim")
+    )
+
+
+@query(
+    "q127_multiband_root_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hs FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {", ".join(_minhash_sql_exprs())} FROM hashed
+    ),
+    bands AS ({{bands}}),
+    roots AS (
+      SELECT band_idx, band_key, MIN(doc_id) AS root_id
+      FROM bands GROUP BY 1, 2
+    ),
+    verdict AS (
+      SELECT x.doc_id,
+             (x.doc_id = rt.root_id OR {_EST_SQL} < {SINGLE_BAND_SIM}) AS ok,
+             CASE WHEN x.doc_id <> rt.root_id THEN {_EST_SQL} END AS est_nonself
+      FROM bands x
+      JOIN roots rt USING (band_idx, band_key)
+      JOIN sigs r ON r.doc_id = rt.root_id
+    )
+    SELECT doc_id, COALESCE(MAX(est_nonself), 0.0) AS max_root_sim
+    FROM verdict
+    GROUP BY doc_id
+    HAVING bool_and(ok)
+    """.format(bands=_multiband_bands_sql()),
+    tags=("dedup", "minhash", "lsh", "streaming-analog"),
+)
+def q127_multiband_root_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band bucket-root near-dup dedup: full LSH-banding recall
+    (suppressed if ANY band collides with its root) with per-bucket
+    root state — the batch twin of
+    streaming/neardup.py::streaming_multiband_root_dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multiband_root_dedup(minhash_signatures(docs))

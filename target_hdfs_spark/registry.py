@@ -81,6 +81,7 @@ PRIORITY_ORDER = (
     "q124_sample_merge_algebra",  # r4: snapshot merge-algebra proof
     "q125_inverted_index",        # r4: block-sharded posting lists
     "q126_temperature_mixture",   # r4: sqrt-temperature upsampling
+    "q127_multiband_root_dedup",  # r4: full-recall streaming-analog rule
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------

@@ -22,10 +22,14 @@ arrivals in tests/test_streaming_neardup.py, including
 checkpoint-kill-resume).
 
 Multi-band recall (a doc is near-dup if ANY band collides) needs a
-doc to own rows under several keys at once — that is the batch path
-(q43/q85/q116); a streaming state-store operator gets one key per
-row, so single-band is the honest streaming trade-off and is
-documented as such.
+doc to own rows under several keys at once; a state-store operator
+gets one key per row, so the multi-band operator below
+(``streaming_multiband_verdicts`` + ``write_multiband_dedup``)
+restates the rule as BANDS verdict rows per document — the stateful
+stage holds one root per (band, bucket) and the conjunction over a
+doc's bands is a STATELESS per-micro-batch aggregation (all of a
+doc's verdicts are emitted by the batch that carried it). Batch twin:
+operators/dedup.py::multiband_root_dedup (q127, oracle-checked).
 
 State lifetime: O(buckets) is the right per-key bound, but a
 year-long stream still accretes bucket roots monotonically under
@@ -213,4 +217,129 @@ def streaming_bucket_root_dedup(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-band streaming near-dup (full LSH-banding recall): per-band
+# verdict stream + a stateless foreachBatch conjunction
+# ---------------------------------------------------------------------------
+
+VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("root_id", T.LongType()),
+        T.StructField("est", T.DoubleType()),
+        T.StructField("collided", T.BooleanType()),
+    ]
+)
+
+
+def _multiband_sig_batches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """BANDS rows per document: state key = 'band_idx|band_key' (the
+    band index is part of the key so band-0 and band-2 buckets with
+    equal component strings never share state)."""
+    from target_hdfs_spark.operators.dedup import BANDS
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "bucket": [], "sig": []}
+        for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
+            sig = _signature(hs)
+            for b in range(BANDS):
+                key = "_".join(
+                    str(c)
+                    for c in sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                )
+                out["doc_id"].append(int(doc_id))
+                out["bucket"].append(f"{b}|{key}")
+                out["sig"].append(sig)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "bucket": out["bucket"],
+                "sig": out["sig"],
+            }
+        )
+
+
+def _verdict_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Like _dedup_group, but emits a verdict row for EVERY arrival
+    (the multi-band rule needs all band verdicts to take the
+    conjunction downstream); the bucket root still updates on first
+    arrival only, so state stays one signature per bucket."""
+    if state.exists:
+        root_id, root_sig_s = state.get
+        root_sig = [int(c) for c in root_sig_s.split(",")]
+    else:
+        root_id, root_sig = None, None
+    out: list[tuple[int, int, float, bool]] = []
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    whole = whole.sort_values("doc_id")
+    for doc_id, sig in zip(whole["doc_id"], whole["sig"]):
+        sig = list(sig)
+        if root_id is None:
+            root_id, root_sig = int(doc_id), sig
+            state.update((root_id, ",".join(str(c) for c in root_sig)))
+            out.append((int(doc_id), root_id, 1.0, False))
+            continue
+        est = sum(a == b for a, b in zip(sig, root_sig)) / NUM_HASHES
+        out.append(
+            (int(doc_id), root_id, est, bool(int(doc_id) != root_id and est >= SINGLE_BAND_SIM))
+        )
+    yield pd.DataFrame(out, columns=["doc_id", "root_id", "est", "collided"])
+
+
+def streaming_multiband_verdicts(docs: DataFrame) -> DataFrame:
+    """Per-band verdict stream of the multi-band root-dedup rule
+    (batch twin: operators/dedup.py::multiband_root_dedup, q127):
+    every document emits BANDS rows (one per LSH band), each saying
+    whether that band's bucket root considers it a collision. State is
+    one signature per (band, bucket) — O(BANDS x buckets)."""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(shingles(tokens("text")), md5_hash32).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    with_sig = hashed.mapInPandas(_multiband_sig_batches, SIG_SCHEMA)
+    return with_sig.groupBy("bucket").applyInPandasWithState(
+        _verdict_group,
+        outputStructType=VERDICT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_multiband_dedup(
+    docs: DataFrame, sink_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":
+    """Materialize the accepted documents: all of a doc's band
+    verdicts land in the same micro-batch (they are emitted by the
+    batch that carried the doc), so a STATELESS per-batch conjunction
+    — accepted iff no band collided, max_root_sim over non-self bands
+    — finishes the rule. Batches write to batch_id-keyed overwrite
+    directories (replay-idempotent, same pattern as curation/
+    trending). Output rows match q127's schema exactly."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        est_nonself = F.when(F.col("doc_id") != F.col("root_id"), F.col("est"))
+        accepted = (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.bool_and(~F.col("collided")).alias("_ok"),
+                F.coalesce(F.max(est_nonself), F.lit(0.0)).alias("max_root_sim"),
+            )
+            .filter(F.col("_ok"))
+            .select("doc_id", "max_root_sim")
+        )
+        accepted.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
+
+    return (
+        streaming_multiband_verdicts(docs)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
     )

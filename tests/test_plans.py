@@ -214,3 +214,15 @@ def test_q124_merge_algebra_is_shard_limit_then_global_topk(spark):
     assert "Exchange rangepartitioning" not in plan
     # priority is computed scan-side (projected off the file scan)
     assert plan.count("md5") == 1
+
+
+def test_q127_multiband_no_self_join_single_md5(spark):
+    plan = plan_of(spark, "q127_multiband_root_dedup")
+    # signature pipeline runs ONCE (one md5 site), the root comes from
+    # a min(struct) window — never a self-join back to fetch it — and
+    # the whole rule is 3 Exchanges: signature agg, (band, key) window,
+    # per-doc conjunction (map-side combined)
+    assert plan.count("md5") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "partial_min" in plan or "partial_bool_and" in plan  # map-side combine of the conjunction aggregate
