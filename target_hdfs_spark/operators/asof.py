@@ -205,3 +205,89 @@ def q107_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_id="event_id",
         right_id="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal interval (attribution-window) join: all touch events within
+# a bounded lookback of each conversion — the bounded-range sibling of
+# the as-of join above (as-of = latest single row, unbounded; this =
+# every row inside [ts - W, ts]).
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_MIN = 60  # lookback, minutes
+
+
+@query(
+    "q131_attribution_window_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT event_id, user_id, ts, event_type, value
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+             s.event_id AS touch_id, s.ts AS touch_ts, s.value AS touch_value
+      FROM p LEFT JOIN s
+        ON s.user_id = p.user_id
+       AND s.ts <= p.ts
+       AND s.ts > p.ts - INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+    )
+    SELECT purchase_id, user_id, ts,
+           CAST(COUNT(touch_id) AS BIGINT) AS n_touches,
+           CAST(CAST(SUM(CAST(touch_value AS DECIMAL(12,4))) AS VARCHAR)
+                AS DOUBLE) AS touch_value_sum,
+           MAX(touch_id) AS max_touch_id,
+           MIN(touch_ts) AS first_touch_ts
+    FROM j
+    GROUP BY purchase_id, user_id, ts
+    """,
+    tags=("asof", "range-join", "attribution"),
+)
+def q131_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window interval join: for every purchase, aggregate
+    ALL non-purchase touch events of the same user inside the
+    preceding 60 minutes (inclusive of the purchase instant) — touch
+    count, exact-decimal value sum, max touch id, first touch time.
+    Purchases with no touches survive with n_touches = 0 (left join).
+
+    Scale: the join key is the EQUI half (user_id) — Spark plans a
+    shuffle hash/sort-merge join on user_id with the time-interval
+    predicate applied as a residual filter, so the shuffle is
+    user-partitioned, never a cross product. A user's events co-locate
+    on one reducer (the natural partitioning of attribution at 100 TB);
+    per-user interval scans are linear after the within-partition sort.
+    The value sum uses the exact-decimal convention
+    (functions/decimals.py) so the double result is bit-reproducible
+    under any aggregation order.
+    """
+    from target_hdfs_spark.functions.decimals import dec, to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    s = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("touch_ts"),
+        F.col("value").alias("touch_value"),
+    )
+    j = p.join(
+        s,
+        (F.col("s_user_id") == F.col("user_id"))
+        & (F.col("touch_ts") <= F.col("ts"))
+        & (
+            F.col("touch_ts")
+            > F.col("ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTE")
+        ),
+        "left",
+    )
+    return j.groupBy("purchase_id", "user_id", "ts").agg(
+        F.count("touch_id").alias("n_touches"),
+        to_double(F.sum(dec("touch_value"))).alias("touch_value_sum"),
+        F.max("touch_id").alias("max_touch_id"),
+        F.min("touch_ts").alias("first_touch_ts"),
+    )

@@ -1522,3 +1522,128 @@ def q127_multiband_root_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/neardup.py::streaming_multiband_root_dedup."""
     docs = load_table(spark, sf_dir, "documents")
     return multiband_root_dedup(minhash_signatures(docs))
+
+
+# ---------------------------------------------------------------------------
+# L1c: segment-level exact dedup (C4-style): dedup WITHIN documents at
+# sub-document granularity — remove every repeated text segment
+# corpus-wide (keep the first occurrence) and rebuild each document
+# from its surviving segments. This is the C4 "three-sentence span"
+# dedup adapted to token segments, the other half of exact dedup that
+# whole-document hashing (q40) cannot see: boilerplate repeated inside
+# otherwise-unique pages.
+# ---------------------------------------------------------------------------
+
+SEG_TOKENS = 16
+
+
+def _seg_arr_sql() -> str:
+    n = (
+        f"GREATEST(CAST(ceil(len(ts) / {SEG_TOKENS}.0) AS BIGINT), 1)"
+    )
+    return (
+        f"list_transform(generate_series(0, {n} - 1), "
+        f"i -> array_to_string(ts[(i * {SEG_TOKENS} + 1):"
+        f"(i * {SEG_TOKENS} + {SEG_TOKENS})], ' '))"
+    )
+
+
+@query(
+    "q128_segment_dedup",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    seg AS (
+      SELECT doc_id,
+             unnest({_seg_arr_sql()}) AS seg_text,
+             generate_subscripts({_seg_arr_sql()}, 1) - 1 AS seg_idx
+      FROM tok
+    ),
+    firsts AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx
+      ) AS rn
+      FROM seg
+    ),
+    kept AS (SELECT doc_id, seg_idx, seg_text FROM firsts WHERE rn = 1),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(seg_text, ' ' ORDER BY seg_idx) AS dedup_text
+      FROM kept GROUP BY doc_id
+    ),
+    nseg AS (
+      SELECT doc_id,
+             GREATEST(CAST(ceil(len(ts) / {SEG_TOKENS}.0) AS BIGINT), 1)
+               AS n_segments
+      FROM tok
+    )
+    SELECT n.doc_id, n.n_segments,
+           COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           COALESCE(r.dedup_text, '') AS dedup_text
+    FROM nseg n LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("dedup", "exact", "segments", "c4"),
+)
+def q128_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment-level exact dedup: split every document
+    into non-overlapping {SEG_TOKENS}-token segments, keep only the
+    FIRST occurrence of each distinct segment (ordered by
+    (doc_id, seg_idx) — deterministic survivor), and rebuild each
+    document from its surviving segments in order. Documents reduced
+    to nothing survive as empty strings with n_kept = 0.
+
+    Scale: one explode + ONE shuffle, partitioned by the segment's
+    128-bit md5 (narrow comparison key; the segment text rides the
+    shuffle once because it must survive into the rebuild — that is
+    the data itself, not overhead). The keep-first rule is the q118
+    min(struct) window — no self-join back for the winner. The rebuild
+    groups by doc_id (second shuffle) and sorts segments inside the
+    aggregated array, never globally. Reducer skew is bounded: a
+    segment's bucket holds its duplicates only, and the hottest
+    segment (empty-page boilerplate) degrades to one reducer scanning
+    its copies — the same profile as exact doc dedup (q40).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    ts = F.col("ts")
+    n_segs = F.greatest(
+        F.ceil(F.size(ts) / F.lit(float(SEG_TOKENS))), F.lit(1).cast("long")
+    )
+    seg_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(ts, (i * SEG_TOKENS + 1).cast("int"), SEG_TOKENS)),
+    )
+    seg = docs.select(
+        "doc_id",
+        F.size(seg_arr).cast("long").alias("n_segments"),
+        F.posexplode(seg_arr).alias("seg_idx", "seg_text"),
+    )
+    w = Window.partitionBy(F.md5("seg_text"))
+    first = F.min(F.struct("doc_id", "seg_idx")).over(w)
+    kept = (
+        seg.withColumn("_first", first)
+        .filter(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("seg_idx") == F.col("_first.seg_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                    lambda s: s.seg_text,
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+    nseg = docs.select(
+        "doc_id", F.size(seg_arr).cast("long").alias("n_segments")
+    )
+    return nseg.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )

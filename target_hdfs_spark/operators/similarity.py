@@ -1117,3 +1117,165 @@ def q122_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("vec_id")
     )
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# L3j: semantic dedup (SemDeDup) — embedding-space dedup SURVIVORS.
+# q48 emits the near-dup PAIRS; this operator applies the suppression
+# rule (a document is dropped iff it has a near-duplicate with a
+# smaller vec_id) and emits the per-vector verdict — the operator a
+# curation pipeline actually consumes.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.25
+
+
+@query(
+    "q130_semantic_dedup",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= {_SEMDEDUP_TAU}
+    ),
+    sup AS (
+      SELECT vec_b AS vec_id, COUNT(*) AS n_smaller_dups FROM pairs GROUP BY 1
+    )
+    SELECT e.vec_id,
+           COALESCE(s.n_smaller_dups, CAST(0 AS BIGINT)) AS n_smaller_dups,
+           s.vec_id IS NULL AS kept
+    FROM emb e LEFT JOIN sup s USING (vec_id)
+    """,
+    tags=("similarity", "dedup", "semdedup", "lsh"),
+)
+def q130_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication verdict: SRP-LSH buckets
+    bound the candidate space, exact cosine >= 0.25 within the bucket
+    defines near-duplication, and a vector is KEPT iff no
+    near-duplicate with a smaller vec_id exists (deterministic
+    min-id survivor, the same rule as exact dedup q40). Emits every
+    vector with its suppression count so downstream can either filter
+    (kept) or weight by duplication mass.
+
+    Scale: identical candidate generation to q48 (bucketed self-join,
+    never all-pairs); the verdict adds one aggregation on vec_b and a
+    left join back to the corpus — both on the vector id, map-side
+    combinable. At 100 TB the bucket cap / multi-table recall story is
+    q43's, unchanged.
+    """
+    emb = _load_vectors(spark, sf_dir)
+    emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("bucket").alias("ba"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    sup = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cosine(F.col("va"), F.col("vb")) >= _SEMDEDUP_TAU)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_smaller_dups"))
+    )
+    return emb.select("vec_id").join(sup, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("n_smaller_dups"), F.lit(0).cast("long")).alias(
+            "n_smaller_dups"
+        ),
+        F.col("n_smaller_dups").isNull().alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3k: triangle counting on the near-duplicate graph — the classic
+# graph-analytic over a similarity graph (community density, cluster
+# quality). Ordered-wedge formulation: every triangle a<b<c is found
+# exactly once by joining edge lists on the ordered endpoints.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q132_neardup_triangles",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+      FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS u, b.vec_id AS w
+      FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= {_SEMDEDUP_TAU}
+    ),
+    tris AS (
+      SELECT e1.u AS a, e1.w AS b, e2.w AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.w
+      JOIN edges e3 ON e3.u = e1.u AND e3.w = e2.w
+    ),
+    nodes AS (
+      SELECT a AS vec_id FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT vec_id, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY vec_id
+    """,
+    tags=("similarity", "graph", "triangles"),
+)
+def q132_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector triangle counts over the embedding near-duplicate
+    graph (edges = q48's bucketed cosine pairs): a vector's triangle
+    count measures how densely its duplicate neighborhood
+    interconnects — the standard signal separating tight duplicate
+    clusters from star-shaped hub artifacts (and the denominator of
+    local clustering coefficients).
+
+    Scale: the ordered-wedge join (a<b<c) touches each triangle
+    exactly once — the distributed-triangle-count formulation whose
+    shuffle volume is O(edges^(3/2)) worst-case instead of the naive
+    O(n^3); edges come pre-ordered from the pair generator. Wedge skew
+    (a hub node's edge list) is the known hazard: the LSH bucket cap
+    (q43) bounds degree upstream, which is exactly what keeps the
+    wedge join's worst reducer bounded here.
+    """
+    emb = _load_vectors(spark, sf_dir)
+    emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("bucket").alias("ba"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    edges = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cosine(F.col("va"), F.col("vb")) >= _SEMDEDUP_TAU)
+        .select(F.col("vec_a").alias("u"), F.col("vec_b").alias("w"))
+        # EAGER checkpoint: the wedge join references the edge list
+        # three times — without materialization the whole bucketed
+        # cosine pipeline re-runs per reference (q85's measured 3-10x)
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("u2"), F.col("w").alias("w2"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("w").alias("w3"))
+    tris = (
+        e1.join(e2, F.col("u2") == F.col("w"))
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("w3") == F.col("w2")))
+        .select(F.col("u").alias("a"), F.col("w").alias("b"), F.col("w2").alias("c"))
+    )
+    nodes = (
+        tris.select(F.col("a").alias("vec_id"))
+        .unionAll(tris.select(F.col("b").alias("vec_id")))
+        .unionAll(tris.select(F.col("c").alias("vec_id")))
+    )
+    return nodes.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))

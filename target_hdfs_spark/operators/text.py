@@ -11,6 +11,7 @@ from __future__ import annotations
 import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from target_hdfs_spark.functions.hashing import MERSENNE_P, md5_hash32, md5_hash32_sql
 from target_hdfs_spark.functions.textfuncs import TOKENS_SQL, tokens
@@ -853,7 +854,7 @@ def q119_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT token, block,
            COUNT(*) AS df_block,
-           SUM(tf) AS tf_block,
+           CAST(SUM(tf) AS BIGINT) AS tf_block,
            md5(array_to_string(list_sort(list(doc_id)), ',')) AS posting_md5
     FROM tfd
     GROUP BY token, block
@@ -896,3 +897,172 @@ def q125_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("posting_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4k: BM25 ranked retrieval — the scoring half of the inverted index
+# (q125 builds the index; this runs the classic probabilistic ranking
+# over it). Every RAG / retrieval pipeline's baseline ranker.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("merge", "window", "stream", "vector")
+_BM25_TOPK = 20
+# k1 = 1.2, b = 0.75 (the standard Robertson defaults). The idf is the
+# RATIONAL Robertson form (N - df + 0.5)/(df + 0.5) WITHOUT the log:
+# ln is monotone, so per-term ranking is order-equivalent, and
+# transcendentals are banned from checkable outputs engine-wide (q52's
+# rationale). All remaining arithmetic is correctly-rounded IEEE ops
+# on integer-derived doubles evaluated in one FIXED expression order
+# on both engines, so the scores are bit-identical.
+
+
+def _bm25_score_sql(t: str) -> str:
+    # numeric literals are CAST to DOUBLE: DuckDB types a bare `2.2`
+    # as DECIMAL and would evaluate `tf * 2.2` exactly where Spark
+    # rounds the double product — a 1-ulp divergence.
+    idf = (
+        f"((n_docs - df_{t}) + CAST(0.5 AS DOUBLE)) / (df_{t} + CAST(0.5 AS DOUBLE))"
+    )
+    denom = (
+        f"tf_{t} + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + "
+        f"(CAST(0.75 AS DOUBLE) * dl) / avgdl)"
+    )
+    return (
+        f"CASE WHEN tf_{t} > 0 THEN ({idf}) * (tf_{t} * CAST(2.2 AS DOUBLE)) "
+        f"/ ({denom}) ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+@query(
+    "q129_bm25_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ),
+    pvt AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"COALESCE(MAX(CASE WHEN token = '{t}' THEN tf END), 0) AS tf_{t}"
+                 for t in _BM25_TERMS)}
+      FROM tf GROUP BY doc_id
+    ),
+    dfs AS (
+      SELECT {", ".join(
+          f"COALESCE(MAX(CASE WHEN token = '{t}' THEN df END), 0) AS df_{t}"
+          for t in _BM25_TERMS)}
+      FROM (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOK})) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    scored AS (
+      SELECT p.doc_id, {", ".join(f"p.tf_{t}" for t in _BM25_TERMS)},
+             len(d.ts) AS dl,
+             {" + ".join(f"({_bm25_score_sql(t)})" for t in _BM25_TERMS)}
+               AS bm25
+      FROM pvt p
+      JOIN (SELECT doc_id, {_TOK} AS ts FROM documents) d USING (doc_id)
+      CROSS JOIN dfs CROSS JOIN stats
+    )
+    SELECT doc_id, {", ".join(f"tf_{t}" for t in _BM25_TERMS)}, dl, bm25, rn
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {_BM25_TOPK}
+    """,
+    tags=("text", "retrieval", "bm25", "topk"),
+)
+def q129_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 4-term query: per-document
+    term frequencies pivot to one row per matching document, document
+    frequencies and corpus stats ride along as broadcast single-row
+    frames, and the score is the standard k1/b-saturated BM25 sum
+    (rational idf — see note above on transcendentals). Top-20 by
+    score with doc_id tiebreak.
+
+    Scale: the posting scan touches only documents containing a query
+    term (inner join on the tf table — at 100 TB this is the q125
+    index's posting lists for 4 terms, not a corpus scan); the
+    per-term pivot is a conditional aggregate (one shuffle, map-side
+    combined); df and corpus stats are scalar broadcasts; the final
+    top-k is TakeOrderedAndProject, never a global sort. The per-term
+    score sum is a FIXED-ORDER expression (s_t1 + s_t2 + ...), not a
+    SUM over rows — double addition is not associative, so an
+    order-unspecified aggregation would not be bit-reproducible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pvt = tf.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("tf"))), F.lit(0).cast("long")
+            ).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    dfs = (
+        tf.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .groupBy()
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("token") == t, F.col("df"))),
+                    F.lit(0).cast("long"),
+                ).alias(f"df_{t}")
+                for t in _BM25_TERMS
+            ]
+        )
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(tokens("text"))).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    dl = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("dl")
+    )
+
+    def score(t: str):
+        tf_t = F.col(f"tf_{t}")
+        idf = ((F.col("n_docs") - F.col(f"df_{t}")) + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        denom = tf_t + F.lit(1.2) * (
+            F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / F.col("avgdl")
+        )
+        return F.when(tf_t > 0, idf * (tf_t * F.lit(2.2)) / denom).otherwise(
+            F.lit(0.0)
+        )
+
+    scored = (
+        pvt.join(dl, "doc_id")
+        .crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            "dl",
+            sum(
+                (score(t) for t in _BM25_TERMS[1:]), start=score(_BM25_TERMS[0])
+            ).alias("bm25"),
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (no global sort,
+    # no single-partition window over the full match set); the rank
+    # column is then a window over the surviving k rows only.
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(_BM25_TOPK)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

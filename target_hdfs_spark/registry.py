@@ -82,6 +82,11 @@ PRIORITY_ORDER = (
     "q125_inverted_index",        # r4: block-sharded posting lists
     "q126_temperature_mixture",   # r4: sqrt-temperature upsampling
     "q127_multiband_root_dedup",  # r4: full-recall streaming-analog rule
+    "q128_segment_dedup",         # r4: C4-style segment-level dedup
+    "q129_bm25_topk",             # r4: BM25 ranked retrieval
+    "q130_semantic_dedup",        # r4: SemDeDup survivor verdicts
+    "q131_attribution_window_join",  # r4: bounded-lookback interval join
+    "q132_neardup_triangles",     # r4: triangle counts on dup graph
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------

@@ -226,3 +226,44 @@ def test_q127_multiband_no_self_join_single_md5(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 3
     assert "partial_min" in plan or "partial_bool_and" in plan  # map-side combine of the conjunction aggregate
+
+
+def test_q128_single_md5_two_shuffles(spark):
+    """Segment dedup: the keep-first rule is one window over the
+    segment hash (Exchange 1) and the rebuild one doc aggregation
+    (Exchange 2); md5 is computed at exactly one site."""
+    plan = plan_of(spark, "q128_segment_dedup")
+    assert plan.count("md5") == 1, f"md5 recomputed: {plan.count('md5')} sites"
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q129_bm25_topk_is_take_ordered(spark):
+    """BM25: the final top-k must be TakeOrderedAndProject (per-
+    partition heaps), never a global range sort; df and corpus stats
+    attach as broadcasts."""
+    plan = plan_of(spark, "q129_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # dfs row + stats row
+
+
+def test_q131_interval_join_is_equi_on_user(spark):
+    """Attribution window join: Spark must extract the user_id
+    equality as the join key with the time interval as a residual —
+    a nested-loop/cartesian fallback would be the O(n^2) this
+    formulation exists to avoid."""
+    plan = plan_of(spark, "q131_attribution_window_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_q132_edges_materialized_once(spark):
+    """Triangle count: the wedge join references the edge list three
+    times; the eager checkpoint must make all three references read
+    the materialized RDD — zero cosine (zip_with) sites may survive
+    into the executed plan."""
+    plan = plan_of(spark, "q132_neardup_triangles")
+    assert "zip_with" not in plan, "edge pipeline recomputed past the checkpoint"
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
