@@ -51,6 +51,8 @@ QUERIES = (
     "q43_minhash_lsh_pairs",
     "q85_dedup_clusters",
     "q116_incremental_dedup",
+    "q125_inverted_index",
+    "q128_segment_dedup",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -59,6 +61,17 @@ EMB_QUERIES = (
     "q89_pq_codes",
     "q90_pq_adc_search",
     "q122_pandas_cosine_topk",
+)
+# the bucketed-cosine graph family (pair generation is quadratic in
+# bucket occupancy): sweep with SPARK_GRAFT_SRP_PLANES grown
+# ~log2(factor) to hold occupancy constant — e.g.
+#   python scripts/scale_experiment.py 10 --only=neardup
+#   SPARK_GRAFT_SRP_PLANES=12 python scripts/scale_experiment.py 10 --only=neardup
+#   SPARK_GRAFT_SRP_PLANES=15 python scripts/scale_experiment.py 100 --only=neardup
+NEARDUP_QUERIES = (
+    "q48_embedding_neardup_pairs",
+    "q130_semantic_dedup",
+    "q132_neardup_triangles",
 )
 # fixed-dimension join sweep (round-4 verdict item 4): fan ONLY the
 # fact tables (orders, lineitem) by K with key-shifted orderkeys and
@@ -206,6 +219,12 @@ def main() -> None:
         if "emb" in families:
             sf_dir = SRC if factor == 1 else build_embeddings(spark, factor)
             _sweep(spark, specs, EMB_QUERIES, factor, sf_dir)
+        if "neardup" in families:
+            from target_hdfs_spark.operators.similarity import N_PLANES
+
+            print(f"neardup sweep with SRP planes = {N_PLANES}", flush=True)
+            sf_dir = SRC if factor == 1 else build_embeddings(spark, factor)
+            _sweep(spark, specs, NEARDUP_QUERIES, factor, sf_dir)
         if "facts" in families:
             sf_dir = SRC if factor == 1 else build_facts(spark, factor)
             _sweep(spark, specs, FACT_QUERIES, factor, sf_dir)

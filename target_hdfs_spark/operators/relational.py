@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from target_hdfs_spark.functions.decimals import davg, dec, dsum, to_double
+from target_hdfs_spark.functions.textfuncs import TOKENS_SQL
 from target_hdfs_spark.registry import query
 from target_hdfs_spark.sources.readers import load_table
+
+_DOC_TOK = TOKENS_SQL.format(expr="text")
 
 # ---------------------------------------------------------------------------
 # E1 scan + E3 filter + E9 hash agg + E15 sort — the flagship (TPC-H Q1 shape)
@@ -1610,6 +1613,144 @@ def q72_applyinpandas_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame
 
     return orders.groupBy("bucket").applyInPandas(
         norm, "o_custkey long, o_orderkey long, price_norm double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E24 — mapInArrow (Arrow-native batch UDF, zero pandas materialization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q133_arrow_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DOC_TOK}) AS BIGINT) AS n_tokens,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    tags=("udf", "mapInArrow", "text"),
+)
+def q133_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/byte counts via ``mapInArrow`` — the
+    Arrow-NATIVE member of the UDF matrix (scalar pandas_udf = q22,
+    grouped map = q72, mapInPandas = q122, Arrow batches = here).
+    The kernel runs entirely in pyarrow.compute (no pandas object
+    materialization, no per-row Python), and its tokenizer is the
+    exact Arrow twin of functions/textfuncs.tokens: lower -> trim ->
+    whitespace split, with the all-whitespace edge case mapped to 0
+    (Arrow's split yields [''] there where the JVM filter yields []).
+
+    Scale: mapInArrow streams columnar batches through the Python
+    worker with zero conversion cost at either edge — the cheapest
+    possible Python touchpoint; the operator is embarrassingly
+    parallel (no shuffle). Prefer the JVM expression when one exists
+    (q50); this is the template for kernels that genuinely need
+    Arrow-side libraries.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(text))
+            split = pc.utf8_split_whitespace(trimmed)
+            n_tokens = pc.if_else(
+                pc.equal(trimmed, ""),
+                pa.scalar(0, pa.int32()),
+                pc.list_value_length(split),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(n_tokens, pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_tokens", "n_bytes"],
+            )
+
+    return docs.mapInArrow(stats, "doc_id long, n_tokens long, n_bytes long")
+
+
+# ---------------------------------------------------------------------------
+# E24 — Python UDTF (table function: one row in, variable rows out)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q134_udtf_runlength",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DOC_TOK}) AS token,
+             generate_subscripts({_DOC_TOK}, 1) AS pos
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, token, pos,
+             CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NOT DISTINCT FROM token
+                  THEN 0 ELSE 1 END AS is_start
+      FROM tok
+    ),
+    runs AS (
+      SELECT doc_id, token,
+             SUM(is_start) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(run_id - 1 AS BIGINT) AS run_idx, token,
+           COUNT(*) AS run_len
+    FROM runs GROUP BY doc_id, run_id, token
+    """,
+    tags=("udf", "udtf", "text"),
+)
+def q134_udtf_runlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token run-length encoding via a Python UDTF — the TABLE-function
+    member of the UDF matrix (one input row expands to a variable
+    number of output rows through arbitrary Python). Emits one row per
+    maximal run of consecutive equal tokens; the oracle reproduces the
+    semantics with the classic gaps-and-islands window SQL, so the
+    UDTF's imperative loop is exact-checked against a declarative
+    twin.
+
+    Scale: Arrow-optimized UDTF (useArrow=True — batched transfer,
+    not row pickling), applied via a correlated LATERAL join: no
+    shuffle, embarrassingly parallel over document partitions. The
+    islands formulation (see oracle) is what you'd run when the logic
+    fits window functions; the UDTF path exists for expansions that
+    don't (parsers, tokenizers, decoders).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx bigint, token string, run_len bigint", useArrow=True)
+    class RunLength:
+        def eval(self, text: str):
+            run_idx = -1
+            prev = None
+            run_len = 0
+            for tok in text.lower().strip().split():
+                if tok == prev:
+                    run_len += 1
+                else:
+                    if prev is not None:
+                        yield run_idx, prev, run_len
+                    run_idx += 1
+                    prev, run_len = tok, 1
+            if prev is not None:
+                yield run_idx, prev, run_len
+
+    spark.udtf.register("q134_runlength", RunLength)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("q134_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.run_idx, r.token, r.run_len
+        FROM q134_docs d, LATERAL q134_runlength(d.text) r
+        """
     )
 
 

@@ -18,6 +18,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -27,7 +29,15 @@ from target_hdfs_spark.registry import query
 from target_hdfs_spark.sources.readers import load_table
 
 EMB_DIM = 64
-N_PLANES = 8
+# SRP bucket width IS the scale knob for every bucketed-cosine
+# operator (q47/q48/q130/q132): expected bucket occupancy is
+# n / 2^N_PLANES, and the bucket self-joins are quadratic in
+# occupancy, so the plane count must grow ~log2(n) to hold per-bucket
+# work constant. Read from the environment AT IMPORT so the Spark
+# expressions and the generated oracle SQL always agree (default 8 =
+# the correctness-gate setting; scripts/scale_experiment.py sweeps
+# larger corpora with proportionally more planes).
+N_PLANES = int(os.environ.get("SPARK_GRAFT_SRP_PLANES", "8"))
 _KNUTH = 2654435761
 
 

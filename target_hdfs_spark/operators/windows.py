@@ -224,3 +224,82 @@ def q123_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rank_topk(counts, 5)
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling: per-user hourly scaffold with zero-filled
+# activity — the densification step every downstream time-series model
+# (forecasting, anomaly scoring) needs, and the operator naive GROUP BY
+# cannot produce (missing hours simply don't exist as groups).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q135_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS mn,
+             date_trunc('hour', MAX(ts)) AS mx
+      FROM events GROUP BY user_id
+    ),
+    scaffold AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+               AS hour_start
+      FROM bounds
+    ),
+    actual AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_start,
+             COUNT(*) AS n_events,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+               AS value_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.hour_start,
+           COALESCE(a.n_events, CAST(0 AS BIGINT)) AS n_events,
+           COALESCE(a.value_sum, CAST(0.0 AS DOUBLE)) AS value_sum
+    FROM scaffold s LEFT JOIN actual a
+      ON a.user_id = s.user_id AND a.hour_start = s.hour_start
+    """,
+    tags=("timeseries", "gapfill", "window"),
+)
+def q135_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly gap filling: generate every hour bucket between
+    a user's first and last event (inclusive, hour-truncated) and
+    left-join the actual per-hour activity, zero-filling silent hours.
+    Counts are exact integers; the value sum uses the exact-decimal
+    convention.
+
+    Scale: the scaffold comes from ``sequence()`` + ``explode`` on the
+    per-user bounds — one row per user expands engine-side to its hour
+    range (no driver loop, no UDF); the join is an equi-join on
+    (user_id, hour). Span skew is the watch item: one user alive for
+    years yields a long array — at 100 TB, cap spans or shard the
+    sequence by (user, month) first; row volume here is bounded by
+    total hours per user, the same cardinality the downstream model
+    consumes anyway.
+    """
+    from target_hdfs_spark.functions.decimals import dec, to_double
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", F.date_trunc("hour", "ts").alias("hour_start")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx")
+    )
+    scaffold = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    actual = ev.groupBy("user_id", "hour_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        to_double(F.sum(dec("value"))).alias("value_sum"),
+    )
+    return scaffold.join(actual, ["user_id", "hour_start"], "left").select(
+        "user_id",
+        "hour_start",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce(F.col("value_sum"), F.lit(0.0)).alias("value_sum"),
+    )

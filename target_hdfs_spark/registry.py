@@ -87,6 +87,9 @@ PRIORITY_ORDER = (
     "q130_semantic_dedup",        # r4: SemDeDup survivor verdicts
     "q131_attribution_window_join",  # r4: bounded-lookback interval join
     "q132_neardup_triangles",     # r4: triangle counts on dup graph
+    "q133_arrow_token_stats",     # r4: mapInArrow UDF-surface member
+    "q134_udtf_runlength",        # r4: Python UDTF table function
+    "q135_hourly_gapfill",        # r4: time-series densification
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------

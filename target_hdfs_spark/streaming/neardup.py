@@ -311,6 +311,125 @@ def streaming_multiband_verdicts(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# transformWithState implementation (Spark 4's arbitrary-stateful API)
+# ---------------------------------------------------------------------------
+
+
+class TransformWithStateUnavailableError(RuntimeError):
+    """transformWithStateInPandas needs the ``protobuf`` Python
+    package (its state-server protocol is protobuf-framed;
+    pyspark/sql/streaming/proto imports google.protobuf at query
+    start). Raised eagerly so a missing dependency fails at operator
+    construction with remediation, not mid-stream with a crashed
+    driver worker."""
+
+
+def require_transform_with_state() -> None:
+    """Capability probe for Spark 4's transformWithState API (same
+    tested fail-fast pattern as plans/writer.require_table_format for
+    Delta/Iceberg). The API additionally requires the RocksDB state
+    store provider — Spark itself enforces that at query start."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise TransformWithStateUnavailableError(
+            "transformWithStateInPandas requires the 'protobuf' Python "
+            "package, which is not installed in this environment. "
+            "Remediation: pip install protobuf>=4, set "
+            "spark.sql.streaming.stateStore.providerClass="
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider, and re-run. The "
+            "applyInPandasWithState implementation above "
+            "(streaming_bucket_root_dedup) provides the same rule, "
+            "parity-tested, with no extra dependency."
+        ) from exc
+
+
+def transform_with_state_bucket_root_dedup(
+    docs: DataFrame,
+    threshold: float = SINGLE_BAND_SIM,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """The bucket-root dedup rule on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (same rule, same output schema, same
+    batch twin q118; parity pinned in tests/test_streaming_neardup.py).
+    Differences that matter at scale:
+
+    - typed state handles (``getValueState``) instead of one opaque
+      tuple: the root representative lives in a named ValueState whose
+      schema the store knows, enabling per-state-variable metrics and
+      schema evolution;
+    - NATIVE per-state TTL (``ttlDurationMs``): the store itself
+      expires idle roots — no timer bookkeeping in operator code
+      (the applyInPandasWithState path implements the same bound
+      manually with event-time timers);
+    - requires the RocksDB state-store provider (Spark enforces this)
+      — which is the provider the 100 TB deployment would run anyway,
+      since bucket-root state must spill past executor heap.
+
+    Re-election on expiry is identical: the next arrival in an expired
+    bucket finds no state and elects itself root.
+
+    Offline-container caveat: the API's state-server protocol needs
+    the ``protobuf`` package; :func:`require_transform_with_state`
+    fail-fasts with remediation when it is absent (the tested seam —
+    tests/test_streaming_neardup.py runs full batch-twin parity when
+    the dependency is available and pins the typed error when not).
+    """
+    require_transform_with_state()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    hashed = docs.select(
+        "doc_id",
+        F.transform(shingles(tokens("text")), md5_hash32).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    with_sig = hashed.mapInPandas(_sig_batches, SIG_SCHEMA)
+
+    class RootDedup(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._root = handle.getValueState(
+                "root", STATE_SCHEMA, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._root.exists():
+                root_id, root_sig_s = self._root.get()
+                root_sig = [int(c) for c in root_sig_s.split(",")]
+            else:
+                root_id, root_sig = None, None
+            out: list[tuple[int, int, float]] = []
+            whole = pd.concat(list(rows), ignore_index=True)
+            whole = whole.sort_values("doc_id")
+            for doc_id, sig in zip(whole["doc_id"], whole["sig"]):
+                sig = list(sig)
+                if root_id is None:
+                    root_id, root_sig = int(doc_id), sig
+                    self._root.update(
+                        (root_id, ",".join(str(c) for c in root_sig))
+                    )
+                    out.append((int(doc_id), root_id, 1.0))
+                    continue
+                est = sum(a == b for a, b in zip(sig, root_sig)) / NUM_HASHES
+                if est < threshold:
+                    out.append((int(doc_id), root_id, est))
+            yield pd.DataFrame(out, columns=["doc_id", "root_id", "est_sim"])
+
+        def close(self) -> None:
+            pass
+
+    return with_sig.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=RootDedup(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def write_multiband_dedup(
     docs: DataFrame, sink_dir: str, checkpoint_dir: str
 ) -> "StreamingQuery":

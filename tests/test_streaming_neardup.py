@@ -173,3 +173,105 @@ def test_multiband_kill_resume_preserves_band_roots(spark, tmp_path):
     # and the union across both phases equals the batch twin over the
     # full corpus (ordered arrivals -> same roots)
     assert got == _multiband_batch_rows(spark, _docs_a() + _docs_b())
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4's successor stateful API)
+# ---------------------------------------------------------------------------
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+try:  # the API's state-server protocol needs protobuf (see neardup.py)
+    import google.protobuf  # noqa: F401
+
+    HAS_PROTOBUF = True
+except ImportError:
+    HAS_PROTOBUF = False
+
+import pytest
+
+needs_protobuf = pytest.mark.skipif(
+    not HAS_PROTOBUF, reason="transformWithState needs the protobuf package"
+)
+
+
+def test_transform_with_state_fails_fast_without_protobuf(spark):
+    """When the protobuf dependency is absent the operator must raise
+    the typed capability error AT CONSTRUCTION (with remediation), not
+    crash the streaming driver worker mid-query — the same tested
+    fail-fast seam as the Delta/Iceberg writer."""
+    from target_hdfs_spark.streaming.neardup import (
+        TransformWithStateUnavailableError,
+        transform_with_state_bucket_root_dedup,
+    )
+
+    if HAS_PROTOBUF:
+        pytest.skip("protobuf installed: the parity tests below cover it")
+    docs = spark.createDataFrame(_docs_a(), "doc_id long, text string")
+    with pytest.raises(TransformWithStateUnavailableError, match="protobuf"):
+        transform_with_state_bucket_root_dedup(docs)
+
+
+def _run_tws_stream(spark, src, sink, ckpt):
+    """transformWithState requires the RocksDB provider; pin it for the
+    query (the provider is recorded in the checkpoint)."""
+    from target_hdfs_spark.streaming.neardup import (
+        transform_with_state_bucket_root_dedup,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, _ROCKSDB)
+    try:
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            transform_with_state_bucket_root_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(key, prev)
+
+
+@needs_protobuf
+def test_transform_with_state_matches_batch_twin(spark, tmp_path):
+    """The new-API operator must emit exactly the q118 batch-twin rows
+    on ordered arrivals — same equivalence bar as the
+    applyInPandasWithState implementation."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write_jsonl(src / "f1.jsonl", _docs_a())
+    _run_tws_stream(spark, src, sink, ckpt)
+    got = {
+        (r.doc_id, r.root_id, r.est_sim)
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    assert got == _batch_twin_rows(spark, _docs_a())
+
+
+@needs_protobuf
+def test_transform_with_state_kill_resume(spark, tmp_path):
+    """Typed ValueState survives a restart: a duplicate of a batch-1
+    root arriving after the restart is suppressed using restored
+    state, and batch-1 output is not re-emitted."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write_jsonl(src / "f1.jsonl", _docs_a())
+    _run_tws_stream(spark, src, sink, ckpt)
+    n_first = spark.read.parquet(str(sink)).count()
+
+    _write_jsonl(src / "f2.jsonl", _docs_b())
+    _run_tws_stream(spark, src, sink, ckpt)
+    rows = spark.read.parquet(str(sink)).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == n_first + 1
+    assert 6 not in by_id  # suppressed via restored root state
+    assert by_id[7].root_id == 7 and by_id[7].est_sim == 1.0
+    assert {
+        (r.doc_id, r.root_id, r.est_sim) for r in rows
+    } == _batch_twin_rows(spark, _docs_a() + _docs_b())
