@@ -1,0 +1,254 @@
+"""Closed-form statistical analytics (SURVEY.md §2B.1 extensions to
+E9/E14/E19): grouped OLS regression, fixed-width histograms, and
+ordered-funnel analysis.
+
+These are the profiling/feature-engineering primitives a training-data
+pipeline runs alongside curation — "does doc length predict quality
+score", "what does the price distribution look like", "how do users
+move through a conversion funnel". All three are expressed as
+declarative aggregations (no UDFs, no iteration), so Catalyst applies
+partial aggregation and the shuffles carry only group-level sums.
+
+Determinism: moment sums (Sx, Sy, Sxy, Sxx, Syy) are exact DECIMAL
+aggregates converted to double through a string (functions/decimals.py
+rationale); the closed-form slope/intercept/r² arithmetic is then a
+fixed tree of IEEE double ops — identical operand order on the Spark
+and DuckDB sides, hence bit-identical results.
+
+Reference parity: the reference (Automattic/target-hdfs, 274 core
+lines) has no analytics surface; this module is part of the mandated
+query extension (SURVEY.md §2B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.functions.decimals import dec, to_double
+from target_hdfs_spark.registry import query
+from target_hdfs_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression (closed form over exact moment sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q136_group_ols_regression",
+    oracle="""
+    WITH s AS (
+      SELECT
+        l_returnflag,
+        COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sy,
+        -- DECIMAL(19,4) forces DuckDB's int128 representation for the
+        -- products (int64-backed DECIMAL(<=18) overflows on price^2);
+        -- values and scales match Spark's DECIMAL(12,4) products exactly.
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    ), m AS (
+      SELECT
+        l_returnflag, n, sx, sy, sxy, sxx, syy,
+        (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+      FROM s
+    )
+    SELECT
+      l_returnflag,
+      n,
+      slope,
+      (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+      ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+        / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "statistics"),
+)
+def q136_group_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of extendedprice on
+    quantity: slope, intercept, and r² from the closed-form normal
+    equations over five moment sums.
+
+    Scale: one hash aggregation — the shuffle carries 5 decimal sums +
+    a count per group regardless of input size (map-side partials).
+    This is THE distributed pattern for grouped regression: no
+    per-group data movement, no iteration; 100 TB of fact rows reduce
+    to |groups| × 6 numbers. The closed-form arithmetic happens on the
+    group-level row, so double determinism holds (fixed op tree over
+    identical inputs).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        to_double(F.sum(dec("l_quantity"))).alias("sx"),
+        to_double(F.sum(dec("l_extendedprice"))).alias("sy"),
+        to_double(F.sum(dec("l_quantity") * dec("l_extendedprice"))).alias("sxy"),
+        to_double(F.sum(dec("l_quantity") * dec("l_quantity"))).alias("sxx"),
+        to_double(F.sum(dec("l_extendedprice") * dec("l_extendedprice"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    m = s.withColumn("slope", cov_n / varx_n)
+    return (
+        m.select(
+            "l_returnflag",
+            "n",
+            "slope",
+            ((F.col("sy") - F.col("slope") * F.col("sx")) / nd).alias("intercept"),
+            ((cov_n * cov_n) / (varx_n * vary_n)).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (distribution profiling)
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 25000.0
+_HIST_BUCKETS = 24  # covers o_totalprice's [0, 600k) domain
+
+
+@query(
+    "q137_price_histogram",
+    oracle=f"""
+    SELECT
+      CAST(LEAST(GREATEST(FLOOR(o_totalprice / {_HIST_WIDTH!r}), 0.0),
+                 {float(_HIST_BUCKETS - 1)!r}) AS BIGINT) AS bucket_id,
+      CAST(LEAST(GREATEST(FLOOR(o_totalprice / {_HIST_WIDTH!r}), 0.0),
+                 {float(_HIST_BUCKETS - 1)!r}) AS BIGINT) * {_HIST_WIDTH!r} AS bucket_lo,
+      COUNT(*) AS n_orders,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket_id
+    """,
+    tags=("agg", "statistics", "profiling"),
+)
+def q137_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: fixed [0, 600k) domain in
+    24 buckets, clamped at both ends (standard profiling primitive —
+    the fixed domain avoids a data-dependent min/max pre-pass).
+
+    Scale: the bucket id is a scan-side expression (floor of one
+    division — IEEE-exact on both engines), so this is a single
+    map-side-combined aggregation; the shuffle carries ≤ 24 rows per
+    map task. Profiling 100 TB costs one pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.least(
+            F.greatest(F.floor(F.col("o_totalprice") / F.lit(_HIST_WIDTH)).cast("double"), F.lit(0.0)),
+            F.lit(float(_HIST_BUCKETS - 1)),
+        )
+    ).cast("bigint")
+    return (
+        o.withColumn("bucket_id", bucket)
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            to_double(F.sum(dec("o_totalprice"))).alias("sum_price"),
+        )
+        .select(
+            "bucket_id",
+            (F.col("bucket_id") * F.lit(_HIST_WIDTH)).alias("bucket_lo"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("bucket_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (sequential conversion analysis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q138_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT COUNT(*) FROM v) AS n_view,
+      (SELECT COUNT(*) FROM c) AS n_click_after_view,
+      (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+      -- BIGINT cast: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in the
+      -- driver canonicalizer (q66 r1 hazard); µs deltas fit int64.
+      (SELECT CAST(SUM(epoch_us(p.t_purchase) - epoch_us(v.t_view)) AS BIGINT)
+       FROM p JOIN v ON p.user_id = v.user_id) AS total_convert_us
+    """,
+    tags=("join", "time", "funnel"),
+)
+def q138_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view → click → purchase:
+    a user advances a stage only with an event strictly AFTER their
+    entry into the previous stage (first-touch semantics).
+
+    Scale: each stage is a filtered aggregation joined to the previous
+    stage's per-user frontier — the frontier is |users| rows (tiny
+    next to the event log), so at 100 TB these are classic
+    shuffle-on-user_id joins that AQE converts to broadcast once the
+    frontier fits. No window over the full log, no per-user event
+    sorting: the MIN-above-threshold form needs only partial
+    aggregation. Timestamps stay integral (epoch µs), so the conversion
+    total is an exact BIGINT sum.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    # events.ts may arrive as TIMESTAMP_NTZ (parquet µs without tz);
+    # unix_micros needs LTZ — the cast is value-identity under the
+    # engine's pinned UTC session timezone.
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    totals = (
+        p.join(v, "user_id")
+        .agg(F.sum(us("t_purchase") - us("t_view")).alias("total_convert_us"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_after_view"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))))
+        .crossJoin(F.broadcast(totals))
+    )
+    return counts

@@ -1,0 +1,140 @@
+"""Interchange-format roundtrips (SURVEY.md §2A extension of the
+ingest surface, R12/R25): prove the engine can move the corpus through
+the text-based interchange formats a real lake ingests — JSON Lines
+and quoted CSV — without corrupting a byte.
+
+The reference (Automattic/target-hdfs) consumes newline-delimited JSON
+on stdin (Singer messages, `reference/target_hdfs/__init__.py`) and
+emits parquet; its implicit contract is "text-format ingest is
+lossless". These queries check that contract END TO END on the Spark
+side: write the documents table out through the format, read it back
+with an explicit schema, and compare content fingerprints against the
+parquet original (the DuckDB oracle reads the parquet directly, so any
+roundtrip corruption — encoding, quoting, escaping, type coercion —
+breaks the value-hash match).
+
+Fingerprint design: per-source COUNT, exact BIGINT SUM of n_chars, and
+an order-independent SUM of a 32-bit md5 prefix of
+``doc_id|text`` (functions/hashing.py portable hash) — any dropped,
+duplicated, truncated, or mis-decoded row changes it.
+
+Scratch space: roundtrips write under /tmp (driver-local in this
+harness; on a cluster this would be a scratch prefix on the object
+store). Each call uses a fresh mkdtemp so concurrent runs never
+collide, and the directory is removed afterwards.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.functions.hashing import md5_hash32
+from target_hdfs_spark.registry import query
+from target_hdfs_spark.sources.readers import load_table
+
+_DOC_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+_FINGERPRINT_ORACLE = """
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      -- BIGINT casts: DuckDB SUM(BIGINT) yields HUGEINT, which the
+      -- driver canonicalizer would coerce to float64 (the q66 r1
+      -- hazard); values fit comfortably in int64.
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8)) AS BIGINT)) AS BIGINT) AS content_hash
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+def _fingerprint(df: DataFrame) -> DataFrame:
+    """Order-independent per-source content fingerprint."""
+    h = md5_hash32(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+    )
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(h).alias("content_hash"),
+        )
+        .orderBy("source")
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **options) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_")
+    try:
+        path = f"{tmp}/documents_{fmt}"
+        docs.write.format(fmt).options(**options).mode("overwrite").save(path)
+        back = (
+            spark.read.format(fmt)
+            .schema(_DOC_SCHEMA)
+            .options(**options)
+            .load(path)
+        )
+        # Fingerprint while the scratch files still exist: collecting
+        # here (group-level rows only) lets us delete the temp dir
+        # before returning. createDataFrame over the tiny aggregate
+        # keeps the query's public surface a DataFrame.
+        fp = _fingerprint(back)
+        rows = fp.collect()
+        return spark.createDataFrame(rows, fp.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q139_jsonl_roundtrip",
+    oracle=_FINGERPRINT_ORACLE,
+    tags=("source", "sink", "format", "ingest"),
+)
+def q139_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON Lines → documents: newline-delimited JSON is
+    the Singer/lake interchange format the reference ingests
+    (reference/target_hdfs/__init__.py reads NDJSON on stdin); this
+    proves the Spark JSON source/sink pair is content-lossless.
+
+    Scale: both sides are distributed scans — JSONL splits by line, so
+    a 100 TB corpus reads with full parallelism (one caveat encoded
+    here: write uncompressed or with a splittable codec; a single
+    gzip JSONL would serialize the scan — see sources/readers.fan_out).
+    """
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@query(
+    "q140_csv_roundtrip",
+    oracle=_FINGERPRINT_ORACLE,
+    tags=("source", "sink", "format", "ingest"),
+)
+def q140_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quoted CSV → documents: exercises the quoting /
+    escaping path (quoteAll + backslash escape + multiLine read), the
+    trap where naive engines corrupt free-text columns containing
+    delimiters, quotes, or newlines.
+
+    Scale: multiLine=true makes CSV files non-splittable (a record may
+    cross line boundaries), so the write keeps Spark's natural
+    many-files layout — parallelism comes from file count, the correct
+    trade-off for quoted free text at 100 TB.
+    """
+    return _roundtrip(
+        spark,
+        sf_dir,
+        "csv",
+        header="true",
+        quoteAll="true",
+        escape="\\",
+        multiLine="true",
+    )

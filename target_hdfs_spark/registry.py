@@ -90,6 +90,11 @@ PRIORITY_ORDER = (
     "q133_arrow_token_stats",     # r4: mapInArrow UDF-surface member
     "q134_udtf_runlength",        # r4: Python UDTF table function
     "q135_hourly_gapfill",        # r4: time-series densification
+    "q136_group_ols_regression",  # r4: closed-form grouped OLS
+    "q137_price_histogram",       # r4: fixed-width distribution profile
+    "q138_event_funnel",          # r4: strictly-ordered conversion funnel
+    "q139_jsonl_roundtrip",       # r4: NDJSON source/sink losslessness
+    "q140_csv_roundtrip",         # r4: quoted-CSV source/sink losslessness
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------
@@ -220,9 +225,11 @@ def all_queries() -> dict[str, QuerySpec]:
     return the registry in evaluation-priority order."""
     # Imports are deferred so `import target_hdfs_spark` stays cheap.
     from target_hdfs_spark.operators import (  # noqa: F401
+        analytics,
         asof,
         curation,
         dedup,
+        formats,
         multimodal,
         relational,
         similarity,

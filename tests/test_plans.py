@@ -267,3 +267,30 @@ def test_q132_edges_materialized_once(spark):
     assert "zip_with" not in plan, "edge pipeline recomputed past the checkpoint"
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q136_regression_is_single_aggregation_pass(spark):
+    """Grouped OLS: all five moment sums must come from ONE hash
+    aggregation with map-side partials — a second Exchange or a
+    re-scan per moment would turn a one-pass profile into five."""
+    plan = plan_of(spark, "q136_group_ols_regression")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q137_histogram_bucket_is_scan_side(spark):
+    """Histogram: the bucket id is computed before the (only) shuffle,
+    so the exchange carries <= n_buckets rows per map task."""
+    plan = plan_of(spark, "q137_price_histogram")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_q138_funnel_frontiers_broadcast(spark):
+    """Funnel: stage frontiers are |users|-sized aggregates joined
+    back to the event log — AQE must pick broadcast (not SMJ) for
+    them at this scale, and nothing may cartesian."""
+    plan = plan_of(spark, "q138_event_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
