@@ -53,6 +53,8 @@ QUERIES = (
     "q116_incremental_dedup",
     "q125_inverted_index",
     "q128_segment_dedup",
+    "q129_bm25_topk",
+    "q120_minhash_containment",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -80,6 +82,7 @@ NEARDUP_QUERIES = (
 FACT_QUERIES = (
     "q03_local_supplier_revenue",
     "q10_window_rank",
+    "q136_group_ols_regression",
 )
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 ID_STRIDE = 10_000_000
@@ -92,15 +95,22 @@ def build(spark, factor: int) -> str:
         return out
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     copies = spark.range(factor).select(F.col("id").alias("_copy"))
+    # Copy 0 keeps the ORIGINAL bytes (same convention as
+    # build_embeddings): term-anchored queries (q129 BM25) still find
+    # their posting lists in the fanned corpus; copies >= 1 get every
+    # token suffixed so cross-copy near-dup density stays constant.
+    mutated = F.regexp_replace(
+        F.col("text"),
+        F.lit(r"(\S+)"),
+        F.concat(F.lit(r"$1_c"), F.col("_copy").cast("string")),
+    )
     scaled = (
         docs.crossJoin(copies)
         .select(
             (F.col("doc_id") + F.col("_copy") * ID_STRIDE).alias("doc_id"),
-            F.regexp_replace(
-                F.col("text"),
-                F.lit(r"(\S+)"),
-                F.concat(F.lit(r"$1_c"), F.col("_copy").cast("string")),
-            ).alias("text"),
+            F.when(F.col("_copy") == 0, F.col("text"))
+            .otherwise(mutated)
+            .alias("text"),
             "lang",
             "source",
             "n_chars",

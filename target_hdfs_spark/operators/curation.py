@@ -840,3 +840,109 @@ def q126_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("copy_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (incremental-ingest reconciliation)
+# ---------------------------------------------------------------------------
+
+# Snapshot B is derived from the base corpus with deterministic
+# md5-uniform draws, so both engines construct the identical snapshot:
+# u("rm|id") < 0.15 -> doc dropped; else u("ch|id") < 0.20 -> text
+# revised; u("add|id") < 0.10 -> a new doc appears under id + stride.
+_DIFF_RM = 0.15
+_DIFF_CH = 0.20
+_DIFF_ADD = 0.10
+_DIFF_STRIDE = 10_000_000
+
+
+def _u_sql(prefix: str) -> str:
+    salted = "'" + prefix + "|' || CAST(doc_id AS VARCHAR)"
+    return f"CAST({md5_hash32_sql(salted)} AS DOUBLE) / 4294967296.0"
+
+
+@query(
+    "q141_snapshot_diff",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, text FROM documents),
+    b_keep AS (
+      SELECT doc_id,
+             CASE WHEN {_u_sql("ch")} < {_DIFF_CH!r}
+                  THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents
+      WHERE {_u_sql("rm")} >= {_DIFF_RM!r}
+    ),
+    b_new AS (
+      SELECT doc_id + {_DIFF_STRIDE} AS doc_id, text || ' [new]' AS text
+      FROM documents
+      WHERE {_u_sql("add")} < {_DIFF_ADD!r}
+    ),
+    b AS (SELECT * FROM b_keep UNION ALL SELECT * FROM b_new)
+    SELECT
+      COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      CASE WHEN a.doc_id IS NULL THEN 'added'
+           WHEN b.doc_id IS NULL THEN 'removed'
+           WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+           ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+    tags=("curation", "diff", "versioning", "join"),
+)
+def q141_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot reconciliation: classify every document across
+    two corpus versions as added / removed / changed / unchanged by a
+    primary-key full outer join with content-hash comparison — the
+    operation behind incremental corpus updates ("what changed since
+    the last crawl") and training-set provenance audits.
+
+    Scale: ONE full outer join on the primary key with an md5 compare
+    on the joined row — both sides hash-partition on doc_id, so the
+    diff of two 100 TB snapshots is a single co-partitioned shuffle
+    (zero with bucketed layouts, plans/bucketing.py); the content hash
+    reduces arbitrarily wide rows to 16 bytes BEFORE the shuffle.
+    Snapshot B here is derived deterministically from the base corpus
+    (md5-uniform draws) so the oracle constructs the identical pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def u(prefix: str) -> F.Column:
+        return (
+            md5_hash32(
+                F.concat(F.lit(f"{prefix}|"), F.col("doc_id").cast("string"))
+            ).cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    a = docs.select("doc_id", "text")
+    b_keep = (
+        docs.filter(u("rm") >= _DIFF_RM)
+        .select(
+            "doc_id",
+            F.when(u("ch") < _DIFF_CH, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    b_new = (
+        docs.filter(u("add") < _DIFF_ADD)
+        .select(
+            (F.col("doc_id") + F.lit(_DIFF_STRIDE)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+        )
+    )
+    b = b_keep.unionByName(b_new)
+    al = a.select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("a_hash")
+    )
+    bl = b.select(
+        F.col("doc_id").alias("b_id"), F.md5("text").alias("b_hash")
+    )
+    joined = al.join(bl, al.a_id == bl.b_id, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_hash") != F.col("b_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

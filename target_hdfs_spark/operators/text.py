@@ -1066,3 +1066,113 @@ def q129_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(_BM25_TOPK)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard Cormack/Clarke constant
+_RRF_TOPK = 20
+
+
+@query(
+    "q142_rank_fusion",
+    oracle=None,  # installed below: embeds q129's oracle as a CTE
+    tags=("text", "retrieval", "fusion", "topk"),
+)
+def q142_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists — the standard
+    hybrid-search combiner (lexical BM25 + a second signal) used by
+    RAG pipelines: rrf(d) = Σ_lists 1/(k + rank_d), k = 60, docs
+    absent from a list contribute 0.
+
+    List 1 is the BM25 top-20 (q129's ranking, reused verbatim);
+    list 2 is a length-prior ranking (n_chars DESC — the stand-in for
+    an embedding-similarity list; the fusion algebra is identical).
+
+    Determinism: ranks are integers; each contribution 1/(k + r) is a
+    single correctly-rounded IEEE division and the fused score is a
+    FIXED two-term sum (COALESCE(t1, 0) + COALESCE(t2, 0)), never an
+    order-unspecified aggregate — bit-identical across engines.
+
+    Scale: both input lists are top-k (bounded) frames, so the fusion
+    join touches ≤ 2k rows regardless of corpus size; the heavy work
+    is inside the upstream retrieval queries, which are the plan-
+    audited q129 / WindowGroupLimit shapes.
+    """
+    from target_hdfs_spark.registry import REGISTRY
+
+    bm = REGISTRY["q129_bm25_topk"].fn(spark, sf_dir).select(
+        F.col("doc_id").alias("b_id"), F.col("rn").alias("r_bm")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    top_len = (
+        docs.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(_RRF_TOPK)
+        .select("doc_id", "n_chars")
+    )
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ln = top_len.withColumn("r_len", F.row_number().over(w).cast("long")).select(
+        F.col("doc_id").alias("l_id"), "r_len"
+    )
+    fused = bm.join(ln, bm.b_id == ln.l_id, "full_outer").select(
+        F.coalesce(F.col("b_id"), F.col("l_id")).alias("doc_id"),
+        "r_bm",
+        "r_len",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r_bm").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r_len").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(_RRF_TOPK)
+        .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+    )
+
+
+def _install_rrf_oracle() -> None:
+    """q142's oracle reuses q129's oracle text as a CTE (single source
+    of truth for the BM25 ranking — the two queries can never drift)."""
+    from dataclasses import replace
+
+    from target_hdfs_spark.registry import REGISTRY
+
+    bm25_sql = REGISTRY["q129_bm25_topk"].oracle
+    oracle = f"""
+    WITH bm AS ({bm25_sql}),
+    ln AS (
+      SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r_len
+      FROM (
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT {_RRF_TOPK}
+      )
+    ),
+    fused AS (
+      SELECT
+        COALESCE(bm.doc_id, ln.doc_id) AS doc_id,
+        bm.rn AS r_bm,
+        ln.r_len,
+        COALESCE(CAST(1 AS DOUBLE) / ({float(_RRF_K)!r} + CAST(bm.rn AS DOUBLE)), CAST(0 AS DOUBLE))
+          + COALESCE(CAST(1 AS DOUBLE) / ({float(_RRF_K)!r} + CAST(ln.r_len AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+      FROM bm FULL OUTER JOIN ln ON bm.doc_id = ln.doc_id
+    )
+    SELECT doc_id, r_bm, r_len, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    """
+    REGISTRY["q142_rank_fusion"] = replace(
+        REGISTRY["q142_rank_fusion"], oracle=oracle
+    )
+
+
+_install_rrf_oracle()

@@ -95,6 +95,8 @@ PRIORITY_ORDER = (
     "q138_event_funnel",          # r4: strictly-ordered conversion funnel
     "q139_jsonl_roundtrip",       # r4: NDJSON source/sink losslessness
     "q140_csv_roundtrip",         # r4: quoted-CSV source/sink losslessness
+    "q141_snapshot_diff",         # r4: corpus version reconciliation
+    "q142_rank_fusion",           # r4: RRF hybrid-retrieval combiner
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------

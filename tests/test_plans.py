@@ -294,3 +294,20 @@ def test_q138_funnel_frontiers_broadcast(spark):
     plan = plan_of(spark, "q138_event_funnel")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q141_diff_hashes_before_single_join(spark):
+    """Snapshot diff: content md5 must be computed scan-side (the
+    16-byte hash shuffles, not the full text), and the diff is ONE
+    full-outer join — no second pass over either snapshot."""
+    plan = plan_of(spark, "q141_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q142_fusion_joins_bounded_lists(spark):
+    """RRF: the fusion operates on two top-k frames; the final rank
+    is a window over <= 2k rows, and nothing may cartesian."""
+    plan = plan_of(spark, "q142_rank_fusion")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
