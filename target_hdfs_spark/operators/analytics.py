@@ -22,7 +22,7 @@ query extension (SURVEY.md §2B).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from target_hdfs_spark.functions.decimals import dec, to_double
@@ -252,3 +252,76 @@ def q138_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
     )
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix (weekly cohorts × activity weeks)
+# ---------------------------------------------------------------------------
+
+_COHORT_EPOCH = "2024-01-01"
+
+
+@query(
+    "q145_retention_cohorts",
+    oracle=f"""
+    WITH wk AS (
+      -- floor() before the BIGINT cast: DuckDB CAST(double AS BIGINT)
+      -- ROUNDS half-to-even, Spark's floor truncates downward.
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', DATE '{_COHORT_EPOCH}',
+                                  CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+      FROM events
+    ),
+    anchored AS (
+      SELECT week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM wk
+    )
+    SELECT cohort_week,
+           week - cohort_week AS weeks_since,
+           COUNT(*) AS n_active
+    FROM anchored
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("agg", "time", "cohort"),
+)
+def q145_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users are cohorted by their
+    first active week; each cell counts cohort members active N weeks
+    later — the standard retention triangle, all integer arithmetic.
+
+    Scale: the event log is scanned ONCE, reducing immediately to
+    distinct (user, week) pairs (map-side-combinable); the cohort
+    anchor is a window MIN over that reduced frame — an
+    unbounded-frame window Spark evaluates as a single per-partition
+    constant, no self-join and no second log scan (a naive
+    "cohort = groupBy(user).min JOIN activity" formulation re-reads
+    the full log because Catalyst does not share unaliased subtrees).
+    Week ids are integer day-diffs (no timezone arithmetic, no
+    session-dependent truncation).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.to_date(F.col("ts")), F.to_date(F.lit(_COHORT_EPOCH)))
+        .cast("bigint")
+        / F.lit(7)
+    )
+    wk = (
+        ev.select(
+            "user_id",
+            F.floor(week).cast("bigint").alias("week"),
+        )
+        .distinct()
+    )
+    anchored = wk.select(
+        "week",
+        F.min("week").over(Window.partitionBy("user_id")).alias("cohort_week"),
+    )
+    return (
+        anchored.groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -946,3 +946,66 @@ def q141_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: last-writer-wins materialization of a change log
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q143_cdc_last_writer_wins",
+    oracle="""
+    WITH log AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, value AS final_value, ts AS updated_at
+    FROM log
+    WHERE rn = 1 AND op = 'upsert'
+    """,
+    tags=("curation", "cdc", "merge", "window"),
+)
+def q143_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a keyed change log into current state with
+    last-writer-wins semantics: the latest op per key decides — an
+    'upsert' survives with its value, a 'delete' (here: event_type
+    'error') tombstones the key out of the snapshot entirely. This is
+    the read-side CDC apply that pairs with the write-side MERGE in
+    plans/upsert.py (same rule, expressed as a query so it is
+    oracle-checkable).
+
+    Scale: one window per key ordered by (ts, event_id) DESC with a
+    rank-1 filter — Spark turns PARTITION BY + row_number + rn = 1
+    into WindowGroupLimit (per-partition top-1 heaps before the
+    shuffle), so the exchange carries one candidate row per key per
+    map task, not the full log. At 100 TB of changes the shuffle is
+    bounded by |keys|, and the same plan incrementalizes: union
+    yesterday's snapshot (as 'upsert' rows at its watermark) with
+    today's log and re-apply.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+        "ts",
+        "event_id",
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        log.filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            "user_id",
+            F.col("value").alias("final_value"),
+            F.col("ts").alias("updated_at"),
+        )
+    )

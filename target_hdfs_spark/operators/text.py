@@ -1176,3 +1176,98 @@ def _install_rrf_oracle() -> None:
 
 
 _install_rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence lift (word-association mining)
+# ---------------------------------------------------------------------------
+
+_LIFT_DF_MIN = 20   # vocabulary floor: tokens in >= 20 documents
+_LIFT_MIN_AB = 5    # pair support floor
+
+
+@query(
+    "q144_token_lift",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents
+    ),
+    v AS (
+      SELECT token, COUNT(*) AS n_t FROM dt GROUP BY token
+      HAVING COUNT(*) >= {_LIFT_DF_MIN}
+    ),
+    vd AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_ab
+      FROM vd a JOIN vd b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_LIFT_MIN_AB}
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token_a, token_b, va.n_t AS n_a, vb.n_t AS n_b, n_ab,
+           CAST(n_ab * n_docs AS DOUBLE) / CAST(va.n_t * vb.n_t AS DOUBLE)
+             AS lift
+    FROM pairs
+    JOIN v va ON va.token = pairs.token_a
+    JOIN v vb ON vb.token = pairs.token_b
+    CROSS JOIN n
+    """,
+    tags=("text", "statistics", "cooccurrence"),
+)
+def q144_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token association lift — PMI's exact-arithmetic
+    core: lift(a,b) = P(a,b) / (P(a)P(b)) = (n_ab · N) / (n_a · n_b),
+    computed as ONE double division of two exact int64 products (no
+    logarithm, so bit-reproducible; log-PMI is monotone in lift, so
+    ranking/thresholding behavior is identical).
+
+    Scale: the all-pairs step is the textbook skew bomb, bounded here
+    the standard two ways — a document-frequency floor prunes the
+    vocabulary BEFORE the self-join, and pairs generate per-document
+    (cost Σ_docs k_d², k_d = distinct frequent tokens in the doc,
+    never |vocab|²). The df table is small and broadcasts; the only
+    big shuffle is the pair groupBy, map-side combined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        fan_out(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .distinct()
+    )
+    v = (
+        dt.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .filter(F.col("n_t") >= _LIFT_DF_MIN)
+    )
+    vd = dt.join(F.broadcast(v.select("token")), "token")
+    a = vd.select(F.col("doc_id"), F.col("token").alias("token_a"))
+    b = vd.select(F.col("doc_id").alias("b_doc"), F.col("token").alias("token_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("b_doc"))
+            & (F.col("token_a") < F.col("token_b")),
+        )
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _LIFT_MIN_AB)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    va = v.select(F.col("token").alias("token_a"), F.col("n_t").alias("n_a"))
+    vb = v.select(F.col("token").alias("token_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(va), "token_a")
+        .join(F.broadcast(vb), "token_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token_a",
+            "token_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

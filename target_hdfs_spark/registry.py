@@ -97,6 +97,9 @@ PRIORITY_ORDER = (
     "q140_csv_roundtrip",         # r4: quoted-CSV source/sink losslessness
     "q141_snapshot_diff",         # r4: corpus version reconciliation
     "q142_rank_fusion",           # r4: RRF hybrid-retrieval combiner
+    "q143_cdc_last_writer_wins",  # r4: change-log materialization
+    "q144_token_lift",            # r4: co-occurrence association lift
+    "q145_retention_cohorts",     # r4: weekly retention triangle
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------

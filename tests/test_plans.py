@@ -311,3 +311,29 @@ def test_q142_fusion_joins_bounded_lists(spark):
     plan = plan_of(spark, "q142_rank_fusion")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q143_cdc_is_per_partition_top1(spark):
+    """CDC apply: rn=1 must compile to WindowGroupLimit (per-partition
+    top-1 heaps) so the shuffle carries one candidate per key per map
+    task, not the whole change log."""
+    plan = plan_of(spark, "q143_cdc_last_writer_wins")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q144_lift_prunes_vocab_before_self_join(spark):
+    """Token lift: the df-floor table must broadcast into the pair
+    generation (vocabulary pruned before the quadratic step), and the
+    doc-equality key must make the self-join a hash join."""
+    plan = plan_of(spark, "q144_token_lift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q145_cohorts_reduce_log_first(spark):
+    """Retention: the full event log is touched exactly once (distinct
+    user-week projection); cohort assembly happens on the reduced
+    frame."""
+    plan = plan_of(spark, "q145_retention_cohorts")
+    assert plan.count("FileScan parquet") == 1
