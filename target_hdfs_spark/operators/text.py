@@ -1271,3 +1271,95 @@ def q144_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed heavy hitters (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+_HH_FRACTION = 30  # report tokens with count > n_tokens / 30
+
+
+@query(
+    "q146_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOK}) AS token FROM documents),
+    n AS (SELECT COUNT(*) AS n_tok FROM tok)
+    SELECT token, COUNT(*) AS cnt
+    FROM tok CROSS JOIN n
+    GROUP BY token, n_tok
+    HAVING COUNT(*) * {_HH_FRACTION} > n_tok
+    """,
+    tags=("text", "sketch", "heavy-hitters", "udf"),
+)
+def q146_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token detection by the two-phase heavy-hitter pattern:
+    each partition summarizes its token stream with a Misra-Gries
+    sketch of k = 30 counters (mapInPandas — per-partition imperative
+    state, the documented UDF use case), the union of surviving
+    candidates is exactly counted, and the threshold cnt · k > n
+    filters.
+
+    Correctness guarantee (why the sketch phase loses nothing): if a
+    token's GLOBAL count exceeds n/k, then by averaging its local
+    count exceeds n_p/k in at least one partition p, and Misra-Gries
+    with k counters never evicts an item whose local count exceeds
+    n_p/(k+1) < n_p/k — so every true heavy hitter reaches the exact
+    phase, which then discards the sketch's false positives. The
+    result is bit-identical to the brute-force GROUP BY (the oracle).
+
+    Scale: phase 1 reduces each partition to ≤ k+1 rows WITHOUT any
+    shuffle (the full token stream never moves), and emits the
+    partition's token count from the SAME pass (no separate COUNT
+    scan); phase 2 shuffles only candidate-matching rows. At 100 TB
+    this is the difference between shuffling ~10¹² token rows and
+    shuffling a few thousand candidates.
+    """
+    from collections.abc import Iterator
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fan_out(docs.select("doc_id", "text"), "doc_id").select(
+        F.explode(tokens("text")).alias("token")
+    )
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            for t in pdf["token"]:
+                n_part += 1
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < _HH_FRACTION:
+                    counters[t] = 1
+                else:
+                    # decrement-all step: evict zeros
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        # candidates ride with token set; the partition's token count
+        # rides as one sentinel row (token NULL) so no extra scan
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [None],
+                "n_part": [0] * len(counters) + [n_part],
+            }
+        )
+
+    summary = tok.mapInPandas(mg_partition, "token string, n_part long")
+    candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
+    n = summary.filter(F.col("token").isNull()).agg(
+        F.sum("n_part").alias("n_tok")
+    )
+    return (
+        tok.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * _HH_FRACTION > F.col("n_tok"))
+        .select("token", "cnt")
+    )

@@ -338,3 +338,58 @@ def test_fuzzed_grouping_sets(spark, seed):
         f"seed={seed} mode={mode} group=[{group_sql}] "
         f"agg={agg_sql.format(c=agg_col)} pred=[{pred_sql}]"
     )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_regression_moments(spark, seed):
+    """Grouped-OLS moment pipeline fuzz (q136's core): random
+    predicate, group key, and (x, y) column pair; the five decimal
+    moment sums + count must match DuckDB bit-for-bit, including
+    empty groups and degenerate (x == y) pairs. DECIMAL(19,4) on the
+    oracle's products forces int128 (the q136 overflow fix) — this
+    fuzz pins that across arbitrary column pairs."""
+    rng = random.Random(7_000_033 * (seed + 1))
+    pred_fn, pred_sql = _rand_pred(rng)
+    group_col = rng.choice(STR_COLS + [None])
+    x = rng.choice(NUM_COLS)
+    y = rng.choice(NUM_COLS)  # may equal x: sxx == sxy == syy corner
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    base = li.filter(pred_fn(li))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        to_double(F.sum(dec(x))).alias("sx"),
+        to_double(F.sum(dec(y))).alias("sy"),
+        to_double(F.sum(dec(x) * dec(y))).alias("sxy"),
+        to_double(F.sum(dec(x) * dec(x))).alias("sxx"),
+        to_double(F.sum(dec(y) * dec(y))).alias("syy"),
+    ]
+    sdf = base.groupBy(group_col).agg(*aggs) if group_col else base.agg(*aggs)
+
+    def d19(c):
+        return f"CAST({c} AS DECIMAL(19,4))"
+
+    def s2d(expr):
+        return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+    sql = (
+        f"SELECT {group_col + ', ' if group_col else ''}"
+        f"COUNT(*) AS n, "
+        f"{s2d(f'SUM(CAST({x} AS DECIMAL(12,4)))')} AS sx, "
+        f"{s2d(f'SUM(CAST({y} AS DECIMAL(12,4)))')} AS sy, "
+        f"{s2d(f'SUM({d19(x)} * {d19(y)})')} AS sxy, "
+        f"{s2d(f'SUM({d19(x)} * {d19(x)})')} AS sxx, "
+        f"{s2d(f'SUM({d19(y)} * {d19(y)})')} AS syy "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet') "
+        f"WHERE {pred_sql}"
+        + (f" GROUP BY {group_col}" if group_col else "")
+    )
+    con = duckdb.connect()
+    drows = con.execute(sql).fetchall()
+    srows = [tuple(r) for r in sdf.collect()]
+    s_norm = sorted(tuple(_norm_cell(v) for v in r) for r in srows)
+    d_norm = sorted(tuple(_norm_cell(v) for v in r) for r in drows)
+    assert s_norm == d_norm, (
+        f"seed={seed} pred=[{pred_sql}] group={group_col} x={x} y={y}\n"
+        f"spark={s_norm[:2]}\nduck={d_norm[:2]}"
+    )

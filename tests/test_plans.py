@@ -337,3 +337,14 @@ def test_q145_cohorts_reduce_log_first(spark):
     frame."""
     plan = plan_of(spark, "q145_retention_cohorts")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_q146_sketch_phase_is_shuffle_free(spark):
+    """Heavy hitters: the Misra-Gries phase must run inside the scan
+    stage (MapInPandas with no Exchange beneath it reaches the token
+    stream pre-shuffle), and candidates must BROADCAST into the exact
+    count pass — the full token stream never hash-partitions by token
+    except for candidate-matching rows."""
+    plan = plan_of(spark, "q146_heavy_hitters")
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

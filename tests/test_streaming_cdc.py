@@ -1,0 +1,144 @@
+"""Streaming CDC apply: the folded snapshot must equal the batch
+q143 rule over all changes seen so far (including delete tombstones
+beating older upserts across micro-batch boundaries), and the
+versioned-snapshot protocol must survive restart and replay."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.streaming.cdc import (
+    classify_ops,
+    current_state,
+    latest_per_key,
+    stream_cdc_apply,
+)
+
+SCHEMA = "user_id long, event_id long, ts timestamp, value double, event_type string"
+
+
+def _write_jsonl(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as fh:
+        for user_id, event_id, ts, value, etype in rows:
+            fh.write(
+                json.dumps(
+                    {
+                        "user_id": user_id,
+                        "event_id": event_id,
+                        "ts": ts,
+                        "value": value,
+                        "event_type": etype,
+                    }
+                )
+                + "\n"
+            )
+
+
+def _run(spark, src, sink, ckpt):
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = stream_cdc_apply(spark, stream, str(sink), str(ckpt))
+    q.awaitTermination(120)
+
+
+def _to_df(spark, rows):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (u, e, dt.datetime.fromisoformat(ts), v, t)
+            for u, e, ts, v, t in rows
+        ],
+        SCHEMA,
+    )
+
+
+def _batch_rule(spark, rows):
+    """q143's rule over the union of all changes."""
+    df = _to_df(spark, rows)
+    final = latest_per_key(classify_ops(df))
+    return {
+        (r.user_id, r.value)
+        for r in final.filter(F.col("op") == "upsert").collect()
+    }
+
+
+ROWS_A = [
+    (1, 10, "2024-01-01T10:00:00", 1.0, "view"),
+    (1, 11, "2024-01-01T11:00:00", 2.0, "click"),     # key 1 -> 2.0
+    (2, 12, "2024-01-01T10:30:00", 5.0, "purchase"),  # key 2 -> 5.0
+    (3, 13, "2024-01-01T12:00:00", 7.0, "signup"),
+    (3, 14, "2024-01-01T13:00:00", 0.0, "error"),     # key 3 deleted
+]
+ROWS_B = [
+    (2, 20, "2024-01-02T09:00:00", 9.0, "view"),      # key 2 -> 9.0
+    (3, 21, "2024-01-01T12:30:00", 8.0, "click"),     # OLDER than key 3's
+                                                      # delete: must lose
+    (4, 22, "2024-01-02T10:00:00", 4.0, "view"),      # new key
+    (1, 23, "2024-01-02T11:00:00", 0.0, "error"),     # key 1 deleted
+]
+
+
+def test_stream_cdc_matches_batch_rule(spark, tmp_path):
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write_jsonl(src / "a.jsonl", ROWS_A)
+    _run(spark, src, sink, ckpt)
+    got = {
+        (r.user_id, r.final_value)
+        for r in current_state(spark, str(sink)).collect()
+    }
+    assert got == _batch_rule(spark, ROWS_A) == {(1, 2.0), (2, 5.0)}
+
+
+def test_tombstone_beats_older_upsert_across_batches(spark, tmp_path):
+    """The adversarial CDC case: key 3's delete arrives in batch 1;
+    batch 2 carries an out-of-order upsert with an OLDER timestamp.
+    Without tombstone retention the key would resurrect."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write_jsonl(src / "a.jsonl", ROWS_A)
+    _run(spark, src, sink, ckpt)
+    _write_jsonl(src / "b.jsonl", ROWS_B)
+    _run(spark, src, sink, ckpt)
+    got = {
+        (r.user_id, r.final_value)
+        for r in current_state(spark, str(sink)).collect()
+    }
+    expected = _batch_rule(spark, ROWS_A + ROWS_B)
+    assert got == expected == {(2, 9.0), (4, 4.0)}  # 1 deleted, 3 stays dead
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Simulate foreachBatch replay after a crash between snapshot
+    write and checkpoint commit: re-running the fold for the same
+    batch id must leave the state unchanged."""
+    from target_hdfs_spark.streaming.sampling import _snapshot_versions
+
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write_jsonl(src / "a.jsonl", ROWS_A)
+    _run(spark, src, sink, ckpt)
+    before = {
+        tuple(r) for r in current_state(spark, str(sink)).collect()
+    }
+    replay_id = max(_snapshot_versions(spark, str(sink)))
+    batch_df = _to_df(spark, ROWS_A)
+    # re-invoke the fold exactly as Structured Streaming would on
+    # replay, via the module's building blocks (the fold closure is
+    # internal to stream_cdc_apply)
+    prior = [v for v in _snapshot_versions(spark, str(sink)) if v < replay_id]
+    merged = latest_per_key(classify_ops(batch_df))
+    if prior:
+        prev = spark.read.parquet(f"{sink}/snap={max(prior)}").select(
+            "user_id", "op", "value", "ts", "event_id"
+        )
+        merged = latest_per_key(
+            prev.unionByName(merged.select("user_id", "op", "value", "ts", "event_id"))
+        )
+    merged.select("user_id", "op", "value", "ts", "event_id").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sink}/snap={replay_id}")
+    after = {
+        tuple(r) for r in current_state(spark, str(sink)).collect()
+    }
+    assert after == before
