@@ -586,3 +586,191 @@ def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mean_amplitude").alias("min_mean_amp"),
         F.max("peak_amplitude").alias("max_peak_amp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L5e: pixel-level PNG codec + perceptual-hash (dHash) image dedup
+# ---------------------------------------------------------------------------
+
+_IMG_W = _IMG_H = 16
+_IMG_GROUPS = 50
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+    return len(data).to_bytes(4, "big") + tag + data + crc.to_bytes(4, "big")
+
+
+def encode_png_full(pixels: list[list[int]]) -> bytes:
+    """COMPLETE valid 8-bit RGB PNG (IHDR + one zlib IDAT + IEND) from
+    a grayscale matrix (r = g = b). Rows cycle through filter types
+    0/1/2 (None/Sub/Up) so the decoder's unfilter path is genuinely
+    exercised, not just pass-through."""
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    raw = bytearray()
+    prev = bytes(3 * w)
+    for y, row in enumerate(pixels):
+        scan = bytes(v for v in row for _ in range(3))
+        ftype = y % 3
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += scan
+        elif ftype == 1:  # Sub
+            out = bytearray(scan)
+            for i in range(3, len(out)):
+                out[i] = (scan[i] - scan[i - 3]) & 0xFF
+            raw += out
+        else:  # Up
+            raw += bytes((scan[i] - prev[i]) & 0xFF for i in range(len(scan)))
+        prev = scan
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(blob: bytes) -> list[list[int]]:
+    """Real PNG pixel decoder for the engine's supported profile
+    (8-bit RGB, filters 0-2): chunk walk -> IDAT inflate -> per-row
+    unfilter -> luminance matrix (r channel; encoder writes r=g=b).
+    Raises ValueError on malformed input."""
+    import zlib
+
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            if data[8] != 8 or data[9] != 2:
+                raise ValueError("unsupported PNG profile")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 8 + ln + 4
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(idat)
+    stride = 3 * w
+    rows: list[list[int]] = []
+    prev = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        scan = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(3, stride):
+                scan[i] = (scan[i] + scan[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                scan[i] = (scan[i] + prev[i]) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unsupported filter {ftype}")
+        prev = bytes(scan)
+        rows.append([scan[3 * x] for x in range(w)])
+    return rows
+
+
+def dhash64(pixels: list[list[int]]) -> int:
+    """64-bit difference hash: block-sample to a 9x8 grid, emit 1 when
+    the right neighbor is brighter — the standard perceptual near-dup
+    signature for images (gradient direction is robust to uniform
+    brightness/contrast shifts)."""
+    w = len(pixels[0])
+    grid = []
+    for y in range(8):
+        row = []
+        for x in range(9):
+            x0 = (x * (w - 1)) // 8
+            row.append((pixels[2 * y][x0] + pixels[2 * y + 1][x0]) // 2)
+        grid.append(row)
+    h = 0
+    for y in range(8):
+        for x in range(8):
+            h = (h << 1) | (1 if grid[y][x + 1] > grid[y][x] else 0)
+    # two's-complement into signed int64: BIGINT columns can't carry
+    # uint64, and the hash is an opaque identifier either way
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _group_pixels(g: int) -> list[list[int]]:
+    """Deterministic synthetic image for content group g (distinct
+    dHash per group for g < _IMG_GROUPS — pinned by test)."""
+    return [
+        [
+            (g * 2654435761 + x * ((g % 7) + 2) + y * ((g % 11) + 3) + x * y * (g + 1))
+            % 256
+            for x in range(_IMG_W)
+        ]
+        for y in range(_IMG_H)
+    ]
+
+
+@query(
+    "q147_image_dhash_dedup",
+    oracle=f"""
+    SELECT MIN(doc_id) AS root_doc_id, COUNT(*) AS n_images
+    FROM documents
+    GROUP BY doc_id % {_IMG_GROUPS}
+    ORDER BY root_doc_id
+    """,
+    tags=("multimodal", "dedup", "phash", "mapInPandas"),
+)
+def q147_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level image near-dup detection: encode a COMPLETE valid
+    PNG per document (zlib IDAT, mixed row filters), run the real
+    decoder (chunk walk → inflate → unfilter), compute the 64-bit
+    perceptual dHash, and exact-dedup on the hash — the image twin of
+    q40's text dedup. Content groups are doc_id % {_IMG_GROUPS}, so
+    the oracle can verify the clustering without computing hashes:
+    distinct groups map to distinct dHashes (pinned by
+    tests/test_multimodal.py), making hash-group = content-group.
+
+    Scale: encode/decode/hash run in ONE mapInPandas pass (Arrow
+    batches, no shuffle — at 100 TB the images arrive as binary
+    columns and only this stage touches pixels); the shuffle carries
+    (doc_id, 8-byte hash), and the dedup groupBy is exact-dedup's
+    plan. This is the standard shape for pHash/CLIP-embedding image
+    dedup over web-crawl corpora.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+    def encode_decode_hash(batches):
+        for pdf in batches:
+            hashes = []
+            for doc_id in pdf["doc_id"]:
+                blob = encode_png_full(_group_pixels(int(doc_id) % _IMG_GROUPS))
+                hashes.append(dhash64(decode_png_pixels(blob)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    hashed = docs.mapInPandas(encode_decode_hash, "doc_id long, phash long")
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.min("doc_id").alias("root_doc_id"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .select("root_doc_id", "n_images")
+        .orderBy("root_doc_id")
+    )

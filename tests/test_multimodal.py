@@ -160,3 +160,62 @@ def test_with_image_meta_mixed_formats(spark):
     assert (got[2].n_payload_bytes) == 2
     assert (got[3].width, got[3].height, got[3].format) == (5, 6, "fake1")
     assert got[4].format == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level PNG codec + dHash (q147)
+# ---------------------------------------------------------------------------
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """encode_png_full cycles row filters None/Sub/Up; the decoder
+    must reverse each exactly."""
+    from target_hdfs_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_full,
+    )
+
+    img = [[(x * 7 + y * 13) % 256 for x in range(16)] for y in range(16)]
+    assert decode_png_pixels(encode_png_full(img)) == img
+
+
+def test_png_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from target_hdfs_spark.operators.multimodal import decode_png_pixels
+
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"not a png at all")
+    # valid signature, no chunks
+    from target_hdfs_spark.operators.multimodal import PNG_SIG
+
+    with _pytest.raises(ValueError):
+        decode_png_pixels(PNG_SIG)
+
+
+def test_dhash_groups_are_distinct():
+    """q147's oracle equates hash-groups with content-groups; that
+    holds iff all _IMG_GROUPS synthetic images hash distinctly."""
+    from target_hdfs_spark.operators.multimodal import (
+        _IMG_GROUPS,
+        _group_pixels,
+        dhash64,
+    )
+
+    hashes = {dhash64(_group_pixels(g)) for g in range(_IMG_GROUPS)}
+    assert len(hashes) == _IMG_GROUPS
+
+
+def test_dhash_invariant_to_uniform_brightness():
+    """The perceptual property dHash exists for: a uniform brightness
+    shift must not change the signature (gradient directions are
+    preserved; ties excluded by construction here)."""
+    from target_hdfs_spark.operators.multimodal import _group_pixels, dhash64
+
+    img = _group_pixels(7)
+    # shift into remaining headroom without wrapping or saturating ties
+    lo, hi = min(map(min, img)), max(map(max, img))
+    shift = min(10, 255 - hi)
+    if shift:
+        shifted = [[v + shift for v in row] for row in img]
+        assert dhash64(img) == dhash64(shifted)
