@@ -325,3 +325,61 @@ def q145_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern detection (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_event_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_runs
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "sequence", "pattern"),
+)
+def q148_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection over per-user event streams: count
+    CONSECUTIVE view→click→purchase runs (no intervening event — the
+    strict MATCH_RECOGNIZE shape, vs q138's funnel which allows gaps).
+    Implemented as a self-alignment via lead() — the standard
+    distributed formulation of fixed-length pattern matching: no
+    collect_list materialization, no UDF, and variable-length
+    patterns compose by chaining the same primitive.
+
+    Scale: one window partitioned by user_id with a total order
+    (ts, event_id) — a single hash Exchange; the pattern predicate
+    then reduces map-side into the per-user count. Pattern matching
+    over 100 TB of events costs one shuffle of (user_id, type,
+    2 lookahead types).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_runs"))
+        .orderBy("user_id")
+    )

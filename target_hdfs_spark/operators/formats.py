@@ -40,6 +40,20 @@ _DOC_SCHEMA = (
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 )
 
+# The option set under which Spark's CSV source/sink is actually
+# content-lossless for free text (see q140's docstring for why each
+# non-default matters).
+CSV_LOSSLESS_OPTIONS = dict(
+    header="true",
+    quoteAll="true",
+    escape="\\",
+    multiLine="true",
+    nullValue="\\N",
+    emptyValue="",
+    ignoreLeadingWhiteSpace="false",
+    ignoreTrailingWhiteSpace="false",
+)
+
 _FINGERPRINT_ORACLE = """
     SELECT
       source,
@@ -71,8 +85,12 @@ def _fingerprint(df: DataFrame) -> DataFrame:
     )
 
 
-def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **options) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def roundtrip_fingerprint(
+    spark: SparkSession, docs: DataFrame, fmt: str, **options
+) -> DataFrame:
+    """Write `docs` through `fmt`, read it back with an explicit
+    schema, and return the per-source content fingerprint (collected
+    into a small local frame so the scratch dir can be deleted)."""
     tmp = tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_")
     try:
         path = f"{tmp}/documents_{fmt}"
@@ -92,6 +110,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **options) -> DataFra
         return spark.createDataFrame(rows, fp.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **options) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return roundtrip_fingerprint(spark, docs, fmt, **options)
 
 
 @query(
@@ -124,17 +147,18 @@ def q140_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap where naive engines corrupt free-text columns containing
     delimiters, quotes, or newlines.
 
+    Three non-default options are LOAD-BEARING for losslessness
+    (each found by the adversarial-content test,
+    tests/test_formats_roundtrip.py):
+    - ``nullValue=\\N`` + ``emptyValue=""``: with the defaults, an
+      empty string writes as "" and reads back as NULL;
+    - ``ignoreLeading/TrailingWhiteSpace=false`` on the WRITE side
+      too — Spark's CSV *writer* trims cell whitespace by default,
+      so 'x   ' silently becomes 'x' before it ever hits disk.
+
     Scale: multiLine=true makes CSV files non-splittable (a record may
     cross line boundaries), so the write keeps Spark's natural
     many-files layout — parallelism comes from file count, the correct
     trade-off for quoted free text at 100 TB.
     """
-    return _roundtrip(
-        spark,
-        sf_dir,
-        "csv",
-        header="true",
-        quoteAll="true",
-        escape="\\",
-        multiLine="true",
-    )
+    return _roundtrip(spark, sf_dir, "csv", **CSV_LOSSLESS_OPTIONS)

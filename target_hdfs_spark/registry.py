@@ -102,6 +102,7 @@ PRIORITY_ORDER = (
     "q145_retention_cohorts",     # r4: weekly retention triangle
     "q146_heavy_hitters",         # r4: Misra-Gries candidates + exact verify
     "q147_image_dhash_dedup",     # r4: pixel decode + perceptual-hash dedup
+    "q148_event_pattern",         # r4: consecutive-run sequence matching
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------

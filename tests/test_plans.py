@@ -348,3 +348,12 @@ def test_q146_sketch_phase_is_shuffle_free(spark):
     plan = plan_of(spark, "q146_heavy_hitters")
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q148_pattern_is_single_window_shuffle(spark):
+    """Sequence matching: one hash Exchange (the user_id window);
+    the pattern predicate and count reduce without further movement
+    beyond the final aggregation."""
+    plan = plan_of(spark, "q148_event_pattern")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + group
+    assert "Window" in plan
