@@ -96,3 +96,68 @@ def running_zscore_anomalies(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Consecutive-pattern matcher (stateful twin of q148_event_pattern)
+# ---------------------------------------------------------------------------
+
+PATTERN = ("view", "click", "purchase")
+
+PATTERN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),  # the run's FINAL event
+    ]
+)
+
+# state: the last len(PATTERN)-1 event types, as a '|'-joined string
+# (GroupState schemas are flat; two small strings beat an array column)
+PATTERN_STATE_SCHEMA = T.StructType(
+    [T.StructField("suffix", T.StringType())]
+)
+
+
+def _match_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    suffix: list[str] = (
+        state.get[0].split("|") if state.exists and state.get[0] else []
+    )
+    keep = len(PATTERN) - 1
+    out: list[tuple] = []
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    for pdf in (whole.sort_values(["ts", "event_id"]),):
+        for event_id, etype in zip(pdf["event_id"], pdf["event_type"]):
+            window = (*suffix, etype)
+            if tuple(window[-len(PATTERN):]) == PATTERN:
+                out.append((key[0], int(event_id)))
+            suffix = list(window[-keep:])
+    state.update(("|".join(suffix),))
+    yield pd.DataFrame(out, columns=[f.name for f in PATTERN_OUTPUT_SCHEMA.fields])
+
+
+def consecutive_pattern_stream(events: DataFrame) -> DataFrame:
+    """Streaming strict-sequence detection: emit the final event of
+    every CONSECUTIVE view→click→purchase run per user, with the
+    len-2 suffix of each user's stream carried as state across
+    micro-batches — a run that straddles a batch boundary (view+click
+    in batch 1, purchase in batch 2) still matches, which no
+    per-batch window can do.
+
+    State is O(len(pattern)) bytes per key. Order contract: within a
+    key, events are folded in (ts, event_id) order per batch; like the
+    running-zscore operator above, cross-batch disorder is the
+    watermark's concern, not the matcher's (the batch twin q148
+    defines the target semantics on the totally-ordered log).
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _match_group,
+        outputStructType=PATTERN_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -88,3 +88,136 @@ def test_no_anomalies_below_min_prior(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT * FROM anom_cold").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Consecutive-pattern matcher (streaming twin of q148)
+# ---------------------------------------------------------------------------
+
+PAT_SCHEMA = {
+    "properties": {
+        "user_id": {"type": "integer"},
+        "event_id": {"type": "integer"},
+        "ts": {"type": "string", "format": "date-time"},
+        "event_type": {"type": "string"},
+    }
+}
+
+
+def _run_pattern(spark, src, name):
+    from target_hdfs_spark.streaming.stateful import consecutive_pattern_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        consecutive_pattern_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.user_id, r.event_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+
+def test_pattern_run_straddles_batch_boundary(spark, tmp_path):
+    """view+click arrive in batch 1, purchase in batch 2: the carried
+    suffix state must complete the run; an unrelated interleaved user
+    must not match."""
+    src = tmp_path / "psrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "click"},
+            {"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "error"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:00:04Z", "event_type": "purchase"},
+            {"user_id": 2, "event_id": 6, "ts": "2026-08-13T10:00:05Z", "event_type": "purchase"},
+        ],
+    )
+    got = _run_pattern(spark, src, "pat_straddle")
+    assert got == {(1, 5)}  # user 2's run was broken by the error event
+
+
+def test_pattern_stream_equals_batch_q148(spark, tmp_path):
+    """On an in-order event log the stream's match count per user must
+    equal the batch lead()-formulation (q148)."""
+    import datetime as dt
+
+    from target_hdfs_spark.registry import all_queries  # noqa: F401
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import random
+
+    rng = random.Random(7)
+    types = ["view", "click", "purchase", "error", "signup"]
+    seq_types = [rng.choice(types) for _ in range(90)]
+    # plant complete runs at known offsets — user_id cycles mod 3, so
+    # one user's consecutive events sit at stride 3; the run planted
+    # at 47 (events 47/50/53) straddles the two files below,
+    # exercising the state carry
+    for start in (10, 47, 80):
+        for j, t in enumerate(["view", "click", "purchase"]):
+            seq_types[start + 3 * j] = t
+    rows = [
+        {
+            "user_id": 1 + (i % 3),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": seq_types[i],
+        }
+        for i in range(90)
+    ]
+    src = tmp_path / "psrc2"
+    _write(src / "a.jsonl", rows[:50])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[50:])
+    got = _run_pattern(spark, src, "pat_parity")
+
+    # batch twin (q148's formulation) over the same rows
+    df = spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("final_id"),
+    )
+    expected = {
+        (r.user_id, r.final_id)
+        for r in seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "corpus produced no runs — pattern generator broken"
