@@ -1289,3 +1289,76 @@ def q132_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tris.select(F.col("c").alias("vec_id")))
     )
     return nodes.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# L3j: filtered vector search (metadata predicate + top-k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_filtered_cosine_topk",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             {_cos_sql('q.qv', 'e.v')} AS cos_sim
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+      WHERE e.label % 3 = 0
+    )
+    SELECT query_id, vec_id, label, cos_sim, rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+      ) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "filter", "topk"),
+)
+def q149_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the vector-database operation plain
+    ANN indexes fumble: top-k by cosine AMONG vectors passing a
+    metadata predicate (label % 3 = 0). Pre-filtering is the correct
+    strategy when the predicate is selective: the filter runs BEFORE
+    any distance math, so cost is |matching| · |queries| dot products,
+    and recall is exact (post-filtering an ANN shortlist can return
+    < k survivors).
+
+    Scale: the predicate is a scan-side pushdown (pinned in
+    tests/test_plans.py — PushedFilters on the parquet scan, so row
+    groups whose label stats exclude the predicate never decompress);
+    query vectors broadcast; rank ≤ k compiles to WindowGroupLimit.
+    For non-selective predicates the IVF path (q63) composes the same
+    way — filter inside each probed cell.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    from target_hdfs_spark.sources.readers import fan_out
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    filtered = fan_out(emb.filter(F.col("label") % 3 == 0), "vec_id")
+    scored = filtered.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    # rank cast to long: the driver canonicalizer must see int64 on
+    # both engines (the q89/q90 int32-flag class, fixed at birth)
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )

@@ -103,6 +103,7 @@ PRIORITY_ORDER = (
     "q146_heavy_hitters",         # r4: Misra-Gries candidates + exact verify
     "q147_image_dhash_dedup",     # r4: pixel decode + perceptual-hash dedup
     "q148_event_pattern",         # r4: consecutive-run sequence matching
+    "q149_filtered_cosine_topk",  # r4: metadata-filtered vector search
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------

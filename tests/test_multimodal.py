@@ -219,3 +219,42 @@ def test_dhash_invariant_to_uniform_brightness():
     if shift:
         shifted = [[v + shift for v in row] for row in img]
         assert dhash64(img) == dhash64(shifted)
+
+
+def test_png_codec_property_roundtrip():
+    """Property: any image (1..24 x 1..24, arbitrary bytes) survives
+    encode -> decode bit-for-bit, across all three row filters; and
+    any truncation of the encoded blob either raises or — never —
+    returns wrong pixels silently."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from target_hdfs_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_full,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        img = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        blob = encode_png_full(img)
+        assert decode_png_pixels(blob) == img
+        # truncation inside the IDAT stream must never silently
+        # succeed with wrong pixels
+        cut = blob[: len(blob) - len(blob) // 3]
+        try:
+            out = decode_png_pixels(cut)
+        except Exception:
+            pass  # raising is the expected behavior
+        else:
+            assert out == img  # only acceptable if truncation hit padding
+
+    check()

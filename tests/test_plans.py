@@ -357,3 +357,12 @@ def test_q148_pattern_is_single_window_shuffle(spark):
     plan = plan_of(spark, "q148_event_pattern")
     assert plan.count("Exchange hashpartitioning") <= 2  # window + group
     assert "Window" in plan
+
+
+def test_q149_filter_pushed_beneath_distance_math(spark):
+    """Filtered vector search: the label predicate must reach the
+    parquet scan (PushedFilters) so non-matching row groups never
+    decompress, and the top-k must be WindowGroupLimit."""
+    plan = plan_of(spark, "q149_filtered_cosine_topk")
+    assert "PushedFilters" in plan and "label" in plan
+    assert "WindowGroupLimit" in plan
