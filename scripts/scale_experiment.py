@@ -55,6 +55,8 @@ QUERIES = (
     "q128_segment_dedup",
     "q129_bm25_topk",
     "q120_minhash_containment",
+    "q144_token_lift",
+    "q146_heavy_hitters",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",

@@ -1009,3 +1009,63 @@ def q143_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("updated_at"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (budgeted greedy-by-quality subset)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 10_000
+
+
+@query(
+    "q150_token_budget_selection",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, n_chars AS score, len({_TOK}) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, score, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {_BUDGET_TOKENS}
+    ORDER BY score DESC, doc_id
+    """,
+    tags=("curation", "selection", "window", "budget"),
+)
+def q150_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: take documents greedily by quality
+    score (n_chars proxy) until a global token budget is exhausted —
+    how a fixed-compute training run picks its highest-value subset
+    from a larger pool.
+
+    Scale: the cumulative sum needs a global order, but over the
+    NARROW metadata frame (id, score, token count — ~24 bytes/row,
+    not documents), and Spark's sort is distributed
+    (rangepartitioning + per-partition cumsum with a partial-sums
+    broadcast). At 100 TB the standard refinement — estimate the
+    score threshold from a sample, cumsum only the ~budget-sized head
+    — composes from q117's percentile machinery; the exact form here
+    IS the verification oracle for that refinement.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ranked.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .orderBy(F.col("score").desc(), "doc_id")
+    )
