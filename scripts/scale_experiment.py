@@ -65,6 +65,7 @@ EMB_QUERIES = (
     "q89_pq_codes",
     "q90_pq_adc_search",
     "q122_pandas_cosine_topk",
+    "q149_filtered_cosine_topk",
 )
 # the bucketed-cosine graph family (pair generation is quadratic in
 # bucket occupancy): sweep with SPARK_GRAFT_SRP_PLANES grown

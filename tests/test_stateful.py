@@ -221,3 +221,33 @@ def test_pattern_stream_equals_batch_q148(spark, tmp_path):
     }
     assert got == expected
     assert expected, "corpus produced no runs — pattern generator broken"
+
+
+def test_pattern_straddle_on_rocksdb_state_store(spark, tmp_path):
+    """The pattern matcher's suffix state must behave identically on
+    the RocksDB provider (the production backend once keyed state
+    outgrows executor heap)."""
+    src = tmp_path / "rpsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "click"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:00:04Z", "event_type": "purchase"}],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_pattern(spark, src, "pat_rocksdb")
+    finally:
+        spark.conf.set(key, prev)
+    assert got == {(1, 5)}
