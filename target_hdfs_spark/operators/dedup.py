@@ -1647,3 +1647,128 @@ def q128_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2m: iterative graph ranking — integer-arithmetic PageRank over the
+# near-dup pair graph (which documents are the "hubs" of duplication)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    """Unrolled-iteration oracle: r0..r{k} as successive CTEs, exact
+    int64 arithmetic only (// is floor division on non-negative
+    values in both engines)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    contrib{i} AS (
+      SELECT e.dst AS doc_id, SUM({prev}.rank // deg.outdeg) AS c
+      FROM {prev} JOIN deg ON deg.src = {prev}.doc_id
+      JOIN edges e ON e.src = {prev}.doc_id
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.doc_id,
+             (15 * {_PR_SCALE} ) // (100 * nn.n) + (85 * COALESCE(c, 0)) // 100 AS rank
+      FROM nodes n CROSS JOIN nn LEFT JOIN contrib{i} USING (doc_id)
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH {_LSH_PAIRS_SQL},
+    nodes AS (SELECT doc_id FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (
+      SELECT n.doc_id, {_PR_SCALE} // nn.n AS rank
+      FROM nodes n CROSS JOIN nn
+    ),{",".join(steps)}
+    -- BIGINT cast: the contrib SUM promotes to HUGEINT in DuckDB,
+    -- which the driver canonicalizer would coerce to float64
+    SELECT doc_id, CAST(rank AS BIGINT) AS pagerank
+    FROM {prev}
+    ORDER BY pagerank DESC, doc_id
+    LIMIT 100
+    """
+
+
+@query(
+    "q151_pagerank_dup_graph",
+    oracle=_pr_oracle(),
+    tags=("dedup", "graph", "iterative", "pagerank"),
+)
+def q151_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the undirected LSH
+    candidate-pair graph — ranks the "hubs" of duplication the way CC
+    (q85) finds its components. The iterative-join formulation is the
+    one that generalizes to any fixed-point graph algorithm Spark
+    lacks natively.
+
+    Exactness: floating-point PageRank cannot be oracle-checked (the
+    per-node SUM over in-neighbors is order-dependent), so ranks are
+    integers scaled by 10^12 with floor division at every step —
+    order-independent int64 sums, bit-identical across engines, and
+    within 1e-12·deg of the real-valued iteration. Dangling mass is
+    dropped (documented deterministic variant; both sides implement
+    the same rule).
+
+    Scale: each iteration is one join-aggregate on the EDGE list —
+    the standard distributed PR shape (Pregel's shuffle pattern):
+    cost O(|E|) per iteration, no all-pairs term anywhere; the edge
+    list comes from the LSH-bounded pair generation, not n². Fixed
+    iteration count keeps the plan static (no driver-side convergence
+    loop at this size; the CC convergence-probe pattern from q85
+    composes when needed).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    nodes = docs.select("doc_id")
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "doc_id", F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        shares = (
+            ranks.withColumnRenamed("doc_id", "u")
+            .join(deg.withColumnRenamed("src", "u"), "u")
+            .select("u", F.expr("rank div outdeg").alias("share"))
+        )
+        contrib = (
+            edges.withColumnRenamed("src", "u")
+            .join(shares, "u")
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+            .withColumnRenamed("dst", "doc_id")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.expr(f"(15 * {_PR_SCALE}) div (100 * n)")
+                    + F.expr("(85 * COALESCE(c, 0)) div 100")
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.select("doc_id", F.col("rank").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "doc_id")
+        .limit(100)
+    )

@@ -366,3 +366,14 @@ def test_q149_filter_pushed_beneath_distance_math(spark):
     plan = plan_of(spark, "q149_filtered_cosine_topk")
     assert "PushedFilters" in plan and "label" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_q151_pagerank_edges_checkpointed_once(spark):
+    """PageRank: the pair pipeline feeds 2x3 iteration branches; the
+    eager checkpoint must make every branch read the materialized
+    edge RDD (zero md5 sites may survive), and nothing cartesians
+    except the broadcast scalar-N attach."""
+    plan = plan_of(spark, "q151_pagerank_dup_graph")
+    assert "md5" not in plan, "pair pipeline recomputed past the checkpoint"
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
