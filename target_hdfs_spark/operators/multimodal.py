@@ -774,3 +774,106 @@ def q147_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("root_doc_id", "n_images")
         .orderBy("root_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L5f: sample-level PCM audio roundtrip + exact integer features
+# ---------------------------------------------------------------------------
+
+_PCM_N = 256          # samples per clip
+_PCM_RATE = 8000
+
+
+def _pcm_sample(doc_id: int, i: int) -> int:
+    """Deterministic int16 sample i of doc_id's synthetic clip
+    (reproduced literally in the oracle SQL)."""
+    return ((doc_id * 31 + i * 17) % 2048) - 1024
+
+
+def encode_pcm_wav(doc_id: int) -> bytes:
+    """COMPLETE valid 16-bit mono PCM WAV for the doc's clip."""
+    payload = b"".join(
+        _pcm_sample(doc_id, i).to_bytes(2, "little", signed=True)
+        for i in range(_PCM_N)
+    )
+    return encode_wav(1, _PCM_RATE, 16, payload)
+
+
+def decode_pcm_samples(blob: bytes) -> list[int]:
+    """Real PCM decoder for the supported profile: header parse via
+    decode_audio_meta, then little-endian int16 frames."""
+    n_ch, rate, bits, n_bytes, fmt = decode_audio_meta(blob)
+    if fmt != "wav" or bits != 16 or n_ch != 1:
+        raise ValueError(f"unsupported audio profile: {fmt}/{bits}/{n_ch}")
+    data = bytes(blob)[WAV_HEADER_LEN + WAV_DATA_PREFIX_LEN :]
+    return [
+        int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
+        for i in range(len(data) // 2)
+    ]
+
+
+@query(
+    "q152_audio_pcm_features",
+    oracle=f"""
+    WITH s AS (
+      SELECT d.doc_id, i.i,
+             ((d.doc_id * 31 + i.i * 17) % 2048) - 1024 AS v
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PCM_N - 1})) AS i) i
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN i > 0 AND (v >= 0) <>
+                 (((doc_id * 31 + (i - 1) * 17) % 2048) - 1024 >= 0)
+               THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM s
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def q152_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level audio features through a REAL byte roundtrip: each
+    document gets a complete valid 16-bit mono PCM WAV (deterministic
+    synthetic clip), the real decoder parses header + frames, and the
+    features are exact integers — energy (Σv²), peak (max |v|), and
+    zero-crossing count. The audio twin of q147's pixel-exact image
+    path: the oracle recomputes the features from the sample FORMULA,
+    so any corruption in the encode → decode byte path (endianness,
+    header offset, frame split) breaks the value hash.
+
+    Scale: encode/decode/features run in one mapInPandas pass over
+    Arrow batches (at 100 TB the clips arrive as binary columns and
+    this stage is the only one touching frames); the shuffle carries
+    four int64s per clip. Python-side loops cost O(n_samples) per
+    clip — the vectorized variant (np.frombuffer) drops in when clips
+    grow; the schema and batch shape are what this operator pins.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def roundtrip_features(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                samples = decode_pcm_samples(encode_pcm_wav(int(doc_id)))
+                energy = sum(v * v for v in samples)
+                peak = max(abs(v) for v in samples)
+                zc = sum(
+                    1
+                    for a, b in zip(samples, samples[1:])
+                    if (a >= 0) != (b >= 0)
+                )
+                out.append((int(doc_id), len(samples), energy, peak, zc))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "energy", "peak", "zero_crossings"],
+            )
+
+    return docs.mapInPandas(
+        roundtrip_features,
+        "doc_id long, n_samples long, energy long, peak long, zero_crossings long",
+    )

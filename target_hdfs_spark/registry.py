@@ -106,6 +106,7 @@ PRIORITY_ORDER = (
     "q149_filtered_cosine_topk",  # r4: metadata-filtered vector search
     "q150_token_budget_selection",  # r4: budgeted greedy-by-quality subset
     "q151_pagerank_dup_graph",    # r4: exact integer PageRank, 3 iters
+    "q152_audio_pcm_features",    # r4: sample-exact WAV roundtrip features
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------

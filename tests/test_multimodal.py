@@ -258,3 +258,33 @@ def test_png_codec_property_roundtrip():
             assert out == img  # only acceptable if truncation hit padding
 
     check()
+
+
+def test_pcm_wav_roundtrip_exact():
+    """encode_pcm_wav -> decode_pcm_samples must reproduce the sample
+    formula bit-for-bit, including negative int16 values."""
+    from target_hdfs_spark.operators.multimodal import (
+        _PCM_N,
+        _pcm_sample,
+        decode_pcm_samples,
+        encode_pcm_wav,
+    )
+
+    for doc_id in (0, 1, 7, 12345):
+        samples = decode_pcm_samples(encode_pcm_wav(doc_id))
+        assert samples == [_pcm_sample(doc_id, i) for i in range(_PCM_N)]
+        assert min(samples) < 0 < max(samples)  # both signs exercised
+
+
+def test_pcm_decoder_rejects_wrong_profile():
+    import pytest as _pytest
+
+    from target_hdfs_spark.operators.multimodal import (
+        decode_pcm_samples,
+        encode_wav,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_pcm_samples(b"not audio")
+    with _pytest.raises(ValueError):
+        decode_pcm_samples(encode_wav(2, 8000, 16, b"\x00\x00"))  # stereo
