@@ -877,3 +877,124 @@ def q152_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip_features,
         "doc_id long, n_samples long, energy long, peak long, zero_crossings long",
     )
+
+
+# ---------------------------------------------------------------------------
+# L5g: video container index — real RIFF/AVI chunk walk
+# ---------------------------------------------------------------------------
+
+_AVI_MAX_FRAMES = 8
+
+
+def _frame_len(doc_id: int, k: int) -> int:
+    """Deterministic byte length of frame k in doc_id's clip
+    (reproduced literally in the oracle SQL)."""
+    return 16 + (doc_id * 7 + k * 13) % 64
+
+
+def encode_avi(doc_id: int) -> bytes:
+    """Minimal valid RIFF/AVI: 'RIFF' size 'AVI ' + one LIST 'movi'
+    holding n '00db' (uncompressed video frame) chunks, word-aligned
+    per the RIFF spec. Frame k's payload is deterministic filler of
+    _frame_len bytes."""
+    n_frames = 1 + doc_id % _AVI_MAX_FRAMES
+    chunks = b""
+    for k in range(n_frames):
+        ln = _frame_len(doc_id, k)
+        payload = bytes((doc_id + k + j) % 256 for j in range(ln))
+        chunk = b"00db" + ln.to_bytes(4, "little") + payload
+        if ln % 2:  # RIFF chunks are word-aligned
+            chunk += b"\x00"
+        chunks += chunk
+    movi = b"LIST" + (4 + len(chunks)).to_bytes(4, "little") + b"movi" + chunks
+    return b"RIFF" + (4 + len(movi)).to_bytes(4, "little") + b"AVI " + movi
+
+
+def decode_avi_index(blob: bytes) -> list[tuple[int, int, int]]:
+    """Real RIFF chunk walk: (frame_idx, byte_offset, n_bytes) for
+    every '00db' frame chunk in the movi LIST. Raises ValueError on
+    malformed containers."""
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    pos = 12
+    frames: list[tuple[int, int, int]] = []
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        if tag == b"LIST":
+            list_type = blob[pos + 8 : pos + 12]
+            inner = pos + 12
+            end = pos + 8 + size
+            if end > len(blob):
+                raise ValueError("truncated LIST")
+            if list_type == b"movi":
+                while inner + 8 <= end:
+                    ctag = blob[inner : inner + 4]
+                    csize = int.from_bytes(blob[inner + 4 : inner + 8], "little")
+                    if inner + 8 + csize > end:
+                        raise ValueError("truncated frame chunk")
+                    if ctag == b"00db":
+                        frames.append((len(frames), inner + 8, csize))
+                    inner += 8 + csize + (csize % 2)  # word alignment
+            pos = end
+        else:
+            pos += 8 + size + (size % 2)
+    return frames
+
+
+@query(
+    "q153_video_container_index",
+    oracle=f"""
+    WITH f AS (
+      SELECT d.doc_id, k.k,
+             16 + (d.doc_id * 7 + k.k * 13) % 64 AS n_bytes
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_AVI_MAX_FRAMES - 1})) AS k) k
+      WHERE k.k < 1 + d.doc_id % {_AVI_MAX_FRAMES}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_frame_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_frame_bytes
+    FROM f
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "video", "mapInPandas"),
+)
+def q153_video_container_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container indexing through a REAL byte roundtrip: each
+    document gets a valid RIFF/AVI (word-aligned '00db' frame chunks
+    inside a movi LIST), the real chunk walker extracts the frame
+    index, and per-clip frame stats are exact integers the oracle
+    recomputes from the frame-length formula. With q147 (pixels) and
+    q152 (PCM samples) this closes the image/audio/video trio at
+    content level — and the frame INDEX is the real-world operation:
+    at 100 TB you index containers once, then frame-sample (q62) by
+    offset without re-walking bytes.
+
+    Scale: one mapInPandas pass; the shuffle carries three int64s per
+    clip. Container walking is O(bytes) sequential — exactly what a
+    seekable object store range-read does per clip.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def index_features(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                frames = decode_avi_index(encode_avi(int(doc_id)))
+                sizes = [n for _, _, n in frames]
+                out.append((int(doc_id), len(frames), sum(sizes), max(sizes)))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "total_frame_bytes", "max_frame_bytes"],
+            )
+
+    return docs.mapInPandas(
+        index_features,
+        "doc_id long, n_frames long, total_frame_bytes long, max_frame_bytes long",
+    )

@@ -288,3 +288,42 @@ def test_pcm_decoder_rejects_wrong_profile():
         decode_pcm_samples(b"not audio")
     with _pytest.raises(ValueError):
         decode_pcm_samples(encode_wav(2, 8000, 16, b"\x00\x00"))  # stereo
+
+
+def test_avi_container_roundtrip_exact():
+    """encode_avi -> decode_avi_index must reproduce the frame-length
+    formula exactly, including word-alignment padding for odd sizes."""
+    from target_hdfs_spark.operators.multimodal import (
+        _AVI_MAX_FRAMES,
+        _frame_len,
+        decode_avi_index,
+        encode_avi,
+    )
+
+    for doc_id in (0, 1, 5, 999):
+        frames = decode_avi_index(encode_avi(doc_id))
+        n_expected = 1 + doc_id % _AVI_MAX_FRAMES
+        assert [n for _, _, n in frames] == [
+            _frame_len(doc_id, k) for k in range(n_expected)
+        ]
+        # frame offsets must point at the actual payloads
+        blob = encode_avi(doc_id)
+        for k, off, n in frames:
+            assert blob[off] == (doc_id + k) % 256
+    # odd sizes exist in the range, so alignment was exercised
+    assert any(_frame_len(5, k) % 2 for k in range(1 + 5 % _AVI_MAX_FRAMES))
+
+
+def test_avi_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    from target_hdfs_spark.operators.multimodal import (
+        decode_avi_index,
+        encode_avi,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_avi_index(b"RIFFxxxxWAVE")  # RIFF but not AVI
+    blob = encode_avi(9)
+    with _pytest.raises(ValueError):
+        decode_avi_index(blob[: len(blob) - 5])  # truncated inside frame
