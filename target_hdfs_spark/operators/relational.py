@@ -2627,3 +2627,45 @@ def q112_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo_cut"),
         F.max("l_extendedprice").alias("hi_cut"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E25 (surface): the spark.sql front-end — same engine, SQL text in
+# ---------------------------------------------------------------------------
+
+_Q154_SQL = """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n_items,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS STRING) AS DOUBLE)
+        AS sum_qty,
+      COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS n_ship_days
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "q154_sql_frontend",
+    oracle=_Q154_SQL,
+    tags=("sql", "scan", "agg"),
+)
+def q154_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal ``spark.sql`` entry point: register the engine's
+    table readers as temp views and run SQL TEXT — the exact string
+    the DuckDB oracle runs (one source of truth; the decimal→varchar→
+    double convention is ANSI-portable by design, which this query
+    proves by construction).
+
+    A user of the reference migrating SQL workloads gets this path:
+    same Catalyst plan as the DataFrame API (views are lazy logical
+    plans over the parquet scans — pushdown and pruning identical).
+
+    Scale: plan-equivalent to q01's shape (scan-side filter, map-side
+    partial aggregation, 6-group shuffle).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q154_SQL)
