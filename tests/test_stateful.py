@@ -154,18 +154,22 @@ def test_pattern_run_straddles_batch_boundary(spark, tmp_path):
     assert got == {(1, 5)}  # user 2's run was broken by the error event
 
 
-def test_pattern_stream_equals_batch_q148(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("seed", [7, 11, 13])
+def test_pattern_stream_equals_batch_q148(spark, tmp_path, seed):
     """On an in-order event log the stream's match count per user must
-    equal the batch lead()-formulation (q148)."""
+    equal the batch lead()-formulation (q148) — three seeded corpora,
+    each with planted runs (one straddling the batch boundary)."""
     import datetime as dt
 
-    from target_hdfs_spark.registry import all_queries  # noqa: F401
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     import random
 
-    rng = random.Random(7)
+    rng = random.Random(seed)
     types = ["view", "click", "purchase", "error", "signup"]
     seq_types = [rng.choice(types) for _ in range(90)]
     # plant complete runs at known offsets — user_id cycles mod 3, so
@@ -188,7 +192,7 @@ def test_pattern_stream_equals_batch_q148(spark, tmp_path):
     _write(src / "a.jsonl", rows[:50])
     time.sleep(1.1)
     _write(src / "b.jsonl", rows[50:])
-    got = _run_pattern(spark, src, "pat_parity")
+    got = _run_pattern(spark, src, f"pat_parity_{seed}")
 
     # batch twin (q148's formulation) over the same rows
     df = spark.createDataFrame(
