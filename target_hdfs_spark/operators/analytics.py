@@ -383,3 +383,88 @@ def q148_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_runs"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table referential / consistency audit (data quality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_integrity_audit",
+    oracle="""
+    WITH li_sum AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                 * (CAST(1 AS DECIMAL(19,4)) - CAST(l_discount AS DECIMAL(19,4)))
+                 * (CAST(1 AS DECIMAL(19,4)) + CAST(l_tax AS DECIMAL(19,4)))) AS computed
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS n_orders,
+      (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS n_orphan_lineitems,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        AS n_childless_orders,
+      (SELECT COUNT(*) FROM orders o JOIN li_sum s ON s.l_orderkey = o.o_orderkey
+       WHERE abs(CAST(o.o_totalprice AS DECIMAL(19,4)) - s.computed)
+             > CAST(0.01 AS DECIMAL(19,4)))
+        AS n_price_mismatch
+    """,
+    tags=("audit", "quality", "join", "anti-join"),
+)
+def q155_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistency audit — the data-quality gate a
+    pipeline runs before trusting a snapshot: orphaned child rows
+    (lineitems without an order), childless parents, and stored-vs-
+    recomputed total mismatches (exact DECIMAL arithmetic, tolerance
+    0.01 — the business-rule check TPC-H's generator satisfies and
+    real ingest pipelines violate).
+
+    Scale: two anti-joins on the key (AQE-broadcast or SMJ as
+    cardinality dictates) and one join against the per-order decimal
+    rollup — every term is one shuffle on o_orderkey; the audit of a
+    100 TB fact pair is a fixed number of co-partitioned passes, and
+    with bucketed layouts (plans/bucketing.py) zero shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d19 = lambda c: F.col(c).cast("decimal(19,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(19,4)")
+    computed = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                d19("l_extendedprice")
+                * (one - d19("l_discount"))
+                * (one + d19("l_tax"))
+            ).alias("computed")
+        )
+    )
+    n_orders = o.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_lineitems = li.agg(F.count(F.lit(1)).alias("n_lineitems"))
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_lineitems"))
+    )
+    childless = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_childless_orders"))
+    )
+    mismatch = (
+        o.join(computed, o.o_orderkey == computed.l_orderkey)
+        .filter(
+            F.abs(d19("o_totalprice") - F.col("computed"))
+            > F.lit(0.01).cast("decimal(19,4)")
+        )
+        .agg(F.count(F.lit(1)).alias("n_price_mismatch"))
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(n_lineitems))
+        .crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(childless))
+        .crossJoin(F.broadcast(mismatch))
+    )
