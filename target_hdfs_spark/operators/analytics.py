@@ -468,3 +468,101 @@ def q155_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(childless))
         .crossJoin(F.broadcast(mismatch))
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample experiment metrics (A/B statistics, closed form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_ab_test_metrics",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(19,4))
+                    * CAST(value AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT arm, n, sx, sxx,
+             sx / CAST(n AS DOUBLE) AS mean,
+             (CAST(n AS DOUBLE) * sxx - sx * sx)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+      FROM s
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 'A' THEN mean END) AS mean_a,
+        MAX(CASE WHEN arm = 'B' THEN mean END) AS mean_b,
+        MAX(CASE WHEN arm = 'A' THEN var END) AS var_a,
+        MAX(CASE WHEN arm = 'B' THEN var END) AS var_b
+      FROM m
+    )
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           mean_a - mean_b AS effect,
+           (mean_a - mean_b)
+             / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+             AS t_stat
+    FROM w
+    """,
+    tags=("agg", "statistics", "experiment"),
+)
+def q156_ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout (Welch's t): per-arm counts,
+    means and sample variances from exact decimal moments, then the
+    effect size and t statistic as a FIXED tree of IEEE double ops
+    (division and sqrt are correctly rounded, so the whole readout is
+    bit-reproducible — the property experiment platforms need for
+    re-runnable analyses).
+
+    Scale: one aggregation over the metric events (2 groups × 3
+    sums), then scalar arithmetic on a 2-row frame — the experiment
+    readout over 100 TB of exposures costs one map-side-combined
+    pass, the same shape as q136's grouped OLS.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,4)")  # noqa: E731
+    s = (
+        ev.withColumn(
+            "arm", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            to_double(F.sum(dec("value"))).alias("sx"),
+            to_double(F.sum(d19("value") * d19("value"))).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "arm",
+        "n",
+        (F.col("sx") / nd).alias("mean"),
+        ((nd * F.col("sxx") - F.col("sx") * F.col("sx")) / (nd * (nd - F.lit(1.0)))).alias("var"),
+    )
+    w = m.groupBy().agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("mean"))).alias("mean_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("mean"))).alias("mean_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("var"))).alias("var_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("var"))).alias("var_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    effect = F.col("mean_a") - F.col("mean_b")
+    se = F.sqrt(F.col("var_a") / na + F.col("var_b") / nb)
+    return w.select(
+        "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        effect.alias("effect"),
+        (effect / se).alias("t_stat"),
+    )
