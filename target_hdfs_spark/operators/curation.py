@@ -1069,3 +1069,62 @@ def q150_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .orderBy(F.col("score").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversity-constrained selection (top-k with a per-source cap)
+# ---------------------------------------------------------------------------
+
+_DIV_TOPK = 20
+_DIV_PER_SOURCE = 3
+
+
+@query(
+    "q157_diversified_topk",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT doc_id, source, n_chars AS score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS src_rank
+      FROM documents
+    ),
+    capped AS (
+      SELECT * FROM per_src WHERE src_rank <= {_DIV_PER_SOURCE}
+    )
+    SELECT doc_id, source, score, src_rank,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS final_rank
+    FROM capped
+    ORDER BY score DESC, doc_id
+    LIMIT {_DIV_TOPK}
+    """,
+    tags=("curation", "selection", "topk", "diversity"),
+)
+def q157_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained selection: the best {_DIV_TOPK} documents
+    by quality score, subject to at most {_DIV_PER_SOURCE} per source
+    — the cap that stops one high-scoring crawl domain from
+    monopolizing a curated batch (the selection analog of the
+    temperature mixture q126).
+
+    Scale: the per-source cap compiles to WindowGroupLimit
+    (per-partition top-{_DIV_PER_SOURCE} heaps before the source
+    shuffle), so the global stage sees at most
+    {_DIV_PER_SOURCE}·|sources| rows; the final k is
+    TakeOrderedAndProject over that bounded frame. No global sort of
+    the corpus anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    capped = (
+        docs.select("doc_id", "source", F.col("n_chars").alias("score"))
+        .withColumn("src_rank", F.row_number().over(w_src).cast("long"))
+        .filter(F.col("src_rank") <= _DIV_PER_SOURCE)
+    )
+    w_all = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        capped.withColumn("final_rank", F.row_number().over(w_all).cast("long"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_DIV_TOPK)
+    )

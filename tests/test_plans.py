@@ -377,3 +377,11 @@ def test_q151_pagerank_edges_checkpointed_once(spark):
     assert "md5" not in plan, "pair pipeline recomputed past the checkpoint"
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q157_source_cap_is_window_group_limit(spark):
+    """Diversified top-k: the per-source cap must compile to
+    WindowGroupLimit so the global stage sees at most
+    cap x |sources| rows — never a full-corpus sort."""
+    plan = plan_of(spark, "q157_diversified_topk")
+    assert "WindowGroupLimit" in plan
