@@ -566,3 +566,104 @@ def q156_ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         effect.alias("effect"),
         (effect / se).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical drift detection (chi-square, fixed-order term sum)
+# ---------------------------------------------------------------------------
+
+_DRIFT_TYPES = ("click", "error", "purchase", "signup", "view")
+_DRIFT_SPLIT_DAY = 15  # first half: day-of-month < 15
+
+
+def _chi_term_sql(t: str) -> str:
+    return (
+        f"CASE WHEN e_{t} > 0.0 "
+        f"THEN (o_{t} - e_{t}) * (o_{t} - e_{t}) / e_{t} ELSE 0.0 END"
+    )
+
+
+@query(
+    "q159_distribution_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN EXTRACT(day FROM ts) < {_DRIFT_SPLIT_DAY}
+                  THEN 'h1' ELSE 'h2' END AS half
+      FROM events
+    ),
+    counts AS (
+      SELECT
+        {", ".join(
+            f"CAST(COUNT(CASE WHEN half = 'h1' AND event_type = '{t}' THEN 1 END) AS BIGINT) AS c1_{t}, "
+            f"CAST(COUNT(CASE WHEN half = 'h2' AND event_type = '{t}' THEN 1 END) AS BIGINT) AS c2_{t}"
+            for t in _DRIFT_TYPES)},
+        CAST(COUNT(CASE WHEN half = 'h1' THEN 1 END) AS BIGINT) AS n1,
+        CAST(COUNT(CASE WHEN half = 'h2' THEN 1 END) AS BIGINT) AS n2
+      FROM halves
+    ),
+    obs AS (
+      SELECT n1, n2,
+        {", ".join(
+            f"CAST(c2_{t} AS DOUBLE) AS o_{t}, "
+            f"CAST(n2 AS DOUBLE) * (CAST(c1_{t} AS DOUBLE) / CAST(n1 AS DOUBLE)) AS e_{t}"
+            for t in _DRIFT_TYPES)}
+      FROM counts
+    )
+    SELECT n1, n2,
+           {" + ".join(_chi_term_sql(t) for t in _DRIFT_TYPES)} AS chi2
+    FROM obs
+    """,
+    tags=("agg", "statistics", "drift"),
+)
+def q159_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift: chi-square statistic comparing
+    the second half-month's event-type mix against expectations from
+    the first half — the monitoring gate that catches a source whose
+    composition shifted between snapshots.
+
+    Determinism: per-class observed/expected are exact counts cast to
+    double; the statistic is a FIXED five-term sum in class-name order
+    (never a SUM over rows — double addition is not associative), so
+    the readout is bit-identical across engines. Classes unseen in the
+    baseline contribute 0 by the guarded term (both sides implement
+    the same guard).
+
+    Scale: one conditional-aggregation pass over the log (map-side
+    combined, 12 counters per map task), then scalar arithmetic on a
+    single row. Drift-checking 100 TB costs one scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(F.dayofmonth("ts") < _DRIFT_SPLIT_DAY, "h1").otherwise("h2")
+    h = ev.select(F.col("event_type"), half.alias("half"))
+    aggs = []
+    for t in _DRIFT_TYPES:
+        aggs.append(
+            F.count(
+                F.when((F.col("half") == "h1") & (F.col("event_type") == t), 1)
+            ).alias(f"c1_{t}")
+        )
+        aggs.append(
+            F.count(
+                F.when((F.col("half") == "h2") & (F.col("event_type") == t), 1)
+            ).alias(f"c2_{t}")
+        )
+    aggs.append(F.count(F.when(F.col("half") == "h1", 1)).alias("n1"))
+    aggs.append(F.count(F.when(F.col("half") == "h2", 1)).alias("n2"))
+    counts = h.groupBy().agg(*aggs)
+    obs_cols = [F.col("n1"), F.col("n2")]
+    for t in _DRIFT_TYPES:
+        obs_cols.append(F.col(f"c2_{t}").cast("double").alias(f"o_{t}"))
+        obs_cols.append(
+            (
+                F.col("n2").cast("double")
+                * (F.col(f"c1_{t}").cast("double") / F.col("n1").cast("double"))
+            ).alias(f"e_{t}")
+        )
+    obs = counts.select(*obs_cols)
+    term = None
+    for t in _DRIFT_TYPES:
+        o, e = F.col(f"o_{t}"), F.col(f"e_{t}")
+        tterm = F.when(e > 0.0, (o - e) * (o - e) / e).otherwise(F.lit(0.0))
+        term = tterm if term is None else term + tterm
+    return obs.select("n1", "n2", term.alias("chi2"))

@@ -1128,3 +1128,57 @@ def q157_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_DIV_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fair source interleave (training-batch assembly order)
+# ---------------------------------------------------------------------------
+
+_ILV_TAKE = 100
+
+
+@query(
+    "q158_fair_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS src_rank
+      FROM documents
+    )
+    SELECT doc_id, source, src_rank,
+           row_number() OVER (ORDER BY src_rank, source, doc_id) AS batch_pos
+    FROM ranked
+    ORDER BY src_rank, source, doc_id
+    LIMIT {_ILV_TAKE}
+    """,
+    tags=("curation", "mixture", "interleave", "window"),
+)
+def q158_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fair round-robin interleave: emit every source's best document
+    first, then every source's second-best, and so on — the
+    deterministic assembly order that keeps any training-batch prefix
+    source-balanced (the ORDERING twin of the q126 temperature
+    mixture, which balances COUNTS).
+
+    Scale: the per-source rank is a WindowGroupLimit-eligible window;
+    the interleave order is (src_rank, source) — for a bounded prefix
+    (the LIMIT) this compiles to TakeOrderedAndProject over per-
+    partition heaps, so assembling the first N batch rows from a
+    100 TB corpus never globally sorts it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("src_rank", F.row_number().over(w_src).cast("long"))
+        .drop("n_chars")
+    )
+    w_all = Window.orderBy("src_rank", "source", "doc_id")
+    return (
+        ranked.withColumn("batch_pos", F.row_number().over(w_all).cast("long"))
+        .orderBy("src_rank", "source", "doc_id")
+        .limit(_ILV_TAKE)
+    )

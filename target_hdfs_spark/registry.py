@@ -112,6 +112,8 @@ PRIORITY_ORDER = (
     "q155_integrity_audit",       # r4: cross-table referential audit
     "q156_ab_test_metrics",       # r4: Welch two-sample readout
     "q157_diversified_topk",      # r4: per-source-capped selection
+    "q158_fair_interleave",       # r4: round-robin batch assembly order
+    "q159_distribution_drift",    # r4: chi-square categorical drift
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------
