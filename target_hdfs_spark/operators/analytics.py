@@ -667,3 +667,93 @@ def q159_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         tterm = F.when(e > 0.0, (o - e) * (o - e) / e).otherwise(F.lit(0.0))
         term = tterm if term is None else term + tterm
     return obs.select("n1", "n2", term.alias("chi2"))
+
+
+# ---------------------------------------------------------------------------
+# Concentration analysis (Pareto / cumulative-share)
+# ---------------------------------------------------------------------------
+
+_PARETO_SHARE = "0.8"  # literal, kept textual so both engines parse 0.8 once
+
+
+@query(
+    "q160_pareto_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(r) OVER () AS total,
+             row_number() OVER (ORDER BY r DESC, o_custkey) AS rnk
+      FROM rev
+    ),
+    shared AS (
+      SELECT rnk,
+             CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS cum_share
+      FROM ranked
+    )
+    SELECT
+      (SELECT COUNT(*) FROM rev) AS n_customers,
+      CAST((SELECT COUNT(*) FROM shared WHERE cum_share < {_PARETO_SHARE}) + 1
+           AS BIGINT) AS n_to_80pct,
+      (SELECT MIN(cum_share) FROM shared
+       WHERE cum_share >= {_PARETO_SHARE}) AS share_at_crossing
+    """,
+    tags=("agg", "window", "statistics", "pareto"),
+)
+def q160_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 readout): rank customers by
+    exact-decimal revenue, accumulate the running share in DECIMAL
+    (order-independent exactness even inside the window), and report
+    how many customers cover 80% of revenue plus the share at the
+    crossing point.
+
+    Determinism: the running sum stays decimal until the single
+    string-mediated double conversion per row; the 0.8 threshold
+    compares identically because both engines hold the identical
+    doubles. Ties rank by customer key.
+
+    Scale: the per-customer rollup is one map-side-combined shuffle;
+    the ranking runs over |customers| rows (small vs the fact table).
+    The cumulative window needs a global order over that reduced
+    frame — same posture as q150's budget cumsum; at extreme customer
+    counts the sampled-threshold refinement composes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(19,4)")).alias("r")
+    )
+    w_cum = (
+        Window.orderBy(F.col("r").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "o_custkey",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_all).alias("total"),
+    )
+    shared = ranked.select(
+        (
+            to_double(F.col("cum")) / to_double(F.col("total"))
+        ).alias("cum_share")
+    )
+    thresh = F.expr(_PARETO_SHARE)
+    n_customers = rev.agg(F.count(F.lit(1)).alias("n_customers"))
+    n_to = shared.filter(F.col("cum_share") < thresh).agg(
+        (F.count(F.lit(1)) + F.lit(1)).cast("bigint").alias("n_to_80pct")
+    )
+    crossing = shared.filter(F.col("cum_share") >= thresh).agg(
+        F.min("cum_share").alias("share_at_crossing")
+    )
+    return (
+        n_customers.crossJoin(F.broadcast(n_to)).crossJoin(F.broadcast(crossing))
+    )

@@ -114,6 +114,7 @@ PRIORITY_ORDER = (
     "q157_diversified_topk",      # r4: per-source-capped selection
     "q158_fair_interleave",       # r4: round-robin batch assembly order
     "q159_distribution_drift",    # r4: chi-square categorical drift
+    "q160_pareto_concentration",  # r4: cumulative-share 80/20 readout
     # --- 7: the last stale red (r1 FAIL row, fixed r2) -------------
     "q66_priority_shipping_buckets",
     # --- 8+: round-1/2 veterans, oldest driver rows first ----------
