@@ -57,6 +57,8 @@ QUERIES = (
     "q120_minhash_containment",
     "q144_token_lift",
     "q146_heavy_hitters",
+    "q157_diversified_topk",
+    "q158_fair_interleave",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -86,6 +88,8 @@ FACT_QUERIES = (
     "q03_local_supplier_revenue",
     "q10_window_rank",
     "q136_group_ols_regression",
+    "q155_integrity_audit",
+    "q160_pareto_concentration",
 )
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 ID_STRIDE = 10_000_000
