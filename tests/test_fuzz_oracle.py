@@ -393,3 +393,45 @@ def test_fuzzed_regression_moments(spark, seed):
         f"seed={seed} pred=[{pred_sql}] group={group_col} x={x} y={y}\n"
         f"spark={s_norm[:2]}\nduck={d_norm[:2]}"
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_cdc_last_writer_wins(spark, seed):
+    """q143's window rule vs a brute-force Python fold over random
+    change logs — including exact (ts) ties broken by event_id and
+    delete-then-older-upsert orderings."""
+    import datetime as dt
+
+    from target_hdfs_spark.operators.curation import (
+        q143_cdc_last_writer_wins,  # noqa: F401  (rule reference)
+    )
+    from target_hdfs_spark.streaming.cdc import classify_ops, latest_per_key
+
+    rng = random.Random(9_000_077 * (seed + 1))
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(120):
+        rows.append(
+            (
+                rng.randrange(8),                                  # user_id
+                eid,
+                base + dt.timedelta(seconds=rng.randrange(50)),    # many ts ties
+                float(rng.randrange(1000)) / 4.0,
+                rng.choice(["view", "click", "error", "purchase"]),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double, event_type string"
+    )
+    got = {
+        (r.user_id, r.value)
+        for r in latest_per_key(classify_ops(df))
+        .filter(F.col("op") == "upsert")
+        .collect()
+    }
+    # brute force: sort by (ts, event_id), last op wins
+    final: dict[int, tuple] = {}
+    for u, eid, ts, v, et in sorted(rows, key=lambda r: (r[2], r[1])):
+        final[u] = ("delete" if et == "error" else "upsert", v)
+    expected = {(u, v) for u, (op, v) in final.items() if op == "upsert"}
+    assert got == expected, f"seed={seed}"
