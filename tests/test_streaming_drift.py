@@ -1,0 +1,83 @@
+"""Streaming drift monitor: the per-batch chi-square must be ~0 for
+batches drawn from the baseline mix, large for a shifted mix, equal
+to the batch-twin arithmetic, and replay-idempotent."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from target_hdfs_spark.streaming.drift import (
+    CLASSES,
+    chi2_against,
+    class_counts,
+    latest_readings,
+    stream_drift_monitor,
+)
+
+SCHEMA = "event_id long, event_type string"
+
+
+def _write(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as fh:
+        for eid, et in rows:
+            fh.write(json.dumps({"event_id": eid, "event_type": et}) + "\n")
+
+
+def _run(spark, src, sink, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_drift_monitor(spark, stream, str(sink), str(ckpt))
+    q.awaitTermination(120)
+
+
+BASELINE_MIX = [(i, CLASSES[i % len(CLASSES)]) for i in range(100)]   # uniform
+SAME_MIX = [(200 + i, CLASSES[i % len(CLASSES)]) for i in range(50)]  # uniform
+SHIFTED_MIX = [(400 + i, "error") for i in range(50)]                 # all one class
+
+
+def test_drift_monitor_flags_shift_not_stability(spark, tmp_path):
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write(src / "a.jsonl", BASELINE_MIX)
+    time.sleep(1.1)
+    _write(src / "b.jsonl", SAME_MIX)
+    time.sleep(1.1)
+    _write(src / "c.jsonl", SHIFTED_MIX)
+    _run(spark, src, sink, ckpt)
+    readings = {
+        r.batch_id: r.chi2 for r in latest_readings(spark, str(sink)).collect()
+    }
+    assert len(readings) == 3
+    assert readings[0] == 0.0         # baseline scored against itself
+    assert readings[1] == 0.0         # identical mix
+    assert readings[2] > 50.0         # all-error batch: massive drift
+
+    # the shifted reading equals the batch-twin arithmetic exactly
+    base_df = spark.createDataFrame(BASELINE_MIX, SCHEMA)
+    shift_df = spark.createDataFrame(SHIFTED_MIX, SCHEMA)
+    expected = chi2_against(
+        class_counts(base_df).collect()[0], class_counts(shift_df).collect()[0]
+    )
+    assert readings[2] == expected
+
+
+def test_drift_replay_is_idempotent(spark, tmp_path):
+    """Re-running the fold for an already-scored batch must leave the
+    baseline and the reading unchanged."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write(src / "a.jsonl", BASELINE_MIX)
+    _run(spark, src, sink, ckpt)
+    before = {
+        tuple(r) for r in latest_readings(spark, str(sink)).collect()
+    }
+    # second availableNow run with no new files: no new batches, no
+    # mutation of existing readings
+    _run(spark, src, sink, ckpt)
+    after = {
+        tuple(r) for r in latest_readings(spark, str(sink)).collect()
+    }
+    assert after == before
