@@ -22,11 +22,12 @@ NASTY = [
     (8, '"starts and ends with quotes"', 'en', 'src2'),
     (9, 'tab\there and\rcarriage return', 'en', 'src3'),
     (10, 'trailing spaces   ', 'en', 'src3'),
+    (11, None, 'en', 'src3'),  # NULL text must stay NULL, not ''
 ]
 
 
 def _docs(spark):
-    rows = [(i, t, lg, s, len(t)) for i, t, lg, s in NASTY]
+    rows = [(i, t, lg, s, len(t) if t is not None else 0) for i, t, lg, s in NASTY]
     return spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
