@@ -81,3 +81,21 @@ def test_drift_replay_is_idempotent(spark, tmp_path):
         tuple(r) for r in latest_readings(spark, str(sink)).collect()
     }
     assert after == before
+
+
+def test_drift_baseline_persists_across_restart(spark, tmp_path):
+    """A restarted monitor must score new batches against the ORIGINAL
+    baseline (persisted in the sink), not re-baseline on its first
+    post-restart batch."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write(src / "a.jsonl", BASELINE_MIX)
+    _run(spark, src, sink, ckpt)
+    # restart with a shifted batch: if the monitor re-baselined, the
+    # new batch would score 0 against itself
+    _write(src / "b.jsonl", SHIFTED_MIX)
+    _run(spark, src, sink, ckpt)
+    readings = {
+        r.batch_id: r.chi2 for r in latest_readings(spark, str(sink)).collect()
+    }
+    assert readings[0] == 0.0
+    assert readings[1] > 50.0  # scored against the ORIGINAL baseline
