@@ -1613,10 +1613,18 @@ def q128_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0).cast("long"), n_segs - 1),
         lambda i: F.concat_ws(" ", F.slice(ts, (i * SEG_TOKENS + 1).cast("int"), SEG_TOKENS)),
     )
-    seg = docs.select(
+    # EAGER checkpoint of the compact pre-explode form: both the
+    # dedup pipeline and the per-doc segment counts derive from the
+    # segment arrays, and Catalyst does not share unaliased subtrees —
+    # without this the tokenize + slice-transform pass over the corpus
+    # would execute twice (the q132/q151 multi-reference convention).
+    arr = docs.select("doc_id", seg_arr.alias("segs")).localCheckpoint(
+        eager=True
+    )
+    seg = arr.select(
         "doc_id",
-        F.size(seg_arr).cast("long").alias("n_segments"),
-        F.posexplode(seg_arr).alias("seg_idx", "seg_text"),
+        F.size("segs").cast("long").alias("n_segments"),
+        F.posexplode("segs").alias("seg_idx", "seg_text"),
     )
     w = Window.partitionBy(F.md5("seg_text"))
     first = F.min(F.struct("doc_id", "seg_idx")).over(w)
@@ -1638,8 +1646,8 @@ def q128_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dedup_text"),
         )
     )
-    nseg = docs.select(
-        "doc_id", F.size(seg_arr).cast("long").alias("n_segments")
+    nseg = arr.select(
+        "doc_id", F.size("segs").cast("long").alias("n_segments")
     )
     return nseg.join(kept, "doc_id", "left").select(
         "doc_id",

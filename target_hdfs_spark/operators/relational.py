@@ -1730,6 +1730,8 @@ def q134_udtf_runlength(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="run_idx bigint, token string, run_len bigint", useArrow=True)
     class RunLength:
         def eval(self, text: str):
+            if text is None:  # NULL text expands to zero rows, like
+                return        # the oracle's unnest of a NULL list
             run_idx = -1
             prev = None
             run_len = 0

@@ -1350,7 +1350,14 @@ def q146_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    summary = tok.mapInPandas(mg_partition, "token string, n_part long")
+    # EAGER checkpoint: candidates and n both derive from `summary`,
+    # and Catalyst does not share unaliased subtrees — without this the
+    # corpus-wide explode + Misra-Gries pass would execute TWICE (the
+    # q132/q151 multi-reference convention). The materialized frame is
+    # ≤ (k+1)·partitions rows.
+    summary = tok.mapInPandas(
+        mg_partition, "token string, n_part long"
+    ).localCheckpoint(eager=True)
     candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
     n = summary.filter(F.col("token").isNull()).agg(
         F.sum("n_part").alias("n_tok")

@@ -96,9 +96,18 @@ def _prune_index(
     """Drop index directories older than the retention horizon counted
     back from ``batch_id`` (the batch that just committed). Keeps the
     index — the stream's only unbounded state — at
-    O(retention_batches × batch_size) hashes forever."""
+    O(retention_batches × batch_size) hashes forever.
+
+    Replay headroom: retain ``retention_batches`` dirs STRICTLY BEFORE
+    ``batch_id`` plus the current one — the reader consults dirs
+    ``b < batch_id``, so pruning to the newest N *including* the
+    current batch would shorten a replayed batch's horizon by one
+    after a crash between this prune and the checkpoint commit
+    (the replay would see N-1 prior dirs and re-admit a duplicate
+    its original run rejected)."""
     batches = _index_batches(spark, index_dir)
-    keep = set(sorted(b for b in batches if b <= batch_id)[-retention_batches:])
+    prior = sorted(b for b in batches if b < batch_id)[-retention_batches:]
+    keep = set(prior) | {batch_id}
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(hconf)

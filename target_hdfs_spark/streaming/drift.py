@@ -83,7 +83,11 @@ def stream_drift_monitor(
         hconf = sess.sparkContext._jsc.hadoopConfiguration()
         jpath = jvm.org.apache.hadoop.fs.Path(base_path)
         fs = jpath.getFileSystem(hconf)
-        if not fs.exists(jpath):
+        # completeness gate: a crash mid-baseline-write leaves the
+        # directory WITHOUT _SUCCESS; existence alone would wedge the
+        # stream forever (skip rewrite + fail reading the partial dir)
+        success = jvm.org.apache.hadoop.fs.Path(base_path + "/_SUCCESS")
+        if not (fs.exists(jpath) and fs.exists(success)):
             # first content-bearing batch defines the baseline; a
             # replay recomputes identical counts and overwrites
             sess.createDataFrame([counts]).coalesce(1).write.mode(

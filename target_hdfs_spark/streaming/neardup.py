@@ -97,10 +97,13 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 # one root representative per bucket: its id + comma-joined signature
+# + the bucket's latest-seen event time (ms) — carried so TTL re-arm
+# is monotone under out-of-order (watermark-admitted) batches
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("root_id", T.LongType()),
         T.StructField("root_sig", T.StringType()),
+        T.StructField("last_ms", T.LongType()),
     ]
 )
 
@@ -147,10 +150,10 @@ def _dedup_group(
         )
         return
     if state.exists:
-        root_id, root_sig_s = state.get
+        root_id, root_sig_s, prev_last = state.get
         root_sig = [int(c) for c in root_sig_s.split(",")]
     else:
-        root_id, root_sig = None, None
+        root_id, root_sig, prev_last = None, None, 0
     out: list[tuple[int, int, float]] = []
     whole = pd.concat(list(pdfs), ignore_index=True)
     # deterministic arrival order within the micro-batch: doc_id —
@@ -161,18 +164,25 @@ def _dedup_group(
         sig = list(sig)
         if root_id is None:
             root_id, root_sig = int(doc_id), sig
-            state.update((root_id, ",".join(str(c) for c in root_sig)))
             out.append((int(doc_id), root_id, 1.0))
             continue
         est = sum(a == b for a, b in zip(sig, root_sig)) / NUM_HASHES
         if est < threshold:
             out.append((int(doc_id), root_id, est))
+    last_ms = prev_last
     if ttl_ms is not None:
-        # re-arm on every arrival: the bucket expires when the
-        # WATERMARK passes its latest event time + TTL (event-time
-        # clock — deterministic under replay, see module docstring)
-        last_ms = int(whole["ts"].max().value // 1_000_000)
+        # monotone re-arm: the bucket expires when the WATERMARK
+        # passes its latest-EVER event time + TTL. max() with the
+        # carried last_ms matters because a later micro-batch may
+        # consist entirely of out-of-order (watermark-admitted) rows —
+        # arming from the batch max alone would REWIND the timer and
+        # evict earlier than the documented horizon.
+        last_ms = max(prev_last, int(whole["ts"].max().value // 1_000_000))
         state.setTimeoutTimestamp(last_ms + ttl_ms)
+    if root_id is not None:
+        state.update(
+            (root_id, ",".join(str(c) for c in root_sig), last_ms)
+        )
     yield pd.DataFrame(out, columns=["doc_id", "root_id", "est_sim"])
 
 
@@ -270,7 +280,7 @@ def _verdict_group(
     conjunction downstream); the bucket root still updates on first
     arrival only, so state stays one signature per bucket."""
     if state.exists:
-        root_id, root_sig_s = state.get
+        root_id, root_sig_s, _last = state.get
         root_sig = [int(c) for c in root_sig_s.split(",")]
     else:
         root_id, root_sig = None, None
@@ -281,7 +291,7 @@ def _verdict_group(
         sig = list(sig)
         if root_id is None:
             root_id, root_sig = int(doc_id), sig
-            state.update((root_id, ",".join(str(c) for c in root_sig)))
+            state.update((root_id, ",".join(str(c) for c in root_sig), 0))
             out.append((int(doc_id), root_id, 1.0, False))
             continue
         est = sum(a == b for a, b in zip(sig, root_sig)) / NUM_HASHES
@@ -398,7 +408,7 @@ def transform_with_state_bucket_root_dedup(
 
         def handleInputRows(self, key, rows, timer_values):
             if self._root.exists():
-                root_id, root_sig_s = self._root.get()
+                root_id, root_sig_s, _last = self._root.get()
                 root_sig = [int(c) for c in root_sig_s.split(",")]
             else:
                 root_id, root_sig = None, None
@@ -410,7 +420,7 @@ def transform_with_state_bucket_root_dedup(
                 if root_id is None:
                     root_id, root_sig = int(doc_id), sig
                     self._root.update(
-                        (root_id, ",".join(str(c) for c in root_sig))
+                        (root_id, ",".join(str(c) for c in root_sig), 0)
                     )
                     out.append((int(doc_id), root_id, 1.0))
                     continue
@@ -422,11 +432,16 @@ def transform_with_state_bucket_root_dedup(
         def close(self) -> None:
             pass
 
+    # TTL state is only legal under a running time mode — Spark
+    # rejects ttlDurationMs with TimeMode.None at query start
+    # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), so the
+    # mode follows the TTL request.
+    time_mode = "None" if state_ttl_ms is None else "ProcessingTime"
     return with_sig.groupBy("bucket").transformWithStateInPandas(
         statefulProcessor=RootDedup(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        timeMode=time_mode,
     )
 
 

@@ -66,10 +66,13 @@ def _snapshot_versions(spark: SparkSession, sink_dir: str) -> list[int]:
 
 
 def _prune_snapshots(spark: SparkSession, sink_dir: str, keep: int) -> None:
-    """Delete all but the newest ``keep`` complete snapshots (and any
-    incomplete ones older than the newest complete version)."""
+    """Delete all but the newest ``keep`` complete snapshots, plus any
+    INCOMPLETE snapshot directories older than the newest complete
+    version (crash leftovers without ``_SUCCESS`` — readers already
+    ignore them, but without this sweep they would accumulate
+    unboundedly on a long-lived crashy stream)."""
     versions = sorted(_snapshot_versions(spark, sink_dir))
-    if len(versions) <= keep:
+    if not versions:
         return
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -77,6 +80,18 @@ def _prune_snapshots(spark: SparkSession, sink_dir: str, keep: int) -> None:
     fs = root.getFileSystem(hconf)
     for v in versions[:-keep]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{sink_dir}/snap={v}"), True)
+    newest = versions[-1]
+    complete = set(versions)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("snap=")):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if v < newest and v not in complete:
+            fs.delete(st.getPath(), True)
 
 
 def doc_priority(weight_col: str = "n_chars") -> F.Column:

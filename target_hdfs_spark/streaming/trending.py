@@ -92,8 +92,30 @@ def write_trending_topk(
 
 
 def read_trending(spark, sink_dir: str) -> DataFrame:
-    """All finalized per-window top-k rows across committed batches
-    (``batch_id`` is a layout detail, dropped from the logical view)."""
+    """All finalized per-window top-k rows across COMMITTED batches
+    (``batch_id`` is a layout detail, dropped from the logical view).
+
+    Completeness gate: only ``_SUCCESS``-marked batch directories are
+    read — a crash between a batch's sink write and its checkpoint
+    commit leaves a half-written directory that the replay will
+    overwrite; exposing it early would surface uncommitted rows (the
+    same gate the sampling/CDC snapshot protocol applies)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(sink_dir)
+    fs = root.getFileSystem(hconf)
+    complete = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("batch_id=")):
+                continue
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+                complete.append(f"{sink_dir}/{name}")
+    if not complete:
+        return None  # nothing committed yet (mirrors latest_sample)
     return (
-        spark.read.option("basePath", sink_dir).parquet(sink_dir).drop("batch_id")
+        spark.read.option("basePath", sink_dir)
+        .parquet(*complete)
+        .drop("batch_id")
     )

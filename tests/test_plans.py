@@ -339,14 +339,15 @@ def test_q145_cohorts_reduce_log_first(spark):
     assert plan.count("FileScan parquet") == 1
 
 
-def test_q146_sketch_phase_is_shuffle_free(spark):
-    """Heavy hitters: the Misra-Gries phase must run inside the scan
-    stage (MapInPandas with no Exchange beneath it reaches the token
-    stream pre-shuffle), and candidates must BROADCAST into the exact
-    count pass — the full token stream never hash-partitions by token
-    except for candidate-matching rows."""
+def test_q146_sketch_runs_once_and_candidates_broadcast(spark):
+    """Heavy hitters: the Misra-Gries summary is eagerly checkpointed
+    (candidates and the token count both read the materialized RDD —
+    zero MapInPandas nodes may survive into the executed plan, or the
+    corpus-wide sketch pass would run twice), and candidates must
+    BROADCAST into the exact count pass."""
     plan = plan_of(spark, "q146_heavy_hitters")
-    assert "MapInPandas" in plan
+    assert "MapInPandas" not in plan, "MG sketch recomputed past the checkpoint"
+    assert "Scan ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 

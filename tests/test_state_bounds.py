@@ -215,7 +215,11 @@ def test_curation_index_bounded_and_horizon_semantics(spark, tmp_path):
     for b in range(4):
         _stage_parquet(spark, src, f"p{b}.parquet", _curation_docs(b))
         _run_curation(spark, src, sink, index, ckpt, retention)
-        assert _index_dir_count(index) <= retention
+        # bound is retention PRIOR dirs + the current batch's own dir:
+        # pruning the current batch into the retention count would
+        # shorten a replayed batch's dedup horizon by one (the reader
+        # consults strictly-earlier dirs only)
+        assert _index_dir_count(index) <= retention + 1
     # the data sink is output, not state: all 4 batches' docs intact
     assert read_curated(spark, str(sink)).count() == 12
 
@@ -231,7 +235,7 @@ def test_curation_index_bounded_and_horizon_semantics(spark, tmp_path):
     out_ids = {r.doc_id for r in read_curated(spark, str(sink)).select("doc_id").collect()}
     assert 9000 not in out_ids  # caught by the retained index
     assert 9001 in out_ids  # documented exact-within-horizon trade-off
-    assert _index_dir_count(index) <= retention
+    assert _index_dir_count(index) <= retention + 1
 
 
 def test_ttl_dedup_on_rocksdb_state_store(spark, tmp_path):
