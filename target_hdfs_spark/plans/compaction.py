@@ -94,7 +94,9 @@ def _move_tmp_files_in(fs, jvm, tmp_path, directory: str) -> int:
     moved = 0
     for status in fs.listStatus(tmp_path):
         name = status.getPath().getName()
-        if status.isFile() and name.endswith(".parquet"):
+        if status.isFile() and (
+            name.endswith(".parquet") or name.endswith(".orc")
+        ):
             dest = jvm.org.apache.hadoop.fs.Path(
                 f"{directory.rstrip('/')}/compacted-{status.getModificationTime()}-{moved}-{name}"
             )
@@ -130,18 +132,28 @@ def _recover_interrupted_compaction(fs, jvm, directory: str) -> None:
     fs.delete(man, False)
 
 
-def list_parquet_files(spark: SparkSession, directory: str) -> list[FileEntry]:
-    """Non-recursive `*.parquet` listing; empty when the directory is
-    missing (reference: target_hdfs/utils/hdfs.py:76-82)."""
+def list_data_files(
+    spark: SparkSession, directory: str, fmt: str = "parquet"
+) -> list[FileEntry]:
+    """Non-recursive data-file listing for the dataset's format
+    (``.parquet`` or ``.orc`` — the engine's two native sinks); empty
+    when the directory is missing (reference:
+    target_hdfs/utils/hdfs.py:76-82)."""
+    suffix = f".{fmt}"
     fs, jpath, _ = _fs(spark, directory)
     if not fs.exists(jpath):
         return []
     out = []
     for status in fs.listStatus(jpath):
         p = status.getPath().toString()
-        if status.isFile() and p.endswith(".parquet"):
+        if status.isFile() and p.endswith(suffix):
             out.append(FileEntry(p, int(status.getLen()), int(status.getModificationTime())))
     return out
+
+
+def list_parquet_files(spark: SparkSession, directory: str) -> list[FileEntry]:
+    """Backward-compatible parquet listing (see list_data_files)."""
+    return list_data_files(spark, directory, "parquet")
 
 
 def most_recent_file(spark: SparkSession, directory: str) -> FileEntry | None:
@@ -182,8 +194,9 @@ def compact_directory(
     size_limit: int | None = None,
     expected_schema=None,
     compression: str = "gzip",
+    fmt: str = "parquet",
 ) -> CompactionReport:
-    """Merge all undersized parquet files in one directory.
+    """Merge all undersized data files in one directory.
 
     `size_limit` defaults to 85% of the FS block size (reference:
     target_hdfs/utils/hdfs.py:97-101). Files >= the limit are never
@@ -196,13 +209,21 @@ def compact_directory(
     fs, _, jvm = _fs(spark, directory)
     if fs.exists(jvm.org.apache.hadoop.fs.Path(directory)):
         _recover_interrupted_compaction(fs, jvm, directory)
-    files = list_parquet_files(spark, directory)
+    files = list_data_files(spark, directory, fmt)
     small = [f for f in files if f.size < limit]
     report = CompactionReport(directory, len(files), 0, len(files), 0)
     if len(small) < 2:
         return report
 
-    small_df = spark.read.parquet(*[f.path for f in small])
+    # mergeSchema: an additively-evolved directory mixes old files
+    # missing newer columns with new files that have them; a
+    # single-footer schema pick would silently DROP those columns and
+    # the originals are deleted below — permanent data loss.
+    small_df = (
+        spark.read.option("mergeSchema", "true")
+        .format(fmt)
+        .load([f.path for f in small])
+    )
     if expected_schema is not None and _normalize(small_df.schema) != _normalize(
         expected_schema
     ):
@@ -227,7 +248,8 @@ def compact_directory(
         small_df.repartition(n_out)
         .write.mode("overwrite")
         .option("compression", compression)
-        .parquet(tmp_dir)
+        .format(fmt)
+        .save(tmp_dir)
     )
 
     # Commit: publish the manifest (intent = these inputs are now
@@ -261,6 +283,7 @@ def compact_stream(
     size_limit: int | None = None,
     partitioned: bool = False,
     compression: str = "gzip",
+    fmt: str = "parquet",
 ) -> list[CompactionReport]:
     """Compact a stream directory; partitioned datasets are handled
     per partition child so partition layout is preserved (the
@@ -270,6 +293,6 @@ def compact_stream(
     invariant: files never move across partition boundaries)."""
     dirs = list_partition_dirs(spark, stream_dir) if partitioned else [stream_dir]
     return [
-        compact_directory(spark, d, size_limit, compression=compression)
+        compact_directory(spark, d, size_limit, compression=compression, fmt=fmt)
         for d in dirs
     ]

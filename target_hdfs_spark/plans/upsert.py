@@ -56,6 +56,47 @@ def _recover_interrupted_swap(fs, jvm, dst_dir: str) -> None:
             raise OSError(f"swap recovery failed: {old} -> {dst}")
 
 
+def _pending_deletes_path(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/__upsert_pending_deletes"
+    )
+
+
+def _write_pending_deletes(fs, jvm, path: str, names: list[str]) -> None:
+    out = fs.create(_pending_deletes_path(jvm, path), True)
+    try:
+        out.write(bytearray("\n".join(names).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _recover_pending_deletes(fs, jvm, path: str) -> None:
+    """Finish a stale-partition deletion list interrupted by a crash:
+    the manifest is written only AFTER all partition swaps committed,
+    so executing it is always safe and idempotent."""
+    man = _pending_deletes_path(jvm, path)
+    if not fs.exists(man):
+        return
+    stream = fs.open(man)
+    try:
+        # byte-at-a-time read: py4j passes byte[] buffers by VALUE, so
+        # the bulk read(byte[]) overload can't return data through a
+        # Python bytearray; manifests are tiny (dir names only)
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+    finally:
+        stream.close()
+    for name in data.decode("utf-8").splitlines():
+        p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}")
+        if name and fs.exists(p):
+            fs.delete(p, True)
+    fs.delete(man, False)
+
+
 def _recover_interrupted_partition_swaps(fs, jvm, path: str) -> None:
     """Heal the per-partition swap crash window of the partitioned
     upsert: a crash between staging a partition aside and committing
@@ -110,6 +151,35 @@ def recover_dataset(spark: SparkSession, path: str) -> None:
     fs, jvm = _fs_for(spark, path)
     _recover_interrupted_swap(fs, jvm, path)
     _recover_interrupted_partition_swaps(fs, jvm, path)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        _recover_pending_deletes(fs, jvm, path)
+
+
+def _norm_for_compare(schema, partition_col: str | None):
+    """Schema items for the drift compare. The PARTITION column's type
+    is excluded (name-only): hive directory-name type inference changes
+    it on read-back (a string '20240101' comes back int), which would
+    fail every second upsert — the same name-only posture
+    writer.enforce_schema_unchanged takes for partition columns."""
+    items = _normalize(schema)
+    if partition_col is None:
+        return sorted(items)
+    return sorted(
+        (n, "<partition>") if n == partition_col else (n, t) for n, t in items
+    )
+
+
+def _keys_condition(left: DataFrame, right: DataFrame, keys: list[str]):
+    """Null-safe equi-key condition: '=' never matches NULL = NULL, so
+    a plain key-list join would DUPLICATE null-key rows on every
+    upsert instead of replacing them (groupBy in
+    _reject_duplicate_update_keys already treats NULLs as one key —
+    the join must agree)."""
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    return cond
 
 
 def _reject_duplicate_update_keys(updates: DataFrame, keys: list[str]) -> None:
@@ -163,6 +233,8 @@ def upsert(
     fs, jvm = _fs_for(spark, path)
     _recover_interrupted_swap(fs, jvm, path)
     _recover_interrupted_partition_swaps(fs, jvm, path)
+    if _path_exists(spark, path):
+        _recover_pending_deletes(fs, jvm, path)
     if not _path_exists(spark, path):
         # genuinely first write: nothing to merge. (An existence check,
         # NOT a bare try/except around the read — a transient read
@@ -176,7 +248,9 @@ def upsert(
         writer.parquet(path)
         return
     existing = spark.read.parquet(path)
-    if sorted(_normalize(existing.schema)) != sorted(_normalize(updates.schema)):
+    if _norm_for_compare(existing.schema, partition_col) != _norm_for_compare(
+        updates.schema, partition_col
+    ):
         raise SchemaChangedError(
             f"upsert schema drift at {path}: "
             f"{_normalize(existing.schema)} != {_normalize(updates.schema)}"
@@ -204,8 +278,9 @@ def upsert(
         # what hive directory names decode to (bools, dates, timestamps
         # all render differently from Python str()).
         update_parts = updates.select(F.col(partition_col).alias("_p"))
+        upd_keys = F.broadcast(updates.select(*keys))
         moved_parts = existing.join(
-            F.broadcast(updates.select(*keys)), keys, "left_semi"
+            upd_keys, _keys_condition(existing, upd_keys, keys), "left_semi"
         ).select(F.col(partition_col).alias("_p"))
         affected_rows = (
             update_parts.unionByName(moved_parts)
@@ -219,8 +294,9 @@ def upsert(
         if None in affected:
             cond = cond | F.col(partition_col).isNull()
         kept = existing.filter(cond)
+        anti_keys = F.broadcast(updates.select(*keys))
         merged = kept.join(
-            F.broadcast(updates.select(*keys)), keys, "left_anti"
+            anti_keys, _keys_condition(kept, anti_keys, keys), "left_anti"
         ).unionByName(updates)
         (
             merged.write.mode("overwrite")
@@ -239,19 +315,14 @@ def upsert(
             if not status.isDirectory() or "=" not in name:
                 continue
             written.add(name)
-            dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}")
-            old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}__old")
-            if fs.exists(old):
-                fs.delete(old, True)
-            had_old = fs.exists(dst)
-            if had_old and not fs.rename(dst, old):
-                raise OSError(f"upsert: could not stage old partition {dst}")
-            if not fs.rename(status.getPath(), dst):
-                if had_old:
-                    fs.rename(old, dst)  # roll back
-                raise OSError(f"upsert: could not commit partition {dst}")
-            if had_old:
-                fs.delete(old, True)
+            # same stage-old/rename/rollback protocol as the
+            # whole-dataset path — one implementation, two call sites
+            _swap_dirs(
+                fs,
+                jvm,
+                status.getPath().toString(),
+                f"{path.rstrip('/')}/{name}",
+            )
         # partitions that were affected but produced no output rows
         # (every row they held was a key that moved elsewhere) must be
         # dropped, or the stale copies would survive. Compare decoded
@@ -259,6 +330,7 @@ def upsert(
         # affected value (matches how Spark names hive directories).
         affected_strs = {r["_ps"] for r in affected_rows if r["_ps"] is not None}
         base = jvm.org.apache.hadoop.fs.Path(path)
+        to_delete = []
         for status in fs.listStatus(base):
             name = status.getPath().getName()
             if not status.isDirectory() or "=" not in name or name in written:
@@ -267,11 +339,26 @@ def upsert(
             if (value is None and None in affected) or (
                 value is not None and value in affected_strs
             ):
-                fs.delete(status.getPath(), True)
+                to_delete.append(name)
+        # durability for the deletion step: record the intended stale-
+        # partition deletions BEFORE performing them (all swaps above
+        # have committed, so the deletions are safe regardless of when
+        # a crash lands); _recover_pending_deletes finishes the list on
+        # the next upsert. Without this, a crash mid-loop would leave
+        # moved-away key copies alive permanently.
+        if to_delete:
+            _write_pending_deletes(fs, jvm, path, to_delete)
+            for name in to_delete:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}"),
+                    True,
+                )
+            fs.delete(_pending_deletes_path(jvm, path), False)
         fs.delete(tmp_jpath, True)
     else:
+        anti_keys = F.broadcast(updates.select(*keys))
         merged = existing.join(
-            F.broadcast(updates.select(*keys)), keys, "left_anti"
+            anti_keys, _keys_condition(existing, anti_keys, keys), "left_anti"
         ).unionByName(updates)
         merged.write.mode("overwrite").parquet(tmp)
         _swap_dirs(fs, jvm, tmp, path)
@@ -294,6 +381,8 @@ def soft_delete_older_versions(
     active_version: int,
     version_col: str = "_sdc_table_version",
     deleted_at_col: str = "_sdc_deleted_at",
+    partition_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
 ) -> int:
     """Singer ACTIVATE_VERSION finalization: stamp `deleted_at_col` on
     every live row whose `version_col` predates `active_version`
@@ -302,15 +391,29 @@ def soft_delete_older_versions(
     version but never wrote records — a full-truncate refresh) is a
     no-op, not a crash.
 
-    Implemented as a whole-dataset rewrite with the swap commit; on a
-    partitioned stream, pair with the partition-pruned upsert instead.
+    Implemented as a whole-dataset rewrite with the swap commit.
+    ``partition_cols``/``fmt`` MUST match the stream's write config:
+    a plain rewrite of a hive-partitioned dataset would flatten the
+    partition column into a data column (the next partitioned append
+    then produces a mixed layout Spark's discovery rejects), and a
+    parquet read of an ORC stream fails outright. The read uses
+    mergeSchema so an additively-evolved dataset keeps its newest
+    columns through the rewrite.
     """
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(
+            f"soft_delete_older_versions supports native formats only, "
+            f"got {fmt!r} (delta/iceberg manage versions in their own "
+            "metadata layer)"
+        )
     fs, jvm = _fs_for(spark, path)
     _recover_interrupted_swap(fs, jvm, path)
     _recover_interrupted_partition_swaps(fs, jvm, path)
     if not _path_exists(spark, path):
         return 0
-    existing = spark.read.parquet(path)
+    existing = (
+        spark.read.option("mergeSchema", "true").format(fmt).load(path)
+    )
     if version_col not in existing.columns:
         return 0
     stale = (F.col(version_col) < active_version) & (
@@ -329,6 +432,9 @@ def soft_delete_older_versions(
         F.when(stale, F.current_timestamp()).otherwise(F.col(deleted_at_col)),
     )
     tmp = path.rstrip("/") + "__softdel_tmp"
-    updated.write.mode("overwrite").parquet(tmp)
+    writer = updated.write.mode("overwrite").format(fmt)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(tmp)
     _swap_dirs(fs, jvm, tmp, path)
     return n_stale

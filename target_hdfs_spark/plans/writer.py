@@ -247,7 +247,12 @@ def write_stream(
             path,
             config.partition_cols,
             config.schema_evolution,
-            fmt=config.table_format if config.table_format == "orc" else "parquet",
+            # the dataset's OWN format, always: reading a Delta/Iceberg
+            # table directory as raw parquet would include logically
+            # removed files (wrong schema versions) or fail to infer at
+            # all — require_table_format above guarantees the source is
+            # loadable whenever a table format is configured
+            fmt=config.table_format,
         )
     if rows_per_file is None:
         rows_per_file = estimate_rows_per_file(df, target_file_bytes(spark, config))

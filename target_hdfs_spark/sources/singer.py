@@ -194,7 +194,11 @@ class SingerPipe:
         for name, buf in self.streams.items():
             if buf.version is not None:
                 soft_delete_older_versions(
-                    self.spark, self.config.stream_path(name), int(buf.version)
+                    self.spark,
+                    self.config.stream_path(name),
+                    int(buf.version),
+                    partition_cols=tuple(self.config.partition_cols),
+                    fmt=self.config.table_format,
                 )
 
     # -- flush path --------------------------------------------------------

@@ -257,3 +257,95 @@ def test_upsert_boolean_partition_col_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, True, 1.0)], "k long, flag boolean, v double")
     with pytest.raises(ValueError, match="boolean"):
         upsert(spark, df, path, keys=["k"], partition_col="flag")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_null_key_replaces_not_duplicates(spark, tmp_path):
+    """NULL keys must MERGE like any other key (null-safe join): a
+    plain '=' anti-join would keep the old NULL row and union the new
+    one, growing a duplicate per upsert."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(None, "old", 1.0), (1, "a", 10.0)], "k long, s string, v double"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(None, "new", 2.0)], "k long, s string, v double"
+    )
+    from target_hdfs_spark.plans.upsert import upsert as do_upsert
+
+    do_upsert(spark, updates, path, keys=["k"])
+    rows = spark.read.parquet(path).collect()
+    nulls = [r for r in rows if r.k is None]
+    assert len(nulls) == 1 and nulls[0].s == "new"
+    # and again — still exactly one NULL-key row
+    do_upsert(
+        spark,
+        spark.createDataFrame([(None, "newer", 3.0)], "k long, s string, v double"),
+        path,
+        keys=["k"],
+    )
+    assert [r.s for r in spark.read.parquet(path).collect() if r.k is None] == [
+        "newer"
+    ]
+
+
+def test_upsert_numeric_string_partition_survives_type_inference(spark, tmp_path):
+    """Hive directory inference reads day='20240101' back as int; the
+    drift compare must treat the partition column name-only or every
+    second upsert fails."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "20240101", 1.0), (2, "20240102", 2.0)],
+        "k long, day string, v double",
+    )
+    upsert(spark, df, path, keys=["k"], partition_col="day")
+    updates = spark.createDataFrame(
+        [(1, "20240101", 9.0)], "k long, day string, v double"
+    )
+    upsert(spark, updates, path, keys=["k"], partition_col="day")  # must not raise
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 9.0, 2: 2.0}
+
+
+def test_pending_deletes_manifest_recovered(spark, tmp_path):
+    """A crash between the deletion manifest and the deletions is
+    healed on the next entry: listed stale partition dirs are removed
+    and the manifest cleared."""
+    from target_hdfs_spark.plans.upsert import recover_dataset
+
+    path = tmp_path / "t"
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, day string, v double"
+    )
+    df.write.partitionBy("day").parquet(str(path))
+    # simulate: upsert decided day=b is stale, wrote the manifest,
+    # crashed before deleting
+    (path / "__upsert_pending_deletes").write_text("day=b")
+    recover_dataset(spark, str(path))
+    assert not (path / "day=b").exists()
+    assert not (path / "__upsert_pending_deletes").exists()
+    assert {r.day for r in spark.read.parquet(str(path)).collect()} == {"a"}
+
+
+def test_soft_delete_preserves_partition_layout(spark, tmp_path):
+    """soft_delete_older_versions on a hive-partitioned stream must
+    rewrite PARTITIONED (a flat rewrite would make the next
+    partitioned append a mixed, undiscoverable layout)."""
+    path = tmp_path / "t"
+    df = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 2)],
+        "k long, part string, _sdc_table_version long",
+    )
+    df.write.partitionBy("part").parquet(str(path))
+    n = soft_delete_older_versions(
+        spark, str(path), active_version=2, partition_cols=("part",)
+    )
+    assert n == 1
+    assert (path / "part=x").exists() and (path / "part=y").exists()
+    rows = {r.k: r for r in spark.read.parquet(str(path)).collect()}
+    assert rows[1]._sdc_deleted_at is not None
+    assert rows[2]._sdc_deleted_at is None
