@@ -38,8 +38,26 @@ def jsonschema_to_spark(schema: dict) -> T.StructType:
     )
 
 
-def _convert(prop: dict) -> T.DataType:
-    types = _type_set(prop)
+def _merged_view(prop: dict) -> dict:
+    """Effective property dict: format/properties/items may live inside
+    anyOf/oneOf branches (the nullable-union idiom legacy taps emit —
+    {"anyOf": [{"type": "string", "format": "date-time"},
+    {"type": "null"}]}); reading them only from the top level would
+    silently degrade timestamps to strings and typed objects to
+    serialized JSON. First branch that declares a key wins."""
+    merged = dict(prop)
+    for alt in list(prop.get("anyOf") or []) + list(prop.get("oneOf") or []):
+        if not isinstance(alt, dict):
+            continue
+        for k in ("format", "properties", "items"):
+            if k not in merged and k in alt:
+                merged[k] = alt[k]
+    return merged
+
+
+def _convert(raw_prop: dict) -> T.DataType:
+    types = _type_set(raw_prop)
+    prop = _merged_view(raw_prop)
     non_null = [t for t in types if t != "null"]
     if len(non_null) > 1:
         return T.StringType()
@@ -76,14 +94,16 @@ def _convert(prop: dict) -> T.DataType:
 
 
 def _type_set(prop: dict) -> set[str]:
-    """Collect declared types across `type` (str or list) and `anyOf`."""
+    """Collect declared types across `type` (str or list), `anyOf`,
+    and `oneOf` (taps use the two union keywords interchangeably)."""
     out: set[str] = set()
     t = prop.get("type")
     if isinstance(t, str):
         out.add(t)
     elif isinstance(t, list):
         out.update(x for x in t if isinstance(x, str))
-    for alt in prop.get("anyOf", []) or []:
-        if isinstance(alt, dict):
-            out.update(_type_set(alt))
+    for key in ("anyOf", "oneOf"):
+        for alt in prop.get(key, []) or []:
+            if isinstance(alt, dict):
+                out.update(_type_set(alt))
     return out

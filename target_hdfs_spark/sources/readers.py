@@ -38,6 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
+        # Deliberately SESSION-WIDE (set once, never restored): the
+        # conf must hold when the lazy scan EXECUTES, not just when the
+        # frame is built, so a scoped set/restore would break any
+        # events-derived plan collected later. Side effect is benign
+        # for this engine's datasets: only TIMESTAMP(NANOS) columns are
+        # affected, and events is the sole nanos-encoded table.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # only nanos-encoded files surface ts as a long; an events

@@ -137,6 +137,11 @@ class SingerPipe:
             elif mtype == "ACTIVATE_VERSION":
                 buf = self.streams.get(msg["stream"])
                 if buf is not None:
+                    # flush BEFORE switching versions: buffered records
+                    # were received under the OLD version — stamping
+                    # them with the new one would exempt them from the
+                    # soft-delete finalization they are meant to get
+                    self._flush(msg["stream"])
                     buf.version = msg.get("version")
             # unknown types are ignored (forward compatibility)
         self.flush_all()
@@ -189,6 +194,12 @@ class SingerPipe:
         exists on disk)."""
         if not self.config.add_record_metadata:
             return
+        if self.config.table_format not in ("parquet", "orc"):
+            # Delta/Iceberg manage row versions in their own metadata
+            # layer; the raw-file rewrite would corrupt their tables —
+            # and must not crash an otherwise-complete run after the
+            # final STATE was emitted
+            return
         from target_hdfs_spark.plans.upsert import soft_delete_older_versions
 
         for name, buf in self.streams.items():
@@ -232,8 +243,14 @@ class SingerPipe:
         df = with_extra_fields(df, self.config.extra_fields, self.config.extra_fields_types)
         if self.config.add_record_metadata:
             df = with_record_metadata(df)
-            if buf.version is not None:
-                df = df.withColumn("_sdc_table_version", F.lit(buf.version).cast("bigint"))
+            # ALWAYS stamp the version column (null before any
+            # activation): adding it only post-activation changes the
+            # on-disk schema mid-stream and trips the strict drift
+            # guard — the same stability rule _sdc_deleted_at follows
+            df = df.withColumn(
+                "_sdc_table_version",
+                F.lit(buf.version).cast("bigint"),
+            )
         return df
 
 

@@ -24,25 +24,59 @@ def flatten_columns(
     exploded (they stay as list columns). `max_depth` bounds recursion;
     structs below the bound serialize to JSON strings.
     """
+    # `prefix` carries resolved parent segments as a tuple so field
+    # names containing literal dots neither misparse as nested access
+    # (references are backtick-quoted per segment) nor miscount depth
+    parts0: tuple[str, ...] = prefix if isinstance(prefix, tuple) else ()
     cols: list[Column] = []
     for f in schema.fields:
-        path = f"{prefix}{f.name}"
-        out_name = path.replace(".", SEP)
+        parts = (*parts0, f.name)
+        ref = ".".join(f"`{p}`" for p in parts)
+        out_name = SEP.join(parts)
         if isinstance(f.dataType, T.StructType):
-            if max_depth is not None and path.count(".") + 1 > max_depth:
-                cols.append(F.to_json(F.col(path)).alias(out_name))
+            if max_depth is not None and len(parts) > max_depth:
+                cols.append(F.to_json(F.expr(ref)).alias(out_name))
             else:
-                cols.extend(flatten_columns(f.dataType, max_depth, prefix=f"{path}."))
+                cols.extend(flatten_columns(f.dataType, max_depth, prefix=parts))
         else:
-            cols.append(F.col(path).alias(out_name))
+            cols.append(F.expr(ref).alias(out_name))
     return cols
 
 
+def _flattened_names(
+    schema: T.StructType, max_depth: int | None, parts0: tuple[str, ...] = ()
+) -> list[str]:
+    """Output names flatten_columns will produce (same walk, names
+    only — used for collision detection)."""
+    names: list[str] = []
+    for f in schema.fields:
+        parts = (*parts0, f.name)
+        if isinstance(f.dataType, T.StructType) and not (
+            max_depth is not None and len(parts) > max_depth
+        ):
+            names.extend(_flattened_names(f.dataType, max_depth, parts))
+        else:
+            names.append(SEP.join(parts))
+    return names
+
+
 def flatten(df: DataFrame, max_depth: int | None = None) -> DataFrame:
-    """Flatten all nested structs into `__`-joined top-level columns."""
+    """Flatten all nested structs into `__`-joined top-level columns.
+
+    Name collisions (a pre-flattened `a__b` column next to a nested
+    `a.b`) fail loudly: a duplicate-named projection would only crash
+    later at write time with a less actionable error."""
     if not any(isinstance(f.dataType, T.StructType) for f in df.schema.fields):
         return df
-    return df.select(*flatten_columns(df.schema, max_depth))
+    cols = flatten_columns(df.schema, max_depth)
+    names = _flattened_names(df.schema, max_depth)
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"flattening produces duplicate column names {dupes}; "
+            "rename the colliding source fields (stream_maps) first"
+        )
+    return df.select(*cols)
 
 
 _EXTRA_TYPES = {
@@ -92,10 +126,17 @@ def apply_stream_map(df: DataFrame, stream_map: dict) -> DataFrame:
     then drops — so `{"ssn": None, "ssn_masked": "substr(ssn,1,3)"}`
     (mask-then-drop) and filters over mapped columns both work.
     """
-    for name, expr in stream_map.items():
-        if name == "__filter__" or expr is None:
-            continue
-        df = df.withColumn(name, F.expr(str(expr)))
+    mapped = {
+        name: F.expr(str(expr))
+        for name, expr in stream_map.items()
+        if name != "__filter__" and expr is not None
+    }
+    if mapped:
+        # ONE withColumns call: every expression resolves against the
+        # ORIGINAL record (the documented stream-map semantics) — a
+        # sequential loop would let `{"ssn": "'***'", "last4":
+        # "substr(ssn,8,4)"}` read the already-masked value
+        df = df.withColumns(mapped)
     flt = stream_map.get("__filter__")
     if flt:
         df = df.filter(F.expr(flt))
