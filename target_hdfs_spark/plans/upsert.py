@@ -416,7 +416,11 @@ def soft_delete_older_versions(
     )
     if version_col not in existing.columns:
         return 0
-    stale = (F.col(version_col) < active_version) & (
+    # NULL versions are rows written before any activation — they
+    # predate the active version by definition and must retire with it
+    # (a plain `<` comparison silently skips them: NULL < v is NULL)
+    older = F.col(version_col).isNull() | (F.col(version_col) < active_version)
+    stale = older & (
         F.col(deleted_at_col).isNull()
         if deleted_at_col in existing.columns
         else F.lit(True)
@@ -426,7 +430,7 @@ def soft_delete_older_versions(
         return 0
     if deleted_at_col not in existing.columns:
         existing = existing.withColumn(deleted_at_col, F.lit(None).cast("timestamp"))
-        stale = (F.col(version_col) < active_version) & F.col(deleted_at_col).isNull()
+        stale = older & F.col(deleted_at_col).isNull()
     updated = existing.withColumn(
         deleted_at_col,
         F.when(stale, F.current_timestamp()).otherwise(F.col(deleted_at_col)),

@@ -358,3 +358,57 @@ def test_activate_version_survives_schema_change(spark, tmp_path):
     assert len(rows) == 1
     # version 7 was stamped despite the schema swap in between
     assert rows[0]["_sdc_table_version"] == 7
+
+
+def test_activate_version_flushes_buffer_and_retires_old_rows(spark, tmp_path):
+    """Records buffered BEFORE an ACTIVATE_VERSION must flush under
+    the OLD version (so finalization soft-deletes them); records after
+    it carry the new version and stay live. The version column is
+    schema-stable from the very first flush (null pre-activation)."""
+    config = TargetConfig(
+        destination_path=str(tmp_path), add_record_metadata=True
+    )
+    pipe = SingerPipe(spark, config)
+    props = {"id": {"type": "integer"}, "v": {"type": "string"}}
+    lines = [
+        _schema_msg("t", props),
+        _rec("t", id=1, v="old"),
+        _rec("t", id=2, v="old"),
+        json.dumps({"type": "STATE", "value": {"b": 1}}),  # flush: version null
+        json.dumps({"type": "ACTIVATE_VERSION", "stream": "t", "version": 7}),
+        _rec("t", id=3, v="new"),
+    ]
+    list(pipe.process_lines(lines))
+    rows = {r.id: r for r in spark.read.parquet(str(tmp_path / "t")).collect()}
+    # schema-stable version column: present (null) on pre-activation rows
+    assert rows[1]._sdc_table_version is None
+    assert rows[3]._sdc_table_version == 7
+    # finalization retired the null-version rows, kept the active ones
+    assert rows[1]._sdc_deleted_at is not None
+    assert rows[2]._sdc_deleted_at is not None
+    assert rows[3]._sdc_deleted_at is None
+
+
+def test_activate_version_mid_buffer_stamps_old_version(spark, tmp_path):
+    """The adversarial ordering: records still IN the buffer when
+    ACTIVATE_VERSION arrives were received under the old version —
+    the demux must flush them first, not stamp them with the new
+    version (which would exempt them from retirement)."""
+    config = TargetConfig(
+        destination_path=str(tmp_path), add_record_metadata=True,
+        max_batch_size=1000,  # nothing flushes on its own
+    )
+    pipe = SingerPipe(spark, config)
+    props = {"id": {"type": "integer"}}
+    lines = [
+        _schema_msg("t", props),
+        _rec("t", id=1),  # buffered
+        json.dumps({"type": "ACTIVATE_VERSION", "stream": "t", "version": 9}),
+        _rec("t", id=2),  # received under version 9
+    ]
+    list(pipe.process_lines(lines))
+    rows = {r.id: r for r in spark.read.parquet(str(tmp_path / "t")).collect()}
+    assert rows[1]._sdc_table_version is None  # flushed pre-switch
+    assert rows[2]._sdc_table_version == 9
+    assert rows[1]._sdc_deleted_at is not None  # retired
+    assert rows[2]._sdc_deleted_at is None
