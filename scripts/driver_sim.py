@@ -16,6 +16,10 @@ import time
 sys.path.insert(0, ".")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional: restrict to queries whose name contains any given substring
+# (targeted re-checks while iterating; SIM_TIMINGS.json is only written
+# on FULL runs so bench.py's auto-headliner pick never sees partial data)
+ONLY = sys.argv[2:]
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec)
@@ -40,6 +44,10 @@ from tests.oracle_compare import _normalize, duckdb_conn  # noqa: E402
 
 queries = mod.queries()
 oracles = mod.oracle_sql()
+if ONLY:
+    queries = {
+        n: f for n, f in queries.items() if any(pat in n for pat in ONLY)
+    }
 con = duckdb_conn(SF_DIR)
 fails = []
 sim_times: dict[str, float] = {}
@@ -82,8 +90,9 @@ for name, fn in queries.items():
     else:
         print(f"ok   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
 
-with open("SIM_TIMINGS.json", "w") as fh:
-    json.dump({"sf_dir": SF_DIR, "spark_wall_sec": sim_times}, fh, indent=1)
+if not ONLY:
+    with open("SIM_TIMINGS.json", "w") as fh:
+        json.dump({"sf_dir": SF_DIR, "spark_wall_sec": sim_times}, fh, indent=1)
 
 print(f"\ntotal {time.time()-t_all:.1f}s; {len(fails)} failures", flush=True)
 for name, prob in fails:

@@ -36,6 +36,15 @@ def main(argv: list[str] | None = None) -> int:
         help="codec for rewritten files; match the dataset's configured "
         "compression_method (default gzip)",
     )
+    parser.add_argument(
+        "--format",
+        default="parquet",
+        choices=("parquet", "orc"),
+        dest="fmt",
+        help="data format of the stream (default parquet); an ORC "
+        "stream compacted as parquet would silently no-op (suffix "
+        "matches zero files)",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark(app_name="target_hdfs_spark_compact")
@@ -47,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
         limit,
         partitioned=args.partitioned,
         compression=args.compression,
+        fmt=args.fmt,
     )
     for r in reports:
         print(

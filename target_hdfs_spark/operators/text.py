@@ -1229,10 +1229,14 @@ def q144_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     big shuffle is the pair groupBy, map-side combined.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # dt feeds the vocabulary aggregate AND (twice, via vd) the pair
+    # self-join; checkpoint it so the tokenize+explode+distinct pass
+    # runs once, not three times (the q128/q146 multi-reference rule)
     dt = (
         fan_out(docs.select("doc_id", "text"), "doc_id")
         .select("doc_id", F.explode(tokens("text")).alias("token"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     v = (
         dt.groupBy("token")
@@ -1302,11 +1306,23 @@ def q146_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Correctness guarantee (why the sketch phase loses nothing): if a
     token's GLOBAL count exceeds n/k, then by averaging its local
-    count exceeds n_p/k in at least one partition p, and Misra-Gries
-    with k counters never evicts an item whose local count exceeds
-    n_p/(k+1) < n_p/k — so every true heavy hitter reaches the exact
-    phase, which then discards the sketch's false positives. The
-    result is bit-identical to the brute-force GROUP BY (the oracle).
+    count exceeds n_p/k in at least one partition p, and a Misra-Gries
+    summary with k counters undercounts any item by at most n_p/(k+1)
+    < n_p/k — so every true heavy hitter survives with a positive
+    counter and reaches the exact phase, which then discards the
+    sketch's false positives. The result is bit-identical to the
+    brute-force GROUP BY (the oracle).
+
+    The sketch is built BATCH-AT-A-TIME, not token-at-a-time: each
+    Arrow chunk is reduced with vectorized ``value_counts`` (an exact
+    summary), merged into the running counters, and the merged
+    summary is trimmed by the standard MG merge rule — subtract the
+    (k+1)-th largest counter value from all, drop the non-positive
+    (Agarwal et al., "Mergeability of Summaries"). Each trim removes
+    ≥ (k+1)x the subtracted offset of total mass, so the summed
+    offset — every item's worst-case undercount — stays ≤ n_p/(k+1),
+    the same bound the sequential decrement loop gives, without
+    paying Python per-element cost.
 
     Scale: phase 1 reduces each partition to ≤ k+1 rows WITHOUT any
     shuffle (the full token stream never moves), and emits the
@@ -1322,30 +1338,25 @@ def q146_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens("text")).alias("token")
     )
 
+    k = _HH_FRACTION
+
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        counters = pd.Series(dtype="int64")
         n_part = 0
         for pdf in batches:
-            for t in pdf["token"]:
-                n_part += 1
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < _HH_FRACTION:
-                    counters[t] = 1
-                else:
-                    # decrement-all step: evict zeros
-                    dead = []
-                    for kk in counters:
-                        counters[kk] -= 1
-                        if counters[kk] == 0:
-                            dead.append(kk)
-                    for kk in dead:
-                        del counters[kk]
+            n_part += len(pdf)
+            vc = pdf["token"].value_counts()
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > k:
+                # MG merge trim: subtract the (k+1)-th largest value,
+                # keep the (≤ k) strictly-positive survivors
+                offset = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > offset] - offset
         # candidates ride with token set; the partition's token count
         # rides as one sentinel row (token NULL) so no extra scan
         yield pd.DataFrame(
             {
-                "token": list(counters.keys()) + [None],
+                "token": list(counters.index) + [None],
                 "n_part": [0] * len(counters) + [n_part],
             }
         )

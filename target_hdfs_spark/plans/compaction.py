@@ -244,6 +244,13 @@ def compact_directory(
 
     total_bytes = sum(f.size for f in small)
     n_out = max(1, -(-total_bytes // limit))  # ceil-div: fill to the limit
+    # ORC names its codecs differently (gzip -> zlib); translate the
+    # config-level codec name the same way the writer does, so an ORC
+    # compaction with default args doesn't fail at write time.
+    if fmt == "orc":
+        from target_hdfs_spark.config import ORC_COMPRESSION
+
+        compression = ORC_COMPRESSION.get(compression, compression)
     (
         small_df.repartition(n_out)
         .write.mode("overwrite")

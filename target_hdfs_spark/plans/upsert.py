@@ -62,18 +62,44 @@ def _pending_deletes_path(jvm, path: str):
     )
 
 
-def _write_pending_deletes(fs, jvm, path: str, names: list[str]) -> None:
+def _upsert_tmp_path(path: str) -> str:
+    return path.rstrip("/") + "__upsert_tmp"
+
+
+def _write_upsert_manifest(
+    fs, jvm, path: str, written: list[str], to_delete: list[str]
+) -> None:
+    """Durably record the partitioned-merge commit plan BEFORE the
+    partition-swap loop runs: `S <dir>` lines are partitions staged in
+    the tmp dataset that must be swapped in, `D <dir>` lines are stale
+    moved-key partitions that must be dropped once every swap has
+    committed. Writing the plan first means a crash at ANY later point
+    is recoverable by roll-forward (:func:`_recover_pending_deletes`);
+    the old scheme (deletes-only manifest written after the swaps)
+    left a window between the last swap and the manifest write where
+    moved-key stale copies survived permanently."""
+    lines = ["#upsert-manifest-v2"]
+    lines += [f"S {n}" for n in written]
+    lines += [f"D {n}" for n in to_delete]
     out = fs.create(_pending_deletes_path(jvm, path), True)
     try:
-        out.write(bytearray("\n".join(names).encode("utf-8")))
+        out.write(bytearray("\n".join(lines).encode("utf-8")))
     finally:
         out.close()
 
 
 def _recover_pending_deletes(fs, jvm, path: str) -> None:
-    """Finish a stale-partition deletion list interrupted by a crash:
-    the manifest is written only AFTER all partition swaps committed,
-    so executing it is always safe and idempotent."""
+    """Roll an interrupted partitioned-merge commit forward. The
+    manifest is written before the swap loop, so on entry each `S`
+    partition is in one of two states — already committed (its tmp
+    copy was renamed away) or still staged under the tmp dataset —
+    and re-running the swap for the latter completes the commit.
+    Only after every `S` partition is live are the `D` (stale
+    moved-key) partitions dropped: their rows' replacements are
+    guaranteed committed by then, so the deletes can never lose data.
+    Legacy deletes-only manifests (no `#upsert-manifest-v2` header,
+    written post-swap by older versions) execute directly. Idempotent
+    throughout — a crash during recovery just recovers again."""
     man = _pending_deletes_path(jvm, path)
     if not fs.exists(man):
         return
@@ -90,11 +116,28 @@ def _recover_pending_deletes(fs, jvm, path: str) -> None:
             data.append(b)
     finally:
         stream.close()
-    for name in data.decode("utf-8").splitlines():
+    lines = data.decode("utf-8").splitlines()
+    tmp = _upsert_tmp_path(path)
+    tmp_jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    if lines and lines[0] == "#upsert-manifest-v2":
+        swaps = [ln[2:] for ln in lines[1:] if ln.startswith("S ")]
+        deletes = [ln[2:] for ln in lines[1:] if ln.startswith("D ")]
+        for name in swaps:
+            staged = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{name}")
+            if fs.exists(staged):
+                # _recover_interrupted_partition_swaps already ran, so
+                # the destination is consistent (old or new content);
+                # staged-still-present means this swap never committed.
+                _swap_dirs(fs, jvm, staged.toString(), f"{path.rstrip('/')}/{name}")
+    else:
+        deletes = [ln for ln in lines if ln]
+    for name in deletes:
         p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}")
         if name and fs.exists(p):
             fs.delete(p, True)
     fs.delete(man, False)
+    if fs.exists(tmp_jpath):
+        fs.delete(tmp_jpath, True)
 
 
 def _recover_interrupted_partition_swaps(fs, jvm, path: str) -> None:
@@ -256,7 +299,7 @@ def upsert(
             f"{_normalize(existing.schema)} != {_normalize(updates.schema)}"
         )
 
-    tmp = path.rstrip("/") + "__upsert_tmp"
+    tmp = _upsert_tmp_path(path)
 
     if partition_col:
         # A partitioned merge over an unpartitioned layout would rename
@@ -303,57 +346,53 @@ def upsert(
             .partitionBy(partition_col)
             .parquet(tmp)
         )
-        # Swap the partition directories Spark ACTUALLY wrote: the tmp
+        # The partition directories Spark ACTUALLY wrote: the tmp
         # listing carries the hive-escaped names (%XX escapes,
         # __HIVE_DEFAULT_PARTITION__ for null). A rewritten partition
         # that came out EMPTY (all its rows were keys that moved away)
-        # won't appear in tmp — delete those destinations explicitly.
+        # won't appear in tmp — those destinations must be dropped.
         tmp_jpath = jvm.org.apache.hadoop.fs.Path(tmp)
-        written = set()
+        written = []
         for status in fs.listStatus(tmp_jpath):
             name = status.getPath().getName()
-            if not status.isDirectory() or "=" not in name:
-                continue
-            written.add(name)
-            # same stage-old/rename/rollback protocol as the
-            # whole-dataset path — one implementation, two call sites
-            _swap_dirs(
-                fs,
-                jvm,
-                status.getPath().toString(),
-                f"{path.rstrip('/')}/{name}",
-            )
-        # partitions that were affected but produced no output rows
-        # (every row they held was a key that moved elsewhere) must be
-        # dropped, or the stale copies would survive. Compare decoded
-        # directory values against the SPARK string rendering of each
-        # affected value (matches how Spark names hive directories).
+            if status.isDirectory() and "=" in name:
+                written.append(name)
+        # stale moved-key partitions: affected but produced no output
+        # rows (every row they held was a key that moved elsewhere).
+        # Compare decoded directory values against the SPARK string
+        # rendering of each affected value (matches how Spark names
+        # hive directories).
         affected_strs = {r["_ps"] for r in affected_rows if r["_ps"] is not None}
+        written_set = set(written)
         base = jvm.org.apache.hadoop.fs.Path(path)
         to_delete = []
         for status in fs.listStatus(base):
             name = status.getPath().getName()
-            if not status.isDirectory() or "=" not in name or name in written:
+            if not status.isDirectory() or "=" not in name or name in written_set:
                 continue
             value = _partition_value_of(name, partition_col)
             if (value is None and None in affected) or (
                 value is not None and value in affected_strs
             ):
                 to_delete.append(name)
-        # durability for the deletion step: record the intended stale-
-        # partition deletions BEFORE performing them (all swaps above
-        # have committed, so the deletions are safe regardless of when
-        # a crash lands); _recover_pending_deletes finishes the list on
-        # the next upsert. Without this, a crash mid-loop would leave
-        # moved-away key copies alive permanently.
-        if to_delete:
-            _write_pending_deletes(fs, jvm, path, to_delete)
-            for name in to_delete:
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}"),
-                    True,
-                )
-            fs.delete(_pending_deletes_path(jvm, path), False)
+        # Commit protocol: durably record the FULL plan (swaps AND
+        # stale deletions) before touching the live dataset, so a crash
+        # anywhere in the loop below is healed by roll-forward on the
+        # next entry (_recover_pending_deletes re-runs un-committed
+        # swaps from tmp, then executes the deletions). Deletions run
+        # only after every swap commits — their rows' replacements are
+        # live by then, so no crash point can lose data.
+        _write_upsert_manifest(fs, jvm, path, written, to_delete)
+        for name in written:
+            # same stage-old/rename/rollback protocol as the
+            # whole-dataset path — one implementation, two call sites
+            _swap_dirs(fs, jvm, f"{tmp}/{name}", f"{path.rstrip('/')}/{name}")
+        for name in to_delete:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}"),
+                True,
+            )
+        fs.delete(_pending_deletes_path(jvm, path), False)
         fs.delete(tmp_jpath, True)
     else:
         anti_keys = F.broadcast(updates.select(*keys))
@@ -411,6 +450,12 @@ def soft_delete_older_versions(
     _recover_interrupted_partition_swaps(fs, jvm, path)
     if not _path_exists(spark, path):
         return 0
+    # An interrupted partitioned upsert may have left its commit
+    # manifest (pending swaps/deletes) behind; without healing it the
+    # mergeSchema read below would resurrect stale moved-key partitions
+    # INTO the rewrite, making the duplicates permanent once _swap_dirs
+    # replaces the dataset (and its manifest) wholesale.
+    _recover_pending_deletes(fs, jvm, path)
     existing = (
         spark.read.option("mergeSchema", "true").format(fmt).load(path)
     )

@@ -57,10 +57,28 @@ def chi2_against(baseline_row, counts_row) -> float:
 
 
 def latest_readings(spark: SparkSession, sink_dir: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(f"{sink_dir}/reading")
-    except Exception:
+    """Committed readings only: a crash between a batch's reading
+    write and its checkpoint commit leaves a partial ``batch=<id>``
+    dir that can fail the read or surface uncommitted rows until the
+    replay overwrites it — gate on ``_SUCCESS`` like the repo's other
+    sink readers (trending, sampling, CDC)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root_dir = f"{sink_dir}/reading"
+    root = jvm.org.apache.hadoop.fs.Path(root_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
         return None
+    complete = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch=")):
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            complete.append(f"{root_dir}/{name}")
+    if not complete:
+        return None
+    return spark.read.option("basePath", root_dir).parquet(*complete)
 
 
 def stream_drift_monitor(
@@ -73,27 +91,36 @@ def stream_drift_monitor(
     column. Readings land at ``<sink>/reading`` partitioned by batch.
     """
 
+    # the baseline is immutable once committed — cache the collected
+    # row for the query's lifetime instead of re-reading its parquet
+    # every micro-batch (a restart starts with a cold cache and
+    # re-reads once; correctness is unchanged)
+    baseline_cache: list = []
+
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         counts = class_counts(batch_df).collect()[0]
         if counts["n"] == 0:
             return
         base_path = f"{sink_dir}/baseline"
-        jvm = sess.sparkContext._jvm
-        hconf = sess.sparkContext._jsc.hadoopConfiguration()
-        jpath = jvm.org.apache.hadoop.fs.Path(base_path)
-        fs = jpath.getFileSystem(hconf)
-        # completeness gate: a crash mid-baseline-write leaves the
-        # directory WITHOUT _SUCCESS; existence alone would wedge the
-        # stream forever (skip rewrite + fail reading the partial dir)
-        success = jvm.org.apache.hadoop.fs.Path(base_path + "/_SUCCESS")
-        if not (fs.exists(jpath) and fs.exists(success)):
-            # first content-bearing batch defines the baseline; a
-            # replay recomputes identical counts and overwrites
-            sess.createDataFrame([counts]).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(base_path)
-        baseline = sess.read.parquet(base_path).collect()[0]
+        if not baseline_cache:
+            jvm = sess.sparkContext._jvm
+            hconf = sess.sparkContext._jsc.hadoopConfiguration()
+            jpath = jvm.org.apache.hadoop.fs.Path(base_path)
+            fs = jpath.getFileSystem(hconf)
+            # completeness gate: a crash mid-baseline-write leaves the
+            # directory WITHOUT _SUCCESS; existence alone would wedge
+            # the stream forever (skip rewrite + fail reading the
+            # partial dir)
+            success = jvm.org.apache.hadoop.fs.Path(base_path + "/_SUCCESS")
+            if not (fs.exists(jpath) and fs.exists(success)):
+                # first content-bearing batch defines the baseline; a
+                # replay recomputes identical counts and overwrites
+                sess.createDataFrame([counts]).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(base_path)
+            baseline_cache.append(sess.read.parquet(base_path).collect()[0])
+        baseline = baseline_cache[0]
         chi2 = chi2_against(baseline, counts)
         reading = sess.createDataFrame(
             [(int(batch_id), int(counts["n"]), float(chi2))],

@@ -142,3 +142,19 @@ def test_compact_preserves_configured_compression(spark, tmp_path):
             for c in range(meta.num_columns)
         }
         assert codecs == {"GZIP"}, f"{f}: {codecs}"
+
+
+def test_compact_orc_default_codec(spark, tmp_path):
+    """ORC compaction with default args must translate the config-level
+    codec name (gzip -> zlib) — Spark's ORC writer rejects 'gzip', so
+    before the mapping a default-args ORC compaction failed at write
+    time."""
+    path = str(tmp_path / "t")
+    for i in range(3):
+        spark.createDataFrame([(i, "x" * 100)], "k long, s string").coalesce(
+            1
+        ).write.mode("append").format("orc").save(path)
+    report = compact_directory(spark, path, size_limit=10 * 1024 * 1024, fmt="orc")
+    assert report.files_compacted == 3
+    got = {r.k for r in spark.read.orc(path).collect()}
+    assert got == {0, 1, 2}

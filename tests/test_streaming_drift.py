@@ -99,3 +99,19 @@ def test_drift_baseline_persists_across_restart(spark, tmp_path):
     }
     assert readings[0] == 0.0
     assert readings[1] > 50.0  # scored against the ORIGINAL baseline
+
+
+def test_latest_readings_gates_on_success_marker(spark, tmp_path):
+    """A partial (crash mid-write) reading batch dir without _SUCCESS
+    must be invisible until the replay overwrites it — same
+    completeness gate as the trending/sampling/CDC sink readers."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    _write(src / "a.jsonl", BASELINE_MIX)
+    _run(spark, src, sink, ckpt)
+    committed = {tuple(r) for r in latest_readings(spark, str(sink)).collect()}
+    # simulate a crashed batch: dir exists, no _SUCCESS, torn file
+    partial = sink / "reading" / "batch=999"
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"\x00\x01 not parquet")
+    after = {tuple(r) for r in latest_readings(spark, str(sink)).collect()}
+    assert after == committed

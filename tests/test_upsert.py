@@ -349,3 +349,107 @@ def test_soft_delete_preserves_partition_layout(spark, tmp_path):
     rows = {r.k: r for r in spark.read.parquet(str(path)).collect()}
     assert rows[1]._sdc_deleted_at is not None
     assert rows[2]._sdc_deleted_at is None
+
+
+# ---------------------------------------------------------------------------
+# Round-5: v2 commit-manifest roll-forward (manifest now written BEFORE
+# the partition-swap loop, so every crash point heals by roll-forward)
+# ---------------------------------------------------------------------------
+
+
+def test_v2_manifest_rolls_swaps_forward_before_deleting(spark, tmp_path):
+    """Crash after the manifest write but before ANY swap committed:
+    recovery must first commit the staged partitions from tmp, THEN
+    drop the stale moved-key partition — deleting first would lose the
+    moved key's only surviving copy."""
+    from target_hdfs_spark.plans.upsert import recover_dataset
+
+    path = tmp_path / "t"
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, day string, v double"
+    ).write.partitionBy("day").parquet(str(path))
+    # the merge moved k=2 from day=b to day=a; tmp holds the new day=a
+    tmp = tmp_path / "t__upsert_tmp"
+    spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 2.0)], "k long, day string, v double"
+    ).write.partitionBy("day").parquet(str(tmp))
+    (path / "__upsert_pending_deletes").write_text(
+        "#upsert-manifest-v2\nS day=a\nD day=b"
+    )
+    recover_dataset(spark, str(path))
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(str(path)).collect()}
+    assert got == {1: ("a", 9.0), 2: ("a", 2.0)}
+    assert not (path / "day=b").exists()
+    assert not (path / "__upsert_pending_deletes").exists()
+    assert not tmp.exists()
+
+
+def test_v2_manifest_recovery_after_partial_swap(spark, tmp_path):
+    """Crash MID-swap (old partition staged aside, new not yet renamed
+    in): the partition-swap healer restores the old copy, then the v2
+    roll-forward re-runs the swap from tmp and finishes the plan."""
+    from target_hdfs_spark.plans.upsert import recover_dataset
+
+    path = tmp_path / "t"
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, day string, v double"
+    ).write.partitionBy("day").parquet(str(path))
+    tmp = tmp_path / "t__upsert_tmp"
+    spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 2.0)], "k long, day string, v double"
+    ).write.partitionBy("day").parquet(str(tmp))
+    # simulate _swap_dirs crashing between its two renames
+    (path / "day=a").rename(path / "day=a__old")
+    (path / "__upsert_pending_deletes").write_text(
+        "#upsert-manifest-v2\nS day=a\nD day=b"
+    )
+    recover_dataset(spark, str(path))
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(str(path)).collect()}
+    assert got == {1: ("a", 9.0), 2: ("a", 2.0)}
+    assert not (path / "day=a__old").exists()
+    assert not (path / "day=b").exists()
+
+
+def test_v2_manifest_recovery_after_all_swaps(spark, tmp_path):
+    """Crash after every swap committed (tmp copies renamed away) but
+    before the deletions: S entries are no-ops, D entries execute."""
+    from target_hdfs_spark.plans.upsert import recover_dataset
+
+    path = tmp_path / "t"
+    spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 2.0), (2, "b", 2.0)],
+        "k long, day string, v double",
+    ).write.partitionBy("day").parquet(str(path))
+    (tmp_path / "t__upsert_tmp").mkdir()  # drained tmp left behind
+    (path / "__upsert_pending_deletes").write_text(
+        "#upsert-manifest-v2\nS day=a\nD day=b"
+    )
+    recover_dataset(spark, str(path))
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(str(path)).collect()}
+    assert got == {1: ("a", 9.0), 2: ("a", 2.0)}
+    assert not (tmp_path / "t__upsert_tmp").exists()
+
+
+def test_soft_delete_heals_pending_manifest_first(spark, tmp_path):
+    """ACTIVATE_VERSION finalization running after a crashed
+    partitioned upsert must execute the pending commit plan BEFORE its
+    mergeSchema read — otherwise the stale moved-key partition's rows
+    are rewritten into the new dataset and the duplicates (plus the
+    manifest, deleted along with path__old by the whole-dataset swap)
+    become permanent."""
+    path = tmp_path / "t"
+    spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 1)],
+        "k long, part string, _sdc_table_version long",
+    ).write.partitionBy("part").parquet(str(path))
+    # crashed upsert had already committed its swaps; part=y is the
+    # stale moved-key copy awaiting deletion
+    (path / "__upsert_pending_deletes").write_text("#upsert-manifest-v2\nD part=y")
+    n = soft_delete_older_versions(
+        spark, str(path), active_version=2, partition_cols=("part",)
+    )
+    assert n == 1
+    rows = spark.read.parquet(str(path)).collect()
+    assert len(rows) == 1 and rows[0].part == "x"
+    assert rows[0]._sdc_deleted_at is not None
+    assert not (path / "__upsert_pending_deletes").exists()
