@@ -160,3 +160,65 @@ def _parse_kv(raw: str | dict | None) -> dict[str, str]:
         k, v = pair.split("=", 1)
         out[k.strip()] = v.strip()
     return out
+
+
+# ---------------------------------------------------------------------------
+# --config=ENV support (reference README.md:44-48: "automatically
+# import any environment variables within the working directory's
+# `.env` if the `--config=ENV` is provided"; terminal-context variables
+# take precedence over the .env file, matching the Singer SDK)
+# ---------------------------------------------------------------------------
+
+ENV_PREFIXES = ("TARGET_HDFS_SPARK_", "TARGET_HDFS_")
+
+
+def parse_dotenv(path: str) -> dict[str, str]:
+    """Minimal .env parser: KEY=VALUE lines, optional `export ` prefix,
+    blank/# lines skipped, surrounding single/double quotes stripped."""
+    import os
+
+    out: dict[str, str] = {}
+    if not os.path.isfile(path):
+        return out
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            if line.startswith("export "):
+                line = line[len("export "):]
+            k, v = line.split("=", 1)
+            v = v.strip()
+            if len(v) >= 2 and v[0] == v[-1] and v[0] in ("'", '"'):
+                v = v[1:-1]
+            out[k.strip()] = v
+    return out
+
+
+def _coerce_env_value(raw: str):
+    """Env values are strings; settings are typed. JSON-decode when the
+    text is valid JSON (true/false/ints/null/objects), else keep the
+    raw string — same effective behavior as the SDK's env parsing."""
+    import json as _json
+
+    try:
+        return _json.loads(raw)
+    except ValueError:
+        return raw
+
+
+def config_from_env(dotenv_path: str = ".env") -> TargetConfig:
+    """Build a TargetConfig from `TARGET_HDFS_SPARK_<SETTING>` (or the
+    reference-compatible `TARGET_HDFS_<SETTING>`) environment
+    variables, merged over the working directory's `.env` file."""
+    import os
+
+    merged = parse_dotenv(dotenv_path)
+    merged.update(os.environ)
+    raw: dict = {}
+    for key, value in merged.items():
+        for prefix in ENV_PREFIXES:
+            if key.startswith(prefix):
+                raw[key[len(prefix):].lower()] = _coerce_env_value(value)
+                break
+    return TargetConfig.from_dict(raw)

@@ -6,6 +6,10 @@ records are durable — the reference's `tap | target-hdfs --config c`
 pipe (reference: target_hdfs/target.py:51-52, README.md:61-65).
 
 `--about` prints the config surface as JSON (reference R1/R2).
+`--version` prints the package version (reference README.md:61).
+`--config=ENV` builds the config from `TARGET_HDFS_SPARK_*` /
+`TARGET_HDFS_*` environment variables merged over the working
+directory's `.env` file (reference README.md:44-48).
 """
 
 from __future__ import annotations
@@ -14,7 +18,8 @@ import argparse
 import json
 import sys
 
-from target_hdfs_spark.config import TargetConfig
+from target_hdfs_spark import __version__
+from target_hdfs_spark.config import TargetConfig, config_from_env
 from target_hdfs_spark.session import get_spark
 from target_hdfs_spark.sources.singer import SingerPipe
 
@@ -43,8 +48,17 @@ ABOUT = {
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="target-hdfs-spark")
-    parser.add_argument("--config", help="path to config JSON")
+    parser.add_argument(
+        "--config",
+        help="path to config JSON, or the literal ENV to read "
+        "TARGET_HDFS_SPARK_* environment variables (+ ./.env)",
+    )
     parser.add_argument("--about", action="store_true", help="print config surface")
+    parser.add_argument(
+        "--version",
+        action="version",
+        version=f"%(prog)s {__version__}",
+    )
     args = parser.parse_args(argv)
 
     if args.about:
@@ -53,8 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     if not args.config:
         parser.error("--config is required unless --about")
 
-    with open(args.config) as fh:
-        config = TargetConfig.from_dict(json.load(fh))
+    if args.config == "ENV":
+        config = config_from_env()
+    else:
+        with open(args.config) as fh:
+            config = TargetConfig.from_dict(json.load(fh))
     spark = get_spark(app_name="target_hdfs_spark_ingest")
     spark.sparkContext.setLogLevel("ERROR")
     pipe = SingerPipe(spark, config)

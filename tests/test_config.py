@@ -55,3 +55,50 @@ def test_config_rejects_unknown_compression():
 def test_config_rejects_orphan_extra_type():
     with pytest.raises(ValueError, match="extra_fields_types"):
         TargetConfig(destination_path="/x", extra_fields_types={"ghost": "string"})
+
+
+def test_config_from_env_vars(monkeypatch, tmp_path):
+    """--config=ENV parity (reference README.md:44-48): terminal env
+    vars override the .env file; typed values JSON-decode; both the
+    package prefix and the reference-compatible prefix resolve."""
+    import os
+
+    from target_hdfs_spark.config import config_from_env
+
+    dotenv = tmp_path / ".env"
+    dotenv.write_text(
+        "# comment\n"
+        "export TARGET_HDFS_SPARK_HDFS_DESTINATION_PATH='/from/dotenv'\n"
+        'TARGET_HDFS_SPARK_MAX_BATCH_SIZE="500"\n'
+        "TARGET_HDFS_COMPRESSION_METHOD=zstd\n"
+    )
+    monkeypatch.setenv("TARGET_HDFS_SPARK_HDFS_DESTINATION_PATH", "/from/env")
+    monkeypatch.setenv("TARGET_HDFS_SPARK_SKIP_EXISTING_FILES", "true")
+    cfg = config_from_env(dotenv_path=str(dotenv))
+    assert cfg.destination_path == "/from/env"  # terminal beats .env
+    assert cfg.max_batch_size == 500  # JSON-decoded int from .env
+    assert cfg.compression == "zstd"  # reference-name prefix works
+    assert cfg.skip_existing_files is True  # "true" -> bool, not truthy-str
+
+
+def test_config_env_false_is_false(monkeypatch):
+    """The classic bool('false') trap: env string 'false' must come
+    through as False."""
+    from target_hdfs_spark.config import config_from_env
+
+    monkeypatch.setenv("TARGET_HDFS_SPARK_HDFS_DESTINATION_PATH", "/d")
+    monkeypatch.setenv("TARGET_HDFS_SPARK_SKIP_EXISTING_FILES", "false")
+    cfg = config_from_env(dotenv_path="/nonexistent/.env")
+    assert cfg.skip_existing_files is False
+
+
+def test_cli_version_flag(capsys):
+    from target_hdfs_spark import __version__
+    from target_hdfs_spark.ingest import main
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["--version"])
+    assert exc.value.code == 0
+    assert __version__ in capsys.readouterr().out
