@@ -14,6 +14,20 @@ Methodology (stabilized for cross-machine comparability):
   the number a warmed cluster would see) and the max-min spread
   reported per query, so machine-condition noise is visible in the
   record instead of silently polluting the headline;
+- NOISE VALIDITY GATE: a loaded benchmark box shows up as uniformly
+  inflated spreads (the round-4 incident: every query 1.2-1.6x slower
+  with 2-6x the usual spread, code unchanged). Two timed passes
+  always run with every sample pooled into the per-query best, and
+  further passes (up to MAX_PASSES) are CONVERGENCE-driven: as long
+  as the last pass improved the pooled best-total by more than
+  CONVERGE_TOL, the best-times haven't stabilized and another pass
+  runs. The `validity` object records passes taken, the per-pass
+  median relative spread, and the best-total trajectory, and flags
+  `noisy: true` when the final pass still showed high spread — so a
+  number produced under residual noise is visibly marked instead of
+  silently polluting round comparisons;
+- `queries_median` reports the per-query median sample alongside the
+  best, so best-vs-median divergence is itself a noise signal;
 - `value` totals the full headline set; `r02_comparable_total`
   totals the 14-query subset benched in rounds 1-2 (q85 joined the
   headline set in round 3), so round-over-round comparison stays
@@ -76,10 +90,44 @@ def auto_headliners(specs) -> list[str]:
     ]
 
 
+# Validity gate: high per-pass median relative spread marks box noise
+# (the r4 incident fingerprint); extra passes run while the pooled
+# best-total is still improving by more than CONVERGE_TOL.
+NOISE_REL_SPREAD = 0.30
+CONVERGE_TOL = 0.03
+MAX_PASSES = 4
+RUNS_PER_PASS = 3
+
+
 def run_once(spec, spark, sf_dir: str) -> int:
     df = spec.fn(spark, sf_dir)
     # count() forces full execution of every operator in the plan.
     return df.count()
+
+
+def timed_pass(names, specs, spark, sf_dir: str) -> dict[str, list[float]]:
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for name in names:
+        for _ in range(RUNS_PER_PASS):
+            t0 = time.perf_counter()
+            run_once(specs[name], spark, sf_dir)
+            samples[name].append(time.perf_counter() - t0)
+    return samples
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def _median_rel_spread(samples: dict[str, list[float]]) -> float:
+    rels = [
+        (max(runs) - min(runs)) / min(runs)
+        for runs in samples.values()
+        if min(runs) > 0
+    ]
+    return _median(rels) if rels else 0.0
 
 
 def main() -> None:
@@ -96,16 +144,33 @@ def main() -> None:
     for name in names:
         run_once(specs[name], spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in names:
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run_once(specs[name], spark, sf_dir)
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 4)
-        spreads[name] = round(max(runs) - min(runs), 4)
+    samples = timed_pass(names, specs, spark, sf_dir)
+    spread_trajectory = [round(_median_rel_spread(samples), 4)]
+    best_total_trajectory = [round(sum(min(r) for r in samples.values()), 4)]
+    passes = 1
+    while passes < MAX_PASSES:
+        # always take a second pass; after that, continue only while
+        # pooling is still moving the best-total (not yet converged)
+        if passes >= 2:
+            prev, cur = best_total_trajectory[-2:]
+            if prev - cur <= CONVERGE_TOL * prev:
+                break
+        extra = timed_pass(names, specs, spark, sf_dir)
+        # pool: best-of-all-samples converges toward the true
+        # steady-state even when individual passes are polluted
+        for name in names:
+            samples[name].extend(extra[name])
+        passes += 1
+        spread_trajectory.append(round(_median_rel_spread(extra), 4))
+        best_total_trajectory.append(
+            round(sum(min(r) for r in samples.values()), 4)
+        )
+
+    timings = {n: round(min(runs), 4) for n, runs in samples.items()}
+    medians = {n: round(_median(runs), 4) for n, runs in samples.items()}
+    spreads = {
+        n: round(max(runs) - min(runs), 4) for n, runs in samples.items()
+    }
 
     print(
         json.dumps(
@@ -114,7 +179,15 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "spread": spreads,
+                "validity": {
+                    "passes": passes,
+                    "runs_per_query": passes * RUNS_PER_PASS,
+                    "median_rel_spread_by_pass": spread_trajectory,
+                    "best_total_by_pass": best_total_trajectory,
+                    "noisy": spread_trajectory[-1] > NOISE_REL_SPREAD,
+                },
                 "auto_headliners": auto,
                 "r02_comparable_total": round(
                     sum(t for n, t in timings.items() if n in _R02_SET), 4
