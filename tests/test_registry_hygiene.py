@@ -115,3 +115,25 @@ def test_every_family_has_hard_signal_representative():
         if not (members & covered)
     }
     assert not orphaned, f"tag families with no checked/windowed member: {orphaned}"
+
+
+def test_priority_order_matches_ledger_rotation():
+    """PRIORITY_ORDER is generated, not hand-maintained: it must equal
+    scripts/gen_priority.py's ledger-derived ordering (never-checked
+    queries first, then stalest latest-check first). If this fails you
+    registered or renamed a query — run
+
+        python scripts/gen_priority.py --write
+
+    to rotate the window instead of editing the tuple by hand."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_priority",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "gen_priority.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    ordered, _ = gen.compute_order()
+    assert list(PRIORITY_ORDER) == ordered
