@@ -436,39 +436,7 @@ def q61_image_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L5c: frame-sampling pipeline (mapInPandas row explosion; rows-only)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q62_frame_sampling",
-    oracle=None,
-    tags=("multimodal", "video", "mapInPandas", "rows-only"),
-)
-def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling over opaque binary payloads: every
-    16th 4-byte "frame" of each document's byte stream becomes a row,
-    then frames are aggregated per doc. The byte slicing stands in for
-    a codec (none installed here); the Arrow-batched row-explosion
-    plumbing is the real operator shape.
-
-    Scale: mapInPandas explosion is linear and map-only; downstream
-    aggregation combines map-side. Rows-only check (binary slicing
-    is engine plumbing, not SQL semantics).
-    """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("video")
-    )
-    frames = sample_frames(docs, "video", every_k=16, frame_bytes=4)
-    return frames.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_frames"),
-        F.min("frame_idx").alias("first_frame"),
-        F.max("frame_idx").alias("last_frame"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# L5d: audio feature extraction (windowed byte statistics; rows-only)
+# L5d: audio feature extraction (windowed byte statistics)
 # ---------------------------------------------------------------------------
 
 
@@ -564,27 +532,6 @@ def q94_wav_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sample_rate").alias("max_sample_rate"),
             F.max("bits_per_sample").alias("max_bits"),
         )
-    )
-
-
-@query(
-    "q64_audio_features",
-    oracle=None,
-    tags=("multimodal", "audio", "mapInPandas", "rows-only"),
-)
-def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-feature pipeline over binary payloads: windowed amplitude
-    stats via Arrow-batched mapInPandas, aggregated per doc. Completes
-    the image (q61) / video (q62) / audio multimodal trio. Rows-only.
-    """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("audio")
-    )
-    feats = extract_audio_features(docs, "audio", window_bytes=64)
-    return feats.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.min("mean_amplitude").alias("min_mean_amp"),
-        F.max("peak_amplitude").alias("max_peak_amp"),
     )
 
 
@@ -997,4 +944,172 @@ def q153_video_container_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         index_features,
         "doc_id long, n_frames long, total_frame_bytes long, max_frame_bytes long",
+    )
+
+# ---------------------------------------------------------------------------
+# L5c: frame sampling by container index (real AVI roundtrip, exact)
+# ---------------------------------------------------------------------------
+
+
+_FRAME_SAMPLE_K = 2  # sample every 2nd frame of the container index
+
+
+@query(
+    "q62_frame_sampling",
+    oracle=f"""
+    WITH f AS (
+      SELECT d.doc_id, k.k,
+             16 + (d.doc_id * 7 + k.k * 13) % 64 AS n_bytes
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_AVI_MAX_FRAMES - 1})) AS k) k
+      WHERE k.k < 1 + d.doc_id % {_AVI_MAX_FRAMES}
+        AND k.k % {_FRAME_SAMPLE_K} = 0
+    ),
+    b AS (
+      SELECT f.doc_id, f.k, f.n_bytes,
+             SUM((f.doc_id + f.k + j.j) % 256) AS checksum
+      FROM f
+      CROSS JOIN (SELECT unnest(generate_series(0, 78)) AS j) j
+      WHERE j.j < f.n_bytes
+      GROUP BY f.doc_id, f.k, f.n_bytes
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_bytes) AS BIGINT) AS sampled_bytes,
+           CAST(MAX(k) AS BIGINT) AS last_sampled_idx,
+           CAST(SUM(checksum) AS BIGINT) AS checksum_total
+    FROM b
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "video", "mapInPandas"),
+)
+def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through a REAL container roundtrip (the
+    q153 machinery): each document gets a valid RIFF/AVI clip, the
+    real chunk walker builds the frame index, and every
+    {_FRAME_SAMPLE_K}-th frame's payload is fetched BY INDEX OFFSET
+    (no re-walk) and checksummed. The checksum proves the index's byte
+    offsets are exact — precisely the operation a 100 TB video corpus
+    runs: index containers once, then range-read sampled frames from
+    the object store by offset. The oracle recomputes every feature
+    from the synthetic frame formulas, so any corruption in
+    encode → walk → offset-read breaks the value hash.
+
+    Scale: one mapInPandas pass (frame explosion is map-only and
+    linear in sampled bytes); the per-doc aggregation combines
+    map-side. The sampled-frame rows carry int64s, never payloads.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def sampled_frame_rows(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                blob = encode_avi(int(doc_id))
+                for idx, off, n in decode_avi_index(blob):
+                    if idx % _FRAME_SAMPLE_K:
+                        continue
+                    payload = blob[off : off + n]  # offset range-read
+                    rows.append((int(doc_id), idx, n, sum(payload)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_bytes", "checksum"]
+            )
+
+    frames = docs.mapInPandas(
+        sampled_frame_rows,
+        "doc_id long, frame_idx long, n_bytes long, checksum long",
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_bytes").alias("sampled_bytes"),
+        F.max("frame_idx").alias("last_sampled_idx"),
+        F.sum("checksum").alias("checksum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5d (exact): windowed audio features over the real PCM roundtrip
+# ---------------------------------------------------------------------------
+
+_AUDIO_WIN = 64  # samples per feature window (256 samples -> 4 windows)
+
+
+@query(
+    "q64_audio_features",
+    oracle=f"""
+    WITH s AS (
+      SELECT d.doc_id, i.i,
+             ((d.doc_id * 31 + i.i * 17) % 2048) - 1024 AS v
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PCM_N - 1})) AS i) i
+    ),
+    w AS (
+      SELECT doc_id, i // {_AUDIO_WIN} AS widx,
+             SUM(v * v) AS energy, MAX(abs(v)) AS peak
+      FROM s
+      GROUP BY doc_id, i // {_AUDIO_WIN}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(MAX(energy) AS BIGINT) AS max_window_energy,
+           CAST(MAX(peak) AS BIGINT) AS peak_amplitude
+    FROM w
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features through a REAL byte roundtrip (the q152
+    machinery): each document gets a complete valid 16-bit mono PCM
+    WAV, the real decoder parses header + frames, samples split into
+    fixed {_AUDIO_WIN}-sample windows, and per-window integer features
+    (energy Σv², peak max|v|) aggregate per clip. Completes the
+    image (q147) / audio / video (q62) trio at content level with an
+    exact oracle recomputing everything from the sample formula — the
+    previous rows-only byte-window stand-in is retired.
+
+    Scale: encode/decode/window runs in one mapInPandas pass over
+    Arrow batches; the shuffle carries four int64s per clip. All
+    features are exact integers (no float mean), so the oracle hash
+    is platform-stable.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def windowed_features(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                samples = decode_pcm_samples(encode_pcm_wav(int(doc_id)))
+                n_win = len(samples) // _AUDIO_WIN
+                energies = []
+                peaks = []
+                for widx in range(n_win):
+                    win = samples[widx * _AUDIO_WIN : (widx + 1) * _AUDIO_WIN]
+                    energies.append(sum(v * v for v in win))
+                    peaks.append(max(abs(v) for v in win))
+                out.append(
+                    (int(doc_id), n_win, sum(energies), max(energies), max(peaks))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_windows",
+                    "total_energy",
+                    "max_window_energy",
+                    "peak_amplitude",
+                ],
+            )
+
+    return docs.mapInPandas(
+        windowed_features,
+        "doc_id long, n_windows long, total_energy long, "
+        "max_window_energy long, peak_amplitude long",
     )
