@@ -91,6 +91,22 @@ FACT_QUERIES = (
     "q155_integrity_audit",
     "q160_pareto_concentration",
 )
+# event-log shapes (round-5 verdict item 7): fan events by K with
+# user_id/event_id shifted per copy — K times the users over the same
+# time range at constant per-user event density, which is what "more
+# data" means for per-user windows (SCD-2, CDC top-1, funnel,
+# pattern), the user-partitioned attribution interval join, and the
+# cohort triangle. q141 (documents snapshot diff) rides the docs
+# fan-out in QUERIES-style via DOC_EXTRA.
+EVENT_QUERIES = (
+    "q105_scd2_intervals",
+    "q131_attribution_window_join",
+    "q138_event_funnel",
+    "q143_cdc_last_writer_wins",
+    "q145_retention_cohorts",
+    "q148_event_pattern",
+)
+DOC_EXTRA_QUERIES = ("q141_snapshot_diff",)
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 ID_STRIDE = 10_000_000
 
@@ -201,6 +217,37 @@ def build_facts(spark, factor: int) -> str:
     return out
 
 
+def build_events(spark, factor: int) -> str:
+    """Kx events in the docs scale dir: per-copy user_id/event_id
+    stride shifts preserve every copy's per-user sequences (ts order,
+    tie-breaks) bit-identically while multiplying the user population.
+    Read via load_table (nanos handling) and written back with proper
+    micros timestamps, which load_table passes through unchanged."""
+    from target_hdfs_spark.sources.readers import load_table
+
+    out = f"{ROOT}/scale{factor}"
+    dest = f"{out}/events.parquet"
+    if os.path.exists(dest):
+        return out
+    ev = load_table(spark, SRC, "events")
+    copies = spark.range(factor).select(F.col("id").alias("_copy"))
+    (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") + F.col("_copy") * ID_STRIDE).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_copy") * ID_STRIDE).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    return out
+
+
 def _sweep(spark, specs, names, factor: int, sf_dir: str) -> None:
     for name in names:
         spec = specs[name]
@@ -245,6 +292,13 @@ def main() -> None:
         if "facts" in families:
             sf_dir = SRC if factor == 1 else build_facts(spark, factor)
             _sweep(spark, specs, FACT_QUERIES, factor, sf_dir)
+        if "events" in families:
+            sf_dir = SRC if factor == 1 else build_events(spark, factor)
+            _sweep(spark, specs, EVENT_QUERIES, factor, sf_dir)
+            # the snapshot diff is documents-based; reuse the docs
+            # fan-out so its sweep rides the same factor
+            doc_dir = SRC if factor == 1 else build(spark, factor)
+            _sweep(spark, specs, DOC_EXTRA_QUERIES, factor, doc_dir)
 
 
 if __name__ == "__main__":

@@ -757,3 +757,91 @@ def q160_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_customers.crossJoin(F.broadcast(n_to)).crossJoin(F.broadcast(crossing))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern sequence matching (MATCH_RECOGNIZE-lite, q148 family)
+# ---------------------------------------------------------------------------
+
+
+def _multi_pattern_oracle() -> str:
+    """Generate the DuckDB oracle from streaming.stateful's
+    MULTI_PATTERNS dict — one lead() self-alignment shared by every
+    pattern, one UNION ALL branch per pattern — so the batch oracle,
+    the Spark plan, and the streaming matcher all read the same
+    pattern table and cannot drift."""
+    from target_hdfs_spark.streaming.stateful import MULTI_PATTERNS
+
+    k = max(len(p) for p in MULTI_PATTERNS.values())
+    leads = ",\n             ".join(
+        f"lead(event_type, {i}) OVER w AS t{i}, "
+        f"lead(event_id, {i}) OVER w AS id{i}"
+        for i in range(1, k)
+    )
+    branches = []
+    for name, pat in MULTI_PATTERNS.items():
+        conds = [f"event_type = '{pat[0]}'"] + [
+            f"t{i} = '{t}'" for i, t in enumerate(pat[1:], start=1)
+        ]
+        last = f"id{len(pat) - 1}" if len(pat) > 1 else "event_id"
+        branches.append(
+            f"SELECT user_id, '{name}' AS pattern, {last} AS last_event_id\n"
+            f"    FROM seq WHERE " + " AND ".join(conds)
+        )
+    return (
+        "WITH seq AS (\n"
+        "      SELECT user_id, event_id, event_type,\n"
+        f"             {leads}\n"
+        "      FROM events\n"
+        "      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n"
+        "    )\n    "
+        + "\n    UNION ALL\n    ".join(branches)
+    )
+
+
+@query(
+    "q161_multi_pattern_match",
+    oracle=_multi_pattern_oracle(),
+    tags=("window", "sequence", "pattern", "streaming-twin"),
+)
+def q161_multi_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style MULTI-pattern detection: every named
+    strict-consecutive pattern in streaming.stateful.MULTI_PATTERNS is
+    matched simultaneously over each user's ordered stream, emitting
+    (user_id, pattern, last_event_id) per match with skip-to-next-row
+    overlap semantics. This is the oracle-checked batch definition of
+    the streaming multi_pattern_stream operator's semantics (the
+    parity test drives both over the same log).
+
+    Scale: ONE window pass (a single user_id hash Exchange + within-
+    partition sort) computes lookaheads up to the longest pattern;
+    every pattern then filters the SAME eagerly-checkpointed alignment
+    frame map-side — adding a pattern adds zero shuffles. The
+    checkpoint keeps the tokenless ~40-byte alignment rows, never the
+    event payloads.
+    """
+    from target_hdfs_spark.streaming.stateful import MULTI_PATTERNS
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = max(len(p) for p in MULTI_PATTERNS.values())
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        *[F.lead("event_type", i).over(w).alias(f"t{i}") for i in range(1, k)],
+        *[F.lead("event_id", i).over(w).alias(f"id{i}") for i in range(1, k)],
+    ).localCheckpoint(eager=True)
+    out = None
+    for name, pat in MULTI_PATTERNS.items():
+        cond = F.col("event_type") == pat[0]
+        for i, t in enumerate(pat[1:], start=1):
+            cond = cond & (F.col(f"t{i}") == t)
+        last = F.col(f"id{len(pat) - 1}") if len(pat) > 1 else F.col("event_id")
+        branch = seq.filter(cond).select(
+            "user_id",
+            F.lit(name).alias("pattern"),
+            last.alias("last_event_id"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -161,3 +161,73 @@ def consecutive_pattern_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern matcher (MATCH_RECOGNIZE-style; stateful twin of q161)
+# ---------------------------------------------------------------------------
+
+# Named strict-consecutive patterns, all matched SIMULTANEOUSLY over
+# each user's ordered stream (overlaps allowed — skip-to-next-row
+# semantics, like MATCH_RECOGNIZE AFTER MATCH SKIP TO NEXT ROW). The
+# batch twin q161_multi_pattern_match generates its oracle SQL from
+# this same dict, so the two surfaces cannot drift.
+MULTI_PATTERNS: dict[str, tuple[str, ...]] = {
+    "view_click_purchase": ("view", "click", "purchase"),
+    "error_recovery": ("error", "view"),
+    "double_click": ("click", "click"),
+}
+
+MULTI_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+
+def _multi_match_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    suffix: list[str] = (
+        state.get[0].split("|") if state.exists and state.get[0] else []
+    )
+    keep = max(len(p) for p in MULTI_PATTERNS.values()) - 1
+    out: list[tuple] = []
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    for pdf in (whole.sort_values(["ts", "event_id"]),):
+        for event_id, etype in zip(pdf["event_id"], pdf["event_type"]):
+            window = (*suffix, etype)
+            for name, pat in MULTI_PATTERNS.items():
+                if tuple(window[-len(pat):]) == pat:
+                    out.append((key[0], name, int(event_id)))
+            suffix = list(window[-keep:])
+    state.update(("|".join(suffix),))
+    yield pd.DataFrame(out, columns=[f.name for f in MULTI_OUTPUT_SCHEMA.fields])
+
+
+def multi_pattern_stream(events: DataFrame) -> DataFrame:
+    """Streaming multi-pattern sequence detection: every pattern in
+    MULTI_PATTERNS is matched per user in one pass with ONE shared
+    piece of state — the (max pattern length - 1)-event suffix of the
+    user's stream — so adding patterns costs zero extra state or
+    shuffles. Emits (user_id, pattern, last_event_id) for each match;
+    runs straddling micro-batch boundaries still match (the suffix
+    crosses the boundary in the state store).
+
+    This is the engine's MATCH_RECOGNIZE-lite surface: strict
+    consecutive sequences, all-patterns-at-once, skip-to-next-row
+    overlap semantics, with q161_multi_pattern_match as the
+    oracle-checked batch definition of the semantics.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _multi_match_group,
+        outputStructType=MULTI_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

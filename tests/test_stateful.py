@@ -255,3 +255,126 @@ def test_pattern_straddle_on_rocksdb_state_store(spark, tmp_path):
     finally:
         spark.conf.set(key, prev)
     assert got == {(1, 5)}
+
+
+# ---------------------------------------------------------------------------
+# Round-5: multi-pattern matcher (MATCH_RECOGNIZE-lite, q161 twin)
+# ---------------------------------------------------------------------------
+
+
+def _run_multi_pattern(spark, src, name):
+    from target_hdfs_spark.streaming.stateful import multi_pattern_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        multi_pattern_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.user_id, r.pattern, r.last_event_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+
+def test_multi_pattern_straddle_and_overlap(spark, tmp_path):
+    """All patterns match in one pass: user 1's click-click-purchase
+    tail fires double_click AND (with the preceding view) the funnel;
+    the purchase arrives in batch 2, so both runs straddle the state
+    boundary. User 2's error->view fires error_recovery."""
+    src = tmp_path / "mpsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "click"},
+            {"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "error"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "purchase"},
+            {"user_id": 2, "event_id": 5, "ts": "2026-08-13T10:00:04Z", "event_type": "view"},
+        ],
+    )
+    got = _run_multi_pattern(spark, src, "mp_straddle")
+    assert got == {
+        (1, "view_click_purchase", 4),
+        (2, "error_recovery", 5),
+    }
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_multi_pattern_stream_equals_batch_q161(spark, tmp_path, seed):
+    """The streaming matcher's full (user, pattern, last_event_id) set
+    must equal the q161 batch formulation over the same in-order log,
+    with the log split across two micro-batches."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [
+        {
+            "user_id": 1 + (i % 3),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(120)
+    ]
+    src = tmp_path / "mpsrc2"
+    _write(src / "a.jsonl", rows[:60])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[60:])
+    got = _run_multi_pattern(spark, src, f"mp_parity_{seed}")
+
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from target_hdfs_spark.streaming.stateful import MULTI_PATTERNS
+
+    df = spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = max(len(p) for p in MULTI_PATTERNS.values())
+    seq = df.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        *[F.lead("event_type", i).over(w).alias(f"t{i}") for i in range(1, k)],
+        *[F.lead("event_id", i).over(w).alias(f"id{i}") for i in range(1, k)],
+    )
+    expected = set()
+    for name, pat in MULTI_PATTERNS.items():
+        cond = F.col("event_type") == pat[0]
+        for i, t in enumerate(pat[1:], start=1):
+            cond = cond & (F.col(f"t{i}") == t)
+        last = f"id{len(pat) - 1}" if len(pat) > 1 else "event_id"
+        expected |= {
+            (r.user_id, name, r[last]) for r in seq.filter(cond).collect()
+        }
+    assert got == expected
+    assert expected, "corpus produced no matches — generator broken"
