@@ -231,3 +231,90 @@ def multi_pattern_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gapped-funnel stage tracker (stateful twin of q138_event_funnel)
+# ---------------------------------------------------------------------------
+
+# q138's funnel semantics: earliest 'view', then earliest 'click'
+# STRICTLY after that view, then earliest 'purchase' strictly after
+# that click — gaps allowed (unlike the strict-consecutive patterns
+# above). The batch query emits one global summary; the streaming twin
+# emits the per-user STAGE-TRANSITION rows instead (append mode can't
+# retract aggregates), and the q138 aggregates are a trivial batch
+# query over the sink — the same sink-side-rollup convention as the
+# trending/sampling operators.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("stage_ts_us", T.LongType()),
+        T.StructField("since_view_us", T.LongType()),  # final stage only
+    ]
+)
+
+# one int64 epoch-micros stamp per stage; -1 = not reached
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [T.StructField(f"t{i}_us", T.LongType()) for i in range(len(FUNNEL_STAGES))]
+)
+
+
+def _funnel_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    stamps = list(state.get) if state.exists else [-1] * len(FUNNEL_STAGES)
+    last = len(FUNNEL_STAGES) - 1
+    out: list[tuple] = []
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    for pdf in (whole.sort_values(["ts", "event_id"]),):
+        # datetime64[ns] -> epoch micros (events.ts is micros-backed,
+        # so this is exact)
+        ts_us_col = pdf["ts"].astype("int64") // 1000
+        for ts_us, etype in zip(ts_us_col, pdf["event_type"]):
+            try:
+                i = FUNNEL_STAGES.index(etype)
+            except ValueError:
+                continue
+            if stamps[i] != -1:
+                continue  # stage already reached (earliest-only)
+            if i > 0 and not (stamps[i - 1] != -1 and ts_us > stamps[i - 1]):
+                continue  # prerequisite missing or not strictly after
+            stamps[i] = int(ts_us)
+            out.append(
+                (
+                    key[0],
+                    etype,
+                    int(ts_us),
+                    int(ts_us - stamps[0]) if i == last else None,
+                )
+            )
+    state.update(tuple(stamps))
+    yield pd.DataFrame(out, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields])
+
+
+def funnel_stage_stream(events: DataFrame) -> DataFrame:
+    """Streaming gapped-funnel tracker: emit one row per user per
+    funnel stage the moment the stage is first reached (view; click
+    strictly after the view; purchase strictly after the click), with
+    the final stage carrying its view→purchase latency. Stage
+    prerequisites straddle micro-batch boundaries through the per-user
+    tri-stamp state (24 bytes/key — billions of users fit a RocksDB
+    state store).
+
+    Counting rows per stage and summing since_view_us over the sink
+    reproduces q138_event_funnel's summary exactly (the parity test
+    pins this identity).
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_group,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

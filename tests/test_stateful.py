@@ -378,3 +378,134 @@ def test_multi_pattern_stream_equals_batch_q161(spark, tmp_path, seed):
         }
     assert got == expected
     assert expected, "corpus produced no matches — generator broken"
+
+
+# ---------------------------------------------------------------------------
+# Round-5: gapped-funnel stage tracker (q138 twin)
+# ---------------------------------------------------------------------------
+
+
+def _run_funnel(spark, src, name):
+    from target_hdfs_spark.streaming.stateful import funnel_stage_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        funnel_stage_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_funnel_stage_straddles_batches(spark, tmp_path):
+    """view in batch 1, click+purchase in batch 2 (with a distractor
+    click BEFORE the view that must not count): prerequisites cross
+    the state boundary; latency is measured from the view."""
+    src = tmp_path / "fsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "click"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:05Z", "event_type": "click"},
+            {"user_id": 1, "event_id": 4, "ts": "2026-08-13T10:00:07Z", "event_type": "purchase"},
+        ],
+    )
+    rows = {(r.stage, r.since_view_us) for r in _run_funnel(spark, src, "fun_straddle")}
+    assert rows == {("view", None), ("click", None), ("purchase", 6_000_000)}
+
+
+@pytest.mark.parametrize("seed", [3, 23])
+def test_funnel_stream_equals_batch_q138(spark, tmp_path, seed):
+    """Aggregating the streamed stage rows must reproduce q138's
+    summary (per-stage counts + total conversion micros) over the
+    same two-batch log."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [
+        {
+            "user_id": 1 + (i % 7),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(140)
+    ]
+    src = tmp_path / "fsrc2"
+    _write(src / "a.jsonl", rows[:70])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[70:])
+    got = _run_funnel(spark, src, f"fun_parity_{seed}")
+    n_view = sum(1 for r in got if r.stage == "view")
+    n_click = sum(1 for r in got if r.stage == "click")
+    n_purchase = sum(1 for r in got if r.stage == "purchase")
+    total_us = sum(r.since_view_us for r in got if r.stage == "purchase")
+
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    v = (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        df.alias("e")
+        .join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        df.alias("e")
+        .join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    exp_total = (
+        p.join(v, "user_id")
+        .select(
+            F.sum(
+                F.unix_micros("t_purchase") - F.unix_micros("t_view")
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert n_view == v.count()
+    assert n_click == c.count()
+    assert n_purchase == p.count()
+    assert total_us == (exp_total or 0)
+    assert n_purchase > 0, "corpus produced no conversions — generator broken"
