@@ -10,10 +10,12 @@ Methodology (stabilized for cross-machine comparability):
   query's Catalyst planning + whole-stage-codegen compilation (a
   per-plan constant, irrelevant at 100 TB where execution dominates)
   is paid before any clock starts;
-- then three timed runs per query with the BEST kept (steady-state:
-  the number a warmed cluster would see) and the max-min spread
-  reported per query, so machine-condition noise is visible in the
-  record instead of silently polluting the headline;
+- then POOLED timed passes of three runs per query with the best of
+  ALL samples kept (steady-state: the number a warmed cluster would
+  see; minimum 2 passes = 6 samples/query since round 5, up from one
+  3-run pass in rounds 1-4) and the max-min spread reported per
+  query, so machine-condition noise is visible in the record instead
+  of silently polluting the headline;
 - NOISE VALIDITY GATE: a loaded benchmark box shows up as uniformly
   inflated spreads (the round-4 incident: every query 1.2-1.6x slower
   with 2-6x the usual spread, code unchanged). Two timed passes
@@ -115,19 +117,15 @@ def timed_pass(names, specs, spark, sf_dir: str) -> dict[str, list[float]]:
     return samples
 
 
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    mid = len(s) // 2
-    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
-
-
 def _median_rel_spread(samples: dict[str, list[float]]) -> float:
+    from statistics import median
+
     rels = [
         (max(runs) - min(runs)) / min(runs)
         for runs in samples.values()
         if min(runs) > 0
     ]
-    return _median(rels) if rels else 0.0
+    return median(rels) if rels else 0.0
 
 
 def main() -> None:
@@ -167,7 +165,9 @@ def main() -> None:
         )
 
     timings = {n: round(min(runs), 4) for n, runs in samples.items()}
-    medians = {n: round(_median(runs), 4) for n, runs in samples.items()}
+    from statistics import median
+
+    medians = {n: round(median(runs), 4) for n, runs in samples.items()}
     spreads = {
         n: round(max(runs) - min(runs), 4) for n, runs in samples.items()
     }

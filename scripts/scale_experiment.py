@@ -26,9 +26,22 @@ vec_id<16 IVF codebook, which live in copy 0 with their original ids
 random background band: a Kx corpus has K times the vectors at
 constant neighborhood density, never K-way duplicate vectors.
 
+Events construction (round 5): the same fan-out with
+user_id/event_id stride shifts — K times the users over the same time
+range at constant per-user event density, every copy's per-user
+sequences (ts order, tie-breaks) bit-identical to sf0.1 — the
+"more data" shape for per-user windows (SCD-2, CDC top-1, funnel,
+pattern), the attribution interval join, and cohort triangles.
+
+Facts construction (round 4): Kx orders+lineitem with shifted
+orderkeys and UNCHANGED 1x dims — the real-scale join shape.
+
 Usage: python scripts/scale_experiment.py [factors...]  (default 10 100)
-Writes /tmp/spark_graft_scale/scale<K>/{documents,embeddings}.parquet
-once (reused if present) and prints per-query best-of-2 warm timings.
+Families: docs, emb, facts, events run by default; restrict with
+--only=fam[,fam] (neardup is opt-in — it needs an SRP-planes env
+sweep, see NEARDUP_QUERIES). Fanned tables are written once under
+/tmp/spark_graft_scale/ (reused if present); prints per-query
+best-of-2 warm timings.
 """
 
 from __future__ import annotations
@@ -271,7 +284,7 @@ def main() -> None:
     families = (
         {p for f in only for p in f.split("=", 1)[1].split(",")}
         if only
-        else {"docs", "emb", "facts"}
+        else {"docs", "emb", "facts", "events"}
     )
     spark = get_spark(app_name="scale_experiment")
     spark.sparkContext.setLogLevel("ERROR")

@@ -124,10 +124,14 @@ class TargetConfig:
             block_size_limit=raw.get("hdfs_block_size_limit"),
             skip_existing_files=bool(raw.get("skip_existing_files", False)),
             compression=raw.get("compression_method", "gzip"),
-            partition_cols=tuple(
-                c.strip()
-                for c in str(raw.get("partition_cols", "") or "").split(",")
-                if c.strip()
+            partition_cols=(
+                tuple(str(c) for c in raw["partition_cols"])
+                if isinstance(raw.get("partition_cols"), (list, tuple))
+                else tuple(
+                    c.strip()
+                    for c in str(raw.get("partition_cols", "") or "").split(",")
+                    if c.strip()
+                )
             ),
             extra_fields=extra_fields,
             extra_fields_types=extra_types,
@@ -195,12 +199,34 @@ def parse_dotenv(path: str) -> dict[str, str]:
     return out
 
 
-def _coerce_env_value(raw: str):
-    """Env values are strings; settings are typed. JSON-decode when the
-    text is valid JSON (true/false/ints/null/objects), else keep the
-    raw string — same effective behavior as the SDK's env parsing."""
+# settings whose env value should be JSON-decoded into its type
+# (booleans, ints, dicts, lists). String-typed settings are
+# deliberately NOT decoded: a destination path like "2024" must stay
+# the string "2024", not become an int.
+_TYPED_ENV_SETTINGS = frozenset(
+    {
+        "skip_existing_files",
+        "add_record_metadata",
+        "max_batch_size",
+        "flattening_max_depth",
+        "target_file_bytes",
+        "hdfs_block_size_limit",
+        "stream_maps",
+        "extra_fields",
+        "extra_fields_types",
+        "partition_cols",
+    }
+)
+
+
+def _coerce_env_value(setting: str, raw: str):
+    """Env values are strings; typed settings JSON-decode when the
+    text is valid JSON (true/false/ints/dicts/lists), else keep the
+    raw string (so 'k1=v1,k2=v2' and '100M' pass through verbatim)."""
     import json as _json
 
+    if setting not in _TYPED_ENV_SETTINGS:
+        return raw
     try:
         return _json.loads(raw)
     except ValueError:
@@ -210,15 +236,25 @@ def _coerce_env_value(raw: str):
 def config_from_env(dotenv_path: str = ".env") -> TargetConfig:
     """Build a TargetConfig from `TARGET_HDFS_SPARK_<SETTING>` (or the
     reference-compatible `TARGET_HDFS_<SETTING>`) environment
-    variables, merged over the working directory's `.env` file."""
+    variables, merged over the working directory's `.env` file.
+    Terminal-context variables beat the `.env` file; when both
+    prefixes name the same setting, the package-specific
+    `TARGET_HDFS_SPARK_` one wins deterministically."""
     import os
 
     merged = parse_dotenv(dotenv_path)
     merged.update(os.environ)
     raw: dict = {}
-    for key, value in merged.items():
-        for prefix in ENV_PREFIXES:
-            if key.startswith(prefix):
-                raw[key[len(prefix):].lower()] = _coerce_env_value(value)
-                break
+    # generic prefix first, specific prefix second: later assignment
+    # wins, so TARGET_HDFS_SPARK_X deterministically beats TARGET_HDFS_X
+    for prefix in sorted(ENV_PREFIXES, key=len):
+        for key, value in merged.items():
+            if not key.startswith(prefix):
+                continue
+            setting = key[len(prefix):].lower()
+            # a TARGET_HDFS_SPARK_ key also matches the generic prefix
+            # as "spark_<x>" — skip that bogus alias
+            if prefix == "TARGET_HDFS_" and setting.startswith("spark_"):
+                continue
+            raw[setting] = _coerce_env_value(setting, value)
     return TargetConfig.from_dict(raw)

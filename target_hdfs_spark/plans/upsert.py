@@ -77,10 +77,17 @@ def _write_upsert_manifest(
     is recoverable by roll-forward (:func:`_recover_pending_deletes`);
     the old scheme (deletes-only manifest written after the swaps)
     left a window between the last swap and the manifest write where
-    moved-key stale copies survived permanently."""
+    moved-key stale copies survived permanently.
+
+    The ``#end`` terminator makes the manifest itself crash-safe: a
+    write torn mid-flush leaves a file WITHOUT the terminator, and
+    recovery treats that as "commit never started" (correct — the
+    manifest completes before any swap runs) instead of rolling a
+    partial plan forward."""
     lines = ["#upsert-manifest-v2"]
     lines += [f"S {n}" for n in written]
     lines += [f"D {n}" for n in to_delete]
+    lines.append("#end")
     out = fs.create(_pending_deletes_path(jvm, path), True)
     try:
         out.write(bytearray("\n".join(lines).encode("utf-8")))
@@ -120,6 +127,15 @@ def _recover_pending_deletes(fs, jvm, path: str) -> None:
     tmp = _upsert_tmp_path(path)
     tmp_jpath = jvm.org.apache.hadoop.fs.Path(tmp)
     if lines and lines[0] == "#upsert-manifest-v2":
+        if not lines or lines[-1] != "#end":
+            # torn manifest write: the plan is incomplete, but the
+            # manifest is written BEFORE any swap, so nothing has
+            # touched the live dataset — discard the aborted commit
+            # (the caller's at-least-once retry re-runs the upsert)
+            fs.delete(man, False)
+            if fs.exists(tmp_jpath):
+                fs.delete(tmp_jpath, True)
+            return
         swaps = [ln[2:] for ln in lines[1:] if ln.startswith("S ")]
         deletes = [ln[2:] for ln in lines[1:] if ln.startswith("D ")]
         for name in swaps:

@@ -111,8 +111,13 @@ PATTERN_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# state: the last len(PATTERN)-1 event types, as a '|'-joined string
-# (GroupState schemas are flat; two small strings beat an array column)
+# state: the last len(PATTERN)-1 event types joined with the ASCII
+# unit separator (GroupState schemas are flat; one small string beats
+# an array column). \x1f cannot appear in a sane event_type; a '|' or
+# comma delimiter could, and a type containing the delimiter would
+# re-split into multiple fake events on the next batch — fabricating
+# matches the batch twin would never emit.
+_SUFFIX_SEP = "\x1f"
 PATTERN_STATE_SCHEMA = T.StructType(
     [T.StructField("suffix", T.StringType())]
 )
@@ -122,7 +127,7 @@ def _match_group(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     suffix: list[str] = (
-        state.get[0].split("|") if state.exists and state.get[0] else []
+        state.get[0].split(_SUFFIX_SEP) if state.exists and state.get[0] else []
     )
     keep = len(PATTERN) - 1
     out: list[tuple] = []
@@ -133,7 +138,7 @@ def _match_group(
             if tuple(window[-len(PATTERN):]) == PATTERN:
                 out.append((key[0], int(event_id)))
             suffix = list(window[-keep:])
-    state.update(("|".join(suffix),))
+    state.update((_SUFFIX_SEP.join(suffix),))
     yield pd.DataFrame(out, columns=[f.name for f in PATTERN_OUTPUT_SCHEMA.fields])
 
 
@@ -191,7 +196,7 @@ def _multi_match_group(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     suffix: list[str] = (
-        state.get[0].split("|") if state.exists and state.get[0] else []
+        state.get[0].split(_SUFFIX_SEP) if state.exists and state.get[0] else []
     )
     keep = max(len(p) for p in MULTI_PATTERNS.values()) - 1
     out: list[tuple] = []
@@ -203,7 +208,7 @@ def _multi_match_group(
                 if tuple(window[-len(pat):]) == pat:
                     out.append((key[0], name, int(event_id)))
             suffix = list(window[-keep:])
-    state.update(("|".join(suffix),))
+    state.update((_SUFFIX_SEP.join(suffix),))
     yield pd.DataFrame(out, columns=[f.name for f in MULTI_OUTPUT_SCHEMA.fields])
 
 

@@ -102,3 +102,33 @@ def test_cli_version_flag(capsys):
         main(["--version"])
     assert exc.value.code == 0
     assert __version__ in capsys.readouterr().out
+
+
+def test_config_env_typed_decoding_is_per_setting(monkeypatch):
+    """JSON decoding applies only to typed settings: a JSON-list
+    partition_cols arrives as a real tuple, while a numeric-looking
+    destination path stays a string."""
+    from target_hdfs_spark.config import config_from_env
+
+    monkeypatch.setenv("TARGET_HDFS_SPARK_HDFS_DESTINATION_PATH", "2024")
+    monkeypatch.setenv("TARGET_HDFS_SPARK_PARTITION_COLS", '["year", "month"]')
+    cfg = config_from_env(dotenv_path="/nonexistent/.env")
+    assert cfg.destination_path == "2024"  # string, not int
+    assert cfg.partition_cols == ("year", "month")
+    # comma format still works too
+    monkeypatch.setenv("TARGET_HDFS_SPARK_PARTITION_COLS", "year,month")
+    assert config_from_env(
+        dotenv_path="/nonexistent/.env"
+    ).partition_cols == ("year", "month")
+
+
+def test_config_env_specific_prefix_wins(monkeypatch):
+    """TARGET_HDFS_SPARK_<X> deterministically beats TARGET_HDFS_<X>
+    regardless of environment iteration order."""
+    from target_hdfs_spark.config import config_from_env
+
+    monkeypatch.setenv("TARGET_HDFS_SPARK_HDFS_DESTINATION_PATH", "/d")
+    monkeypatch.setenv("TARGET_HDFS_COMPRESSION_METHOD", "zstd")
+    monkeypatch.setenv("TARGET_HDFS_SPARK_COMPRESSION_METHOD", "snappy")
+    cfg = config_from_env(dotenv_path="/nonexistent/.env")
+    assert cfg.compression == "snappy"

@@ -374,7 +374,7 @@ def test_v2_manifest_rolls_swaps_forward_before_deleting(spark, tmp_path):
         [(1, "a", 9.0), (2, "a", 2.0)], "k long, day string, v double"
     ).write.partitionBy("day").parquet(str(tmp))
     (path / "__upsert_pending_deletes").write_text(
-        "#upsert-manifest-v2\nS day=a\nD day=b"
+        "#upsert-manifest-v2\nS day=a\nD day=b\n#end"
     )
     recover_dataset(spark, str(path))
     got = {r.k: (r.day, r.v) for r in spark.read.parquet(str(path)).collect()}
@@ -401,7 +401,7 @@ def test_v2_manifest_recovery_after_partial_swap(spark, tmp_path):
     # simulate _swap_dirs crashing between its two renames
     (path / "day=a").rename(path / "day=a__old")
     (path / "__upsert_pending_deletes").write_text(
-        "#upsert-manifest-v2\nS day=a\nD day=b"
+        "#upsert-manifest-v2\nS day=a\nD day=b\n#end"
     )
     recover_dataset(spark, str(path))
     got = {r.k: (r.day, r.v) for r in spark.read.parquet(str(path)).collect()}
@@ -422,7 +422,7 @@ def test_v2_manifest_recovery_after_all_swaps(spark, tmp_path):
     ).write.partitionBy("day").parquet(str(path))
     (tmp_path / "t__upsert_tmp").mkdir()  # drained tmp left behind
     (path / "__upsert_pending_deletes").write_text(
-        "#upsert-manifest-v2\nS day=a\nD day=b"
+        "#upsert-manifest-v2\nS day=a\nD day=b\n#end"
     )
     recover_dataset(spark, str(path))
     got = {r.k: (r.day, r.v) for r in spark.read.parquet(str(path)).collect()}
@@ -444,7 +444,7 @@ def test_soft_delete_heals_pending_manifest_first(spark, tmp_path):
     ).write.partitionBy("part").parquet(str(path))
     # crashed upsert had already committed its swaps; part=y is the
     # stale moved-key copy awaiting deletion
-    (path / "__upsert_pending_deletes").write_text("#upsert-manifest-v2\nD part=y")
+    (path / "__upsert_pending_deletes").write_text("#upsert-manifest-v2\nD part=y\n#end")
     n = soft_delete_older_versions(
         spark, str(path), active_version=2, partition_cols=("part",)
     )
@@ -453,3 +453,30 @@ def test_soft_delete_heals_pending_manifest_first(spark, tmp_path):
     assert len(rows) == 1 and rows[0].part == "x"
     assert rows[0]._sdc_deleted_at is not None
     assert not (path / "__upsert_pending_deletes").exists()
+
+
+def test_v2_manifest_torn_write_aborts_commit(spark, tmp_path):
+    """A manifest missing the #end terminator is a TORN write: the
+    plan completed before any swap ran, so recovery must discard the
+    aborted commit (manifest + tmp) and leave the dataset untouched —
+    rolling a partial plan forward could apply half the swaps and then
+    delete the tmp holding the other half."""
+    from target_hdfs_spark.plans.upsert import recover_dataset
+
+    path = tmp_path / "t"
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, day string, v double"
+    ).write.partitionBy("day").parquet(str(path))
+    tmp = tmp_path / "t__upsert_tmp"
+    spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 2.0)], "k long, day string, v double"
+    ).write.partitionBy("day").parquet(str(tmp))
+    # torn: the 'D day=b' line (and terminator) never hit disk
+    (path / "__upsert_pending_deletes").write_text(
+        "#upsert-manifest-v2\nS day=a"
+    )
+    recover_dataset(spark, str(path))
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(str(path)).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b", 2.0)}  # pre-upsert state intact
+    assert not (path / "__upsert_pending_deletes").exists()
+    assert not tmp.exists()
