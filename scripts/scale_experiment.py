@@ -120,6 +120,16 @@ EVENT_QUERIES = (
     "q148_event_pattern",
 )
 DOC_EXTRA_QUERIES = ("q141_snapshot_diff",)
+# multimodal content roundtrips (round 5): derive clips from doc_id
+# only, so the docs fan-out gives Kx clips directly; all map-only
+# mapInPandas passes — the sweep measures the per-core decode constant
+MM_QUERIES = (
+    "q62_frame_sampling",
+    "q64_audio_features",
+    "q147_image_dhash_dedup",
+    "q152_audio_pcm_features",
+    "q153_video_container_index",
+)
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 ID_STRIDE = 10_000_000
 
@@ -284,7 +294,7 @@ def main() -> None:
     families = (
         {p for f in only for p in f.split("=", 1)[1].split(",")}
         if only
-        else {"docs", "emb", "facts", "events"}
+        else {"docs", "emb", "facts", "events", "mm"}
     )
     spark = get_spark(app_name="scale_experiment")
     spark.sparkContext.setLogLevel("ERROR")
@@ -305,6 +315,9 @@ def main() -> None:
         if "facts" in families:
             sf_dir = SRC if factor == 1 else build_facts(spark, factor)
             _sweep(spark, specs, FACT_QUERIES, factor, sf_dir)
+        if "mm" in families:
+            sf_dir = SRC if factor == 1 else build(spark, factor)
+            _sweep(spark, specs, MM_QUERIES, factor, sf_dir)
         if "events" in families:
             sf_dir = SRC if factor == 1 else build_events(spark, factor)
             _sweep(spark, specs, EVENT_QUERIES, factor, sf_dir)

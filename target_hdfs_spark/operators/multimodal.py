@@ -658,15 +658,17 @@ def dhash64(pixels: list[list[int]]) -> int:
 
 def _group_pixels(g: int) -> list[list[int]]:
     """Deterministic synthetic image for content group g (distinct
-    dHash per group for g < _IMG_GROUPS — pinned by test)."""
-    return [
-        [
-            (g * 2654435761 + x * ((g % 7) + 2) + y * ((g % 11) + 3) + x * y * (g + 1))
-            % 256
-            for x in range(_IMG_W)
-        ]
-        for y in range(_IMG_H)
-    ]
+    dHash per group for g < _IMG_GROUPS — pinned by test). Built with
+    numpy broadcasting (identical integers to the scalar formula; all
+    terms fit int64 comfortably)."""
+    import numpy as np
+
+    x = np.arange(_IMG_W, dtype=np.int64)
+    y = np.arange(_IMG_H, dtype=np.int64).reshape(-1, 1)
+    m = (
+        g * 2654435761 + x * ((g % 7) + 2) + y * ((g % 11) + 3) + x * y * (g + 1)
+    ) % 256
+    return m.tolist()
 
 
 @query(
@@ -738,25 +740,38 @@ def _pcm_sample(doc_id: int, i: int) -> int:
 
 
 def encode_pcm_wav(doc_id: int) -> bytes:
-    """COMPLETE valid 16-bit mono PCM WAV for the doc's clip."""
-    payload = b"".join(
-        _pcm_sample(doc_id, i).to_bytes(2, "little", signed=True)
-        for i in range(_PCM_N)
-    )
-    return encode_wav(1, _PCM_RATE, 16, payload)
+    """COMPLETE valid 16-bit mono PCM WAV for the doc's clip. The
+    sample vector is built with numpy (bit-identical bytes to the
+    per-sample _pcm_sample formula — pinned by test) so encoding stays
+    vectorized inside the Arrow-batched decode/feature passes."""
+    import numpy as np
+
+    i = np.arange(_PCM_N, dtype=np.int64)
+    v = (doc_id * 31 + i * 17) % 2048 - 1024
+    return encode_wav(1, _PCM_RATE, 16, v.astype("<i2").tobytes())
 
 
 def decode_pcm_samples(blob: bytes) -> list[int]:
     """Real PCM decoder for the supported profile: header parse via
     decode_audio_meta, then little-endian int16 frames."""
+    return [int(v) for v in decode_pcm_array(blob)]
+
+
+def decode_pcm_array(blob: bytes):
+    """Vectorized PCM decode: header parse via decode_audio_meta, then
+    one zero-copy np.frombuffer view of the little-endian int16
+    frames, widened to int64 so downstream Σv² can't overflow. This is
+    the hot-path form (q152/q64 feature extraction runs entirely on
+    the returned array); decode_pcm_samples wraps it for list
+    consumers."""
+    import numpy as np
+
     n_ch, rate, bits, n_bytes, fmt = decode_audio_meta(blob)
     if fmt != "wav" or bits != 16 or n_ch != 1:
         raise ValueError(f"unsupported audio profile: {fmt}/{bits}/{n_ch}")
     data = bytes(blob)[WAV_HEADER_LEN + WAV_DATA_PREFIX_LEN :]
-    return [
-        int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
-        for i in range(len(data) // 2)
-    ]
+    n = len(data) // 2
+    return np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
 
 
 @query(
@@ -803,18 +818,16 @@ def q152_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def roundtrip_features(batches):
+        import numpy as np
+
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
-                samples = decode_pcm_samples(encode_pcm_wav(int(doc_id)))
-                energy = sum(v * v for v in samples)
-                peak = max(abs(v) for v in samples)
-                zc = sum(
-                    1
-                    for a, b in zip(samples, samples[1:])
-                    if (a >= 0) != (b >= 0)
-                )
-                out.append((int(doc_id), len(samples), energy, peak, zc))
+                v = decode_pcm_array(encode_pcm_wav(int(doc_id)))
+                energy = int((v * v).sum())
+                peak = int(np.abs(v).max())
+                zc = int(((v[1:] >= 0) != (v[:-1] >= 0)).sum())
+                out.append((int(doc_id), len(v), energy, peak, zc))
             yield pd.DataFrame(
                 out,
                 columns=["doc_id", "n_samples", "energy", "peak", "zero_crossings"],
@@ -1083,19 +1096,24 @@ def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def windowed_features(batches):
+        import numpy as np
+
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
-                samples = decode_pcm_samples(encode_pcm_wav(int(doc_id)))
-                n_win = len(samples) // _AUDIO_WIN
-                energies = []
-                peaks = []
-                for widx in range(n_win):
-                    win = samples[widx * _AUDIO_WIN : (widx + 1) * _AUDIO_WIN]
-                    energies.append(sum(v * v for v in win))
-                    peaks.append(max(abs(v) for v in win))
+                v = decode_pcm_array(encode_pcm_wav(int(doc_id)))
+                n_win = len(v) // _AUDIO_WIN
+                w = v[: n_win * _AUDIO_WIN].reshape(n_win, _AUDIO_WIN)
+                energies = (w * w).sum(axis=1)
+                peaks = np.abs(w).max(axis=1)
                 out.append(
-                    (int(doc_id), n_win, sum(energies), max(energies), max(peaks))
+                    (
+                        int(doc_id),
+                        n_win,
+                        int(energies.sum()),
+                        int(energies.max()),
+                        int(peaks.max()),
+                    )
                 )
             yield pd.DataFrame(
                 out,
