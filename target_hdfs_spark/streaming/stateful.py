@@ -323,3 +323,79 @@ def funnel_stage_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 interval builder (stateful twin of q105_scd2_intervals)
+# ---------------------------------------------------------------------------
+
+SCD2_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("valid_to_us", T.LongType()),
+    ]
+)
+
+# the one OPEN interval per key: its type, the change row's value,
+# and its start stamp (epoch micros; -1 means no interval open yet)
+SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_type", T.StringType()),
+        T.StructField("open_value", T.DoubleType()),
+        T.StructField("open_from_us", T.LongType()),
+    ]
+)
+
+
+def _scd2_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    open_type, open_value, open_from = (
+        state.get if state.exists else (None, None, -1)
+    )
+    out: list[tuple] = []
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    for pdf in (whole.sort_values(["ts", "event_id"]),):
+        ts_us_col = pdf["ts"].astype("int64") // 1000
+        for ts_us, etype, value in zip(
+            ts_us_col, pdf["event_type"], pdf["value"]
+        ):
+            if open_from != -1 and etype == open_type:
+                continue  # same type: interval stays open
+            if open_from != -1:
+                # type changed: the open interval CLOSES at this event
+                out.append(
+                    (key[0], open_type, float(open_value), int(open_from), int(ts_us))
+                )
+            open_type, open_value, open_from = str(etype), float(value), int(ts_us)
+    state.update((open_type, open_value, open_from))
+    yield pd.DataFrame(out, columns=[f.name for f in SCD2_OUTPUT_SCHEMA.fields])
+
+
+def scd2_interval_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD-2 (type 2 slowly-changing-dimension) builder:
+    consecutive same-type events per user collapse into one validity
+    interval; each type CHANGE closes the open interval and emits it
+    with [valid_from, valid_to) stamps — q105_scd2_intervals'
+    closed rows, incrementally. The one OPEN (is_current) interval per
+    key lives in the state store rather than the sink (append mode
+    cannot retract it; q105's open row is exactly this state), so a
+    dashboard unions the sink with the state-backed current snapshot.
+
+    Intervals straddling micro-batch boundaries close correctly — the
+    open interval's (type, value, start) crosses in state. State is
+    ~32 bytes + type string per key.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type, value).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _scd2_group,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

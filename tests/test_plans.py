@@ -386,3 +386,35 @@ def test_q157_source_cap_is_window_group_limit(spark):
     cap x |sources| rows — never a full-corpus sort."""
     plan = plan_of(spark, "q157_diversified_topk")
     assert "WindowGroupLimit" in plan
+
+
+def test_q161_multi_pattern_single_alignment_pass(spark):
+    """Multi-pattern matching: ONE user_id window Exchange builds the
+    shared lookahead alignment; every pattern branch reads the
+    checkpointed frame (Scan ExistingRDD) map-side — adding a pattern
+    must not add an Exchange or recompute the window."""
+    plan = plan_of(spark, "q161_multi_pattern_match")
+    assert "Scan ExistingRDD" in plan  # checkpointed alignment frame
+    assert "Exchange hashpartitioning" not in plan  # window paid pre-checkpoint
+    assert "CartesianProduct" not in plan
+
+
+def test_q62_q64_q152_q153_are_shuffle_free_map_passes(spark):
+    """The multimodal content roundtrips are map-only mapInPandas
+    passes until their final (tiny) aggregation: the clip bytes never
+    shuffle — only int64 feature rows do."""
+    for name in (
+        "q64_audio_features",
+        "q152_audio_pcm_features",
+        "q153_video_container_index",
+    ):
+        plan = plan_of(spark, name)
+        # one repartition of the doc_id driver column; no range sort
+        assert "Exchange rangepartitioning" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # q62 adds the per-doc aggregation of sampled-frame rows: the
+    # groupBy exchange carries int64s, and partial aggregation
+    # (map-side combine) must precede it
+    plan = plan_of(spark, "q62_frame_sampling")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -509,3 +509,135 @@ def test_funnel_stream_equals_batch_q138(spark, tmp_path, seed):
     assert n_purchase == p.count()
     assert total_us == (exp_total or 0)
     assert n_purchase > 0, "corpus produced no conversions — generator broken"
+
+
+# ---------------------------------------------------------------------------
+# Round-5: SCD-2 interval builder (q105 twin)
+# ---------------------------------------------------------------------------
+
+SCD2_SCHEMA = {
+    "properties": {
+        "user_id": {"type": "integer"},
+        "event_id": {"type": "integer"},
+        "ts": {"type": "string", "format": "date-time"},
+        "event_type": {"type": "string"},
+        "value": {"type": "number"},
+    }
+}
+
+
+def _run_scd2(spark, src, name):
+    from target_hdfs_spark.streaming.stateful import scd2_interval_stream
+
+    schema = jsonschema_to_spark(SCD2_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        scd2_interval_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.user_id, r.event_type, r.value, r.valid_from_us, r.valid_to_us)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+
+def test_scd2_interval_straddles_batches(spark, tmp_path):
+    """An interval opened in batch 1 closes on batch 2's type change;
+    same-type repeats never close it."""
+    src = tmp_path / "ssrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view", "value": 1.0},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:02Z", "event_type": "view", "value": 7.0},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:05Z", "event_type": "click", "value": 2.0},
+        ],
+    )
+    got = _run_scd2(spark, src, "scd2_straddle")
+    t0 = 1_786_615_200_000_000  # 2026-08-13T10:00:00Z epoch micros
+    assert got == {(1, "view", 1.0, t0, t0 + 5_000_000)}
+
+
+@pytest.mark.parametrize("seed", [9, 29])
+def test_scd2_stream_equals_batch_q105_closed_rows(spark, tmp_path, seed):
+    """The streamed closed intervals must equal q105's formulation's
+    non-current rows over the same two-batch log (the open interval is
+    state, not sink — q105's valid_to-IS-NULL row)."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        {
+            "user_id": 1 + (i % 5),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+            "value": float(i),
+        }
+        for i in range(100)
+    ]
+    src = tmp_path / "ssrc2"
+    _write(src / "a.jsonl", rows[:50])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[50:])
+    got = _run_scd2(spark, src, f"scd2_parity_{seed}")
+
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+                r["value"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string, v double",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        df.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    closed = (
+        changes.select(
+            "user_id",
+            "event_type",
+            "v",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        )
+        .where(F.col("valid_to_us").isNotNull())
+    )
+    expected = {
+        (r.user_id, r.event_type, r.v, r.valid_from_us, r.valid_to_us)
+        for r in closed.collect()
+    }
+    assert got == expected
+    assert expected, "corpus produced no closed intervals — generator broken"
