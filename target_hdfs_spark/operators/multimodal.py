@@ -550,34 +550,38 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     return len(data).to_bytes(4, "big") + tag + data + crc.to_bytes(4, "big")
 
 
-def encode_png_full(pixels: list[list[int]]) -> bytes:
+def encode_png_full(pixels) -> bytes:
     """COMPLETE valid 8-bit RGB PNG (IHDR + one zlib IDAT + IEND) from
-    a grayscale matrix (r = g = b). Rows cycle through filter types
-    0/1/2 (None/Sub/Up) so the decoder's unfilter path is genuinely
-    exercised, not just pass-through."""
+    a grayscale matrix (r = g = b; list-of-lists or ndarray). Rows
+    cycle through filter types 0/1/2 (None/Sub/Up) so the decoder's
+    unfilter path is genuinely exercised, not just pass-through.
+    Scanline filtering is vectorized — wrapping uint8 subtraction is
+    exactly the sequential loop's `& 0xFF` arithmetic."""
     import zlib
 
-    h = len(pixels)
-    w = len(pixels[0])
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    h, w = px.shape
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + bytes([8, 2, 0, 0, 0])
     )
+    rgb = np.repeat(px.astype(np.uint8), 3, axis=1)  # r = g = b
     raw = bytearray()
-    prev = bytes(3 * w)
-    for y, row in enumerate(pixels):
-        scan = bytes(v for v in row for _ in range(3))
+    prev = np.zeros(3 * w, dtype=np.uint8)
+    for y in range(h):
+        scan = rgb[y]
         ftype = y % 3
         raw.append(ftype)
         if ftype == 0:  # None
-            raw += scan
+            out = scan
         elif ftype == 1:  # Sub
-            out = bytearray(scan)
-            for i in range(3, len(out)):
-                out[i] = (scan[i] - scan[i - 3]) & 0xFF
-            raw += out
+            out = scan.copy()
+            out[3:] = scan[3:] - scan[:-3]
         else:  # Up
-            raw += bytes((scan[i] - prev[i]) & 0xFF for i in range(len(scan)))
+            out = scan - prev
+        raw += out.tobytes()
         prev = scan
     return (
         PNG_SIG
@@ -591,8 +595,21 @@ def decode_png_pixels(blob: bytes) -> list[list[int]]:
     """Real PNG pixel decoder for the engine's supported profile
     (8-bit RGB, filters 0-2): chunk walk -> IDAT inflate -> per-row
     unfilter -> luminance matrix (r channel; encoder writes r=g=b).
-    Raises ValueError on malformed input."""
+    Raises ValueError on malformed input. List-of-lists view of
+    :func:`decode_png_array` (the vectorized hot path)."""
+    return decode_png_array(blob).tolist()
+
+
+def decode_png_array(blob: bytes):
+    """Vectorized form of the PNG decoder: returns the h x w luminance
+    matrix as an int64 ndarray. The per-row unfilter is numpy — Up is
+    a wrapping uint8 add against the previous scanline; Sub's
+    recurrence out[i] = scan[i] + out[i-3] is a cumulative sum over
+    each byte-position residue class mod 3 (identical arithmetic to
+    the sequential loop, since mod-256 distributes over the sum)."""
     import zlib
+
+    import numpy as np
 
     if blob[:8] != PNG_SIG:
         raise ValueError("not a PNG")
@@ -615,42 +632,42 @@ def decode_png_pixels(blob: bytes) -> list[list[int]]:
         raise ValueError("truncated PNG")
     raw = zlib.decompress(idat)
     stride = 3 * w
-    rows: list[list[int]] = []
-    prev = bytes(stride)
+    out = np.empty((h, w), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         base = y * (stride + 1)
         ftype = raw[base]
-        scan = bytearray(raw[base + 1 : base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(3, stride):
-                scan[i] = (scan[i] + scan[i - 3]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                scan[i] = (scan[i] + prev[i]) & 0xFF
+        scan = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1)
+        if ftype == 1:  # Sub: per-residue-class cumulative sum mod 256
+            acc = scan.astype(np.int64)
+            for c in range(3):
+                acc[c::3] = np.cumsum(acc[c::3])
+            scan = (acc % 256).astype(np.uint8)
+        elif ftype == 2:  # Up: wrapping uint8 add
+            scan = scan + prev
         elif ftype != 0:
             raise ValueError(f"unsupported filter {ftype}")
-        prev = bytes(scan)
-        rows.append([scan[3 * x] for x in range(w)])
-    return rows
+        prev = scan
+        out[y] = scan[0::3]
+    return out
 
 
-def dhash64(pixels: list[list[int]]) -> int:
+def dhash64(pixels) -> int:
     """64-bit difference hash: block-sample to a 9x8 grid, emit 1 when
     the right neighbor is brighter — the standard perceptual near-dup
     signature for images (gradient direction is robust to uniform
-    brightness/contrast shifts)."""
-    w = len(pixels[0])
-    grid = []
-    for y in range(8):
-        row = []
-        for x in range(9):
-            x0 = (x * (w - 1)) // 8
-            row.append((pixels[2 * y][x0] + pixels[2 * y + 1][x0]) // 2)
-        grid.append(row)
-    h = 0
-    for y in range(8):
-        for x in range(8):
-            h = (h << 1) | (1 if grid[y][x + 1] > grid[y][x] else 0)
+    brightness/contrast shifts). Accepts a list-of-lists or ndarray;
+    sampling, comparison and bit packing are vectorized (np.packbits
+    packs MSB-first, matching the original shift-left loop order)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    w = px.shape[1]
+    x0 = (np.arange(9) * (w - 1)) // 8
+    ys = 2 * np.arange(8)
+    grid = (px[ys][:, x0] + px[ys + 1][:, x0]) // 2
+    bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+    h = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # two's-complement into signed int64: BIGINT columns can't carry
     # uint64, and the hash is an opaque identifier either way
     return h - (1 << 64) if h >= (1 << 63) else h
@@ -710,7 +727,7 @@ def q147_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hashes = []
             for doc_id in pdf["doc_id"]:
                 blob = encode_png_full(_group_pixels(int(doc_id) % _IMG_GROUPS))
-                hashes.append(dhash64(decode_png_pixels(blob)))
+                hashes.append(dhash64(decode_png_array(blob)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
 
     hashed = docs.mapInPandas(encode_decode_hash, "doc_id long, phash long")
