@@ -641,3 +641,91 @@ def test_scd2_stream_equals_batch_q105_closed_rows(spark, tmp_path, seed):
     }
     assert got == expected
     assert expected, "corpus produced no closed intervals — generator broken"
+
+
+# ---------------------------------------------------------------------------
+# Round-5: checkpoint-restart + RocksDB coverage for the new operators
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_state_survives_query_restart(spark, tmp_path):
+    """Kill-resume: the open interval crosses a full query RESTART
+    (state restored from the checkpoint, not just a batch boundary) —
+    the second run closes the interval opened before the stop."""
+    from target_hdfs_spark.streaming.stateful import scd2_interval_stream
+
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    schema = jsonschema_to_spark(SCD2_SCHEMA)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            scd2_interval_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view", "value": 1.0}],
+    )
+    run_once()  # interval opens; nothing closed yet
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:05Z", "event_type": "click", "value": 2.0},
+            {"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:09Z", "event_type": "purchase", "value": 3.0},
+        ],
+    )
+    run_once()  # restarted query must close [view) then [click)
+    rows = {
+        (r.event_type, r.valid_from_us, r.valid_to_us)
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    t0 = 1_786_615_200_000_000
+    assert rows == {
+        ("view", t0, t0 + 5_000_000),
+        ("click", t0 + 5_000_000, t0 + 9_000_000),
+    }
+
+
+def test_funnel_and_multi_pattern_on_rocksdb(spark, tmp_path):
+    """The new stateful operators must behave identically on the
+    RocksDB provider (production backend for large keyed state)."""
+    src = tmp_path / "rsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "click"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:04Z", "event_type": "purchase"}],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        mp = _run_multi_pattern(spark, src, "mp_rocksdb")
+        fu = {
+            (r.stage, r.since_view_us)
+            for r in _run_funnel(spark, tmp_path / "rsrc", "fun_rocksdb")
+        }
+    finally:
+        spark.conf.set(key, prev)
+    assert mp == {(1, "view_click_purchase", 3)}
+    assert fu == {("view", None), ("click", None), ("purchase", 4_000_000)}
