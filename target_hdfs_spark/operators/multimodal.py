@@ -563,6 +563,10 @@ def encode_png_full(pixels) -> bytes:
 
     px = np.asarray(pixels, dtype=np.int64)
     h, w = px.shape
+    if px.min() < 0 or px.max() > 255:
+        # the old bytes() path raised on out-of-range values; a silent
+        # uint8 wrap would round-trip to wrong pixels with no error
+        raise ValueError("pixel values must be in 0..255")
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + bytes([8, 2, 0, 0, 0])

@@ -358,6 +358,13 @@ def _scd2_group(
     )
     out: list[tuple] = []
     whole = pd.concat(list(pdfs), ignore_index=True)
+    # Null event_type rows are SKIPPED, documented divergence from the
+    # batch twin: q105's SQL pushes a mid-stream NULL through lag()
+    # three-valued logic (the NULL row opens nothing but breaks the
+    # chain for its successor) — an artifact, not a semantic anyone
+    # wants; str(None) coercion would be worse (a "None" string type
+    # that merges with genuine NULLs). Filter or impute upstream.
+    whole = whole[whole["event_type"].notna()]
     for pdf in (whole.sort_values(["ts", "event_id"]),):
         ts_us_col = pdf["ts"].astype("int64") // 1000
         for ts_us, etype, value in zip(

@@ -327,3 +327,14 @@ def test_avi_decoder_rejects_malformed():
     blob = encode_avi(9)
     with _pytest.raises(ValueError):
         decode_avi_index(blob[: len(blob) - 5])  # truncated inside frame
+
+
+def test_encode_png_full_rejects_out_of_range_pixels():
+    import pytest as _pytest
+
+    from target_hdfs_spark.operators.multimodal import encode_png_full
+
+    with _pytest.raises(ValueError, match="0..255"):
+        encode_png_full([[0, 256], [1, 2]])
+    with _pytest.raises(ValueError, match="0..255"):
+        encode_png_full([[-1, 0], [1, 2]])

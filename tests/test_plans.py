@@ -416,5 +416,14 @@ def test_q62_q64_q152_q153_are_shuffle_free_map_passes(spark):
     # groupBy exchange carries int64s, and partial aggregation
     # (map-side combine) must precede it
     plan = plan_of(spark, "q62_frame_sampling")
-    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "partial_count" in plan  # map-side combine, pinned directly
     assert "Exchange rangepartitioning" not in plan
+    # q147 ends in a tiny ordered readout (range sort allowed on the
+    # 50-row aggregate), but the clip pass itself must stay a single
+    # hash exchange of (doc_id, 8-byte hash) with map-side combine
+    plan = plan_of(spark, "q147_image_dhash_dedup")
+    # exactly 2: the doc_id fan-out before the decode pass, then the
+    # phash groupBy (carrying 16 bytes/row, never pixels)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan

@@ -729,3 +729,23 @@ def test_funnel_and_multi_pattern_on_rocksdb(spark, tmp_path):
         spark.conf.set(key, prev)
     assert mp == {(1, "view_click_purchase", 3)}
     assert fu == {("view", None), ("click", None), ("purchase", 4_000_000)}
+
+
+def test_scd2_skips_null_event_types(spark, tmp_path):
+    """Null event_type rows are skipped (documented divergence from
+    SQL's three-valued lag artifact): they neither open intervals nor
+    merge with a genuine 'None' string type."""
+    src = tmp_path / "nsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view", "value": 1.0},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:02Z", "value": 9.0},  # null type
+            {"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:04Z", "event_type": "view", "value": 2.0},
+            {"user_id": 1, "event_id": 4, "ts": "2026-08-13T10:00:06Z", "event_type": "click", "value": 3.0},
+        ],
+    )
+    got = _run_scd2(spark, src, "scd2_nulls")
+    t0 = 1_786_615_200_000_000
+    # the null row is invisible: one view interval [0, 6), closed by click
+    assert got == {(1, "view", 1.0, t0, t0 + 6_000_000)}
