@@ -192,12 +192,40 @@ MULTI_OUTPUT_SCHEMA = T.StructType(
 )
 
 
+# TTL-mode state: the suffix plus the key's latest-ever event time
+# (ms), needed for the monotone timeout re-arm (the neardup
+# convention: arming from the batch max alone could REWIND the timer
+# on an all-out-of-order batch)
+MULTI_STATE_TTL_SCHEMA = T.StructType(
+    [
+        T.StructField("suffix", T.StringType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+
+
 def _multi_match_group(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
-    suffix: list[str] = (
-        state.get[0].split(_SUFFIX_SEP) if state.exists and state.get[0] else []
+    empty = pd.DataFrame({"user_id": [], "pattern": [], "last_event_id": []}).astype(
+        {"user_id": "int64", "pattern": "object", "last_event_id": "int64"}
     )
+    if state.hasTimedOut:
+        # watermark passed last-activity + TTL: the idle user's suffix
+        # evicts; their next event starts with clean context (a run
+        # straddling a gap longer than the TTL is deliberately lost)
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        suffix = stored[0].split(_SUFFIX_SEP) if stored[0] else []
+        prev_last = stored[1] if ttl_ms is not None else 0
+    else:
+        suffix, prev_last = [], 0
     keep = max(len(p) for p in MULTI_PATTERNS.values()) - 1
     out: list[tuple] = []
     whole = pd.concat(list(pdfs), ignore_index=True)
@@ -208,11 +236,24 @@ def _multi_match_group(
                 if tuple(window[-len(pat):]) == pat:
                     out.append((key[0], name, int(event_id)))
             suffix = list(window[-keep:])
-    state.update((_SUFFIX_SEP.join(suffix),))
-    yield pd.DataFrame(out, columns=[f.name for f in MULTI_OUTPUT_SCHEMA.fields])
+    if ttl_ms is None:
+        state.update((_SUFFIX_SEP.join(suffix),))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((_SUFFIX_SEP.join(suffix), last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield (
+        pd.DataFrame(out, columns=[f.name for f in MULTI_OUTPUT_SCHEMA.fields])
+        if out
+        else empty
+    )
 
 
-def multi_pattern_stream(events: DataFrame) -> DataFrame:
+def multi_pattern_stream(
+    events: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
     """Streaming multi-pattern sequence detection: every pattern in
     MULTI_PATTERNS is matched per user in one pass with ONE shared
     piece of state — the (max pattern length - 1)-event suffix of the
@@ -226,15 +267,32 @@ def multi_pattern_stream(events: DataFrame) -> DataFrame:
     overlap semantics, with q161_multi_pattern_match as the
     oracle-checked batch definition of the semantics.
 
+    ``state_ttl_ms`` bounds the state store on unbounded streams with
+    churning key populations: an idle user's suffix evicts once the
+    event-time watermark (``watermark_delay`` lateness allowance)
+    passes their last event + TTL — the neardup operator's eviction
+    discipline (replay-deterministic, monotone re-arm). ``None``
+    keeps exact unbounded behavior; state is then O(len patterns)
+    bytes per ever-seen key.
+
     `events` must be a streaming DataFrame with columns
     (user_id, event_id, ts, event_type).
     """
-    return events.groupBy("user_id").applyInPandasWithState(
-        _multi_match_group,
+
+    def fn(key, pdfs, state):
+        return _multi_match_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = events, PATTERN_STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = MULTI_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
         outputStructType=MULTI_OUTPUT_SCHEMA,
-        stateStructType=PATTERN_STATE_SCHEMA,
+        stateStructType=schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -265,13 +323,43 @@ FUNNEL_OUTPUT_SCHEMA = T.StructType(
 FUNNEL_STATE_SCHEMA = T.StructType(
     [T.StructField(f"t{i}_us", T.LongType()) for i in range(len(FUNNEL_STAGES))]
 )
+# TTL mode adds the latest-ever event time (ms) for the monotone re-arm
+FUNNEL_STATE_TTL_SCHEMA = T.StructType(
+    [*FUNNEL_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
 
 
 def _funnel_group(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
-    stamps = list(state.get) if state.exists else [-1] * len(FUNNEL_STAGES)
-    last = len(FUNNEL_STAGES) - 1
+    empty = pd.DataFrame(
+        {"user_id": [], "stage": [], "stage_ts_us": [], "since_view_us": []}
+    ).astype(
+        {
+            "user_id": "int64",
+            "stage": "object",
+            "stage_ts_us": "int64",
+            "since_view_us": "object",
+        }
+    )
+    if state.hasTimedOut:
+        # idle past the TTL: the abandoned funnel's progress evicts;
+        # a later return starts a fresh funnel (attribution-window
+        # semantics — conversions are only credited within the TTL)
+        state.remove()
+        yield empty
+        return
+    n = len(FUNNEL_STAGES)
+    if state.exists:
+        stored = state.get
+        stamps = list(stored[:n])
+        prev_last = stored[n] if ttl_ms is not None else 0
+    else:
+        stamps, prev_last = [-1] * n, 0
+    last = n - 1
     out: list[tuple] = []
     whole = pd.concat(list(pdfs), ignore_index=True)
     for pdf in (whole.sort_values(["ts", "event_id"]),):
@@ -296,11 +384,24 @@ def _funnel_group(
                     int(ts_us - stamps[0]) if i == last else None,
                 )
             )
-    state.update(tuple(stamps))
-    yield pd.DataFrame(out, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields])
+    if ttl_ms is None:
+        state.update(tuple(stamps))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((*stamps, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield (
+        pd.DataFrame(out, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields])
+        if out
+        else empty
+    )
 
 
-def funnel_stage_stream(events: DataFrame) -> DataFrame:
+def funnel_stage_stream(
+    events: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
     """Streaming gapped-funnel tracker: emit one row per user per
     funnel stage the moment the stage is first reached (view; click
     strictly after the view; purchase strictly after the click), with
@@ -313,15 +414,30 @@ def funnel_stage_stream(events: DataFrame) -> DataFrame:
     reproduces q138_event_funnel's summary exactly (the parity test
     pins this identity).
 
+    ``state_ttl_ms`` turns the tracker into an attribution-window
+    funnel: an idle user's progress evicts once the event-time
+    watermark passes their last event + TTL (monotone re-arm; a later
+    return starts a fresh funnel). ``None`` keeps q138's unbounded
+    semantics — state is then 24 bytes per ever-seen key.
+
     `events` must be a streaming DataFrame with columns
     (user_id, event_id, ts, event_type).
     """
-    return events.groupBy("user_id").applyInPandasWithState(
-        _funnel_group,
+
+    def fn(key, pdfs, state):
+        return _funnel_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = events, FUNNEL_STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = FUNNEL_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
-        stateStructType=FUNNEL_STATE_SCHEMA,
+        stateStructType=schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -395,6 +511,12 @@ def scd2_interval_stream(events: DataFrame) -> DataFrame:
     Intervals straddling micro-batch boundaries close correctly — the
     open interval's (type, value, start) crosses in state. State is
     ~32 bytes + type string per key.
+
+    No TTL option, deliberately (unlike the pattern/funnel trackers):
+    SCD-2 state is not tracking context — it IS the current dimension
+    snapshot (one open interval per live key, q105's is_current rows),
+    so its size is the dimension's cardinality by construction, and
+    evicting an idle key would silently drop its current row.
 
     `events` must be a streaming DataFrame with columns
     (user_id, event_id, ts, event_type, value).

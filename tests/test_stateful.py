@@ -749,3 +749,123 @@ def test_scd2_skips_null_event_types(spark, tmp_path):
     t0 = 1_786_615_200_000_000
     # the null row is invisible: one view interval [0, 6), closed by click
     assert got == {(1, "view", 1.0, t0, t0 + 6_000_000)}
+
+
+# ---------------------------------------------------------------------------
+# Round-5: event-time TTL on the pattern/funnel trackers
+# ---------------------------------------------------------------------------
+
+
+def _run_multi_pattern_ttl(spark, src, name, ttl_ms):
+    from target_hdfs_spark.streaming.stateful import multi_pattern_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        multi_pattern_stream(stream, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.user_id, r.pattern, r.last_event_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+
+def test_multi_pattern_ttl_evicts_idle_suffix(spark, tmp_path):
+    """User 1's view+click suffix must evict once the watermark
+    (advanced by user 2's events while user 1 idles) passes their last
+    event + TTL — the purchase arriving after the gap completes
+    nothing. A fresh full run afterwards still matches."""
+    src = tmp_path / "ttlsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "click"},
+        ],
+    )
+    time.sleep(1.1)
+    # u2 traffic advances the watermark far past u1's TTL horizon
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:30:00Z", "event_type": "signup"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 2, "event_id": 4, "ts": "2026-08-13T10:31:00Z", "event_type": "signup"}],
+    )
+    time.sleep(1.1)
+    # u1 returns: suffix must be gone (no view_click_purchase), and a
+    # fresh complete run must still match
+    _write(
+        src / "f4.jsonl",
+        [
+            {"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:00Z", "event_type": "purchase"},
+            {"user_id": 1, "event_id": 6, "ts": "2026-08-13T10:32:01Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 7, "ts": "2026-08-13T10:32:02Z", "event_type": "click"},
+            {"user_id": 1, "event_id": 8, "ts": "2026-08-13T10:32:03Z", "event_type": "purchase"},
+        ],
+    )
+    got = _run_multi_pattern_ttl(spark, src, "mp_ttl", ttl_ms=60_000)
+    assert got == {(1, "view_click_purchase", 8)}
+
+
+def test_funnel_ttl_expires_abandoned_progress(spark, tmp_path):
+    """Attribution-window funnel: a view+click left idle past the TTL
+    evicts, so a late purchase opens a FRESH funnel (no purchase row
+    without prerequisites) instead of converting."""
+    from target_hdfs_spark.streaming.stateful import funnel_stage_stream
+
+    src = tmp_path / "fttl"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "click"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:30:00Z", "event_type": "view"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 2, "event_id": 4, "ts": "2026-08-13T10:31:00Z", "event_type": "view"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:00Z", "event_type": "purchase"}],
+    )
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        funnel_stage_stream(stream, state_ttl_ms=60_000)
+        .writeStream.format("memory")
+        .queryName("fun_ttl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from fun_ttl").collect()
+    u1 = {(r.stage) for r in rows if r.user_id == 1}
+    # view+click recorded pre-eviction; the late purchase must NOT
+    # convert (its prerequisites were evicted with the state)
+    assert u1 == {"view", "click"}
