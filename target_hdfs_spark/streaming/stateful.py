@@ -43,14 +43,47 @@ STATE_SCHEMA = T.StructType(
         T.StructField("total_sq", T.DoubleType()),
     ]
 )
+# TTL mode adds the latest-ever event time (ms) for the monotone re-arm
+STATE_TTL_SCHEMA = T.StructType(
+    [*STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
 
 MIN_PRIOR = 3  # need a few observations before scoring means anything
 
 
 def _score_group(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState, threshold: float
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    threshold: float,
+    ttl_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
-    n, total, total_sq = state.get if state.exists else (0, 0.0, 0.0)
+    empty = pd.DataFrame(
+        {"user_id": [], "event_id": [], "value": [], "zscore": [], "n_prior": []}
+    ).astype(
+        {
+            "user_id": "int64",
+            "event_id": "int64",
+            "value": "float64",
+            "zscore": "float64",
+            "n_prior": "int64",
+        }
+    )
+    if state.hasTimedOut:
+        # idle past the TTL: the user's running statistics evict; a
+        # returning user re-baselines (MIN_PRIOR warm-up applies
+        # again) — stale statistics scoring post-gap behavior would be
+        # worse than a fresh baseline, and state stays bounded by the
+        # ACTIVE key population
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        n, total, total_sq = stored[0], stored[1], stored[2]
+        prev_last = stored[3] if ttl_ms is not None else 0
+    else:
+        n, total, total_sq, prev_last = 0, 0.0, 0.0, 0
     out: list[tuple] = []
     # Groups larger than the Arrow batch size arrive as MULTIPLE
     # chunks in arbitrary order — concatenate before sorting, or the
@@ -68,33 +101,54 @@ def _score_group(
             n += 1
             total += float(value)
             total_sq += float(value) * float(value)
-    state.update((n, total, total_sq))
-    yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+    if ttl_ms is None:
+        state.update((n, total, total_sq))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((n, total, total_sq, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield (
+        pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+        if out
+        else empty
+    )
 
 
 def running_zscore_anomalies(
-    events: DataFrame, threshold: float = 2.0
+    events: DataFrame,
+    threshold: float = 2.0,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming per-user anomaly filter: emit events deviating more
     than `threshold` standard deviations from the user's running
     mean (state accumulated across micro-batches).
+
+    ``state_ttl_ms`` bounds the state store on churning key
+    populations (the pattern/funnel trackers' event-time eviction
+    discipline): an idle user's statistics evict once the watermark
+    passes their last event + TTL, and a returning user re-baselines
+    through the MIN_PRIOR warm-up. ``None`` keeps unbounded exact
+    behavior (three floats per ever-seen key).
 
     `events` must be a streaming DataFrame with columns
     (user_id, event_id, ts, value).
     """
 
     def fn(key, pdfs, state):
-        return _score_group(key, pdfs, state, threshold)
+        return _score_group(key, pdfs, state, threshold, state_ttl_ms)
 
-    return (
-        events.groupBy("user_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    if state_ttl_ms is None:
+        src, schema, timeout = events, STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
     )
 
 

@@ -869,3 +869,51 @@ def test_funnel_ttl_expires_abandoned_progress(spark, tmp_path):
     # view+click recorded pre-eviction; the late purchase must NOT
     # convert (its prerequisites were evicted with the state)
     assert u1 == {"view", "click"}
+
+
+def test_zscore_ttl_rebaselines_after_idle(spark, tmp_path):
+    """With TTL, an idle user's running statistics evict: the outlier
+    arriving after the gap is NOT scored (MIN_PRIOR warm-up restarts)
+    where the unbounded operator would have flagged it."""
+    from target_hdfs_spark.streaming.stateful import running_zscore_anomalies
+
+    src = tmp_path / "zttl"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": i, "ts": f"2026-08-13T10:00:{i:02d}Z", "value": 10.0 + (i % 2)}
+            for i in range(8)
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 2, "event_id": 100, "ts": "2026-08-13T10:30:00Z", "value": 1.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 2, "event_id": 101, "ts": "2026-08-13T10:31:00Z", "value": 1.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"user_id": 1, "event_id": 200, "ts": "2026-08-13T10:32:00Z", "value": 500.0}],
+    )
+    schema = jsonschema_to_spark(SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        running_zscore_anomalies(stream, threshold=3.0, state_ttl_ms=60_000)
+        .writeStream.format("memory")
+        .queryName("z_ttl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM z_ttl").collect()
+    assert rows == []  # stats evicted; the 500.0 is a fresh baseline's first point
