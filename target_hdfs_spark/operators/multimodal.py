@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from target_hdfs_spark.registry import query
+from target_hdfs_spark.sources.media import media_table
 from target_hdfs_spark.sources.readers import load_table
 
 FAKE_MAGIC = b"FAKE"
@@ -376,51 +377,22 @@ def q60_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "udf", "mapInPandas"),
 )
 def q61_image_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end image decode over a MIXED-format corpus: even doc_ids
-    become VALID JFIF/SOF0 JPEGs, odd doc_ids valid PNGs (signature +
-    IHDR with a real CRC computed JVM-side via crc32 + unhex) — text
-    bytes stand in for the entropy/IDAT stream in both. The pure-Python
-    header parsers (PNG IHDR read, JPEG marker-segment walk) decode
-    width / height / payload size over Arrow-batched mapInPandas,
-    followed by filter + per-format aggregation.
+    """End-to-end image decode over a STORED mixed-format corpus: the
+    ``media`` fixture (sources/media.py) holds one valid JFIF/SOF0
+    JPEG (even doc_ids) or PNG signature+IHDR (odd doc_ids) per
+    document in a parquet ``BinaryType`` column — text bytes as the
+    entropy/IDAT payload. The query scans the stored bytes and the
+    pure-Python header parsers (PNG IHDR read, JPEG marker-segment
+    walk) decode width / height / payload size over Arrow-batched
+    mapInPandas, followed by filter + per-format aggregation. This is
+    the 100 TB shape: binary-column scan → Arrow batch → decode, with
+    no synthesis in the measured path.
 
     Exactness: the oracle recomputes the expected aggregates from the
-    same (doc_id, text) inputs, so the check proves BOTH synthesized
-    headers round-trip through their real parsers bit-for-bit.
+    same (doc_id, text) inputs, so the check proves the stored headers
+    round-trip encode → parquet → scan → parser bit-for-bit.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # width/height are single low bytes (1..127) inside the big-endian
-    # fields (uint32 for PNG, uint16 for JPEG), so chr() stays 1-byte
-    w_byte = F.encode(F.expr("chr(doc_id % 127 + 1)"), "UTF-8")
-    h_byte = F.encode(F.expr("chr(doc_id % 97 + 1)"), "UTF-8")
-    ihdr_data = F.concat(
-        F.lit(bytes(3)), w_byte, F.lit(bytes(3)), h_byte,
-        F.lit(bytes([8, 2, 0, 0, 0])),
-    )
-    crc = F.unhex(
-        F.lpad(F.hex(F.crc32(F.concat(F.lit(b"IHDR"), ihdr_data))), 8, "0")
-    )
-    png = F.concat(
-        F.lit(PNG_SIG),
-        F.lit((13).to_bytes(4, "big")),
-        F.lit(b"IHDR"),
-        ihdr_data,
-        crc,
-        F.encode("text", "UTF-8"),
-    )
-    # JFIF: SOI + APP0 + SOF0 (precision 8, h, w, 3 components)
-    jpeg = F.concat(
-        F.lit(JPEG_SOI + JPEG_APP0),
-        F.lit(b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])),
-        F.lit(b"\x00"), h_byte,
-        F.lit(b"\x00"), w_byte,
-        F.lit(bytes([3]) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])),
-        F.encode("text", "UTF-8"),
-    )
-    imgs = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, jpeg).otherwise(png).alias("image"),
-    )
+    imgs = media_table(spark, sf_dir).select("doc_id", "image")
     meta = with_image_meta(imgs, "image")
     return (
         meta.select("doc_id", "image_meta.*")
@@ -703,38 +675,35 @@ def _group_pixels(g: int) -> list[list[int]]:
     tags=("multimodal", "dedup", "phash", "mapInPandas"),
 )
 def q147_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pixel-level image near-dup detection: encode a COMPLETE valid
-    PNG per document (zlib IDAT, mixed row filters), run the real
-    decoder (chunk walk → inflate → unfilter), compute the 64-bit
-    perceptual dHash, and exact-dedup on the hash — the image twin of
-    q40's text dedup. Content groups are doc_id % {_IMG_GROUPS}, so
-    the oracle can verify the clustering without computing hashes:
-    distinct groups map to distinct dHashes (pinned by
-    tests/test_multimodal.py), making hash-group = content-group.
+    """Pixel-level image near-dup detection over STORED bytes: scan
+    the complete valid PNGs (zlib IDAT, mixed row filters) from the
+    media fixture's ``BinaryType`` column, run the real decoder
+    (chunk walk → inflate → unfilter), compute the 64-bit perceptual
+    dHash, and exact-dedup on the hash — the image twin of q40's text
+    dedup. Content groups are doc_id % {_IMG_GROUPS}, so the oracle
+    can verify the clustering without computing hashes: distinct
+    groups map to distinct dHashes (pinned by tests/test_multimodal.py),
+    making hash-group = content-group.
 
-    Scale: encode/decode/hash run in ONE mapInPandas pass (Arrow
-    batches, no shuffle — at 100 TB the images arrive as binary
-    columns and only this stage touches pixels); the shuffle carries
+    Scale: parquet binary scan → ONE decode+hash mapInPandas pass
+    (Arrow batches, map-only — this is how the images arrive at
+    100 TB, and only this stage touches pixels); the shuffle carries
     (doc_id, 8-byte hash), and the dedup groupBy is exact-dedup's
     plan. This is the standard shape for pHash/CLIP-embedding image
     dedup over web-crawl corpora.
     """
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    imgs = media_table(spark, sf_dir).select("doc_id", "image_png")
 
-    def encode_decode_hash(batches):
+    def decode_hash(batches):
         for pdf in batches:
-            hashes = []
-            for doc_id in pdf["doc_id"]:
-                blob = encode_png_full(_group_pixels(int(doc_id) % _IMG_GROUPS))
-                hashes.append(dhash64(decode_png_array(blob)))
+            hashes = [
+                dhash64(decode_png_array(bytes(blob))) for blob in pdf["image_png"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
 
-    hashed = docs.mapInPandas(encode_decode_hash, "doc_id long, phash long")
+    hashed = imgs.mapInPandas(decode_hash, "doc_id long, phash long")
     return (
         hashed.groupBy("phash")
         .agg(
@@ -817,34 +786,33 @@ def decode_pcm_array(blob: bytes):
     tags=("multimodal", "audio", "mapInPandas"),
 )
 def q152_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-level audio features through a REAL byte roundtrip: each
-    document gets a complete valid 16-bit mono PCM WAV (deterministic
-    synthetic clip), the real decoder parses header + frames, and the
-    features are exact integers — energy (Σv²), peak (max |v|), and
-    zero-crossing count. The audio twin of q147's pixel-exact image
-    path: the oracle recomputes the features from the sample FORMULA,
-    so any corruption in the encode → decode byte path (endianness,
-    header offset, frame split) breaks the value hash.
+    """Sample-level audio features over STORED bytes: scan the
+    complete valid 16-bit mono PCM WAVs from the media fixture's
+    ``BinaryType`` column, parse header + frames with the real
+    decoder, and emit exact integer features — energy (Σv²), peak
+    (max |v|), and zero-crossing count. The audio twin of q147's
+    pixel-exact image path: the oracle recomputes the features from
+    the sample FORMULA, so any corruption in the
+    encode → parquet → scan → decode byte path (endianness, header
+    offset, frame split) breaks the value hash.
 
-    Scale: encode/decode/features run in one mapInPandas pass over
-    Arrow batches (at 100 TB the clips arrive as binary columns and
-    this stage is the only one touching frames); the shuffle carries
-    four int64s per clip. Python-side loops cost O(n_samples) per
-    clip — the vectorized variant (np.frombuffer) drops in when clips
-    grow; the schema and batch shape are what this operator pins.
+    Scale: parquet binary scan → one decode+features mapInPandas pass
+    over Arrow batches (the clips arrive as binary columns at 100 TB
+    and this stage is the only one touching frames); the shuffle
+    carries four int64s per clip; decode is a zero-copy np.frombuffer
+    view per clip.
     """
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    clips = media_table(spark, sf_dir).select("doc_id", "audio_wav")
 
     def roundtrip_features(batches):
         import numpy as np
 
         for pdf in batches:
             out = []
-            for doc_id in pdf["doc_id"]:
-                v = decode_pcm_array(encode_pcm_wav(int(doc_id)))
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio_wav"]):
+                v = decode_pcm_array(blob)
                 energy = int((v * v).sum())
                 peak = int(np.abs(v).max())
                 zc = int(((v[1:] >= 0) != (v[:-1] >= 0)).sum())
@@ -854,7 +822,7 @@ def q152_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "n_samples", "energy", "peak", "zero_crossings"],
             )
 
-    return docs.mapInPandas(
+    return clips.mapInPandas(
         roundtrip_features,
         "doc_id long, n_samples long, energy long, peak long, zero_crossings long",
     )
@@ -944,30 +912,31 @@ def decode_avi_index(blob: bytes) -> list[tuple[int, int, int]]:
     tags=("multimodal", "video", "mapInPandas"),
 )
 def q153_video_container_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video container indexing through a REAL byte roundtrip: each
-    document gets a valid RIFF/AVI (word-aligned '00db' frame chunks
-    inside a movi LIST), the real chunk walker extracts the frame
-    index, and per-clip frame stats are exact integers the oracle
+    """Video container indexing over STORED bytes: scan each
+    document's valid RIFF/AVI (word-aligned '00db' frame chunks
+    inside a movi LIST) from the media fixture's ``BinaryType``
+    column, walk the chunks with the real parser to extract the frame
+    index, and emit per-clip frame stats as exact integers the oracle
     recomputes from the frame-length formula. With q147 (pixels) and
     q152 (PCM samples) this closes the image/audio/video trio at
     content level — and the frame INDEX is the real-world operation:
     at 100 TB you index containers once, then frame-sample (q62) by
     offset without re-walking bytes.
 
-    Scale: one mapInPandas pass; the shuffle carries three int64s per
-    clip. Container walking is O(bytes) sequential — exactly what a
-    seekable object store range-read does per clip.
+    Scale: parquet binary scan → one index mapInPandas pass; the
+    shuffle carries three int64s per clip. Container walking is
+    O(bytes) sequential — exactly what a seekable object store
+    range-read does per clip.
     """
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    clips = media_table(spark, sf_dir).select("doc_id", "video_avi")
 
     def index_features(batches):
         for pdf in batches:
             out = []
-            for doc_id in pdf["doc_id"]:
-                frames = decode_avi_index(encode_avi(int(doc_id)))
+            for doc_id, blob in zip(pdf["doc_id"], pdf["video_avi"]):
+                frames = decode_avi_index(blob)
                 sizes = [n for _, _, n in frames]
                 out.append((int(doc_id), len(frames), sum(sizes), max(sizes)))
             yield pd.DataFrame(
@@ -975,7 +944,7 @@ def q153_video_container_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "n_frames", "total_frame_bytes", "max_frame_bytes"],
             )
 
-    return docs.mapInPandas(
+    return clips.mapInPandas(
         index_features,
         "doc_id long, n_frames long, total_frame_bytes long, max_frame_bytes long",
     )
@@ -1018,16 +987,18 @@ _FRAME_SAMPLE_K = 2  # sample every 2nd frame of the container index
     tags=("multimodal", "video", "mapInPandas"),
 )
 def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling through a REAL container roundtrip (the
-    q153 machinery): each document gets a valid RIFF/AVI clip, the
-    real chunk walker builds the frame index, and every
-    {_FRAME_SAMPLE_K}-th frame's payload is fetched BY INDEX OFFSET
-    (no re-walk) and checksummed. The checksum proves the index's byte
-    offsets are exact — precisely the operation a 100 TB video corpus
-    runs: index containers once, then range-read sampled frames from
-    the object store by offset. The oracle recomputes every feature
-    from the synthetic frame formulas, so any corruption in
-    encode → walk → offset-read breaks the value hash.
+    """Video frame sampling over STORED bytes (the q153 machinery):
+    scan each document's valid RIFF/AVI clip from the media fixture's
+    ``BinaryType`` column, build the frame index with the real chunk
+    walker, and fetch every {_FRAME_SAMPLE_K}-th frame's payload BY
+    INDEX OFFSET (no re-walk), checksummed via a zero-copy
+    np.frombuffer view. The checksum proves the index's byte offsets
+    are exact — precisely the operation a 100 TB video corpus runs:
+    index containers once, then range-read sampled frames from the
+    object store by offset. The oracle recomputes every feature from
+    the synthetic frame formulas, so any corruption in
+    encode → parquet → scan → walk → offset-read breaks the value
+    hash.
 
     Scale: one mapInPandas pass (frame explosion is map-only and
     linear in sampled bytes); the per-doc aggregation combines
@@ -1035,24 +1006,26 @@ def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    clips = media_table(spark, sf_dir).select("doc_id", "video_avi")
 
     def sampled_frame_rows(batches):
+        import numpy as np
+
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                blob = encode_avi(int(doc_id))
+            for doc_id, blob in zip(pdf["doc_id"], pdf["video_avi"]):
+                blob = bytes(blob)
                 for idx, off, n in decode_avi_index(blob):
                     if idx % _FRAME_SAMPLE_K:
                         continue
-                    payload = blob[off : off + n]  # offset range-read
-                    rows.append((int(doc_id), idx, n, sum(payload)))
+                    # offset range-read; uint8 view summed in int64
+                    payload = np.frombuffer(blob, dtype=np.uint8, count=n, offset=off)
+                    rows.append((int(doc_id), idx, n, int(payload.sum(dtype=np.int64))))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "n_bytes", "checksum"]
             )
 
-    frames = docs.mapInPandas(
+    frames = clips.mapInPandas(
         sampled_frame_rows,
         "doc_id long, frame_idx long, n_bytes long, checksum long",
     )
@@ -1097,32 +1070,31 @@ _AUDIO_WIN = 64  # samples per feature window (256 samples -> 4 windows)
     tags=("multimodal", "audio", "mapInPandas"),
 )
 def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed audio features through a REAL byte roundtrip (the q152
-    machinery): each document gets a complete valid 16-bit mono PCM
-    WAV, the real decoder parses header + frames, samples split into
-    fixed {_AUDIO_WIN}-sample windows, and per-window integer features
-    (energy Σv², peak max|v|) aggregate per clip. Completes the
-    image (q147) / audio / video (q62) trio at content level with an
-    exact oracle recomputing everything from the sample formula — the
-    previous rows-only byte-window stand-in is retired.
+    """Windowed audio features over STORED bytes (the q152 machinery):
+    scan each document's complete valid 16-bit mono PCM WAV from the
+    media fixture's ``BinaryType`` column, parse header + frames with
+    the real decoder, split samples into fixed {_AUDIO_WIN}-sample
+    windows, and aggregate per-window integer features (energy Σv²,
+    peak max|v|) per clip. Completes the image (q147) / audio /
+    video (q62) trio at content level with an exact oracle recomputing
+    everything from the sample formula.
 
-    Scale: encode/decode/window runs in one mapInPandas pass over
-    Arrow batches; the shuffle carries four int64s per clip. All
+    Scale: parquet binary scan → one decode+window mapInPandas pass
+    over Arrow batches; the shuffle carries four int64s per clip. All
     features are exact integers (no float mean), so the oracle hash
     is platform-stable.
     """
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    clips = media_table(spark, sf_dir).select("doc_id", "audio_wav")
 
     def windowed_features(batches):
         import numpy as np
 
         for pdf in batches:
             out = []
-            for doc_id in pdf["doc_id"]:
-                v = decode_pcm_array(encode_pcm_wav(int(doc_id)))
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio_wav"]):
+                v = decode_pcm_array(blob)
                 n_win = len(v) // _AUDIO_WIN
                 w = v[: n_win * _AUDIO_WIN].reshape(n_win, _AUDIO_WIN)
                 energies = (w * w).sum(axis=1)
@@ -1147,7 +1119,7 @@ def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(
+    return clips.mapInPandas(
         windowed_features,
         "doc_id long, n_windows long, total_energy long, "
         "max_window_energy long, peak_amplitude long",

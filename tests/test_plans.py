@@ -400,30 +400,58 @@ def test_q161_multi_pattern_single_alignment_pass(spark):
 
 
 def test_q62_q64_q152_q153_are_shuffle_free_map_passes(spark):
-    """The multimodal content roundtrips are map-only mapInPandas
-    passes until their final (tiny) aggregation: the clip bytes never
-    shuffle — only int64 feature rows do."""
+    """The multimodal content roundtrips scan STORED binary columns
+    (sources/media.py) and stay map-only mapInPandas passes until
+    their final (tiny) aggregation: the clip bytes never shuffle —
+    only int64 feature rows do, and with the stored scan there is no
+    fan-out Exchange at all (parquet splits parallelize the read)."""
     for name in (
         "q64_audio_features",
         "q152_audio_pcm_features",
         "q153_video_container_index",
     ):
         plan = plan_of(spark, name)
-        # one repartition of the doc_id driver column; no range sort
-        assert "Exchange rangepartitioning" not in plan, name
+        assert "Scan parquet" in plan, name  # stored bytes, not synthesis
+        assert "Exchange" not in plan, name  # fully map-only
         assert "CartesianProduct" not in plan, name
     # q62 adds the per-doc aggregation of sampled-frame rows: the
     # groupBy exchange carries int64s, and partial aggregation
     # (map-side combine) must precede it
     plan = plan_of(spark, "q62_frame_sampling")
+    assert "Scan parquet" in plan
     assert "partial_count" in plan  # map-side combine, pinned directly
+    assert plan.count("Exchange hashpartitioning") == 1  # feature groupBy only
     assert "Exchange rangepartitioning" not in plan
     # q147 ends in a tiny ordered readout (range sort allowed on the
     # 50-row aggregate), but the clip pass itself must stay a single
     # hash exchange of (doc_id, 8-byte hash) with map-side combine
     plan = plan_of(spark, "q147_image_dhash_dedup")
-    # exactly 2: the doc_id fan-out before the decode pass, then the
-    # phash groupBy (carrying 16 bytes/row, never pixels)
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Scan parquet" in plan
+    # exactly 1: the phash groupBy (carrying 16 bytes/row, never pixels)
+    assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_media_metadata_predicates_push_to_scan(spark):
+    """The media fixture's typed metadata columns must prune at the
+    parquet scan BEFORE any blob decode: a predicate on img_format /
+    avi_n_frames shows up in PushedFilters, and column pruning keeps
+    unrequested binary columns out of ReadSchema."""
+    from target_hdfs_spark.sources.media import media_table
+
+    df = (
+        media_table(spark, SF_DIR)
+        .filter("img_format = 'png' AND avi_n_frames > 4")
+        .select("doc_id", "video_avi")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(img_format,png)" in plan
+    # toString truncates long filter lists; the prefix is unambiguous
+    assert "GreaterThan(avi_n_frame" in plan
+    # projection pruning: the other three blob columns never leave the scan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "video_avi" in read_schema
+    for absent in ("image_png", "audio_wav", "image:"):
+        assert absent not in read_schema, absent
