@@ -752,88 +752,198 @@ def q77_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L3j: k-means centroid training for IVF (iterative; rows-only)
+# L3j: k-means centroid training for IVF (iterative, integer-exact)
 # ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000  # fixed-point scale: vector coords -> int64
+_KM_ITERATIONS = 3
+
+_DOT_LONG_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+)
+
+
+def _scaled_ints(v: Column) -> Column:
+    """floor(x * scale) per coordinate — the q151-pagerank trick: all
+    downstream sums/means are int64 and therefore order-independent,
+    which is what makes iterative Lloyd training oracle-expressible.
+    floor (not round) because floor semantics are identical across
+    engines; the double multiply is IEEE-exact the same everywhere."""
+    return F.transform(v, lambda x: F.floor(x * _KM_SCALE))
+
+
+def dot_fold_long(a: Column, b: Column) -> Column:
+    """Integer dot product of two int64 arrays (exact, order-free).
+    Headroom: |coord| <= ~0.53 * scale, so a 64-dim term sum stays
+    under 64 * (0.53e6)^2 ~ 1.8e13 << 2^63 even for unnormalized
+    centroid magnitudes."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _km_assign(vi_df: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, vi, cid): each vector assigned to the centroid with
+    the max integer dot product, centroid-id tiebreak. The centroid
+    side broadcasts (K x dim int64s)."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+    return (
+        vi_df.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "vi", "cid", dot_fold_long(F.col("vi"), F.col("cv")).alias("dot")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("dot", "rn")
+    )
 
 
 def kmeans_train(
-    emb: DataFrame, k: int = N_CENTROIDS, iterations: int = 3
-) -> list[list[float]]:
-    """Deterministic Lloyd's iterations for IVF coarse centroids.
+    emb: DataFrame, k: int = N_CENTROIDS, iterations: int = _KM_ITERATIONS
+) -> DataFrame:
+    """Distributed integer-exact Lloyd's iterations for IVF coarse
+    centroids: returns a DataFrame ``(cid int, cv array<bigint>)`` in
+    ``_KM_SCALE`` fixed-point — centroids NEVER materialize on the
+    driver, so the same plan trains K ~ 10^6 codebooks (the sqrt-N
+    regime for 1B vectors) without a per-round driver collect.
 
-    Initialization is the first k vectors by vec_id (deterministic);
-    assignment ties break by centroid index. Per-cluster means are
-    computed distributed (posexplode -> groupBy (cluster, dim)); only
-    the k x dim centroid matrix is ever collected — the corpus never
-    reaches the driver.
+    Initialization is the first k vectors by vec_id; assignment ties
+    break by centroid index; the per-cluster mean is integer
+    truncated division (sum div n) over floor-scaled coords, so every
+    iteration is bit-reproducible and DuckDB-expressible (q78's
+    oracle unrolls these exact iterations). Empty clusters keep their
+    previous centroid.
 
-    Iterative refinement is inherently sequential across iterations,
-    which is why IVF *training* is a job, while IVF *search* (q63/q70)
-    stays a pure declarative query against the trained centroids.
+    Scale: per iteration, assignment is a broadcast cross join
+    evaluated scan-side; the mean is posexplode -> partial-agg (the
+    shuffle carries at most K x dim partial sums per task, combined
+    map-side); the K x dim centroid frame is localCheckpoint-ed to
+    truncate the iterative lineage — it lives in executor memory,
+    not on the driver. Iterative refinement is inherently sequential
+    across iterations, which is why IVF *training* is a job, while
+    IVF *search* (q63/q70) stays one declarative query.
     """
-    centroids = [
-        [float(x) for x in row.v]
-        for row in emb.orderBy("vec_id").limit(k).collect()
-    ]
+    vi_df = emb.select("vec_id", _scaled_ints(F.col("v")).alias("vi")).localCheckpoint()
+    cent = (
+        vi_df.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("vi").alias("cv"))
+        .localCheckpoint()
+    )
     for _ in range(iterations):
-        cent_df = emb.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], "cid int, cv array<double>"
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
-        assigned = (
-            emb.crossJoin(F.broadcast(cent_df))
-            .select(
-                "vec_id", "v", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot")
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
-        dims = assigned.select(
-            "cid", F.posexplode(F.col("v")).alias("dim", "x")
-        )
-        means = (
-            dims.groupBy("cid", "dim")
-            .agg(F.avg("x").alias("m"))
+        assigned = _km_assign(vi_df, cent)
+        upd = (
+            assigned.select("cid", F.posexplode("vi").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cid", "dim", F.expr("s div n").alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cid", F.transform(F.col("dm"), lambda s: s.m).alias("centroid"))
-            .collect()
+            .select("cid", F.transform(F.col("dm"), lambda s: s.m).alias("new_cv"))
         )
-        new_centroids = list(centroids)
-        for row in means:
-            new_centroids[row.cid] = [float(x) for x in row.centroid]
-        centroids = new_centroids
-    return centroids
+        cent = (
+            cent.join(upd, "cid", "left")
+            .select("cid", F.coalesce("new_cv", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+    return cent
+
+
+def _km_oracle_sql() -> str:
+    """DuckDB twin of kmeans_train + final assignment: the scaled-int
+    Lloyd iterations unrolled as CTEs. Exactness hazards handled:
+    SUM(BIGINT) is HUGEINT in DuckDB (cast back before //), and both
+    engines' integer division truncates toward zero (Spark `div`,
+    DuckDB `//`)."""
+    a = []
+    a.append("emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+    a.append(
+        f"vi AS (SELECT vec_id, list_transform(v, "
+        f"x -> CAST(floor(x * {_KM_SCALE}) AS BIGINT)) AS vi FROM emb)"
+    )
+    a.append(
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, vi AS cv "
+        f"FROM vi WHERE vec_id < {N_CENTROIDS})"
+    )
+    a.append(f"dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS dim)")
+    prev = "c0"
+    for i in range(1, _KM_ITERATIONS + 1):
+        dot = _DOT_LONG_SQL.format(a="t.vi", b="c.cv")
+        a.append(
+            f"a{i} AS (SELECT vec_id, vi, cid FROM ("
+            f"SELECT t.vec_id, t.vi, c.cid, row_number() OVER ("
+            f"PARTITION BY t.vec_id ORDER BY {dot} DESC, c.cid) AS rn "
+            f"FROM vi t CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        a.append(
+            f"u{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM ("
+            f"SELECT t.cid, d.dim, "
+            f"CAST(SUM(t.vi[d.dim]) AS BIGINT) // COUNT(*) AS m "
+            f"FROM a{i} t CROSS JOIN dims d GROUP BY t.cid, d.dim) "
+            f"GROUP BY cid)"
+        )
+        a.append(
+            f"c{i} AS (SELECT c.cid, COALESCE(u.cv, c.cv) AS cv "
+            f"FROM {prev} c LEFT JOIN u{i} u ON u.cid = c.cid)"
+        )
+        prev = f"c{i}"
+    dot = _DOT_LONG_SQL.format(a="t.vi", b="c.cv")
+    a.append(
+        f"af AS (SELECT vec_id, cid FROM ("
+        f"SELECT t.vec_id, c.cid, row_number() OVER ("
+        f"PARTITION BY t.vec_id ORDER BY {dot} DESC, c.cid) AS rn "
+        f"FROM vi t CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    csum = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), c.cv), (acc, x) -> acc + x)"
+    )
+    ctes = ",\n    ".join(a)
+    return f"""
+    WITH {ctes}
+    SELECT c.cid, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_vectors,
+           CAST({csum} AS BIGINT) AS centroid_sum
+    FROM {prev} c
+    LEFT JOIN (SELECT cid, COUNT(*) AS n FROM af GROUP BY cid) n ON n.cid = c.cid
+    """
 
 
 @query(
     "q78_kmeans_ivf_cells",
-    oracle=None,
-    tags=("similarity", "kmeans", "iterative", "rows-only"),
+    oracle=_km_oracle_sql(),
+    tags=("similarity", "kmeans", "iterative"),
 )
 def q78_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train IVF centroids with 3 Lloyd iterations, then report cell
-    occupancy (cluster sizes). Rows-only: per-dimension float means
-    depend on aggregation order, so the trained centroids are not
-    bit-reproducible across engines — the documented exception class
-    (iterative algorithms) in the driver contract.
+    """Train IVF centroids with {_KM_ITERATIONS} integer-exact Lloyd
+    iterations (kmeans_train), then report per-cell occupancy AND an
+    integer centroid checksum. Previously rows-only (float means are
+    aggregation-order-dependent); the fixed-point formulation makes
+    every iteration order-independent, so the DuckDB oracle replays
+    the exact training and the value hash now pins BOTH the final
+    clustering and the trained centroids themselves.
 
     Scale: each iteration is one broadcast-assign + one explode-agg
-    job; driver holds only k x dim floats.
+    job; the driver never holds centroids (see kmeans_train).
     """
     emb = _load_vectors(spark, sf_dir)
-    centroids = kmeans_train(emb, k=N_CENTROIDS, iterations=3)
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cid int, cv array<double>"
+    cent = kmeans_train(emb, k=N_CENTROIDS, iterations=_KM_ITERATIONS)
+    vi_df = emb.select("vec_id", _scaled_ints(F.col("v")).alias("vi"))
+    counts = (
+        _km_assign(vi_df, cent)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cent_df))
-        .select("vec_id", "cid", dot_fold(F.col("v"), F.col("cv")).alias("dot"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    return (
+        cent.join(counts, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n", F.lit(0)).alias("n_vectors"),
+            F.aggregate(
+                "cv", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("centroid_sum"),
+        )
     )
-    return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
 # ---------------------------------------------------------------------------

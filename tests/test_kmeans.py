@@ -1,0 +1,68 @@
+"""Integer-exact distributed k-means (operators/similarity.kmeans_train):
+bit-identity against an independent numpy reference — including
+K=1024 (codebook larger than the corpus: empty clusters, every
+cluster-survival path) — and the no-driver-materialization contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import DataFrame
+
+from target_hdfs_spark.operators.similarity import (
+    _KM_SCALE,
+    _load_vectors,
+    kmeans_train,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ref_kmeans(vecs: np.ndarray, k: int, iterations: int) -> dict[int, np.ndarray]:
+    """Driver-side reference replay of the fixed-point Lloyd spec:
+    floor-scaled int64 coords, argmax-dot assignment with smallest-cid
+    tiebreak, truncated-toward-zero integer mean, empty clusters keep
+    their centroid. Written against numpy only — shares no code with
+    the Spark implementation."""
+    vi = np.floor(vecs * _KM_SCALE).astype(np.int64)
+    n = len(vi)
+    cids = list(range(min(k, n)))  # init: vectors with vec_id < k
+    cent = {cid: vi[cid].copy() for cid in cids}
+    for _ in range(iterations):
+        c_mat = np.stack([cent[cid] for cid in cids])  # ascending cid
+        dots = vi @ c_mat.T  # int64 exact
+        # argmax returns the FIRST max -> smallest cid on ties
+        assign = np.array(cids)[np.argmax(dots, axis=1)]
+        for cid in cids:
+            members = vi[assign == cid]
+            if len(members):
+                s = members.sum(axis=0)
+                # truncated (not floored) integer division, n > 0
+                cent[cid] = np.sign(s) * (np.abs(s) // len(members))
+    return cent
+
+
+@pytest.mark.parametrize("k", [16, 1024])
+def test_kmeans_matches_numpy_reference(spark, k):
+    emb = _load_vectors(spark, SF_DIR)
+    rows = emb.orderBy("vec_id").collect()
+    assert [r["vec_id"] for r in rows] == list(range(len(rows)))
+    vecs = np.array([r["v"] for r in rows], dtype=np.float64)
+
+    cent = kmeans_train(emb, k=k, iterations=3)
+    assert isinstance(cent, DataFrame)  # distributed result, never a list
+    got = {r["cid"]: np.array(r["cv"], dtype=np.int64) for r in cent.collect()}
+
+    want = _ref_kmeans(vecs, k=k, iterations=3)
+    assert set(got) == set(want)
+    for cid in want:
+        assert np.array_equal(got[cid], want[cid]), f"centroid {cid} differs"
+
+
+def test_kmeans_k_beyond_corpus_keeps_all_seeded_centroids(spark):
+    """k > corpus size: every vector seeds a centroid; clusters that
+    lose all members keep their previous centroid verbatim."""
+    emb = _load_vectors(spark, SF_DIR)
+    n = emb.count()
+    cent = kmeans_train(emb, k=1024, iterations=1)
+    assert cent.count() == min(1024, n)
