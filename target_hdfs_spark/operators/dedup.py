@@ -579,6 +579,8 @@ def q96_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2d: exact n-gram Jaccard similarity (verifier for LSH candidates)
 # ---------------------------------------------------------------------------
 
+_Q45_MAX_SHINGLE_DF = 512  # enforced per-shingle document-frequency cap
+
 
 @query(
     "q45_ngram_jaccard_pairs",
@@ -607,16 +609,51 @@ def q45_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle (threshold 0.05). Integer set sizes -> one exact double
     division -> deterministic.
 
-    Scale: this is the exact verifier applied AFTER LSH candidate
-    generation (q43); running it standalone is quadratic in colliding
-    docs and priced accordingly.
+    Scale contract (ENFORCED, not advisory): the standalone verifier
+    is quadratic in colliding documents — one stop-shingle shared by
+    d documents emits d^2/2 pairs. The plan therefore guards every
+    shingle's document frequency: df <= {_Q45_MAX_SHINGLE_DF} runs
+    exact, and a hotter shingle raises a routing error naming
+    q92_lsh_verified_pairs (LSH candidates -> exact verify, one
+    plan), which is the production path for hot-shingle corpora. The
+    guard rides the shingle-keyed aggregation, so its exchange is
+    reused by the pair join (no extra shuffle of the posting lists).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # one tokenize+explode+distinct pass, materialized (q144's
+    # pattern): the frame feeds the df guard, both pair-join sides,
+    # and the size aggregation — four consumers
+    from target_hdfs_spark.sources.readers import fan_out
+
     sh = (
-        docs.select("doc_id", tokens("text").alias("_toks"))
+        fan_out(docs, "doc_id")
+        .select("doc_id", tokens("text").alias("_toks"))
         .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
         .distinct()
+        .localCheckpoint()
     )
+    # df-cap guard: evaluating the filter raises on any hot shingle
+    # (raise_error, not a silent drop — dropped shingles would change
+    # the exact semantics the oracle checks)
+    checked = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            F.when(F.col("df") <= _Q45_MAX_SHINGLE_DF, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "q45: shingle document frequency %s exceeds the "
+                        f"exact-verifier cap {_Q45_MAX_SHINGLE_DF}; route this "
+                        "corpus via q92_lsh_verified_pairs (LSH candidates -> "
+                        "exact verify)",
+                        F.col("df"),
+                    )
+                ).cast("boolean")
+            )
+        )
+        .select("shingle")
+    )
+    sh = sh.join(checked, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

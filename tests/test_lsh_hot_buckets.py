@@ -78,3 +78,27 @@ def test_bucket_stats_reports_hot_buckets(spark):
         # one band; never more than 1 per band here
         assert 0 <= r.n_join_pairs <= 1
     assert any(r.n_join_pairs == 1 for r in stats.values())
+
+
+def test_q45_df_cap_routes_hot_shingle_corpora_to_q92(spark, tmp_path):
+    """The standalone exact Jaccard verifier must REFUSE a corpus with
+    a stop-shingle hotter than its df cap — raising the routing error
+    naming q92 — instead of silently going quadratic."""
+    import pytest
+
+    from target_hdfs_spark.operators.dedup import (
+        _Q45_MAX_SHINGLE_DF,
+        q45_ngram_jaccard_pairs,
+    )
+
+    n = _Q45_MAX_SHINGLE_DF + 8
+    rows = [
+        (i, f"shared stop shingle unique{i} tail{i}", "en", "test", 30)
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    with pytest.raises(Exception, match="q92_lsh_verified_pairs"):
+        q45_ngram_jaccard_pairs(spark, str(tmp_path)).count()

@@ -455,3 +455,13 @@ def test_media_metadata_predicates_push_to_scan(spark):
     assert "video_avi" in read_schema
     for absent in ("image_png", "audio_wav", "image:"):
         assert absent not in read_schema, absent
+
+
+def test_q45_df_cap_guard_survives_optimization(spark):
+    """The q45 hot-shingle guard is a raise_error branch inside a
+    filter; column pruning / constant folding must not remove it, and
+    the shingle frame is checkpointed so the tokenize+explode pass
+    runs once for all four consumers."""
+    plan = plan_of(spark, "q45_ngram_jaccard_pairs")
+    assert "raise_error" in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed shingle frame
