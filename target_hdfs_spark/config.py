@@ -233,22 +233,14 @@ def _coerce_env_value(setting: str, raw: str):
         return raw
 
 
-def config_from_env(dotenv_path: str = ".env") -> TargetConfig:
-    """Build a TargetConfig from `TARGET_HDFS_SPARK_<SETTING>` (or the
-    reference-compatible `TARGET_HDFS_<SETTING>`) environment
-    variables, merged over the working directory's `.env` file.
-    Terminal-context variables beat the `.env` file; when both
-    prefixes name the same setting, the package-specific
-    `TARGET_HDFS_SPARK_` one wins deterministically."""
-    import os
-
-    merged = parse_dotenv(dotenv_path)
-    merged.update(os.environ)
+def _settings_from(variables: dict) -> dict:
+    """Resolve one source's variables to settings. Generic prefix
+    first, specific prefix second: later assignment wins, so
+    TARGET_HDFS_SPARK_X deterministically beats TARGET_HDFS_X *within
+    the source*."""
     raw: dict = {}
-    # generic prefix first, specific prefix second: later assignment
-    # wins, so TARGET_HDFS_SPARK_X deterministically beats TARGET_HDFS_X
     for prefix in sorted(ENV_PREFIXES, key=len):
-        for key, value in merged.items():
+        for key, value in variables.items():
             if not key.startswith(prefix):
                 continue
             setting = key[len(prefix):].lower()
@@ -257,4 +249,22 @@ def config_from_env(dotenv_path: str = ".env") -> TargetConfig:
             if prefix == "TARGET_HDFS_" and setting.startswith("spark_"):
                 continue
             raw[setting] = _coerce_env_value(setting, value)
+    return raw
+
+
+def config_from_env(dotenv_path: str = ".env") -> TargetConfig:
+    """Build a TargetConfig from `TARGET_HDFS_SPARK_<SETTING>` (or the
+    reference-compatible `TARGET_HDFS_<SETTING>`) environment
+    variables, merged over the working directory's `.env` file.
+
+    Precedence is resolved per SETTING, prefix-within-source first,
+    then terminal over `.env` — so a terminal `TARGET_HDFS_X` beats a
+    `.env` `TARGET_HDFS_SPARK_X` for the same setting (the documented
+    "terminal-context variables beat the .env file" rule holds even
+    when prefixes cross sources), while within one source the
+    package-specific `TARGET_HDFS_SPARK_` prefix wins."""
+    import os
+
+    raw = _settings_from(parse_dotenv(dotenv_path))
+    raw.update(_settings_from(dict(os.environ)))
     return TargetConfig.from_dict(raw)

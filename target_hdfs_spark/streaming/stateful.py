@@ -465,8 +465,14 @@ def funnel_stage_stream(
     state store).
 
     Counting rows per stage and summing since_view_us over the sink
-    reproduces q138_event_funnel's summary exactly (the parity test
-    pins this identity).
+    reproduces q138_event_funnel's summary exactly FOR
+    EVENT-TIME-ORDERED (or watermark-complete) logs — the parity test
+    pins this identity on in-order input. Stage stamps are
+    commit-once: if a micro-batch later delivers an
+    event-time-EARLIER view/click for a user whose stage already
+    fired, the tracker keeps its first stamp while batch q138 takes
+    the global minimum, so out-of-order arrival can diverge on
+    latency sums.
 
     ``state_ttl_ms`` turns the tracker into an attribution-window
     funnel: an idle user's progress evicts once the event-time

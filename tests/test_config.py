@@ -92,6 +92,21 @@ def test_config_env_false_is_false(monkeypatch):
     assert cfg.skip_existing_files is False
 
 
+def test_config_env_terminal_generic_beats_dotenv_specific(monkeypatch, tmp_path):
+    """Cross-source precedence: a TERMINAL var must beat a .env var for
+    the same setting even when the .env side uses the more-specific
+    TARGET_HDFS_SPARK_ prefix — prefix specificity only breaks ties
+    within one source."""
+    from target_hdfs_spark.config import config_from_env
+
+    dotenv = tmp_path / ".env"
+    dotenv.write_text("TARGET_HDFS_SPARK_COMPRESSION_METHOD=zstd\n")
+    monkeypatch.setenv("TARGET_HDFS_COMPRESSION_METHOD", "gzip")
+    monkeypatch.setenv("TARGET_HDFS_SPARK_HDFS_DESTINATION_PATH", "/d")
+    cfg = config_from_env(dotenv_path=str(dotenv))
+    assert cfg.compression == "gzip"  # terminal wins across prefixes
+
+
 def test_cli_version_flag(capsys):
     from target_hdfs_spark import __version__
     from target_hdfs_spark.ingest import main
