@@ -845,3 +845,137 @@ def q161_multi_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quantified / bounded-gap pattern matching (q148/q161 family, depth 3)
+# ---------------------------------------------------------------------------
+
+
+def _gap_pattern_masks(spec: dict) -> list[tuple[list[tuple[int, str]], int]]:
+    """Compile one GAP_PATTERNS spec to alignment masks over the
+    lead() frame: each mask is ([(lead_idx, required_type), ...],
+    completion_idx), ordered earliest-completion-first. Row 0 (the
+    match start) is constrained separately to spec['first']."""
+    masks = []
+    if spec["middle_any"]:
+        # bounded gap: last at the EARLIEST j; intermediate rows free.
+        # The mask chain encodes "earliest" by listing shorter spans
+        # first and (for correctness under when-chains alone) pinning
+        # earlier positions as NOT-last via chain order.
+        for j in range(1, spec["within"]):
+            masks.append(([(j, spec["last"])], j))
+    else:
+        # contiguous quantifier: m repeats of middle then last
+        for m in range(1, spec["within"] - 1):
+            mask = [(i, spec["middle"]) for i in range(1, m + 1)]
+            mask.append((m + 1, spec["last"]))
+            masks.append((mask, m + 1))
+    return masks
+
+
+def _gap_pattern_oracle() -> str:
+    """DuckDB oracle generated from streaming.stateful.GAP_PATTERNS —
+    the q161 anti-drift trick: one lead() self-alignment shared by all
+    patterns, one UNION ALL branch per pattern, earliest completion
+    per start row via an ordered CASE chain."""
+    from target_hdfs_spark.streaming.stateful import GAP_KEEP, GAP_PATTERNS
+
+    leads = ",\n             ".join(
+        f"lead(event_type, {i}) OVER w AS t{i}, "
+        f"lead(event_id, {i}) OVER w AS id{i}"
+        for i in range(1, GAP_KEEP + 1)
+    )
+    branches = []
+    for name, spec in GAP_PATTERNS.items():
+        arms_id, arms_span = [], []
+        for mask, j in _gap_pattern_masks(spec):
+            cond = " AND ".join(f"t{i} = '{t}'" for i, t in mask)
+            arms_id.append(f"WHEN {cond} THEN id{j}")
+            arms_span.append(f"WHEN {cond} THEN {j + 1}")
+        branches.append(
+            f"SELECT user_id, '{name}' AS pattern, event_id AS first_event_id,\n"
+            f"           CASE {' '.join(arms_id)} END AS last_event_id,\n"
+            f"           CAST(CASE {' '.join(arms_span)} END AS INT) AS span\n"
+            f"    FROM seq WHERE event_type = '{spec['first']}'\n"
+            f"      AND CASE {' '.join(arms_id)} END IS NOT NULL"
+        )
+    return (
+        "WITH seq AS (\n"
+        "      SELECT user_id, event_id, event_type,\n"
+        f"             {leads}\n"
+        "      FROM events\n"
+        "      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n"
+        "    )\n    "
+        + "\n    UNION ALL\n    ".join(branches)
+    )
+
+
+@query(
+    "q162_gapped_pattern_match",
+    oracle=_gap_pattern_oracle(),
+    tags=("window", "sequence", "pattern", "quantifier", "streaming-twin"),
+)
+def q162_gapped_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite beyond strict-consecutive: every
+    streaming.stateful.GAP_PATTERNS entry — `first middle+ last` with
+    a CONTIGUOUS one-or-more quantifier, or `first .. last` with a
+    BOUNDED GAP — is matched over each user's ordered stream within
+    its per-pattern event-span bound, emitting (user_id, pattern,
+    first_event_id, last_event_id, span). Semantics: skip-to-next-row
+    overlap (every `first` row starts independently) and earliest
+    completion per start (an ordered when-chain over the compiled
+    alignment masks; unique anyway for the contiguous form). The
+    streaming twin gapped_pattern_stream evaluates the same masks
+    incrementally; oracle, plan, and stream all compile from the one
+    GAP_PATTERNS dict.
+
+    Scale: the q161 posture holds — ONE user_id window Exchange
+    builds lookaheads to the largest span bound, the alignment frame
+    is eagerly checkpointed (~60-byte rows, no payloads), and each
+    pattern is a map-side when-chain filter over it. Adding a pattern
+    or widening a quantifier adds zero shuffles.
+    """
+    from target_hdfs_spark.streaming.stateful import GAP_KEEP, GAP_PATTERNS
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        *[F.lead("event_type", i).over(w).alias(f"t{i}") for i in range(1, GAP_KEEP + 1)],
+        *[F.lead("event_id", i).over(w).alias(f"id{i}") for i in range(1, GAP_KEEP + 1)],
+    ).localCheckpoint(eager=True)
+    out = None
+    for name, spec in GAP_PATTERNS.items():
+        hit = None  # ordered when-chain -> earliest completion wins
+        for mask, j in _gap_pattern_masks(spec):
+            cond = None
+            for i, t in mask:
+                c = F.col(f"t{i}") == t
+                cond = c if cond is None else cond & c
+            arm = F.struct(
+                F.col(f"id{j}").alias("last_event_id"),
+                F.lit(j + 1).cast("int").alias("span"),
+            )
+            hit = F.when(cond, arm) if hit is None else hit.when(cond, arm)
+        branch = (
+            seq.filter(F.col("event_type") == spec["first"])
+            .select(
+                "user_id",
+                F.lit(name).alias("pattern"),
+                F.col("event_id").alias("first_event_id"),
+                hit.alias("_hit"),
+            )
+            .filter(F.col("_hit").isNotNull())
+            .select(
+                "user_id",
+                "pattern",
+                "first_event_id",
+                F.col("_hit.last_event_id").alias("last_event_id"),
+                F.col("_hit.span").alias("span"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

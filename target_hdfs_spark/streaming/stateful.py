@@ -588,3 +588,204 @@ def scd2_interval_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantified / bounded-gap pattern matcher (stateful twin of q162)
+# ---------------------------------------------------------------------------
+
+# Three-step pattern shapes beyond strict-consecutive, the natural
+# next depth after q148/q161: `first middle+ last` with the middle
+# step QUANTIFIED (one-or-more contiguous repeats), or `first .. last`
+# with a BOUNDED GAP (any events between), each constrained to a
+# total span of at most `within` events of the user's ordered stream.
+# Match discipline (defined by the batch twin q162's oracle):
+# skip-to-next-row overlap — every row whose type equals `first` is an
+# independent match start — and EARLIEST COMPLETION per start (the
+# minimal match; for the contiguous form the completion is unique
+# anyway, since the first non-middle event ends the repeat run).
+# The batch query generates both its plan and its DuckDB oracle from
+# this dict, so batch, stream, and oracle cannot drift.
+GAP_PATTERNS: dict[str, dict] = {
+    # view click+ purchase: 1-3 CONTIGUOUS clicks then purchase
+    "quick_convert": {
+        "first": "view",
+        "middle": "click",
+        "middle_any": False,
+        "last": "purchase",
+        "within": 5,
+    },
+    # view .. error within 4 events: anything may intervene
+    "view_then_error": {
+        "first": "view",
+        "middle": None,
+        "middle_any": True,
+        "last": "error",
+        "within": 4,
+    },
+}
+
+for _n, _p in GAP_PATTERNS.items():
+    # earliest-completion-per-start is UNIQUE for the contiguous form
+    # only when the quantified step differs from the closing step
+    # (A B+ B would re-complete on every extension); keep that a
+    # registration-time error, not a silent semantics change
+    assert _p["middle_any"] or _p["middle"] != _p["last"], _n
+    assert _p["within"] >= (2 if _p["middle_any"] else 3), _n
+
+GAP_KEEP = max(p["within"] for p in GAP_PATTERNS.values()) - 1
+
+GAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("first_event_id", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("span", T.IntegerType()),  # events, inclusive
+    ]
+)
+
+# state: the last GAP_KEEP (type, event_id) pairs — two parallel
+# \x1f-joined strings (GroupState schemas are flat; see _SUFFIX_SEP)
+GAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("suffix_types", T.StringType()),
+        T.StructField("suffix_ids", T.StringType()),
+    ]
+)
+GAP_STATE_TTL_SCHEMA = T.StructType(
+    [*GAP_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _gap_completions(window: list[tuple[str, int]]) -> list[tuple]:
+    """Matches that complete EXACTLY at the newest event of `window`
+    ((type, event_id) pairs, oldest first). Pure function of the
+    suffix — evaluating it once per arriving event reproduces the
+    batch semantics incrementally."""
+    etype, eid = window[-1]
+    out: list[tuple] = []
+    for name, spec in GAP_PATTERNS.items():
+        if etype != spec["last"]:
+            continue
+        for s in range(len(window) - 1):
+            span = len(window) - s
+            if span < (2 if spec["middle_any"] else 3) or span > spec["within"]:
+                continue
+            if window[s][0] != spec["first"]:
+                continue
+            between = [t for t, _ in window[s + 1 : -1]]
+            if spec["middle_any"]:
+                # earliest completion: no earlier `last` in the gap
+                if spec["last"] in between:
+                    continue
+            else:
+                if any(t != spec["middle"] for t in between):
+                    continue
+            out.append((name, window[s][1], int(eid), span))
+    return out
+
+
+def _gap_match_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {
+            "user_id": [],
+            "pattern": [],
+            "first_event_id": [],
+            "last_event_id": [],
+            "span": [],
+        }
+    ).astype(
+        {
+            "user_id": "int64",
+            "pattern": "object",
+            "first_event_id": "int64",
+            "last_event_id": "int64",
+            "span": "int32",
+        }
+    )
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        types = stored[0].split(_SUFFIX_SEP) if stored[0] else []
+        ids = [int(x) for x in stored[1].split(_SUFFIX_SEP)] if stored[1] else []
+        prev_last = stored[2] if ttl_ms is not None else 0
+    else:
+        types, ids, prev_last = [], [], 0
+    suffix = list(zip(types, ids))
+    out: list[tuple] = []
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    for pdf in (whole.sort_values(["ts", "event_id"]),):
+        for event_id, etype in zip(pdf["event_id"], pdf["event_type"]):
+            window = [*suffix, (str(etype), int(event_id))]
+            for name, first_id, last_id, span in _gap_completions(window):
+                out.append((key[0], name, first_id, last_id, span))
+            suffix = window[-GAP_KEEP:]
+    types_s = _SUFFIX_SEP.join(t for t, _ in suffix)
+    ids_s = _SUFFIX_SEP.join(str(i) for _, i in suffix)
+    if ttl_ms is None:
+        state.update((types_s, ids_s))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((types_s, ids_s, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield (
+        pd.DataFrame(out, columns=[f.name for f in GAP_OUTPUT_SCHEMA.fields]).astype(
+            {"span": "int32"}
+        )
+        if out
+        else empty
+    )
+
+
+def gapped_pattern_stream(
+    events: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming quantified / bounded-gap pattern detection: every
+    GAP_PATTERNS entry (`first middle+ last` contiguous-quantified, or
+    `first .. last` bounded-gap) is matched per user in one pass with
+    one shared piece of state — the (max within - 1)-event
+    (type, event_id) suffix — emitting
+    (user_id, pattern, first_event_id, last_event_id, span) per match.
+    A match is checked only when its completing event arrives, so
+    every span-bounded match whose start straddles a micro-batch
+    boundary still fires (the suffix crosses in the state store).
+
+    Semantics (batch-defined by q162_gapped_pattern_match's oracle):
+    skip-to-next-row overlap, earliest completion per start row.
+
+    ``state_ttl_ms``: same event-time eviction discipline as
+    multi_pattern_stream (monotone re-arm; an idle user's suffix
+    evicts once the watermark passes last event + TTL). ``None``
+    keeps exact unbounded behavior; state is O(max within) tokens
+    per ever-seen key.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+
+    def fn(key, pdfs, state):
+        return _gap_match_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = events, GAP_STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = GAP_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

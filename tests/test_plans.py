@@ -465,3 +465,14 @@ def test_q45_df_cap_guard_survives_optimization(spark):
     plan = plan_of(spark, "q45_ngram_jaccard_pairs")
     assert "raise_error" in plan
     assert "Scan ExistingRDD" in plan  # checkpointed shingle frame
+
+
+def test_q162_single_alignment_pass(spark):
+    """Quantified/bounded-gap matching keeps q161's posture: ONE
+    user_id window Exchange builds the shared lookahead alignment;
+    each pattern's when-chain reads the checkpointed frame map-side —
+    adding a pattern or widening a quantifier adds no Exchange."""
+    plan = plan_of(spark, "q162_gapped_pattern_match")
+    assert "Scan ExistingRDD" in plan  # checkpointed alignment frame
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan

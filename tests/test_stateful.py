@@ -917,3 +917,211 @@ def test_zscore_ttl_rebaselines_after_idle(spark, tmp_path):
     q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM z_ttl").collect()
     assert rows == []  # stats evicted; the 500.0 is a fresh baseline's first point
+
+
+# ---------------------------------------------------------------------------
+# Round-6: quantified / bounded-gap pattern matcher (q162 twin)
+# ---------------------------------------------------------------------------
+
+
+def _run_gap_pattern(spark, src, name, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import gapped_pattern_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        gapped_pattern_stream(stream, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.user_id, r.pattern, r.first_event_id, r.last_event_id, r.span)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+
+def test_gap_pattern_quantifier_and_gap_straddle(spark, tmp_path):
+    """User 1: view click click purchase — the B+ quantifier (2
+    clicks) with the purchase arriving in batch 2, so the match
+    straddles the state boundary. User 2: view signup error — the
+    bounded-gap form matches across the non-error signup. User 3:
+    view click purchase with 3 leading fillers — within bound
+    respected from the view, not the stream head."""
+    src = tmp_path / "gapsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "click"},
+            {"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "click"},
+            {"user_id": 2, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 5, "ts": "2026-08-13T10:00:04Z", "event_type": "signup"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": 6, "ts": "2026-08-13T10:00:05Z", "event_type": "purchase"},
+            {"user_id": 2, "event_id": 7, "ts": "2026-08-13T10:00:06Z", "event_type": "error"},
+            {"user_id": 3, "event_id": 8, "ts": "2026-08-13T10:00:07Z", "event_type": "signup"},
+            {"user_id": 3, "event_id": 9, "ts": "2026-08-13T10:00:08Z", "event_type": "signup"},
+            {"user_id": 3, "event_id": 10, "ts": "2026-08-13T10:00:09Z", "event_type": "signup"},
+            {"user_id": 3, "event_id": 11, "ts": "2026-08-13T10:00:10Z", "event_type": "view"},
+            {"user_id": 3, "event_id": 12, "ts": "2026-08-13T10:00:11Z", "event_type": "click"},
+            {"user_id": 3, "event_id": 13, "ts": "2026-08-13T10:00:12Z", "event_type": "purchase"},
+        ],
+    )
+    got = _run_gap_pattern(spark, src, "gap_straddle")
+    assert got == {
+        (1, "quick_convert", 1, 6, 4),
+        (2, "view_then_error", 4, 7, 3),
+        (3, "quick_convert", 11, 13, 3),
+    }
+
+
+def test_gap_pattern_earliest_completion_only(spark, tmp_path):
+    """A start emits exactly its EARLIEST completion: view error error
+    fires view_then_error at the first error only; a second view
+    starting later is an independent start (skip-to-next-row)."""
+    src = tmp_path / "gapearliest"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "error"},
+            {"user_id": 1, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "error"},
+        ],
+    )
+    got = _run_gap_pattern(spark, src, "gap_earliest")
+    # start 1 completes at 3 (span 3); start 2 completes at 3 (span 2);
+    # neither re-fires at event 4 (not the earliest completion); and no
+    # start is within range of event 4 unconsumed: event 4's only
+    # candidate starts 1,2 already completed at 3
+    assert got == {
+        (1, "view_then_error", 1, 3, 3),
+        (1, "view_then_error", 2, 3, 2),
+    }
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_gapped_stream_equals_batch_q162(spark, tmp_path, seed):
+    """Full batch-stream parity on a random two-batch log: the
+    streaming matcher's output set must equal the REGISTERED q162
+    batch query run over the same events written as a parquet table."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [
+        {
+            "user_id": 1 + (i % 3),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(120)
+    ]
+    src = tmp_path / "gapsrc2"
+    _write(src / "a.jsonl", rows[:60])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[60:])
+    got = _run_gap_pattern(spark, src, f"gap_parity_{seed}")
+
+    import datetime as dt
+
+    from target_hdfs_spark.operators.analytics import q162_gapped_pattern_match
+
+    sf_dir = tmp_path / "sfgap"
+    spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    expected = {
+        (r.user_id, r.pattern, r.first_event_id, r.last_event_id, r.span)
+        for r in q162_gapped_pattern_match(spark, str(sf_dir)).collect()
+    }
+    assert got == expected
+    assert expected, "corpus produced no matches — generator broken"
+
+
+def test_gap_pattern_ttl_evicts_idle_suffix(spark, tmp_path):
+    """An idle user's suffix evicts past the TTL: the purchase
+    arriving after the gap completes nothing, while a fresh run after
+    the return still matches."""
+    src = tmp_path / "gapttl"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "click"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:30:00Z", "event_type": "signup"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 2, "event_id": 4, "ts": "2026-08-13T10:31:00Z", "event_type": "signup"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [
+            {"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:00Z", "event_type": "purchase"},
+            {"user_id": 1, "event_id": 6, "ts": "2026-08-13T10:32:01Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 7, "ts": "2026-08-13T10:32:02Z", "event_type": "click"},
+            {"user_id": 1, "event_id": 8, "ts": "2026-08-13T10:32:03Z", "event_type": "purchase"},
+        ],
+    )
+    got = _run_gap_pattern(spark, src, "gap_ttl", ttl_ms=60_000)
+    assert got == {(1, "quick_convert", 6, 8, 3)}
+
+
+def test_gap_pattern_on_rocksdb(spark, tmp_path):
+    """The straddling quantifier match also fires under the RocksDB
+    state store provider (flat two-string state roundtrips)."""
+    src = tmp_path / "gaprocks"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "click"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "purchase"}],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_gap_pattern(spark, src, "gap_rocks")
+    finally:
+        spark.conf.set(key, prev)
+    assert got == {(1, "quick_convert", 1, 3, 3)}
