@@ -75,6 +75,9 @@ QUERIES = (
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
+    # round 6: integer-exact distributed k-means training (broadcast
+    # assign + explode partial-agg per Lloyd round, no driver collect)
+    "q78_kmeans_ivf_cells",
     "q69_hamming_neighbors",
     "q77_hamming_rerank",
     "q89_pq_codes",
@@ -118,6 +121,11 @@ EVENT_QUERIES = (
     "q143_cdc_last_writer_wins",
     "q145_retention_cohorts",
     "q148_event_pattern",
+    # round 6: the multi-pattern and quantified/bounded-gap matchers
+    # (one shared window Exchange each — the sweep proves adding
+    # patterns holds the single-Exchange posture at Kx users)
+    "q161_multi_pattern_match",
+    "q162_gapped_pattern_match",
 )
 DOC_EXTRA_QUERIES = ("q141_snapshot_diff",)
 # multimodal content roundtrips (round 5): derive clips from doc_id

@@ -1,0 +1,112 @@
+"""Streaming stateful-operator scale sweep (round-6 verdict item 6):
+drive the applyInPandasWithState twins over the fanned events corpus
+(scale_experiment.build_events — Kx users at constant per-user
+density) and record per-operator wall time, throughput, emitted rows,
+and the state-store row count (stateOperators.numRowsTotal from the
+query progress), at 1x / 10x / 100x.
+
+What the numbers must show for the 100 TB argument:
+- wall scales <= linearly in K (the stateful fold is map-side after
+  the user_id shuffle; Kx users = Kx independent folds);
+- state rows scale with the ACTIVE key population (= users for the
+  no-TTL trackers, whose state is O(1) per user), not with events;
+- throughput (rows/s) holds roughly constant across K — the Python
+  per-row fold is the bottleneck and it parallelizes per key.
+
+Usage: python scripts/streaming_scale.py [factors...]   (default 1 10)
+       add 100 explicitly for the full sweep.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from target_hdfs_spark.session import get_spark
+
+
+def _ops():
+    from target_hdfs_spark.streaming.stateful import (
+        funnel_stage_stream,
+        gapped_pattern_stream,
+        multi_pattern_stream,
+        scd2_interval_stream,
+    )
+
+    return {
+        "multi_pattern_stream": multi_pattern_stream,
+        "gapped_pattern_stream": gapped_pattern_stream,
+        "funnel_stage_stream": funnel_stage_stream,
+        "scd2_interval_stream": scd2_interval_stream,
+    }
+
+
+def drive(spark, events_path: str, op_name: str, op, n_batches_hint: int) -> dict:
+    """Run one operator over the events parquet as a file stream
+    (availableNow, memory sink), returning the measurement row."""
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", max(1, 32 // n_batches_hint))
+        .parquet(events_path)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    name = f"sweep_{op_name}_{abs(hash(events_path)) % 10_000}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        t0 = time.perf_counter()
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(3600)
+        wall = time.perf_counter() - t0
+        progress = sorted(q.recentProgress, key=lambda p: p["batchId"])
+        state_rows = [
+            op_row["numRowsTotal"]
+            for p in progress
+            for op_row in (p.get("stateOperators") or [])
+        ]
+        in_rows = sum(p["numInputRows"] for p in progress)
+    out_rows = spark.sql(f"select count(*) n from {name}").collect()[0]["n"]
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    return {
+        "op": op_name,
+        "wall_s": round(wall, 2),
+        "input_rows": in_rows,
+        "output_rows": out_rows,
+        "rows_per_s": int(in_rows / wall) if wall > 0 else 0,
+        "final_state_rows": state_rows[-1] if state_rows else 0,
+        "max_state_rows": max(state_rows) if state_rows else 0,
+    }
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:] if not a.startswith("--")] or [1, 10]
+    spark = get_spark(app_name="streaming_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    import scale_experiment as se
+
+    for factor in factors:
+        # factor 1 also goes through build_events: the rewrite stores
+        # proper micros timestamps (the raw sf0.1 file is
+        # TIMESTAMP(NANOS), which a schema-pinned readStream rejects)
+        events_path = f"{se.build_events(spark, factor)}/events.parquet"
+        for op_name, op in _ops().items():
+            row = drive(spark, events_path, op_name, op, n_batches_hint=4)
+            print(f"factor={factor:>3} {row}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

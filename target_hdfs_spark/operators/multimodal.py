@@ -178,7 +178,7 @@ def encode_jpeg(width: int, height: int, payload: bytes = b"") -> bytes:
     """Minimal structurally-valid JFIF prefix: SOI + APP0 + SOF0 frame
     header for an 8-bit 3-component image, followed by ``payload``
     standing in for the entropy-coded stream. Fixture twin of
-    ``_jpeg_sof`` (and what q61 synthesizes JVM-side)."""
+    ``_jpeg_sof`` (and what sources/media.py stores for q61)."""
     sof0 = (
         b"\xff\xc0"
         + (17).to_bytes(2, "big")  # 2 len + 1 precision + 4 dims + 1 n + 9
@@ -1123,4 +1123,118 @@ def q64_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_features,
         "doc_id long, n_windows long, total_energy long, "
         "max_window_energy long, peak_amplitude long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5h: stored-metadata pruning + selective decode / storage profiling
+# ---------------------------------------------------------------------------
+
+_PRUNE_MIN_FRAMES = 5  # decode only containers promising >= this many frames
+
+
+@query(
+    "q163_media_pruned_decode",
+    oracle=f"""
+    WITH f AS (
+      SELECT d.doc_id, k.k,
+             16 + (d.doc_id * 7 + k.k * 13) % 64 AS n_bytes
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_AVI_MAX_FRAMES - 1})) AS k) k
+      WHERE d.doc_id % 2 = 1
+        AND 1 + d.doc_id % {_AVI_MAX_FRAMES} >= {_PRUNE_MIN_FRAMES}
+        AND k.k < 1 + d.doc_id % {_AVI_MAX_FRAMES}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_frame_bytes
+    FROM f
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "video", "pruning", "mapInPandas"),
+)
+def q163_media_pruned_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective decode through STORED typed metadata: the media
+    fixture's metadata columns (img_format, avi_n_frames) filter the
+    corpus AT THE PARQUET SCAN — PushedFilters, pinned by
+    tests/test_plans.py — so only PNG-image documents whose container
+    index promises >= {_PRUNE_MIN_FRAMES} frames ever cross the Arrow
+    boundary into the chunk walker. This is the single most important
+    access pattern of a 100 TB multimodal corpus: metadata prunes
+    BEFORE any byte of a skipped row's blob is decoded (and, with
+    format-level column statistics, often before it is even read).
+    The oracle recomputes the surviving population and its frame
+    stats from the synthesis formulas, proving both the predicate
+    semantics and the decode on the survivors.
+
+    Scale: scan-side filter -> map-only decode of the selected ~25%
+    of clips -> per-doc aggregation combining map-side.
+    """
+    import pandas as pd
+
+    clips = (
+        media_table(spark, sf_dir)
+        .filter(
+            (F.col("img_format") == "png")
+            & (F.col("avi_n_frames") >= _PRUNE_MIN_FRAMES)
+        )
+        .select("doc_id", "video_avi")
+    )
+
+    def index_selected(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["video_avi"]):
+                frames = decode_avi_index(blob)
+                out.append(
+                    (int(doc_id), len(frames), sum(n for _, _, n in frames))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "total_frame_bytes"]
+            )
+
+    return clips.mapInPandas(
+        index_selected, "doc_id long, n_frames long, total_frame_bytes long"
+    )
+
+
+@query(
+    "q164_media_storage_profile",
+    oracle=f"""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS img_format,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(octet_length(encode(text))
+                    + CASE WHEN doc_id % 2 = 0
+                           THEN {JPEG_HEADER_LEN} ELSE {PNG_HEADER_LEN} END)
+               AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))
+                    + CASE WHEN doc_id % 2 = 0
+                           THEN {JPEG_HEADER_LEN} ELSE {PNG_HEADER_LEN} END)
+               AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("multimodal", "binary", "storage"),
+)
+def q164_media_storage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage profiling of a stored binary column ENTIRELY JVM-side:
+    per-format blob counts and byte totals via octet_length on the
+    parquet BinaryType column — no Python boundary, no decode; the
+    whole plan is scan -> whole-stage-codegen agg. The oracle
+    recomputes every blob's exact size from the synthesis formulas
+    (fixed header length + text payload), so the value hash proves the
+    stored bytes are the right SIZE end-to-end — the capacity-planning
+    query every multimodal corpus runs before anything else.
+
+    Scale: columnar scan reading (img_format, image) only; partial
+    aggregation combines map-side; the shuffle carries two groups.
+    """
+    media = media_table(spark, sf_dir).select("img_format", "image")
+    return (
+        media.groupBy("img_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum(F.octet_length("image")).alias("total_bytes"),
+            F.max(F.octet_length("image")).alias("max_bytes"),
+        )
     )

@@ -476,3 +476,23 @@ def test_q162_single_alignment_pass(spark):
     assert "Scan ExistingRDD" in plan  # checkpointed alignment frame
     assert "Exchange hashpartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q163_prunes_before_decode(spark):
+    """Selective decode: the metadata predicates must reach the
+    parquet scan as PushedFilters — skipped rows never cross the
+    Arrow boundary into the chunk walker."""
+    plan = plan_of(spark, "q163_media_pruned_decode")
+    assert "EqualTo(img_format,png)" in plan
+    assert "GreaterThanOrEqual(avi_" in plan  # toString truncates
+    assert "Exchange" not in plan  # scan-side filter + map-only decode
+
+
+def test_q164_storage_profile_stays_jvm_side(spark):
+    """Binary storage profiling runs without any Python boundary:
+    octet_length on the BinaryType column inside whole-stage codegen,
+    partial agg before the two-group shuffle."""
+    plan = plan_of(spark, "q164_media_storage_profile")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
