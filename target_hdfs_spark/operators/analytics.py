@@ -979,3 +979,178 @@ def q162_gapped_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (session intervals x incident windows)
+# ---------------------------------------------------------------------------
+
+# Fixed time-bucket width for the binned overlap join, and the window
+# an error event stays "open" as an incident. Both in epoch µs.
+_OVERLAP_BUCKET_US = 600_000_000  # 10 minutes
+_INCIDENT_SPAN_US = 300_000_000  # 5 minutes
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_width: int,
+    l_start: str = "s_start",
+    l_end: str = "s_end",
+    r_start: str = "i_start",
+    r_end: str = "i_end",
+) -> DataFrame:
+    """Generic binned interval-overlap equi-join: every (left, right)
+    pair of half-open int64 intervals [start, end) that overlap,
+    emitted EXACTLY once, as an equi-join on fixed-width time buckets
+    rather than a nested-loop inequality join.
+
+    Each side explodes into the buckets its interval covers
+    (floor(start/w) .. floor((end-1)/w)); the join keys on bucket with
+    the overlap inequalities as residual filters; a pair sharing
+    several buckets is kept only in the bucket containing
+    greatest(l_start, r_start), a point inside BOTH intervals of any
+    overlapping pair — so no distinct pass. Requires non-negative
+    start/end (floor-vs-truncate `div` semantics diverge below zero)
+    and non-empty intervals (start < end).
+
+    Scale: explode factor = span/bucket_width per row; one Exchange
+    keyed on bucket (AQE-skew-splittable); never CartesianProduct or
+    BroadcastNestedLoopJoin regardless of either side's size.
+    """
+    w = int(bucket_width)
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_start} div {w}"), F.expr(f"({l_end} - 1) div {w}")
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_start} div {w}"), F.expr(f"({r_end} - 1) div {w}")
+            )
+        ),
+    )
+    return (
+        lb.join(
+            rb,
+            on=[
+                lb["_bucket"] == rb["_bucket"],
+                lb[l_start] < rb[r_end],
+                rb[r_start] < lb[l_end],
+            ],
+        )
+        .filter(
+            # exactly-once: keep the one bucket containing the later start
+            F.expr(f"greatest({l_start}, {r_start}) div {w}") == lb["_bucket"]
+        )
+        .drop("_bucket")
+    )
+
+
+@query(
+    "q165_interval_overlap_join",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE event_type <> 'error'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS s_start,
+             CAST(epoch_us(MAX(ts) + INTERVAL '10 minutes') AS BIGINT) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    incidents AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS i_start,
+             CAST(epoch_us(ts) + {_INCIDENT_SPAN_US} AS BIGINT) AS i_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, s.s_start AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_incidents,
+           CAST(SUM(least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start))
+                AS BIGINT) AS overlap_us
+    FROM sessions s
+    JOIN incidents i ON s.s_start < i.i_end AND i.i_start < s.s_end
+    GROUP BY s.user_id, s.s_start
+    """,
+    tags=("join", "interval", "session", "time"),
+)
+def q165_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user activity sessions (10-minute
+    inactivity gap over non-error events, q33 semantics) joined to
+    GLOBAL incident windows (each error event opens a 5-minute
+    window), reporting per session how many incidents it overlapped
+    and the total overlap in µs. Intervals are half-open [start, end)
+    in epoch µs, so every duration is an exact int64.
+
+    The overlap predicate itself (s_start < i_end AND i_start < s_end)
+    is a non-equi condition — naively a BroadcastNestedLoopJoin that
+    scans |sessions| x |incidents|. The scale path BINS both interval
+    sets into fixed 10-minute buckets: each interval explodes into the
+    buckets it covers, the join becomes an EQUI-join on bucket (hash
+    shuffle, AQE-skew-splittable when an incident storm makes one
+    bucket hot), and a pair that shares several buckets is emitted
+    exactly once by keeping only the bucket containing
+    greatest(s_start, i_start) — that point lies inside BOTH intervals
+    of every overlapping pair, so no distinct/dedup pass is needed.
+    The oracle cross-checks with the plain inequality join DuckDB
+    runs natively (IEJoin); agreement pins that the binning loses and
+    duplicates nothing.
+
+    Scale: explode factor = interval span / bucket width (sessions are
+    gap-bounded, incidents fixed-width, so both are small constants);
+    the join is one Exchange on bucket; the final per-session rollup
+    re-shuffles on (user_id, s_start). 100 TB posture: no nested-loop
+    join anywhere in the plan (pinned by tests), both sides stream
+    through a hash join keyed on time buckets.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # events.ts is TIMESTAMP_NTZ in the parquet; unix_micros needs LTZ —
+    # value-identity under the engine's pinned UTC session timezone.
+    sess = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                "s_start"
+            ),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
+                "s_end"
+            ),
+        )
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.unix_micros(F.col("ts").cast("timestamp")).alias("i_start"))
+        .withColumn("i_end", F.col("i_start") + F.lit(_INCIDENT_SPAN_US))
+    )
+    joined = interval_overlap_join(sess, inc, _OVERLAP_BUCKET_US)
+    return (
+        joined.select("user_id", "s_start", "s_end", "i_start", "i_end")
+        .groupBy("user_id", F.col("s_start").alias("session_start_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_incidents"),
+            F.sum(
+                F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
+            ).alias("overlap_us"),
+        )
+    )

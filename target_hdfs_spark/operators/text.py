@@ -1381,3 +1381,98 @@ def q146_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * _HH_FRACTION > F.col("n_tok"))
         .select("token", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# L4m: bigram language-model quality scoring (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000_000  # fixed-point: P(w2|w1) -> int64 per bigram
+
+
+@query(
+    "q166_bigram_lm_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    uni AS (SELECT unnest(ts) AS token FROM tok),
+    c1 AS (SELECT token, COUNT(*) AS c1 FROM uni GROUP BY token),
+    v AS (SELECT COUNT(DISTINCT token) AS v FROM uni),
+    bg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(ts) >= 2 THEN
+          list_transform(generate_series(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+1], ' '))
+        ELSE [] END
+      ) AS bigram
+      FROM tok
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(((c2.c2 + 1) * {_LM_SCALE}) // (c1.c1 + v.v))
+                AS BIGINT) AS lm_score
+    FROM bg b
+    JOIN c2 ON c2.bigram = b.bigram
+    JOIN c1 ON c1.token = string_split(b.bigram, ' ')[1]
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "ngram", "lm", "quality"),
+)
+def q166_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score per document: the corpus
+    itself is the LM (c(w1 w2), c(w1), vocabulary V), and each doc
+    scores the sum over its bigram instances of the add-one-smoothed
+    conditional P(w2|w1) = (c(w1w2)+1)/(c(w1)+V) in _LM_SCALE
+    fixed-point — the q78/q151 trick: one integer truncated division
+    per bigram, then an int64 sum, so the score is
+    aggregation-order-independent and exactly oracle-checkable
+    (log-probability scoring is banned transcendental territory; the
+    linear-probability sum ranks fluent-vs-junk documents the same
+    way for fixed doc length and is what a deterministic engine can
+    actually pin). Docs with < 2 tokens have no bigrams and are
+    absent, matching the oracle's inner join.
+
+    Scale: one tokenize pass feeds the unigram and bigram explodes;
+    counts combine map-side; the two probability joins key on bigram
+    and first-word (both LM tables are corpus-vocabulary-sized, AQE
+    broadcasts them when they fit); V rides as a broadcast 1-row
+    cross join. Headroom: (c2+1)*SCALE needs c2 < 9.2e9 — at larger
+    bigram counts drop _LM_SCALE a decade per 10x corpus growth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE tokenize pass for four consumers (bigram instances, bigram
+    # counts, unigram counts, vocabulary) — Catalyst does not share
+    # unaliased subtrees, so without the checkpoint the regex split
+    # would run 4x over the corpus (q144 convention).
+    toks = (
+        fan_out(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", tokens("text").alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    tok_col = F.col("toks")
+    bigrams = F.when(
+        F.size(tok_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toks.select("doc_id", F.explode(bigrams).alias("bigram"))
+    uni = toks.select(F.explode("toks").alias("token"))
+    c1 = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count_distinct("token").alias("v"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bg.join(c2, "bigram")
+        .join(c1, F.split(F.col("bigram"), " ").getItem(0) == F.col("token"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(f"((c2 + 1) * {_LM_SCALE}) div (c1 + v)").alias("p_scaled"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_scaled").alias("lm_score"),
+    )

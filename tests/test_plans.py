@@ -496,3 +496,16 @@ def test_q164_storage_profile_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q165_overlap_join_is_equi_on_buckets(spark):
+    """The interval-overlap join must run as a HASH join keyed on the
+    time bucket (inequalities as residual filters), never a
+    nested-loop over sessions x incidents — the whole point of the
+    binning rewrite."""
+    plan = plan_of(spark, "q165_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan \
+        or "SortMergeJoin" in plan
+    assert "MergingSessions" in plan  # session_window, one pass
