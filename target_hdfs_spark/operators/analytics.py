@@ -1154,3 +1154,69 @@ def q165_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-optimal set) per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_skyline_parts",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    tags=("window", "skyline", "pareto"),
+)
+def q167_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline (Pareto-optimal set): parts not dominated on
+    (price low, size high) by any same-brand part — dominance needs
+    <=/>= on both axes and strict on at least one, so exact ties on
+    both axes survive together.
+
+    The naive operator is a quadratic self-anti-join. For TWO
+    criteria, the skyline collapses to a CUMULATIVE-MAX WINDOW:
+    reduce to distinct price levels (max size per (brand, price)),
+    order levels by price, and a level survives iff its max size
+    strictly exceeds the running max over all STRICTLY CHEAPER
+    levels; joining survivors back picks every part at the level's
+    max size. One partial-agg shuffle, one per-brand window over the
+    (tiny) level table, one equi-join back — no self-join anywhere.
+    The oracle deliberately uses the quadratic NOT EXISTS
+    formulation, so agreement proves the window rewrite implements
+    exactly dominance semantics.
+
+    Scale: the level table is |distinct (brand, price)| — orders of
+    magnitude below the fact table — so the window sort is cheap and
+    AQE broadcasts the survivor join. 100x more parts with the same
+    price grid adds zero window cost.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    lvl = part.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("lvl_max")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky_lvl = (
+        lvl.withColumn("prev_max", F.max("lvl_max").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("lvl_max") > F.col("prev_max")))
+        .select("p_brand", "p_retailprice", "lvl_max")
+    )
+    return (
+        part.join(sky_lvl, ["p_brand", "p_retailprice"])
+        .filter(F.col("p_size") == F.col("lvl_max"))
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+    )

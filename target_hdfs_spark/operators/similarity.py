@@ -851,12 +851,14 @@ def kmeans_train(
     return cent
 
 
-def _km_oracle_sql() -> str:
-    """DuckDB twin of kmeans_train + final assignment: the scaled-int
-    Lloyd iterations unrolled as CTEs. Exactness hazards handled:
-    SUM(BIGINT) is HUGEINT in DuckDB (cast back before //), and both
-    engines' integer division truncates toward zero (Spark `div`,
-    DuckDB `//`)."""
+def _km_ctes() -> tuple[list[str], str]:
+    """CTE chain shared by every oracle that replays the scaled-int
+    Lloyd training (q78, q168): returns (ctes, final_centroid_cte).
+    The chain ends with `af` = the final (vec_id, cid, dot)
+    assignment against the trained centroids. Exactness hazards
+    handled: SUM(BIGINT) is HUGEINT in DuckDB (cast back before //),
+    and both engines' integer division truncates toward zero (Spark
+    `div`, DuckDB `//`)."""
     a = []
     a.append("emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
     a.append(
@@ -891,11 +893,17 @@ def _km_oracle_sql() -> str:
         prev = f"c{i}"
     dot = _DOT_LONG_SQL.format(a="t.vi", b="c.cv")
     a.append(
-        f"af AS (SELECT vec_id, cid FROM ("
-        f"SELECT t.vec_id, c.cid, row_number() OVER ("
+        f"af AS (SELECT vec_id, cid, dot FROM ("
+        f"SELECT t.vec_id, c.cid, {dot} AS dot, row_number() OVER ("
         f"PARTITION BY t.vec_id ORDER BY {dot} DESC, c.cid) AS rn "
         f"FROM vi t CROSS JOIN {prev} c) WHERE rn = 1)"
     )
+    return a, prev
+
+
+def _km_oracle_sql() -> str:
+    """DuckDB twin of kmeans_train + final assignment (q78)."""
+    a, prev = _km_ctes()
     csum = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), c.cv), (acc, x) -> acc + x)"
     )
@@ -943,6 +951,76 @@ def q78_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cv", F.lit(0).cast("long"), lambda acc, x: acc + x
             ).alias("centroid_sum"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3j-2: prototype selection — per-cell data pruning for training sets
+# ---------------------------------------------------------------------------
+
+_PROTO_CAP = 8  # prototypes kept per cell
+
+
+def _km_proto_oracle_sql() -> str:
+    """Replay training (shared _km_ctes), then per-cell prototype
+    ranking: most-central first (dot DESC), vec_id tiebreak."""
+    a, _ = _km_ctes()
+    ctes = ",\n    ".join(a)
+    return f"""
+    WITH {ctes},
+    pr AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid ORDER BY dot DESC, vec_id) AS rn
+      FROM af
+    )
+    SELECT vec_id, cid, CAST(rn AS BIGINT) AS cell_rank
+    FROM pr WHERE rn <= {_PROTO_CAP}
+    """
+
+
+@query(
+    "q168_prototype_selection",
+    oracle=_km_proto_oracle_sql(),
+    tags=("similarity", "kmeans", "curation", "pruning"),
+)
+def q168_prototype_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic data pruning by prototype selection: train the
+    integer-exact IVF centroids (kmeans_train, as in q78), assign
+    every vector, and keep each cell's {_PROTO_CAP} most-central
+    vectors (max integer dot with the trained centroid, vec_id
+    tiebreak) — the SemDeDup/SSL-prototypes-style curation step that
+    caps how much of any one semantic region enters a training mix.
+    The oracle replays the exact Lloyd iterations (shared CTE chain
+    with q78) and re-ranks, so the kept set is value-pinned
+    end-to-end through an ITERATIVE training plus a ranking.
+
+    Scale: assignment is the q78 broadcast-centroid scan; the per-cell
+    ranking is a window over cells whose partitions are the cell
+    populations — Spark's WindowGroupLimit pushes the rn <= cap
+    filter below the sort, so the shuffle carries cell-sized groups
+    and the sort never materializes beyond the cap per cell. Output
+    is K x cap rows regardless of corpus size.
+    """
+    emb = _load_vectors(spark, sf_dir)
+    cent = kmeans_train(emb, k=N_CENTROIDS, iterations=_KM_ITERATIONS)
+    vi_df = emb.select("vec_id", _scaled_ints(F.col("v")).alias("vi"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("cid")
+    )
+    assigned = (
+        vi_df.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", dot_fold_long(F.col("vi"), F.col("cv")).alias("dot")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_cell = Window.partitionBy("cid").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        assigned.withColumn("cell_rank", F.row_number().over(w_cell).cast("long"))
+        .filter(F.col("cell_rank") <= _PROTO_CAP)
+        .select("vec_id", "cid", "cell_rank")
     )
 
 

@@ -509,3 +509,49 @@ def test_q165_overlap_join_is_equi_on_buckets(spark):
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan \
         or "SortMergeJoin" in plan
     assert "MergingSessions" in plan  # session_window, one pass
+
+
+def test_q166_single_tokenize_pass(spark):
+    """Four LM consumers (bigram instances, bigram counts, unigram
+    counts, vocabulary) must read ONE checkpointed token frame, not
+    re-tokenize the corpus per consumer."""
+    plan = plan_of(spark, "q166_bigram_lm_quality")
+    assert "Scan ExistingRDD" in plan  # checkpointed token frame
+    assert "split(lower(trim" not in plan  # tokenize happened pre-checkpoint
+
+
+def test_q167_skyline_no_self_join(spark):
+    """The skyline must run as the cumulative-max window rewrite:
+    no quadratic self-anti-join, survivor join keyed on
+    (brand, price)."""
+    plan = plan_of(spark, "q167_skyline_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_q168_cell_rank_pushes_group_limit(spark):
+    """Prototype selection: the rn <= cap filter must push below the
+    per-cell sort (WindowGroupLimit), so cell groups truncate at the
+    cap instead of fully sorting."""
+    plan = plan_of(spark, "q168_prototype_selection")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q169_blocked_matching_is_equi_join(spark):
+    """Record linkage must compare only within blocking keys: the
+    candidate join is an equi-join on (nk, seg) with levenshtein as a
+    residual filter — never an all-pairs nested loop. (The final q169
+    plan only shows the CC label join — the match join runs eagerly
+    inside connected_components — so pin match_pairs itself.)"""
+    from target_hdfs_spark.operators.linkage import _records, match_pairs
+
+    plan = (
+        match_pairs(_records(spark, SF_DIR))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # JVM-side, inside the join filter
