@@ -1817,3 +1817,81 @@ def q151_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# L2m: leakage-safe dataset splitting — train/val/test assignment by
+# DEDUP-CLUSTER root, so near-duplicate documents can never straddle
+# splits (the train/test contamination channel a doc-id hash split
+# leaves open)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    undirected AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT doc_a, doc_b FROM undirected
+      UNION
+      SELECT r.src, u.doc_b
+      FROM reach r JOIN undirected u ON u.doc_a = r.dst
+    ),
+    clustered AS (
+      SELECT d.doc_id,
+             least(d.doc_id,
+                   coalesce((SELECT MIN(r.dst) FROM reach r
+                             WHERE r.src = d.doc_id), d.doc_id)) AS cluster
+      FROM documents d
+    ),
+    b AS (
+      SELECT doc_id, cluster,
+             {md5_hash32_sql("'csplit:' || CAST(cluster AS VARCHAR)")} % 100
+               AS bucket
+      FROM clustered
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("dedup", "split", "graph", "iterative"),
+)
+def q171_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: documents are first clustered by
+    near-duplicate connected components (the q85 pipeline), then the
+    md5 split bucket is computed on the CLUSTER root — every member
+    of a near-dup cluster inherits the same split, so a paraphrase of
+    a training document cannot land in test. q100's per-doc hash
+    split is the right tool only AFTER dedup; this is the split you
+    run when duplicates are retained (e.g. for counting/weighting) or
+    when dedup is soft. Assignment stays a pure function of content
+    (cluster root = min doc_id of the component), so it is stable
+    across engines, reruns, and corpus growth exactly like q100.
+
+    Scale: LSH + star-contraction CC as q85 (never all-pairs,
+    O(log^2 n) rounds); the split assignment itself is a map-side
+    expression on the cluster label — zero additional shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    labels = connected_components(docs.select("doc_id"), pairs)
+    bucket = (
+        md5_hash32(F.concat(F.lit("csplit:"), F.col("cluster").cast("string")))
+        % 100
+    )
+    return labels.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -851,23 +851,27 @@ def kmeans_train(
     return cent
 
 
-def _km_ctes() -> tuple[list[str], str]:
+def _km_ctes(train_where: str = "") -> tuple[list[str], str]:
     """CTE chain shared by every oracle that replays the scaled-int
-    Lloyd training (q78, q168): returns (ctes, final_centroid_cte).
-    The chain ends with `af` = the final (vec_id, cid, dot)
-    assignment against the trained centroids. Exactness hazards
-    handled: SUM(BIGINT) is HUGEINT in DuckDB (cast back before //),
-    and both engines' integer division truncates toward zero (Spark
-    `div`, DuckDB `//`)."""
+    Lloyd training (q78, q168, q172): returns (ctes,
+    final_centroid_cte). The chain ends with `af` = the final
+    (vec_id, cid, dot) assignment of ALL vectors against the trained
+    centroids; `train_where` restricts which vectors TRAIN (init +
+    Lloyd updates) — empty means train on everything. Exactness
+    hazards handled: SUM(BIGINT) is HUGEINT in DuckDB (cast back
+    before //), and both engines' integer division truncates toward
+    zero (Spark `div`, DuckDB `//`)."""
     a = []
     a.append("emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
     a.append(
         f"vi AS (SELECT vec_id, list_transform(v, "
         f"x -> CAST(floor(x * {_KM_SCALE}) AS BIGINT)) AS vi FROM emb)"
     )
+    where = f" WHERE {train_where}" if train_where else ""
+    a.append(f"tr AS (SELECT * FROM vi{where})")
     a.append(
         f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, vi AS cv "
-        f"FROM vi WHERE vec_id < {N_CENTROIDS})"
+        f"FROM tr WHERE vec_id < {N_CENTROIDS})"
     )
     a.append(f"dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS dim)")
     prev = "c0"
@@ -877,7 +881,7 @@ def _km_ctes() -> tuple[list[str], str]:
             f"a{i} AS (SELECT vec_id, vi, cid FROM ("
             f"SELECT t.vec_id, t.vi, c.cid, row_number() OVER ("
             f"PARTITION BY t.vec_id ORDER BY {dot} DESC, c.cid) AS rn "
-            f"FROM vi t CROSS JOIN {prev} c) WHERE rn = 1)"
+            f"FROM tr t CROSS JOIN {prev} c) WHERE rn = 1)"
         )
         a.append(
             f"u{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM ("
@@ -1021,6 +1025,84 @@ def q168_prototype_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.withColumn("cell_rank", F.row_number().over(w_cell).cast("long"))
         .filter(F.col("cell_rank") <= _PROTO_CAP)
         .select("vec_id", "cid", "cell_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3j-3: incremental IVF maintenance — assign a new batch to FROZEN
+# centroids (the daily-ingest ANN shape: no retrain per batch)
+# ---------------------------------------------------------------------------
+
+_IVF_DELTA_MOD = 10  # vec_id % mod == 0 plays the "newly arrived" batch
+
+
+def _km_incr_oracle_sql() -> str:
+    """Replay training on the BASE subset only, then assign everything
+    (base + delta) to the frozen codebook."""
+    a, prev = _km_ctes(train_where=f"vec_id % {_IVF_DELTA_MOD} <> 0")
+    csum = "list_reduce(list_prepend(CAST(0 AS BIGINT), c.cv), (acc, x) -> acc + x)"
+    ctes = ",\n    ".join(a)
+    return f"""
+    WITH {ctes}
+    SELECT c.cid,
+           CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_delta,
+           CAST({csum} AS BIGINT) AS centroid_sum
+    FROM {prev} c
+    LEFT JOIN (SELECT cid, COUNT(*) AS n FROM af
+               WHERE vec_id % {_IVF_DELTA_MOD} <> 0 GROUP BY cid) nb
+      ON nb.cid = c.cid
+    LEFT JOIN (SELECT cid, COUNT(*) AS n FROM af
+               WHERE vec_id % {_IVF_DELTA_MOD} = 0 GROUP BY cid) nd
+      ON nd.cid = c.cid
+    """
+
+
+@query(
+    "q172_incremental_ivf",
+    oracle=_km_incr_oracle_sql(),
+    tags=("similarity", "kmeans", "incremental"),
+)
+def q172_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: the codebook is trained ONCE
+    on the base corpus (every vec_id not divisible by
+    {_IVF_DELTA_MOD}), then a newly-arrived delta batch is assigned
+    to the FROZEN centroids — no retraining, which is how a
+    production ANN index absorbs daily ingest (periodic retrain is a
+    separate offline job; q116 is the same posture for dedup). Output
+    per cell: base occupancy, delta occupancy, and the integer
+    centroid checksum pinning that the codebook really was not moved
+    by the delta. The init set is base vectors with vec_id < K, so
+    the run also exercises the fewer-than-K-seeds path
+    deterministically.
+
+    Scale: the delta assignment is ONE broadcast-codebook map pass
+    over the new batch — cost proportional to |delta|, independent of
+    the base corpus size (the base occupancies come from the index's
+    existing assignment, recomputed here only to oracle-check them).
+    """
+    emb = _load_vectors(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % _IVF_DELTA_MOD != 0)
+    cent = kmeans_train(base, k=N_CENTROIDS, iterations=_KM_ITERATIONS)
+    vi_all = emb.select("vec_id", _scaled_ints(F.col("v")).alias("vi"))
+    assigned = _km_assign(vi_all, cent)
+    counts = (
+        assigned.withColumn(
+            "is_delta", (F.col("vec_id") % _IVF_DELTA_MOD == 0).cast("long")
+        )
+        .groupBy("cid")
+        .agg(
+            F.sum(1 - F.col("is_delta")).alias("n_base"),
+            F.sum("is_delta").alias("n_delta"),
+        )
+    )
+    return cent.join(counts, "cid", "left").select(
+        "cid",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+        F.aggregate("cv", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "centroid_sum"
+        ),
     )
 
 
