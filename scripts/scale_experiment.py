@@ -72,6 +72,10 @@ QUERIES = (
     "q146_heavy_hitters",
     "q157_diversified_topk",
     "q158_fair_interleave",
+    # round 6: bigram-LM scoring (two LM joins over one checkpointed
+    # token frame). q171 (leakage-safe split) is q85's swept pipeline
+    # plus a map-side bucket expression — it rides q85's numbers.
+    "q166_bigram_lm_quality",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -84,6 +88,10 @@ EMB_QUERIES = (
     "q90_pq_adc_search",
     "q122_pandas_cosine_topk",
     "q149_filtered_cosine_topk",
+    # round 6: per-cell prototype ranking and frozen-codebook delta
+    # assignment on top of the q78 training path
+    "q168_prototype_selection",
+    "q172_incremental_ivf",
 )
 # the bucketed-cosine graph family (pair generation is quadratic in
 # bucket occupancy): sweep with SPARK_GRAFT_SRP_PLANES grown
@@ -127,6 +135,12 @@ EVENT_QUERIES = (
     "q161_multi_pattern_match",
     "q162_gapped_pattern_match",
 )
+# The binned overlap join sweeps only to 10x: the events fan-out holds
+# the time range constant, so K x users AND K x global incidents make
+# the overlap-pair OUTPUT itself grow ~K^2 — a property of the
+# synthetic densification, not of the operator (real 100x corpora grow
+# the time axis too). 10x pins the join cost tracks output size.
+EVENT_QUADRATIC_OUTPUT = ("q165_interval_overlap_join",)
 DOC_EXTRA_QUERIES = ("q141_snapshot_diff",)
 # multimodal content roundtrips (round 5): derive clips from doc_id
 # only, so the docs fan-out gives Kx clips directly; all map-only
@@ -329,6 +343,8 @@ def main() -> None:
         if "events" in families:
             sf_dir = SRC if factor == 1 else build_events(spark, factor)
             _sweep(spark, specs, EVENT_QUERIES, factor, sf_dir)
+            if factor <= 10:
+                _sweep(spark, specs, EVENT_QUADRATIC_OUTPUT, factor, sf_dir)
             # the snapshot diff is documents-based; reuse the docs
             # fan-out so its sweep rides the same factor
             doc_dir = SRC if factor == 1 else build(spark, factor)
