@@ -1161,6 +1161,38 @@ def q165_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def skyline_2d(
+    df: DataFrame, group: str, minimize: str, maximize: str
+) -> DataFrame:
+    """Per-group 2-criteria skyline (Pareto-optimal set: `minimize`
+    low, `maximize` high; dominance strict on at least one axis) via
+    the cumulative-max window rewrite — no self-join: reduce to
+    distinct `minimize` levels (max of `maximize` per level), keep
+    levels strictly above the running max over strictly-lower levels,
+    then join survivors back. Returns the input rows that are
+    Pareto-optimal within their group. Two criteria only — dominance
+    in 3+ dimensions has no total-order collapse, which is exactly
+    why this helper hard-codes the 2-D case."""
+    lvl = df.groupBy(group, minimize).agg(F.max(maximize).alias("_lvl_max"))
+    w = (
+        Window.partitionBy(group)
+        .orderBy(minimize)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky_lvl = (
+        lvl.withColumn("_prev_max", F.max("_lvl_max").over(w))
+        .filter(
+            F.col("_prev_max").isNull() | (F.col("_lvl_max") > F.col("_prev_max"))
+        )
+        .select(group, minimize, "_lvl_max")
+    )
+    return (
+        df.join(sky_lvl, [group, minimize])
+        .filter(F.col(maximize) == F.col("_lvl_max"))
+        .drop("_lvl_max")
+    )
+
+
 @query(
     "q167_skyline_parts",
     oracle="""
@@ -1202,21 +1234,6 @@ def q167_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_brand", "p_partkey", "p_retailprice", "p_size"
     )
-    lvl = part.groupBy("p_brand", "p_retailprice").agg(
-        F.max("p_size").alias("lvl_max")
-    )
-    w = (
-        Window.partitionBy("p_brand")
-        .orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sky_lvl = (
-        lvl.withColumn("prev_max", F.max("lvl_max").over(w))
-        .filter(F.col("prev_max").isNull() | (F.col("lvl_max") > F.col("prev_max")))
-        .select("p_brand", "p_retailprice", "lvl_max")
-    )
-    return (
-        part.join(sky_lvl, ["p_brand", "p_retailprice"])
-        .filter(F.col("p_size") == F.col("lvl_max"))
-        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
-    )
+    return skyline_2d(
+        part, group="p_brand", minimize="p_retailprice", maximize="p_size"
+    ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
