@@ -1052,10 +1052,11 @@ def interval_overlap_join(
     )
 
 
-@query(
-    "q165_interval_overlap_join",
-    oracle=f"""
-    WITH flagged AS (
+# Sessionization CTEs shared by the interval analytics oracles
+# (q165, q173): q33 semantics — 10-minute inactivity gap over
+# non-error events, session end = last event + gap, epoch-µs ints.
+_SESSIONS_SQL = """
+    flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
@@ -1076,7 +1077,34 @@ def interval_overlap_join(
              CAST(epoch_us(MIN(ts)) AS BIGINT) AS s_start,
              CAST(epoch_us(MAX(ts) + INTERVAL '10 minutes') AS BIGINT) AS s_end
       FROM numbered GROUP BY user_id, session_id
-    ),
+    )
+"""
+
+
+def _activity_sessions(ev: DataFrame) -> DataFrame:
+    """(user_id, s_start, s_end) epoch-µs activity sessions — the
+    Spark twin of _SESSIONS_SQL (session_window merges events <= gap
+    apart, end = last + gap; q33 semantics)."""
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                "s_start"
+            ),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
+                "s_end"
+            ),
+        )
+    )
+
+
+@query(
+    "q165_interval_overlap_join",
+    oracle=f"""
+    WITH {_SESSIONS_SQL},
     incidents AS (
       SELECT CAST(epoch_us(ts) AS BIGINT) AS i_start,
              CAST(epoch_us(ts) + {_INCIDENT_SPAN_US} AS BIGINT) AS i_end
@@ -1124,20 +1152,7 @@ def q165_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     # events.ts is TIMESTAMP_NTZ in the parquet; unix_micros needs LTZ —
     # value-identity under the engine's pinned UTC session timezone.
-    sess = (
-        ev.filter(F.col("event_type") != "error")
-        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select(
-            "user_id",
-            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
-                "s_start"
-            ),
-            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
-                "s_end"
-            ),
-        )
-    )
+    sess = _activity_sessions(ev)
     inc = (
         ev.filter(F.col("event_type") == "error")
         .select(F.unix_micros(F.col("ts").cast("timestamp")).alias("i_start"))
@@ -1237,3 +1252,88 @@ def q167_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(
         part, group="p_brand", minimize="p_retailprice", maximize="p_size"
     ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency gauge (max concurrent intervals per hour)
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q173_peak_concurrency",
+    oracle=f"""
+    WITH {_SESSIONS_SQL},
+    bounds AS (
+      SELECT s_start AS ts, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT s_end, -1 FROM sessions
+    ),
+    run AS (
+      SELECT ts, delta,
+             SUM(delta) OVER (
+               ORDER BY ts, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS conc
+      FROM bounds
+    )
+    SELECT ts // {_HOUR_US} AS hour_id,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+    FROM run
+    GROUP BY 1
+    """,
+    tags=("window", "sweepline", "interval", "time"),
+)
+def q173_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency gauge: per hour, the PEAK number of simultaneously
+    open activity sessions (plus boundary counts), by the classic
+    sweep-line — +1 at each session start, -1 at each end (half-open,
+    so a start at exactly another session's end is NOT concurrent
+    with it: ends sort before starts at the same µs via delta order),
+    running sum = live concurrency, max per hour. Hours with no
+    boundary events are omitted (their concurrency is the constant
+    carry; q135 is the gap-fill operator).
+
+    Scale: the textbook formulation is one GLOBAL ordered cumulative
+    sum — a single-partition window, the classic Spark scale trap.
+    This plan SEGMENTS the scan: (1) per-hour boundary deltas
+    aggregate map-side to one small row per hour; (2) the hour-level
+    carry-in is a cumulative sum over that tiny frame (the only
+    unpartitioned window, sized |hours|, constant in event volume);
+    (3) the within-hour running sum is a window PARTITIONED BY hour —
+    fully parallel — plus the broadcast carry-in. Exactly the
+    two-level prefix-scan decomposition, expressed declaratively.
+    Determinism: rows tied on (ts, delta) commute in the prefix sum,
+    so the per-hour max needs no further tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    sess = _activity_sessions(ev)
+    bounds = sess.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta")))
+    bounds = bounds.withColumn("hour_id", F.expr(f"ts div {_HOUR_US}"))
+    hour_net = bounds.groupBy("hour_id").agg(F.sum("delta").alias("net"))
+    w_hours = (
+        Window.orderBy("hour_id").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = hour_net.select(
+        "hour_id", F.coalesce(F.sum("net").over(w_hours), F.lit(0)).alias("carry_in")
+    )
+    w_in_hour = (
+        Window.partitionBy("hour_id")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = (
+        bounds.withColumn("run", F.sum("delta").over(w_in_hour))
+        .join(F.broadcast(carry), "hour_id")
+        .withColumn("conc", F.col("carry_in") + F.col("run"))
+    )
+    return run.groupBy("hour_id").agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_ends"),
+    )

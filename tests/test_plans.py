@@ -555,3 +555,13 @@ def test_q169_blocked_matching_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan  # JVM-side, inside the join filter
+
+
+def test_q173_big_window_is_hour_partitioned(spark):
+    """Sweep-line concurrency: the boundary-level running sum (the
+    window whose size tracks event volume) must be PARTITIONED BY
+    hour — only the |hours|-sized carry-in scan may be a
+    single-partition window."""
+    plan = plan_of(spark, "q173_peak_concurrency")
+    assert "hashpartitioning(hour_id" in plan  # within-hour window + final agg
+    assert "CartesianProduct" not in plan
