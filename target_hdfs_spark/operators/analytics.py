@@ -1337,3 +1337,147 @@ def q173_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
         F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_ends"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP-style interval-weighted aggregation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_time_weighted_value",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents,
+             lead(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_us
+      FROM events
+    ),
+    weighted AS (
+      SELECT user_id, v_cents, next_us - t_us AS w_us
+      FROM obs WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(w_us) AS BIGINT) AS total_us,
+           CAST(SUM(v_cents * w_us) AS BIGINT) // CAST(SUM(w_us) AS BIGINT)
+             AS twap_cents
+    FROM weighted
+    GROUP BY user_id
+    """,
+    tags=("window", "time", "agg", "twap"),
+)
+def q174_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP shape): each
+    observation holds from its timestamp until the user's next event
+    (lead), weighted by the exact µs interval; the average is the
+    int64 ratio sum(v*w) div sum(w). Point-in-time averages (q07
+    family) answer "what was the mean reading"; this answers "what
+    was the mean EXPOSURE" — the correct aggregate whenever sampling
+    is irregular, and a different number exactly when it matters.
+    Integer throughout: cents via floor(value*100) (floor, not cast
+    — engine casts disagree on rounding), µs weights, int64 products
+    — order-independent, hence exact. A user's last observation has
+    no successor and carries zero weight (single-event users drop
+    out, matching the oracle's inner filter).
+
+    Scale: ONE user-partitioned window pass (lead only — no
+    unbounded frame state), then a hash aggregation whose shuffle
+    carries two int64 sums + a count per user. Headroom:
+    v_cents * w_us needs max_value_cents * observed_span_us < 2^63 —
+    ~1e4 cents over a month is 2.6e16, three decades clear.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = ev.select(
+        "user_id",
+        us.alias("t_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    return (
+        obs.select(
+            "user_id", "v_cents", (F.col("next_us") - F.col("t_us")).alias("w_us")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("w_us").alias("total_us"),
+            F.expr("sum(v_cents * w_us) div sum(w_us)").alias("twap_cents"),
+        )
+        .select("user_id", "n_intervals", "total_us", "twap_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted engagement (dyadic half-life decay, integer-exact)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "q175_recency_weighted_engagement",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT CAST(epoch_us(MAX(ts)) AS BIGINT) AS t_max FROM events
+    ),
+    scored AS (
+      SELECT e.user_id,
+             CAST(floor(e.value * 100) AS BIGINT)
+               // (CAST(1 AS BIGINT) << CAST(
+                    (a.t_max - CAST(epoch_us(e.ts) AS BIGINT)) // {_DAY_US}
+                  AS INT)) AS v_decayed
+      FROM events e CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_decayed) AS BIGINT) AS engagement
+    FROM scored
+    GROUP BY user_id
+    """,
+    tags=("agg", "time", "decay"),
+)
+def q175_recency_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement per user with a ONE-DAY HALF-LIFE:
+    each event contributes value/2^age_days, where age is measured
+    back from the corpus's latest event. Exponential decay normally
+    means exp()/pow() — banned transcendentals in this engine's
+    checkable surface — but a dyadic half-life is an INTEGER RIGHT
+    SHIFT: v_cents div (1 << age_days), exact on both engines, so a
+    decayed feature-store aggregate gets a full value pin. Events
+    older than 63 days decay to zero naturally; the shift count is
+    capped by the data's one-month span (at longer horizons clamp
+    the exponent — a day over 62 must short-circuit to 0 before the
+    shift to avoid int64 overflow).
+
+    Scale: the anchor timestamp is a 1-row broadcast; scoring is a
+    scan-side expression; one hash aggregation keyed on user. The
+    100 TB shape is a single pass with map-side partials.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    anchor = ev.agg(F.max(us).alias("t_max"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr(
+                f"cast(floor(value * 100) as bigint)"
+                f" div shiftleft(cast(1 as bigint),"
+                f" cast((t_max - unix_micros(cast(ts as timestamp)))"
+                f" div {_DAY_US} as int))"
+            ).alias("v_decayed"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_decayed").alias("engagement"),
+        )
+    )

@@ -565,3 +565,22 @@ def test_q173_big_window_is_hour_partitioned(spark):
     plan = plan_of(spark, "q173_peak_concurrency")
     assert "hashpartitioning(hour_id" in plan  # within-hour window + final agg
     assert "CartesianProduct" not in plan
+
+
+def test_q174_single_window_pass_then_partial_agg(spark):
+    """TWAP: one user-partitioned window (lead only), then a hash
+    aggregation with map-side partials — no second Exchange beyond
+    the window's."""
+    plan = plan_of(spark, "q174_time_weighted_value")
+    assert plan.count("Exchange hashpartitioning") == 1  # window + agg share user_id
+    assert "partial_sum" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q175_decay_is_scan_side(spark):
+    """Dyadic decay scoring must evaluate scan-side against the
+    broadcast anchor: one Exchange total (the user_id agg)."""
+    plan = plan_of(spark, "q175_recency_weighted_engagement")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
