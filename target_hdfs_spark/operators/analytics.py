@@ -1481,3 +1481,351 @@ def q175_recency_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("v_decayed").alias("engagement"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (market-basket co-occurrence: support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+_MIN_SUPPORT_PPM = 20_000  # 2% of baskets
+
+
+@query(
+    "q176_association_rules",
+    oracle=f"""
+    WITH bi AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM bi),
+    cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY b),
+    pairs AS (
+      SELECT x.b AS ba, y.b AS bb, CAST(COUNT(*) AS BIGINT) AS pc
+      FROM bi x JOIN bi y ON x.ok = y.ok AND x.b < y.b
+      GROUP BY x.b, y.b
+    )
+    SELECT ba AS brand_a, bb AS brand_b, pc AS pair_cnt,
+           CAST(pc * 1000000 // nb.n_baskets AS BIGINT) AS support_ppm,
+           CAST(pc * 1000000 // ca.c AS BIGINT) AS conf_a_b_ppm,
+           CAST(pc * 1000000 // cb.c AS BIGINT) AS conf_b_a_ppm,
+           (CAST(pc AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE))
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+    FROM pairs
+    CROSS JOIN nb
+    JOIN cnt ca ON ca.b = pairs.ba
+    JOIN cnt cb ON cb.b = pairs.bb
+    WHERE pc * 1000000 // nb.n_baskets >= {_MIN_SUPPORT_PPM}
+    """,
+    tags=("join", "agg", "mining"),
+)
+def q176_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: which part
+    BRANDS co-occur in the same order beyond chance. Emits, per
+    brand pair above 2% support, the basket co-count, support (ppm of
+    all baskets), both directed confidences, and lift — the core
+    frequent-itemset readout (A-priori at itemset size 2) that drives
+    cross-sell and co-curation decisions.
+
+    The naive formulation self-joins the basket-item table on basket
+    id — at 100 TB that shuffles the corpus twice and recomputes each
+    basket's item set n² times. This plan instead groups ONCE per
+    basket, sorts the (tiny, bounded-by-|brands|) per-basket set, and
+    emits each unordered pair map-side from the sorted array
+    (`transform` x `slice` — no join, no second shuffle). Pair counts
+    then aggregate on a key space bounded by |brands|² — independent
+    of corpus size — and the brand-count / total-basket enrichments
+    are broadcast joins against frames no larger than the dimension.
+
+    Determinism: support/confidence use int64 truncated division
+    (exact); lift is a FIXED four-leaf IEEE tree over exact int64
+    counts (each < 2^53, so the doubles are exact and the single
+    rounding per op is identical on both engines).
+
+    Integer headroom: pair_cnt * 1e6 needs pair_cnt < 9.2e12 —
+    three decades above a 1e9-basket corpus.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b")
+    )
+    # collect_set dedups, so the per-basket grouping is the ONLY
+    # corpus-sized Exchange — a separate distinct() pass would shuffle
+    # the corpus a second time for nothing. The compact per-basket
+    # frame (one bounded array per order) is checkpointed once and
+    # feeds all three consumers (pairs, item counts, basket total).
+    baskets = (
+        bi.groupBy("ok")
+        .agg(F.array_sort(F.collect_set("b")).alias("bs"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)),"
+                    " y -> struct(x AS ba, y AS bb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ba", "p.bb")
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    cnt = (
+        baskets.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    return (
+        pairs.crossJoin(F.broadcast(nb))
+        .join(F.broadcast(cnt.select(F.col("b").alias("ba"), F.col("c").alias("ca"))), "ba")
+        .join(F.broadcast(cnt.select(F.col("b").alias("bb"), F.col("c").alias("cb"))), "bb")
+        .filter(F.expr(f"pc * 1000000 div n_baskets >= {_MIN_SUPPORT_PPM}"))
+        .select(
+            F.col("ba").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
+            F.col("pc").alias("pair_cnt"),
+            F.expr("pc * 1000000 div n_baskets").alias("support_ppm"),
+            F.expr("pc * 1000000 div ca").alias("conf_a_b_ppm"),
+            F.expr("pc * 1000000 div cb").alias("conf_b_a_ppm"),
+            (
+                (F.col("pc").cast("double") * F.col("n_baskets").cast("double"))
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (position-based / U-shaped credit)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 60 * 60 * 1_000_000  # 60 minutes
+
+
+@query(
+    "q177_multi_touch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS pid,
+             CAST(epoch_us(ts) AS BIGINT) AS pts,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS tid, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS tts
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    touches AS (
+      SELECT p.pid, p.v_cents, t.event_type,
+             ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY t.tts, t.tid) AS rn,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.tts <= p.pts AND t.tts > p.pts - {_ATTR_WINDOW_US}
+    ),
+    credited AS (
+      SELECT event_type, v_cents,
+             CASE
+               WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN rn = 1 THEN 400000 + (200000 - (n - 2) * (200000 // (n - 2)))
+               WHEN rn = n THEN 400000
+               ELSE 200000 // (n - 2)
+             END AS ppm
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(ppm) AS BIGINT) AS total_ppm,
+           CAST(SUM(v_cents * ppm // 1000000) AS BIGINT) AS credited_cents
+    FROM credited
+    GROUP BY event_type
+    """,
+    tags=("join", "window", "attribution"),
+)
+def q177_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    purchase splits its value across the same user's non-purchase
+    touches in the preceding 60 minutes — 40% to the first touch, 40%
+    to the last, 20% spread evenly over the middles (n=1 -> 100%,
+    n=2 -> 50/50). Where q131 answers "how many touches preceded the
+    purchase", this assigns each touch a CREDITED REVENUE — the
+    marketing-mix readout — aggregated per touch channel
+    (event_type).
+
+    Credit is integer ppm with the even-split remainder pinned to the
+    first touch, so per-purchase credits sum to exactly 1e6 ppm and
+    the whole statement is int64-exact (credited cents use one
+    truncated division per touch, identical on both engines).
+
+    Scale: the purchase-touch pairing is an EQUI join on user_id with
+    the 60-minute band as a residual predicate — user-partitioned
+    shuffle, never a cross product (same posture as q131). The
+    position window repartitions by purchase id — purchase-bounded
+    groups (touches-in-one-hour), so no skew beyond a single user's
+    event rate — and the final aggregation reduces to |channels|
+    rows with map-side partials.
+
+    Headroom: v_cents * ppm needs purchase values < 9.2e12 cents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        us.alias("pts"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user_id"),
+        F.col("event_id").alias("tid"),
+        "event_type",
+        us.alias("tts"),
+    )
+    joined = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user_id"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - F.lit(_ATTR_WINDOW_US)),
+    )
+    w = Window.partitionBy("pid").orderBy("tts", "tid")
+    touches = joined.select(
+        "pid",
+        "v_cents",
+        "event_type",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("n"),
+    )
+    credited = touches.select(
+        "event_type",
+        "v_cents",
+        F.expr(
+            "CASE WHEN n = 1 THEN 1000000"
+            " WHEN n = 2 THEN 500000"
+            " WHEN rn = 1 THEN 400000 + (200000 - (n - 2) * (200000 div (n - 2)))"
+            " WHEN rn = n THEN 400000"
+            " ELSE 200000 div (n - 2) END"
+        ).alias("ppm"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("ppm").alias("total_ppm"),
+        F.expr("sum(v_cents * ppm div 1000000)").alias("credited_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix + stationary distribution (fixed-point power iter)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 3
+_PPB = 1_000_000_000
+
+
+def _markov_iter_sql(t: int) -> str:
+    """One unrolled power-iteration CTE: pi_{t+1}(dst) =
+    SUM_src pi_t(src) * P_ppb(src, dst) div 1e9 — integer products
+    summed (order-independent), ONE truncated division after."""
+    return f"""
+    pi{t + 1} AS (
+      SELECT m.dst AS state,
+             CAST(SUM(pi{t}.p * m.p_ppb) // {_PPB} AS BIGINT) AS p
+      FROM pi{t} JOIN m ON pi{t}.state = m.src
+      GROUP BY m.dst
+    )"""
+
+
+@query(
+    "q178_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY src),
+    m AS (
+      SELECT c.src, c.dst, CAST(c.n * {_PPB} // tot.row_n AS BIGINT) AS p_ppb
+      FROM c JOIN tot ON c.src = tot.src
+    ),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM tot),
+    pi0 AS (SELECT src AS state, CAST({_PPB} // s.ns AS BIGINT) AS p
+            FROM tot CROSS JOIN s),
+    {",".join(_markov_iter_sql(t) for t in range(_MARKOV_ITERS))}
+    SELECT pi{_MARKOV_ITERS}.state AS state,
+           pi{_MARKOV_ITERS}.p AS stationary_ppb,
+           tot.row_n AS n_out_transitions
+    FROM pi{_MARKOV_ITERS} JOIN tot ON tot.src = pi{_MARKOV_ITERS}.state
+    """,
+    tags=("window", "iterative", "graph"),
+)
+def q178_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain behavior model over the event stream: per-user
+    event-type transition counts -> row-normalized transition matrix
+    in 1e9 fixed point -> {_MARKOV_ITERS} unrolled power-iteration
+    steps from the uniform start -> the approximate stationary
+    distribution (where user attention concentrates in steady state).
+    Companion to q151's PageRank: same fixed-point iterative
+    discipline, but the graph is LEARNED from sequence data rather
+    than given.
+
+    Exactness (what makes an iterative float algorithm
+    oracle-checkable): probabilities are int64 ppb via truncated
+    division; each iteration sums int64 PRODUCTS and divides ONCE, so
+    no intermediate depends on aggregation order. Headroom:
+    sum_src pi(src)*P_ppb <= 1e9 * 1e9 = 1e18 < 2^63.
+
+    Scale: the ONLY corpus-sized work is the lead() window (one
+    user-partitioned Exchange — the q148/q161 posture) and the
+    (src, dst) count aggregation, whose key space is |event types|²
+    regardless of corpus size. The matrix/vector joins after that
+    touch S² <= ~25-row frames — AQE broadcasts them; the unrolled
+    iterations add no corpus-sized stage. States are those with >= 1
+    outgoing transition (mass on a pure-sink state would leak; the
+    engine's event taxonomy has none).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = c.localCheckpoint(eager=True)  # matrix reused by every iteration
+    tot = c.groupBy("src").agg(F.sum("n").alias("row_n"))
+    m = c.join(tot, "src").select(
+        "src", "dst", F.expr(f"n * {_PPB} div row_n").alias("p_ppb")
+    )
+    s = tot.agg(F.count(F.lit(1)).alias("ns"))
+    pi = tot.crossJoin(F.broadcast(s)).select(
+        F.col("src").alias("state"), F.expr(f"{_PPB} div ns").alias("p")
+    )
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            pi.join(m, pi.state == m.src)
+            .groupBy("dst")
+            .agg(F.expr(f"sum(p * p_ppb) div {_PPB}").alias("p"))
+            .select(F.col("dst").alias("state"), "p")
+        )
+    return (
+        pi.join(tot, pi.state == tot.src)
+        .select(
+            "state",
+            F.col("p").alias("stationary_ppb"),
+            F.col("row_n").alias("n_out_transitions"),
+        )
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -785,6 +786,141 @@ def gapped_pattern_stream(
     return src.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted value accumulator (stateful twin of q174_time_weighted_value)
+# ---------------------------------------------------------------------------
+
+TWAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+        T.StructField("total_us", T.LongType()),
+        T.StructField("twap_cents", T.LongType()),
+    ]
+)
+
+# the OPEN observation (last seen value + stamp) and the three closed
+# running sums — 40 bytes/key, O(1) regardless of history length
+TWAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_t_us", T.LongType()),
+        T.StructField("last_v_cents", T.LongType()),
+        T.StructField("sum_w_us", T.LongType()),
+        T.StructField("sum_vw", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+    ]
+)
+TWAP_STATE_TTL_SCHEMA = T.StructType(
+    [*TWAP_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _twap_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"user_id": [], "n_intervals": [], "total_us": [], "twap_cents": []}
+    ).astype("int64")
+    if state.hasTimedOut:
+        # exposure-window semantics: an idle user's OPEN observation
+        # expires — it never accrues weight past the TTL, and the
+        # closed sums evict with it (a later return starts fresh)
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        last_t, last_v, sum_w, sum_vw, n = (int(x) for x in stored[:5])
+        prev_last = int(stored[5]) if ttl_ms is not None else 0
+    else:
+        last_t, last_v, sum_w, sum_vw, n = -1, 0, 0, 0, 0
+        prev_last = 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    whole = whole.sort_values(["ts", "event_id"])
+    # datetime64[ns] -> epoch micros (events.ts is micros-backed -> exact)
+    t_us = (whole["ts"].astype("int64") // 1000).to_numpy()
+    # floor(value*100): same dyadic-safe cents convention as batch q174
+    v_cents = np.floor(whole["value"].to_numpy() * 100).astype("int64")
+    closed = 0
+    for t, v in zip(t_us, v_cents):
+        t = int(t)
+        if last_t != -1:
+            w = t - last_t
+            sum_w += w
+            sum_vw += last_v * w
+            n += 1
+            closed += 1
+        last_t, last_v = t, int(v)
+    if ttl_ms is None:
+        state.update((last_t, last_v, sum_w, sum_vw, n))
+    else:
+        last_ms = max(prev_last, int(whole["ts"].max().value // 1_000_000))
+        state.update((last_t, last_v, sum_w, sum_vw, n, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    if closed and sum_w > 0:
+        # int64 truncated division — identical to q174's `div`
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_intervals": [n],
+                "total_us": [sum_w],
+                "twap_cents": [sum_vw // sum_w if sum_vw >= 0 else -((-sum_vw) // sum_w)],
+            }
+        ).astype("int64")
+    else:
+        yield empty
+
+
+def time_weighted_stream(
+    events: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming time-weighted average (stateful twin of
+    q174_time_weighted_value): each user's observations accrue exact
+    µs-weighted int64 sums as intervals CLOSE (an interval closes when
+    the next observation arrives — possibly many micro-batches later;
+    the open observation crosses batches in the state store). Each
+    micro-batch that closes >=1 interval for a user emits that user's
+    updated running readout (n_intervals, total_us, twap_cents) — the
+    LATEST row per user in the sink is the current TWAP, and on an
+    event-time-ordered log it equals batch q174 exactly (truncated
+    int64 division, same cents/µs conventions; parity is pinned by
+    test). Out-of-order arrival within a micro-batch is repaired by
+    the batch-local sort; across batches a late event would close a
+    negative-width interval — q174's semantics need the global order,
+    so cross-batch parity is scoped to in-order (watermark-complete)
+    logs, like funnel_stage_stream.
+
+    State is 5 int64s per key (40 bytes): billions of users fit a
+    RocksDB store. ``state_ttl_ms`` gives exposure-window semantics —
+    an idle user's open observation stops accruing and evicts once the
+    event-time watermark passes last event + TTL (monotone re-arm).
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, value).
+    """
+
+    def fn(key, pdfs, state):
+        return _twap_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = events, TWAP_STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = TWAP_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TWAP_OUTPUT_SCHEMA,
         stateStructType=schema,
         outputMode="append",
         timeoutConf=timeout,

@@ -584,3 +584,32 @@ def test_q175_decay_is_scan_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan
+
+
+def test_q176_one_corpus_shuffle_no_self_join(spark):
+    """Basket pairs come from the sorted per-basket array (map-side
+    Generate), never a basket-id self-join; brand enrichments are
+    broadcast."""
+    plan = plan_of(spark, "q176_association_rules")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no bi-x-bi self-join
+    assert plan.count("Generate explode") >= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q177_equi_join_with_residual_band(spark):
+    """The 60-minute band must ride an EQUI join on user_id as a
+    residual predicate — a nested-loop/cartesian pairing here is the
+    100 TB kill."""
+    plan = plan_of(spark, "q177_multi_touch_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # join + pid window
+
+
+def test_q178_iterations_touch_no_corpus(spark):
+    """After the transition-count checkpoint, every power-iteration
+    stage joins S^2-bounded frames — broadcast, never sort-merge."""
+    plan = plan_of(spark, "q178_markov_stationary")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

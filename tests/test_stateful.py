@@ -1125,3 +1125,166 @@ def test_gap_pattern_on_rocksdb(spark, tmp_path):
     finally:
         spark.conf.set(key, prev)
     assert got == {(1, "quick_convert", 1, 3, 3)}
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_stream (stateful twin of q174_time_weighted_value)
+# ---------------------------------------------------------------------------
+
+TWAP_SCHEMA_JSON = {
+    "properties": {
+        "user_id": {"type": "integer"},
+        "event_id": {"type": "integer"},
+        "ts": {"type": "string", "format": "date-time"},
+        "value": {"type": "number"},
+    }
+}
+
+
+def _run_twap(spark, src, name, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import time_weighted_stream
+
+    schema = jsonschema_to_spark(TWAP_SCHEMA_JSON)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = time_weighted_stream(stream, state_ttl_ms=ttl_ms)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_twap_open_interval_straddles_batches(spark, tmp_path):
+    """An observation whose interval closes in a LATER micro-batch must
+    carry its (stamp, value) through the state store: batch 1 holds a
+    single observation (no emission — nothing closed), batch 2 closes
+    it, and the weight is the exact cross-batch µs span."""
+    src = tmp_path / "twsrc"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "value": 2.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:30Z", "value": 10.0}],
+    )
+    rows = _run_twap(spark, src, "twap_straddle")
+    # exactly one emission: the batch that closed the interval
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.user_id, r.n_intervals, r.total_us) == (1, 1, 30_000_000)
+    # the CLOSED observation's value (200 cents) is the weighted one
+    assert r.twap_cents == 200
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_twap_stream_equals_batch_q174(spark, tmp_path, seed):
+    """On an in-order log the stream's LATEST row per user equals the
+    batch q174 formulation (lead-interval weights, int64 truncated
+    division) — seeded corpora, intervals straddling the file split."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    rows = [
+        {
+            "user_id": 1 + (i % 3),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "value": round(rng.uniform(-5, 120), 2),
+        }
+        for i in range(90)
+    ]
+    src = tmp_path / f"twp_{seed}"
+    _write(src / "a.jsonl", rows[:50])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[50:])
+    got_rows = _run_twap(spark, src, f"twap_parity_{seed}")
+    latest = {}
+    for r in got_rows:
+        if r.user_id not in latest or r.n_intervals > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_intervals, r.total_us, r.twap_cents)
+
+    df = spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["value"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = df.select(
+        "user_id",
+        us.alias("t_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    expected = {
+        r.user_id: (r.n, r.total_us, r.twap)
+        for r in obs.select(
+            "user_id", "v_cents", (F.col("next_us") - F.col("t_us")).alias("w_us")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w_us").alias("total_us"),
+            F.expr("sum(v_cents * w_us) div sum(w_us)").alias("twap"),
+        )
+        .collect()
+    }
+    assert latest == expected
+    assert expected, "corpus produced no intervals — generator broken"
+
+
+def test_twap_ttl_expires_open_observation(spark, tmp_path):
+    """Exposure-window semantics: user 1's open observation idles past
+    the TTL (watermark advanced by user 2) and must NOT close against
+    a much-later return — the return starts a fresh accumulation, and
+    only the post-return interval accrues."""
+    src = tmp_path / "twttl"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "value": 50.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:30:00Z", "value": 1.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:31:00Z", "value": 1.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [
+            {"user_id": 1, "event_id": 4, "ts": "2026-08-13T10:32:00Z", "value": 7.0},
+            {"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:10Z", "value": 9.0},
+        ],
+    )
+    rows = _run_twap(spark, src, "twap_ttl", ttl_ms=60_000)
+    u1 = [r for r in rows if r.user_id == 1]
+    # the 32-minute stale interval never forms; only the fresh 10 s one
+    assert [(r.n_intervals, r.total_us, r.twap_cents) for r in u1] == [
+        (1, 10_000_000, 700)
+    ]
