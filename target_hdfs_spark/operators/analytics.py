@@ -1829,3 +1829,88 @@ def q178_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("row_n").alias("n_out_transitions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning (quantile-edge feature discretization)
+# ---------------------------------------------------------------------------
+
+_N_BINS = 8
+_BIN_QS = [i / _N_BINS for i in range(1, _N_BINS)]  # 0.125 .. 0.875, dyadic
+
+
+@query(
+    "q179_equidepth_bins",
+    oracle=f"""
+    WITH e AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice,
+                           {[i / _N_BINS for i in range(1, _N_BINS)]}) AS es
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    b AS (
+      SELECT l.l_returnflag,
+             CAST(1 + len(list_filter(e.es, x -> l.l_extendedprice >= x))
+                  AS BIGINT) AS bin,
+             l.l_extendedprice AS price
+      FROM lineitem l JOIN e ON l.l_returnflag = e.l_returnflag
+    )
+    SELECT l_returnflag, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(price) AS lo,
+           MAX(price) AS hi,
+           CAST(CAST(SUM(CAST(price AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+             AS price_sum
+    FROM b
+    GROUP BY l_returnflag, bin
+    """,
+    tags=("agg", "percentile", "binning"),
+)
+def q179_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature discretization: per group, compute the
+    {_N_BINS}-quantile EDGES once (exact interpolated percentiles —
+    the q99 surface), then assign every row its bin map-side by
+    comparing against the broadcast edge array, and emit per-bin
+    occupancy + value range + exact-decimal sum. This is the
+    two-phase shape a feature store uses at 100 TB: the edges are a
+    |groups| x {_N_BINS - 1} frame computed in one aggregation and
+    REUSABLE (training/serving skew-free binning), and assignment
+    never shuffles the corpus — only the final per-(group, bin)
+    aggregation does, onto a |groups| x {_N_BINS} key space.
+
+    Exactness: quantile fractions are dyadic (i/{_N_BINS} — exact
+    doubles), interpolation is the same (1-h)*lo + h*hi tree both
+    engines evaluate identically (proven by q99), and bin assignment
+    counts edges <= value with >= comparisons on identical doubles.
+    Bin sums ride the exact-decimal VARCHAR route.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    edges = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(q) for q in _BIN_QS]),
+        ).alias("es")
+    )
+    binned = li.join(F.broadcast(edges), "l_returnflag").select(
+        "l_returnflag",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("es"),
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("l_extendedprice") >= e, 1).otherwise(0),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+        to_double(F.sum(dec(F.col("price")))).alias("price_sum"),
+    )

@@ -1632,3 +1632,146 @@ def q149_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# L3j-4: batch-hard triplet mining — per-cell hardest positive/negative
+# ---------------------------------------------------------------------------
+
+
+def _km_mining_oracle_sql() -> str:
+    """Replay training (shared _km_ctes), then per-anchor batch-hard
+    mining inside each cell: hardest negative = max integer dot with a
+    DIFFERENT label (other-id DESC tiebreak), hardest positive = min
+    dot with the SAME label (other-id ASC tiebreak)."""
+    a, _ = _km_ctes()
+    ctes = ",\n    ".join(a)
+    d = _DOT_LONG_SQL.format(a="a.vi", b="b.vi")
+    return f"""
+    WITH {ctes},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    av AS (
+      SELECT af.vec_id, af.cid, vi.vi, lab.label
+      FROM af JOIN vi USING (vec_id) JOIN lab USING (vec_id)
+    ),
+    pr AS (
+      SELECT a.vec_id AS anchor, b.vec_id AS other,
+             a.label AS alab, b.label AS blab,
+             CAST({d} AS BIGINT) AS d
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    ),
+    neg AS (
+      SELECT anchor, other, d,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY d DESC, other DESC) AS rn
+      FROM pr WHERE alab <> blab
+    ),
+    pos AS (
+      SELECT anchor, other, d,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY d ASC, other ASC) AS rn
+      FROM pr WHERE alab = blab
+    )
+    SELECT av.vec_id, av.cid, CAST(av.label AS BIGINT) AS anchor_label,
+           n.other AS hard_neg_id, n.d AS hard_neg_dot,
+           p.other AS hard_pos_id, p.d AS hard_pos_dot
+    FROM av
+    LEFT JOIN neg n ON n.anchor = av.vec_id AND n.rn = 1
+    LEFT JOIN pos p ON p.anchor = av.vec_id AND p.rn = 1
+    """
+
+
+@query(
+    "q180_hard_negative_mining",
+    oracle=_km_mining_oracle_sql(),
+    tags=("similarity", "kmeans", "mining", "training"),
+)
+def q180_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining for contrastive training: train the
+    integer-exact IVF codebook (kmeans_train — the q78 chain), assign
+    every vector, and inside each cell find, per anchor, the HARDEST
+    NEGATIVE (most-similar vector with a different label — the
+    near-miss the loss should push apart) and the HARDEST POSITIVE
+    (least-similar same-label vector — the far-flung pair to pull
+    together). The cells play the role of training mini-batches:
+    FaceNet-style batch-hard mining, but over the whole corpus with
+    the "batch" chosen semantically rather than randomly, which is
+    exactly what makes mined triplets informative.
+
+    Anchors whose cell has no other same-label (resp. different-label)
+    member emit NULL on that side — real mining output, and the left
+    joins are part of the checked contract.
+
+    Exactness: similarity is the int64 fixed-point dot (order-free),
+    winners are row_number with full (dot, id) tiebreaks, and the
+    oracle replays training through the shared _km_ctes chain — an
+    end-to-end value pin across training, assignment, and mining.
+
+    Scale: the pair space is within-cell only — sum over cells of m²,
+    the q130/q168 SemDeDup posture, bounded by balanced cells (K
+    tracks corpus size at √N, see BENCH_NOTES); the join key is cid,
+    so the shuffle carries each cell once per side. No global
+    pairing, no driver materialization at any stage.
+    """
+    emb = _load_vectors(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cent = kmeans_train(emb, k=N_CENTROIDS, iterations=_KM_ITERATIONS)
+    vi_df = emb.select("vec_id", _scaled_ints(F.col("v")).alias("vi"))
+    # three consumers (both pair sides + the anchor spine): checkpoint
+    # so the broadcast-assign job runs once, not three times
+    av = (
+        _km_assign(vi_df, cent)
+        .join(labels, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    a = av.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("cid"),
+        F.col("vi").alias("avi"),
+        F.col("label").alias("alab"),
+    )
+    b = av.select(
+        F.col("vec_id").alias("other"),
+        F.col("cid"),
+        F.col("vi").alias("bvi"),
+        F.col("label").alias("blab"),
+    )
+    pr = (
+        a.join(b, "cid")
+        .filter(F.col("anchor") != F.col("other"))
+        .select(
+            "anchor",
+            "other",
+            "alab",
+            "blab",
+            dot_fold_long(F.col("avi"), F.col("bvi")).alias("d"),
+        )
+    )
+    # ONE aggregation pass instead of two window branches: max/min of
+    # (d, other) structs reproduce the (dot, id) lexicographic
+    # tiebreaks exactly — max struct == ORDER BY d DESC, other DESC;
+    # min struct == ORDER BY d ASC, other ASC — and the pair frame is
+    # scanned once (a second consumer would recompute every dot).
+    mined = pr.groupBy("anchor").agg(
+        F.max(
+            F.when(F.col("alab") != F.col("blab"), F.struct("d", "other"))
+        ).alias("hn"),
+        F.min(
+            F.when(F.col("alab") == F.col("blab"), F.struct("d", "other"))
+        ).alias("hp"),
+    )
+    return (
+        av.select(
+            "vec_id", "cid", F.col("label").cast("long").alias("anchor_label")
+        )
+        .join(mined, av.vec_id == mined.anchor, "left")
+        .select(
+            "vec_id",
+            "cid",
+            "anchor_label",
+            F.col("hn.other").alias("hard_neg_id"),
+            F.col("hn.d").alias("hard_neg_dot"),
+            F.col("hp.other").alias("hard_pos_id"),
+            F.col("hp.d").alias("hard_pos_dot"),
+        )
+    )

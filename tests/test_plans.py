@@ -613,3 +613,22 @@ def test_q178_iterations_touch_no_corpus(spark):
     plan = plan_of(spark, "q178_markov_stationary")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q179_edges_broadcast_assignment_mapside(spark):
+    """Bin edges are a tiny per-group frame: assignment must ride a
+    broadcast join (no corpus shuffle before the final per-bin agg)."""
+    plan = plan_of(spark, "q179_equidepth_bins")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # edges agg + final (group, bin) agg — assignment adds no Exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q180_pairs_are_cell_bounded(spark):
+    """Triplet mining pairs only within k-means cells: the pair join
+    keys on cid (never a global cross), and the mined winners come
+    from ONE aggregation (no window recompute of the pair frame)."""
+    plan = plan_of(spark, "q180_hard_negative_mining")
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan or "partial_min" in plan  # map-side combine
