@@ -76,6 +76,10 @@ QUERIES = (
     # token frame). q171 (leakage-safe split) is q85's swept pipeline
     # plus a map-side bucket expression — it rides q85's numbers.
     "q166_bigram_lm_quality",
+    # round 6 continuation: novelty scoring (checkpointed gram pass +
+    # gram-keyed min/join)
+    "q184_ngram_novelty",
+    "q188_retrieval_eval",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -92,6 +96,10 @@ EMB_QUERIES = (
     # assignment on top of the q78 training path
     "q168_prototype_selection",
     "q172_incremental_ivf",
+    # round 6 continuation: within-cell triplet mining (pair cost
+    # tracks cell occupancy — constant-occupancy fan-out keeps it
+    # linear in cells)
+    "q180_hard_negative_mining",
 )
 # the bucketed-cosine graph family (pair generation is quadratic in
 # bucket occupancy): sweep with SPARK_GRAFT_SRP_PLANES grown
@@ -114,6 +122,15 @@ FACT_QUERIES = (
     "q136_group_ols_regression",
     "q155_integrity_audit",
     "q160_pareto_concentration",
+    # round 6 continuation: basket pair mining (one corpus Exchange,
+    # pair key space |brands|^2) and equi-depth binning (edges
+    # broadcast, assignment map-side)
+    "q176_association_rules",
+    "q179_equidepth_bins",
+    "q181_mad_robust_stats",
+    "q182_gini_best_split",
+    "q185_weighted_percentiles",
+    "q186_key_skew_profile",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same
@@ -134,6 +151,17 @@ EVENT_QUERIES = (
     # patterns holds the single-Exchange posture at Kx users)
     "q161_multi_pattern_match",
     "q162_gapped_pattern_match",
+    # round 6 continuation: interval-weighted/decayed aggregates (one
+    # user window or scan-side scoring + one user-keyed agg), U-shaped
+    # attribution (q131's equi-join posture + purchase-id window), and
+    # the learned transition matrix (one corpus window; iterations are
+    # S^2-bounded)
+    "q174_time_weighted_value",
+    "q175_recency_weighted_engagement",
+    "q177_multi_touch_attribution",
+    "q178_markov_stationary",
+    "q183_simpson_diversity",
+    "q187_cusum_changepoint",
 )
 # The binned overlap join sweeps only to 10x: the events fan-out holds
 # the time range constant, so K x users AND K x global incidents make

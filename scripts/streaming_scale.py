@@ -36,6 +36,8 @@ def _ops():
         gapped_pattern_stream,
         multi_pattern_stream,
         scd2_interval_stream,
+        time_weighted_stream,
+        transition_stream,
     )
 
     return {
@@ -43,6 +45,8 @@ def _ops():
         "gapped_pattern_stream": gapped_pattern_stream,
         "funnel_stage_stream": funnel_stage_stream,
         "scd2_interval_stream": scd2_interval_stream,
+        "time_weighted_stream": time_weighted_stream,
+        "transition_stream": transition_stream,
     }
 
 

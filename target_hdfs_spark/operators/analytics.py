@@ -1914,3 +1914,544 @@ def q179_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("price").alias("hi"),
         to_double(F.sum(dec(F.col("price")))).alias("price_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation (robust scale estimate; q112's companion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q181_mad_robust_stats",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ANY_VALUE(m.med_price) AS median_price,
+           quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5) AS mad
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    tags=("agg", "percentile", "robust"),
+)
+def q181_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust scale estimate
+    (MAD) that pairs with q112's trimmed mean for outlier-resistant
+    pipeline monitoring: median of |x - median(x)|. Two percentile
+    phases: the per-group medians are a |groups|-row frame, broadcast
+    back so deviation scoring is map-side; the second (MAD) percentile
+    then runs per group.
+
+    Exactness: both medians are the same (1-h)*lo+h*hi interpolation
+    q99 pins across engines; the deviation |x - m| is one IEEE
+    subtract + abs on identical doubles — every intermediate is
+    bit-identical by construction, no aggregation-order dependence
+    (percentile sorts its group).
+
+    Scale: groups bounded (|returnflag| = 3); exact per-group
+    percentiles materialize group values (the priced q99 trade) —
+    swap in approx_percentile when groups are unbounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "med_price",
+            F.abs(F.col("l_extendedprice") - F.col("med_price")).alias("dev"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.any_value("med_price").alias("median_price"),
+            F.percentile("dev", F.lit(0.5)).alias("mad"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini-impurity split scan (the decision-tree-node primitive)
+# ---------------------------------------------------------------------------
+
+_GINI_PPM = 1_000_000
+
+
+@query(
+    "q182_gini_best_split",
+    oracle=f"""
+    WITH lab AS (
+      SELECT l_quantity AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    lv AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS c1
+      FROM lab GROUP BY q
+    ),
+    cum AS (
+      SELECT q,
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(c1) OVER w AS BIGINT) AS c1l,
+             CAST(SUM(n) OVER () AS BIGINT) AS nt,
+             CAST(SUM(c1) OVER () AS BIGINT) AS c1t
+      FROM lv
+      WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT q AS threshold, nl AS n_left, nt - nl AS n_right,
+           CAST((
+             nl * ((nl * nl - c1l * c1l - (nl - c1l) * (nl - c1l))
+                   * {_GINI_PPM} // (nl * nl))
+             + (nt - nl) * (((nt - nl) * (nt - nl)
+                   - (c1t - c1l) * (c1t - c1l)
+                   - ((nt - nl) - (c1t - c1l)) * ((nt - nl) - (c1t - c1l)))
+                   * {_GINI_PPM} // ((nt - nl) * (nt - nl)))
+           ) // nt AS BIGINT) AS gini_ppm
+    FROM cum WHERE nl < nt
+    """,
+    tags=("window", "agg", "ml"),
+)
+def q182_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity split scan — the inner loop of decision-tree
+    induction, run declaratively: for every candidate threshold of
+    l_quantity, the weighted Gini impurity of splitting the
+    (l_returnflag = 'R') label at `value <= threshold`. One corpus
+    aggregation collapses the data to per-LEVEL (n, positives) rows —
+    a |distinct levels|-sized frame — and a cumulative window over the
+    ordered levels yields every split's left/right counts in one pass
+    (the q167 cumulative rewrite; no per-threshold rescan, which is
+    the textbook O(levels x corpus) trap). argmin over the output
+    picks the split.
+
+    Exactness: gini = 1 - p0² - p1² computed as the integer identity
+    (n² - c1² - c0²) * 1e6 div n², weighted by exact counts and
+    divided once — all int64, order-free. Headroom: nl² * 1e6 needs
+    group sizes < 3e6 per side... (sf0.1: 6e5). For larger corpora
+    scale the identity by per-level reduction first (the level frame,
+    not the corpus, is what the window sees — reduce keyspace stays
+    |levels|); the ppm resolution, not the algorithm, is the limit.
+
+    Scale: corpus touched once (hash agg, map-side partials); the
+    window runs over |levels| rows (~50) in a single tiny task.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return gini_split_scan(li)
+
+
+def gini_split_scan(df: DataFrame) -> DataFrame:
+    """Reusable split scan over a (q: numeric feature, y: 0/1 label)
+    frame: every threshold's weighted Gini in ppm via the cumulative
+    rewrite (see q182's docstring for the algebra and scale notes).
+    Property-tested against a per-threshold brute-force evaluation in
+    tests/test_gini_property.py."""
+    lv = df.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("c1")
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = lv.select(
+        "q",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("c1").over(w).alias("c1l"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("c1").over(wt).alias("c1t"),
+    )
+    return cum.filter(F.col("nl") < F.col("nt")).select(
+        F.col("q").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        (F.col("nt") - F.col("nl")).alias("n_right"),
+        F.expr(
+            f"("
+            f" nl * ((nl * nl - c1l * c1l - (nl - c1l) * (nl - c1l))"
+            f"       * {_GINI_PPM} div (nl * nl))"
+            f" + (nt - nl) * (((nt - nl) * (nt - nl)"
+            f"       - (c1t - c1l) * (c1t - c1l)"
+            f"       - ((nt - nl) - (c1t - c1l)) * ((nt - nl) - (c1t - c1l)))"
+            f"       * {_GINI_PPM} div ((nt - nl) * (nt - nl)))"
+            f") div nt"
+        ).alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index (entropy-free concentration readout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q183_simpson_diversity",
+    oracle=f"""
+    WITH ct AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST((SUM(c) * SUM(c) - SUM(c * c)) * {_GINI_PPM}
+                // (SUM(c) * SUM(c)) AS BIGINT) AS simpson_ppm
+    FROM ct
+    GROUP BY user_id
+    """,
+    tags=("agg", "diversity"),
+)
+def q183_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index per user over their event-type mix:
+    1 - sum(p_i²), the entropy-free concentration measure (0 = every
+    event the same type, -> 1 = evenly spread) — the behavioral
+    specialist/generalist readout, and the same algebra a curation
+    pipeline uses to score source-mix diversity. Shannon entropy
+    needs log (banned from the checkable surface); Simpson is a
+    RATIONAL function of counts, so the integer identity
+    (n² - sum(c_i²)) * 1e6 div n² is exact on both engines.
+
+    Scale: two stacked hash aggregations, each with map-side
+    partials — the first Exchange carries per-partition distinct
+    (user, type) counts, the second only the reduced
+    |users| x |types| frame; per-user state is |types|-bounded. Headroom: n² * 1e6 needs
+    per-user event counts < 3e6 (...a user with more events than
+    that is a bot you've already filtered).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ct = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return ct.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr(
+            f"(sum(c) * sum(c) - sum(c * c)) * {_GINI_PPM}"
+            f" div (sum(c) * sum(c))"
+        ).alias("simpson_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted percentiles (segmented two-level prefix scan — q173's pattern)
+# ---------------------------------------------------------------------------
+
+_WBAND = 1000  # price band width for the segmented cumulative scan
+
+
+@query(
+    "q185_weighted_percentiles",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS rf, l_extendedprice AS p,
+             CAST(floor(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    tot AS (SELECT rf, CAST(SUM(w) AS BIGINT) AS tw FROM r GROUP BY rf),
+    c AS (
+      SELECT rf, p,
+             CAST(SUM(w) OVER (PARTITION BY rf ORDER BY p
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      FROM r
+    )
+    SELECT c.rf AS l_returnflag, t.tw AS total_weight,
+           MIN(CASE WHEN 4 * cw >= t.tw THEN p END) AS wp25,
+           MIN(CASE WHEN 2 * cw >= t.tw THEN p END) AS wp50,
+           MIN(CASE WHEN 4 * cw >= 3 * t.tw THEN p END) AS wp75
+    FROM c JOIN tot t ON c.rf = t.rf
+    GROUP BY c.rf, t.tw
+    """,
+    tags=("window", "percentile", "agg"),
+)
+def q185_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) quartiles of price, weighted by quantity — the
+    inventory-weighted price distribution, where each row counts w
+    times. Definition: wq(f) = the smallest price whose cumulative
+    weight reaches fraction f of total weight (lower weighted
+    percentile — pure integer threshold tests, no interpolation, so
+    the check is exact by construction).
+
+    Scale — the reason this query exists: the textbook formulation is
+    a GLOBAL ordered cumulative weight per group (the oracle's
+    single-partition window, fine for DuckDB, a scale trap for a
+    3-group corpus in Spark). The plan SEGMENTS the scan exactly like
+    q173: per-(group, price-band) weight sums aggregate map-side; the
+    band-level carry-in is a cumulative window over the tiny
+    |groups| x |bands| frame; the within-band running weight is
+    PARTITIONED BY (group, band) — fully parallel; thresholds then
+    evaluate row-local against the broadcast totals.
+
+    Tie robustness: rows tied on price may order arbitrarily inside
+    the running sum, but the OUTPUT is min(price) over threshold
+    crossings — the last row of a tie group carries the whole group's
+    cumulative weight, so which tied row crosses first never changes
+    the reported price.
+    """
+    r = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("p"),
+        F.floor("l_quantity").cast("long").alias("w"),
+    )
+    return weighted_lower_percentiles(r, band_width=_WBAND).select(
+        F.col("rf").alias("l_returnflag"),
+        F.col("tw").alias("total_weight"),
+        "wp25",
+        "wp50",
+        "wp75",
+    )
+
+
+def weighted_lower_percentiles(
+    df: DataFrame, band_width: float = _WBAND
+) -> DataFrame:
+    """Reusable weighted lower quartiles over an (rf: group, p: value,
+    w: int64 weight) frame via the segmented two-level prefix scan
+    (see q185's docstring). Returns (rf, tw, wp25, wp50, wp75).
+    Property-tested against a sorted brute-force evaluation in
+    tests/test_gini_property.py."""
+    r = df.withColumn("band", F.expr(f"cast(floor(p / {band_width}) as bigint)"))
+    band_w = r.groupBy("rf", "band").agg(F.sum("w").alias("bw"))
+    w_bands = Window.partitionBy("rf").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = band_w.select(
+        "rf",
+        "band",
+        F.coalesce(F.sum("bw").over(w_bands), F.lit(0)).alias("carry_in"),
+    )
+    tot = band_w.groupBy("rf").agg(F.sum("bw").alias("tw"))
+    w_in = (
+        Window.partitionBy("rf", "band")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        r.withColumn("run", F.sum("w").over(w_in))
+        .join(F.broadcast(carry), ["rf", "band"])
+        .join(F.broadcast(tot), "rf")
+        .select("rf", "p", (F.col("carry_in") + F.col("run")).alias("cw"), "tw")
+    )
+    return cum.groupBy("rf", "tw").agg(
+        F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("p"))).alias("wp25"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("p"))).alias("wp50"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("p"))).alias("wp75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile (the pre-join observability readout)
+# ---------------------------------------------------------------------------
+
+
+def _skew_profile_sql(key: str) -> str:
+    return f"""
+    SELECT '{key}' AS key_name,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_cnt,
+           CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cnt,
+           quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50_cnt,
+           quantile_cont(CAST(c AS DOUBLE), 0.99) AS p99_cnt,
+           MIN(k) FILTER (WHERE c = (SELECT MAX(c) FROM cnt_{key})) AS top_key
+    FROM cnt_{key}
+    """
+
+
+@query(
+    "q186_key_skew_profile",
+    oracle=f"""
+    WITH cnt_l_partkey AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    cnt_l_suppkey AS (
+      SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_suppkey
+    )
+    {_skew_profile_sql("l_partkey")}
+    UNION ALL
+    {_skew_profile_sql("l_suppkey")}
+    """,
+    tags=("agg", "profile", "skew"),
+)
+def q186_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the observability readout you run
+    BEFORE keying a 100 TB shuffle: for each candidate join key, the
+    per-key cardinality distribution (row/key counts, max, mean,
+    exact p50/p99) and the heaviest key itself (min key id among
+    ties). max_cnt/avg_cnt is the skew ratio that decides between a
+    plain shuffle join, AQE skew splitting, and an explicit salt
+    (operators/skew.py) — this query turns that decision into data.
+
+    Exactness: counts are exact int64; avg is ONE double division of
+    exact ints; p50/p99 are the q99-pinned interpolation over per-key
+    counts cast to double; top key via min-over-ties needs no window.
+
+    Scale: per key column, one corpus hash agg (map-side partials)
+    down to the |keys| frame, then a single |keys|-sized profile
+    aggregation; profiled keys here are bounded dimensions of the
+    fact table. The second profile pass is |keys|-sized — the scan
+    cost IS the profile cost, as it should be.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # top key via min-over-ties against the broadcast max — needs no
+    # window and stays deterministic under count ties
+    def profile(key: str) -> DataFrame:
+        cnt = li.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).localCheckpoint(eager=False)
+        mx = cnt.agg(F.max("c").alias("mc"))
+        top = (
+            cnt.join(F.broadcast(mx), cnt.c == mx.mc)
+            .agg(F.min("k").alias("top_key"))
+        )
+        return (
+            cnt.agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("c").alias("max_cnt"),
+                (
+                    F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+                ).alias("avg_cnt"),
+                F.percentile(F.col("c").cast("double"), F.lit(0.5)).alias(
+                    "p50_cnt"
+                ),
+                F.percentile(F.col("c").cast("double"), F.lit(0.99)).alias(
+                    "p99_cnt"
+                ),
+            )
+            .crossJoin(F.broadcast(top))
+            .select(F.lit(key).alias("key_name"), "*")
+        )
+
+    return profile("l_partkey").unionByName(profile("l_suppkey"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (segmented prefix scan, third application)
+# ---------------------------------------------------------------------------
+
+_HOUR_US_CP = 3_600_000_000
+
+
+@query(
+    "q187_cusum_changepoint",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us,
+             event_id,
+             CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS tv
+      FROM r GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, t_us,
+             CAST(SUM(v) OVER w AS BIGINT) AS cs,
+             CAST(COUNT(*) OVER w AS BIGINT) AS rn
+      FROM r
+      WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+      SELECT c.event_type, c.t_us,
+             abs(t.n * c.cs - c.rn * t.tv) AS ad
+      FROM c JOIN tot t ON c.event_type = t.event_type
+    ),
+    m AS (SELECT event_type, CAST(MAX(ad) AS BIGINT) AS md
+          FROM d GROUP BY event_type)
+    SELECT d.event_type, t.n AS n_events, m.md AS max_dev,
+           CAST(MIN(d.t_us) AS BIGINT) AS cp_ts_us
+    FROM d
+    JOIN m ON m.event_type = d.event_type AND d.ad = m.md
+    JOIN tot t ON t.event_type = d.event_type
+    GROUP BY d.event_type, t.n, m.md
+    """,
+    tags=("window", "time", "changepoint"),
+)
+def q187_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the time at which
+    the cumulative deviation from the global mean peaks — the
+    classic single-change-point estimator (where did the level
+    shift?), reported with its peak deviation statistic. Division-free
+    integers: the statistic |prefix_sum - t/N * total| is scaled by N
+    to D_t = |N * prefix_t - t * total| (same argmax), so every
+    intermediate is an exact int64 product of exact counts/sums.
+    Ties on D break to the EARLIEST time (min over crossing rows —
+    no window needed).
+
+    Scale: a global ordered prefix per type is the q173/q185 trap;
+    the same two-level decomposition applies — per-(type, hour)
+    (count, sum) aggregate map-side, hour-level carry over the tiny
+    per-type hour frame, within-hour running sums PARTITIONED BY
+    (type, hour). Peak + argmin-tie resolve via one |corpus|->
+    |types| aggregation and a broadcast join back.
+
+    Headroom: N * prefix needs n_events * total_cents < 2^63 —
+    fine to ~1e7 events at 1e4 cents each (9e17); past that, segment
+    the detector per day/shard (change points are local anyway).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    r = ev.select(
+        "event_type",
+        "event_id",
+        us.alias("t_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    ).withColumn("hour_id", F.expr(f"t_us div {_HOUR_US_CP}"))
+    hour_agg = r.groupBy("event_type", "hour_id").agg(
+        F.count(F.lit(1)).alias("hn"), F.sum("v").alias("hs")
+    )
+    w_hours = Window.partitionBy("event_type").orderBy("hour_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = hour_agg.select(
+        "event_type",
+        "hour_id",
+        F.coalesce(F.sum("hn").over(w_hours), F.lit(0)).alias("carry_n"),
+        F.coalesce(F.sum("hs").over(w_hours), F.lit(0)).alias("carry_s"),
+    )
+    tot = hour_agg.groupBy("event_type").agg(
+        F.sum("hn").alias("n"), F.sum("hs").alias("tv")
+    )
+    w_in = (
+        Window.partitionBy("event_type", "hour_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = (
+        r.withColumn("run_n", F.count(F.lit(1)).over(w_in))
+        .withColumn("run_s", F.sum("v").over(w_in))
+        .join(F.broadcast(carry), ["event_type", "hour_id"])
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "t_us",
+            "n",
+            F.abs(
+                F.col("n") * (F.col("carry_s") + F.col("run_s"))
+                - (F.col("carry_n") + F.col("run_n")) * F.col("tv")
+            ).alias("ad"),
+        )
+        .localCheckpoint(eager=False)  # feeds the max agg AND the tie join
+    )
+    m = d.groupBy("event_type").agg(F.max("ad").alias("md"))
+    return (
+        d.join(F.broadcast(m), "event_type")
+        .filter(F.col("ad") == F.col("md"))
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").alias("n_events"),
+            F.any_value("md").alias("max_dev"),
+            F.min("t_us").alias("cp_ts_us"),
+        )
+    )

@@ -1182,3 +1182,211 @@ def q158_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("src_rank", "source", "doc_id")
         .limit(_ILV_TAKE)
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring (temporal freshness of each document's content)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q184_ngram_novelty",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({shingles_sql(_TOK, _NGRAM)}) AS gram
+        FROM documents
+      )
+    ),
+    fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM grams g JOIN fo f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "dedup", "curation", "novelty"),
+)
+def q184_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct {_NGRAM}-gram shingles that no earlier document (lower
+    doc_id = earlier ingest) has used. Where dedup asks "is this doc
+    a copy", novelty asks the curation-side inverse — "how much NEW
+    content does this doc add to the corpus" — the freshness score a
+    continuously-growing training corpus ranks candidate batches by
+    (near-1 = genuinely new material, near-0 = recombination of seen
+    text). Exact integers: counts and a single ppm truncated
+    division.
+
+    Scale: one tokenize+shingle pass (fanned out), per-doc distinct;
+    first-occurrence is a MIN aggregation on the gram key, and the
+    join back is gram-partitioned — the aggregation output arrives
+    already partitioned, so the join adds no extra Exchange for that
+    side. Both shuffles carry (id, gram) pairs; hot grams are
+    bounded by the per-doc DISTINCT (a gram counts once per doc).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(docs, "doc_id").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = (
+        toks.select(
+            "doc_id", F.explode(shingles(F.col("toks"), _NGRAM)).alias("gram")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds first-occurrence AND the join
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            F.expr(
+                "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation harness (MRR / P@k / R@k with rational metrics)
+# ---------------------------------------------------------------------------
+
+_EVAL_TOPK = 10
+
+
+@query(
+    "q188_retrieval_eval",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({shingles_sql(_TOK, _NGRAM)}) AS gram
+        FROM documents
+      )
+    ),
+    src AS (SELECT doc_id, source FROM documents),
+    scnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sc FROM src GROUP BY source),
+    qg AS (
+      SELECT g.doc_id AS query_id, s.source AS qsource, g.gram
+      FROM grams g JOIN src s ON s.doc_id = g.doc_id
+      WHERE g.doc_id % {_EVAL_MOD} = 0
+    ),
+    scored AS (
+      SELECT qg.query_id, qg.qsource, g.doc_id, s.source,
+             CAST(COUNT(*) AS BIGINT) AS score
+      FROM qg JOIN grams g ON g.gram = qg.gram AND g.doc_id <> qg.query_id
+      JOIN src s ON s.doc_id = g.doc_id
+      GROUP BY qg.query_id, qg.qsource, g.doc_id, s.source
+    ),
+    ranked AS (
+      SELECT query_id, qsource, source,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= {_EVAL_TOPK})
+    SELECT t.query_id,
+           CAST(c.sc - 1 AS BIGINT) AS n_relevant,
+           CAST(COALESCE(MIN(CASE WHEN t.source = t.qsource THEN t.rnk END), 0)
+                AS BIGINT) AS first_rel_rank,
+           CAST(COALESCE(1000000 // MIN(CASE WHEN t.source = t.qsource
+                                             THEN t.rnk END), 0)
+                AS BIGINT) AS mrr_ppm,
+           CAST(SUM(CASE WHEN t.source = t.qsource THEN 1 ELSE 0 END)
+                * 1000000 // {_EVAL_TOPK} AS BIGINT) AS p_at_k_ppm,
+           CAST(SUM(CASE WHEN t.source = t.qsource THEN 1 ELSE 0 END)
+                * 1000000 // (c.sc - 1) AS BIGINT) AS r_at_k_ppm
+    FROM top t
+    JOIN scnt c ON c.source = t.qsource
+    GROUP BY t.query_id, c.sc
+    """,
+    tags=("text", "retrieval", "eval"),
+)
+def q188_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness: run a shared-shingle retrieval
+    system (score = distinct {_NGRAM}-grams in common) for every held
+    -out query doc (the q101 eval slice), rank top-{_EVAL_TOPK}, and
+    score it against a metadata relevance label (same `source`) with
+    the standard IR metrics — first relevant rank, MRR, P@{_EVAL_TOPK},
+    R@{_EVAL_TOPK}. nDCG's log2 discount is banned from the checkable
+    surface; MRR/precision/recall are RATIONAL, so every metric is an
+    exact integer ppm (1e6 div rank / hits div k / hits div
+    |relevant|) — the eval harness itself is value-pinned, which is
+    the property you want before trusting a retrieval ablation.
+
+    Scale: the query side is a benchmark suite — small and fixed —
+    so its gram set broadcasts (q101's posture) and the corpus gram
+    stream joins map-side; only (query, candidate) pairs reach the
+    scoring shuffle, and per-query ranking truncates at k via
+    WindowGroupLimit. Source counts are a |sources|-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    toks = fan_out(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = (
+        toks.select(
+            "doc_id", F.explode(shingles(F.col("toks"), _NGRAM)).alias("gram")
+        )
+        .distinct()
+    )
+    src = docs.select("doc_id", "source")
+    scnt = src.groupBy("source").agg(F.count(F.lit(1)).alias("sc"))
+    qg = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .join(src, "doc_id")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("source").alias("qsource"),
+            "gram",
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(qg), "gram")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "qsource", "doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .join(src, "doc_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    top = scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= _EVAL_TOPK
+    )
+    rel_rank = F.min(
+        F.when(F.col("source") == F.col("qsource"), F.col("rnk"))
+    )
+    hits = F.sum(
+        F.when(F.col("source") == F.col("qsource"), 1).otherwise(0)
+    )
+    return (
+        top.join(F.broadcast(scnt.withColumnRenamed("source", "qsource")), "qsource")
+        .groupBy("query_id", "sc")
+        .agg(
+            F.coalesce(rel_rank, F.lit(0)).alias("first_rel_rank"),
+            F.coalesce(
+                F.expr("1000000 div min(CASE WHEN source = qsource THEN rnk END)"),
+                F.lit(0),
+            ).alias("mrr_ppm"),
+            F.expr(
+                f"sum(CASE WHEN source = qsource THEN 1 ELSE 0 END)"
+                f" * 1000000 div {_EVAL_TOPK}"
+            ).alias("p_at_k_ppm"),
+            (hits * F.lit(1_000_000)).alias("hits_ppm"),
+        )
+        .select(
+            "query_id",
+            (F.col("sc") - 1).alias("n_relevant"),
+            "first_rel_rank",
+            "mrr_ppm",
+            "p_at_k_ppm",
+            F.expr("hits_ppm div (sc - 1)").alias("r_at_k_ppm"),
+        )
+    )

@@ -925,3 +925,109 @@ def time_weighted_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Transition emitter (stateful twin of q178's transition-count stage)
+# ---------------------------------------------------------------------------
+
+TRANS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("dst_ts_us", T.LongType()),
+    ]
+)
+
+# the ONE pending observation per key: the last event type seen
+TRANS_STATE_SCHEMA = T.StructType([T.StructField("last_type", T.StringType())])
+TRANS_STATE_TTL_SCHEMA = T.StructType(
+    [*TRANS_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _trans_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"user_id": [], "src": [], "dst": [], "dst_ts_us": []}
+    ).astype({"user_id": "int64", "src": "object", "dst": "object", "dst_ts_us": "int64"})
+    if state.hasTimedOut:
+        # an idle user's dangling last-event evicts: a later return
+        # starts a new chain rather than bridging the idle gap
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        last = stored[0]
+        prev_last = int(stored[1]) if ttl_ms is not None else 0
+    else:
+        last, prev_last = None, 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    whole = whole.sort_values(["ts", "event_id"])
+    ts_us_col = whole["ts"].astype("int64") // 1000
+    out: list[tuple] = []
+    for ts_us, etype in zip(ts_us_col, whole["event_type"]):
+        if etype is None:
+            continue
+        if last is not None:
+            out.append((int(key[0]), last, etype, int(ts_us)))
+        last = etype
+    if ttl_ms is None:
+        state.update((last,))
+    else:
+        last_ms = max(prev_last, int(whole["ts"].max().value // 1_000_000))
+        state.update((last, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield (
+        pd.DataFrame(out, columns=["user_id", "src", "dst", "dst_ts_us"])
+        if out
+        else empty
+    )
+
+
+def transition_stream(
+    events: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming event-type transition emitter (stateful twin of
+    q178_markov_stationary's count stage): one row per observed
+    (src -> dst) transition per user, with transitions straddling
+    micro-batch boundaries bridged by the single-token state (the
+    last event type seen — a handful of bytes per key). Aggregating
+    the sink by (src, dst) reproduces q178's transition-count matrix
+    exactly on event-time-ordered logs (parity pinned by test), which
+    makes the downstream fixed-point stationary solve incrementally
+    refreshable: re-run the tiny S²-bounded iteration over updated
+    counts each trigger, never over the corpus.
+
+    ``state_ttl_ms``: an idle user's dangling last-event evicts once
+    the watermark passes last event + TTL, so a return after the gap
+    starts a new chain instead of fabricating a cross-gap transition
+    (session-scoped chains). ``None`` = q178's unbounded semantics.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+
+    def fn(key, pdfs, state):
+        return _trans_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = events, TRANS_STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = TRANS_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TRANS_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -632,3 +632,82 @@ def test_q180_pairs_are_cell_bounded(spark):
     plan = plan_of(spark, "q180_hard_negative_mining")
     assert "CartesianProduct" not in plan
     assert "partial_max" in plan or "partial_min" in plan  # map-side combine
+
+
+def test_q181_second_pass_is_mapside_scored(spark):
+    """Per-group medians broadcast back; deviation scoring adds no
+    Exchange beyond the two group aggregations."""
+    plan = plan_of(spark, "q181_mad_robust_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q182_single_corpus_pass_then_level_window(spark):
+    """The corpus collapses to per-level counts in ONE hash agg; the
+    cumulative split scan runs over the tiny level frame (a
+    single-partition window over ~50 rows is the DESIGN here, not the
+    global-window trap — pin that it sits above the reduction)."""
+    plan = plan_of(spark, "q182_gini_best_split")
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    assert "CartesianProduct" not in plan
+
+
+def test_q183_two_stacked_aggregations(spark):
+    """(user, type) then user: both aggregations carry map-side
+    partials, so the first Exchange moves per-partition distinct
+    (user, type) counts and the second only the |users|x|types|
+    reduced frame — two Exchanges, neither corpus-sized."""
+    plan = plan_of(spark, "q183_simpson_diversity")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("partial_sum") >= 1 and "partial_count" in plan
+
+
+def test_q184_checkpointed_gram_pass_feeds_both_consumers(spark):
+    """The distinct (doc, gram) frame is computed once (checkpoint);
+    first-occurrence agg and the join back both key on gram."""
+    plan = plan_of(spark, "q184_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    # checkpoint in place: the executed plan starts from the stored
+    # gram frame, not a re-derived tokenize/explode
+    assert "Generate explode" not in plan
+    # the join-back side arrives partitioned by gram from the agg
+    assert "hashpartitioning(gram" in plan
+
+
+def test_q185_segmented_scan_no_global_window(spark):
+    """The corpus-sized running weight must be PARTITIONED BY
+    (group, band); the only unpartitioned-window frame is the tiny
+    band-level carry (q173's two-level decomposition)."""
+    plan = plan_of(spark, "q185_weighted_percentiles")
+    assert "hashpartitioning(rf#" in plan or "hashpartitioning(rf," in plan
+    assert "hashpartitioning(rf" in plan  # within-band window keyed by (rf, band)
+    assert "CartesianProduct" not in plan
+
+
+def test_q186_profile_reduces_before_stats(spark):
+    """Each key profile collapses the corpus to |keys| rows with
+    map-side partials before any percentile; top-key via broadcast
+    max join, no window over the corpus."""
+    plan = plan_of(spark, "q186_key_skew_profile")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q187_cusum_no_global_window(spark):
+    """The per-type prefix must be segmented (hour-partitioned inner
+    window + tiny carry) — a corpus-sized unpartitioned window is the
+    failure mode this plan exists to avoid."""
+    plan = plan_of(spark, "q187_cusum_changepoint")
+    assert "hashpartitioning(event_type#" in plan or "hashpartitioning(event_type," in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q188_broadcasts_query_side(spark):
+    """The benchmark-suite gram set must broadcast (q101's posture);
+    per-query ranking truncates at k below the sort."""
+    plan = plan_of(spark, "q188_retrieval_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -1288,3 +1288,147 @@ def test_twap_ttl_expires_open_observation(spark, tmp_path):
     assert [(r.n_intervals, r.total_us, r.twap_cents) for r in u1] == [
         (1, 10_000_000, 700)
     ]
+
+
+# ---------------------------------------------------------------------------
+# transition_stream (stateful twin of q178's transition-count stage)
+# ---------------------------------------------------------------------------
+
+TRANS_SCHEMA_JSON = {
+    "properties": {
+        "user_id": {"type": "integer"},
+        "event_id": {"type": "integer"},
+        "ts": {"type": "string", "format": "date-time"},
+        "event_type": {"type": "string"},
+    }
+}
+
+
+def _run_trans(spark, src, name, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import transition_stream
+
+    schema = jsonschema_to_spark(TRANS_SCHEMA_JSON)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = transition_stream(stream, state_ttl_ms=ttl_ms)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_transition_straddles_batches(spark, tmp_path):
+    """The last event type must bridge micro-batches: view in batch 1,
+    click in batch 2 -> exactly one (view -> click) transition."""
+    src = tmp_path / "trsrc"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:05Z", "event_type": "click"}],
+    )
+    rows = _run_trans(spark, src, "trans_straddle")
+    assert [(r.user_id, r.src, r.dst) for r in rows] == [(1, "view", "click")]
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_transition_counts_equal_batch_q178_stage(spark, tmp_path, seed):
+    """Aggregating emitted transitions by (src, dst) must equal the
+    batch lead() transition-count formulation (q178's count stage) on
+    an in-order log."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [
+        {
+            "user_id": 1 + (i % 4),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(80)
+    ]
+    src = tmp_path / f"trp_{seed}"
+    _write(src / "a.jsonl", rows[:40])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[40:])
+    got_rows = _run_trans(spark, src, f"trans_parity_{seed}")
+    got: dict[tuple, int] = {}
+    for r in got_rows:
+        got[(r.src, r.dst)] = got.get((r.src, r.dst), 0) + 1
+
+    df = spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = {
+        (r.src, r.dst): r.n
+        for r in df.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+    assert expected, "corpus produced no transitions — generator broken"
+
+
+def test_transition_ttl_breaks_chain(spark, tmp_path):
+    """With a TTL, an idle gap must NOT produce a bridging transition:
+    the dangling last-event evicts, and the post-gap events chain only
+    among themselves."""
+    src = tmp_path / "trttl"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:30:00Z", "event_type": "signup"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:31:00Z", "event_type": "signup"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [
+            {"user_id": 1, "event_id": 4, "ts": "2026-08-13T10:32:00Z", "event_type": "click"},
+            {"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:05Z", "event_type": "purchase"},
+        ],
+    )
+    rows = _run_trans(spark, src, "trans_ttl", ttl_ms=60_000)
+    u1 = sorted((r.src, r.dst) for r in rows if r.user_id == 1)
+    # no (view -> click) bridge across the 32-min gap; only the fresh pair
+    assert u1 == [("click", "purchase")]
