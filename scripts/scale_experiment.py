@@ -162,6 +162,9 @@ EVENT_QUERIES = (
     "q178_markov_stationary",
     "q183_simpson_diversity",
     "q187_cusum_changepoint",
+    "q189_conversion_paths",
+    "q190_rolling_distinct_users",
+    "q191_linear_resample",
 )
 # The binned overlap join sweeps only to 10x: the events fan-out holds
 # the time range constant, so K x users AND K x global incidents make

@@ -2455,3 +2455,316 @@ def q187_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t_us").alias("cp_ts_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-path mining (trigram prefixes and their purchase lift)
+# ---------------------------------------------------------------------------
+
+_PATH_MIN_N = 20
+
+
+@query(
+    "q189_conversion_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS t0,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(event_type, 3) OVER w AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT t0, t1, t2,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_conv
+      FROM seq WHERE t2 IS NOT NULL AND nxt IS NOT NULL
+      GROUP BY t0, t1, t2
+    ),
+    base AS (
+      SELECT CAST(SUM(n_conv) * 1000000 // SUM(n) AS BIGINT) AS base_ppm
+      FROM tri
+    )
+    SELECT t0, t1, t2, n, n_conv,
+           CAST(n_conv * 1000000 // n AS BIGINT) AS conv_ppm,
+           CAST((n_conv * 1000000 // n) * 1000 // base.base_ppm AS BIGINT)
+             AS lift_pml
+    FROM tri CROSS JOIN base
+    WHERE n >= {_PATH_MIN_N}
+    """,
+    tags=("window", "mining", "funnel"),
+)
+def q189_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-path mining: for every 3-event behavioral prefix
+    (t0, t1, t2) a user walks, the probability that their NEXT event
+    is a purchase, and its LIFT over the base next-event conversion
+    rate — "which journeys convert". This is the sequence-mining
+    readout funnels can't give (funnels fix the path; this ranks all
+    observed paths), and the supervised counterpart of q178's
+    unconditional transition model.
+
+    Exact integers: per-path counts, conv ppm by truncated division,
+    lift in per-mille via one further division against the broadcast
+    base rate. Paths with n < {_PATH_MIN_N} are cut (rate estimates
+    below that support are noise, and the cut keeps the output
+    |types|³-bounded with meaningful rows).
+
+    Scale: ONE user-partitioned window pass (three leads share the
+    q148/q161 Exchange), then a hash aggregation onto the
+    |types|³-bounded path key space; the base rate derives from the
+    reduced path frame (not a second corpus pass) and broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_type", 3).over(w).alias("nxt"),
+    )
+    tri = (
+        seq.filter(F.col("t2").isNotNull() & F.col("nxt").isNotNull())
+        .groupBy("t0", "t1", "t2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("nxt") == "purchase", 1).otherwise(0)).alias(
+                "n_conv"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds base rate AND the output
+    )
+    base = tri.agg(
+        F.expr("sum(n_conv) * 1000000 div sum(n)").alias("base_ppm")
+    )
+    return (
+        tri.crossJoin(F.broadcast(base))
+        .filter(F.col("n") >= _PATH_MIN_N)
+        .select(
+            "t0",
+            "t1",
+            "t2",
+            "n",
+            "n_conv",
+            F.expr("n_conv * 1000000 div n").alias("conv_ppm"),
+            F.expr("(n_conv * 1000000 div n) * 1000 div base_ppm").alias(
+                "lift_pml"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (exact, via contribution expansion)
+# ---------------------------------------------------------------------------
+
+_DAY_US_RD = 86_400_000_000
+_ROLL_DAYS = 7
+
+
+@query(
+    "q190_rolling_distinct_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // {_DAY_US_RD} AS day_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day_id FROM ud),
+    dau AS (
+      SELECT day_id, CAST(COUNT(*) AS BIGINT) AS dau1 FROM ud GROUP BY day_id
+    )
+    SELECT d.day_id, dau.dau1,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS dau{_ROLL_DAYS}
+    FROM days d
+    JOIN ud u ON u.day_id BETWEEN d.day_id - {_ROLL_DAYS - 1} AND d.day_id
+    JOIN dau ON dau.day_id = d.day_id
+    GROUP BY d.day_id, dau.dau1
+    """,
+    tags=("agg", "time", "distinct"),
+)
+def q190_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling {_ROLL_DAYS}-day distinct users per day (the
+    WAU-style engagement series) WITHOUT a range join: each (user,
+    active-day) pair CONTRIBUTES to the {_ROLL_DAYS} window-end days
+    it falls inside (a bounded explode), and the rolling distinct
+    becomes a plain per-day distinct count of contributions. The
+    oracle deliberately uses the textbook inequality-join
+    formulation — two independent derivations of the same series.
+
+    Distinct counts don't decompose over sliding windows (a user
+    active on 3 days still counts once), which is why the naive
+    approach is a per-day range scan; the contribution expansion
+    turns it into {_ROLL_DAYS} x |user-days| rows with exact
+    semantics. Output days are restricted to OBSERVED days (windows
+    ending on silent days are the gap-fill operator's job, q135).
+
+    Scale: one distinct to |user-days| (map-side partials), a
+    {_ROLL_DAYS}x map-side explode of that REDUCED frame (never the
+    raw corpus), one distinct-count per window-end day; the daily
+    dau1 series derives from the same user-day frame.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_DAY_US_RD}"
+            ).alias("day_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds dau1 and the expansion
+    )
+    dau1 = ud.groupBy("day_id").agg(F.count(F.lit(1)).alias("dau1"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_id"), F.col("day_id") + F.lit(_ROLL_DAYS - 1))
+        ).alias("wend"),
+    )
+    rolled = (
+        contrib.groupBy("wend")
+        .agg(F.count_distinct("user_id").alias(f"dau{_ROLL_DAYS}"))
+        .withColumnRenamed("wend", "day_id")
+    )
+    return (
+        dau1.join(rolled, "day_id")
+        .select("day_id", "dau1", f"dau{_ROLL_DAYS}")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation resampling (regular-grid imputation per series)
+# ---------------------------------------------------------------------------
+
+_GRID_US = 3_600_000_000  # 1-hour resample grid
+
+
+@query(
+    "q191_linear_resample",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us,
+             CAST(floor(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    -- one observation per instant: the LAST event at a tied µs wins
+    -- (max rn), matching the engine's last-observation-carried rule
+    o AS (
+      SELECT user_id, t_us, v FROM (
+        SELECT user_id, t_us, v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, t_us
+                                  ORDER BY rn DESC) AS k
+        FROM obs) WHERE k = 1
+    ),
+    seg AS (
+      SELECT user_id, t_us AS t0, v AS v0,
+             LEAD(t_us) OVER w AS t1, LEAD(v) OVER w AS v1
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+    ),
+    grid AS (
+      SELECT user_id, t0, v0, t1, v1,
+             unnest(generate_series(
+               (t0 + {_GRID_US} - 1) // {_GRID_US},
+               (t1 - 1) // {_GRID_US})) AS gslot
+      FROM seg WHERE t1 IS NOT NULL
+    ),
+    pts AS (
+      SELECT user_id,
+             v0 + (v1 - v0) * (gslot * {_GRID_US} - t0) // (t1 - t0) AS vi
+      FROM grid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(vi) AS BIGINT) AS sum_interp,
+           CAST(MIN(vi) AS BIGINT) AS min_interp,
+           CAST(MAX(vi) AS BIGINT) AS max_interp
+    FROM pts GROUP BY user_id
+    """,
+    tags=("window", "time", "imputation"),
+)
+def q191_linear_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling to a regular 1-hour grid: per
+    user series, every grid instant strictly inside an observation
+    segment [t0, t1) gets v0 + (v1-v0)·(g-t0) div (t1-t0) — the
+    imputation step that turns an irregular event stream into the
+    regular series a forecasting model trains on (q135's gap-fill
+    zero-fills CLOSED hourly sums; this interpolates the LEVEL
+    between observations). Grid points landing exactly on an
+    observation take its value (the interpolation identity at
+    offset 0 — one formula, no special case). At a tied timestamp
+    the LAST event (event-id order) defines the level, pinned in
+    both engines by an explicit per-instant dedup.
+
+    All arithmetic is int64 (cents × µs with one truncated division
+    per point; both engines truncate toward zero — the _km_ctes
+    discipline); the per-user rollup (count/sum/min/max) pins every
+    interpolated value through the order-free sum while keeping the
+    checked frame |users|-sized.
+
+    Scale: ONE user-partitioned window chain (per-instant dedup +
+    lead share the Exchange); grid expansion is a map-side
+    generate bounded by span/grid per segment; the rollup reuses
+    the user partitioning. Headroom: (v1-v0)·(g-t0) needs
+    level-delta · segment-span < 2^63 — 1e6 cents over a year is
+    3e19... cap segments via session splits past ~3e5-cent deltas,
+    or widen the grid (the product scales down linearly).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    obs = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("t_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w_tie = Window.partitionBy("user_id", "t_us").orderBy(
+        F.col("event_id").desc()
+    )
+    o = (
+        obs.withColumn("k", F.row_number().over(w_tie))
+        .filter(F.col("k") == 1)
+        .drop("k", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    seg = o.select(
+        "user_id",
+        F.col("t_us").alias("t0"),
+        F.col("v").alias("v0"),
+        F.lead("t_us").over(w).alias("t1"),
+        F.lead("v").over(w).alias("v1"),
+    ).filter(F.col("t1").isNotNull())
+    # guard ga <= gb: Spark's sequence() flips to a DESCENDING range
+    # when start > end (sub-grid segments), where DuckDB's
+    # generate_series is empty — filter the gridless segments first
+    pts = seg.select(
+        "user_id",
+        F.expr(f"(t0 + {_GRID_US} - 1) div {_GRID_US}").alias("ga"),
+        F.expr(f"(t1 - 1) div {_GRID_US}").alias("gb"),
+        "t0",
+        "v0",
+        "t1",
+        "v1",
+    ).filter(F.col("ga") <= F.col("gb")).select(
+        "user_id",
+        F.explode(F.sequence(F.col("ga"), F.col("gb"))).alias("gslot"),
+        "t0",
+        "v0",
+        "t1",
+        "v1",
+    ).select(
+        "user_id",
+        F.expr(
+            f"v0 + (v1 - v0) * (gslot * {_GRID_US} - t0) div (t1 - t0)"
+        ).alias("vi"),
+    )
+    return pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("vi").alias("sum_interp"),
+        F.min("vi").alias("min_interp"),
+        F.max("vi").alias("max_interp"),
+    )

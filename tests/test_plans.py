@@ -711,3 +711,33 @@ def test_q188_broadcasts_query_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q189_single_window_pass_three_leads(spark):
+    """All three leads + the conversion lookahead share ONE user
+    Exchange (q148's posture); the base rate derives from the reduced
+    path frame via broadcast."""
+    plan = plan_of(spark, "q189_conversion_paths")
+    assert "CartesianProduct" not in plan
+    # the checkpointed path frame is the plan's source: only the tiny
+    # base-rate agg and final filter remain
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q190_expansion_runs_on_reduced_frame(spark):
+    """The 7x contribution explode must run on the |user-days| frame
+    (post-distinct checkpoint), never the raw corpus; rolling distinct
+    is a plain hash aggregation."""
+    plan = plan_of(spark, "q190_rolling_distinct_users")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q191_windows_share_user_partitioning(spark):
+    """Per-instant dedup and the segment lead both partition by user
+    (one corpus Exchange); grid expansion is map-side Generate."""
+    plan = plan_of(spark, "q191_linear_resample")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
