@@ -165,6 +165,8 @@ EVENT_QUERIES = (
     "q189_conversion_paths",
     "q190_rolling_distinct_users",
     "q191_linear_resample",
+    "q192_cohort_ltv",
+    "q193_funnel_latency_percentiles",
 )
 # The binned overlap join sweeps only to 10x: the events fan-out holds
 # the time range constant, so K x users AND K x global incidents make

@@ -2768,3 +2768,195 @@ def q191_linear_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vi").alias("min_interp"),
         F.max("vi").alias("max_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (cumulative revenue per cohort user by week index)
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "q192_cohort_ltv",
+    oracle=f"""
+    WITH fw AS (
+      SELECT user_id,
+             CAST(MIN(epoch_us(ts)) AS BIGINT) // {_WEEK_US} AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    cs AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+           FROM fw GROUP BY cohort_week),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(epoch_us(e.ts) AS BIGINT) // {_WEEK_US} - f.cohort_week
+               AS week_index,
+             CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM events e JOIN fw f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY f.cohort_week, week_index
+    )
+    SELECT r.cohort_week, r.week_index, c.cohort_users, r.rev_cents,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_week
+                                       ORDER BY r.week_index
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_rev_cents,
+           CAST(CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_week
+                                            ORDER BY r.week_index
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) // c.cohort_users AS BIGINT)
+             AS ltv_per_user_cents
+    FROM rev r JOIN cs c ON c.cohort_week = r.cohort_week
+    """,
+    tags=("window", "time", "cohort", "agg"),
+)
+def q192_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-event week; for each
+    (cohort, weeks-since-acquisition) cell, the cohort's purchase
+    revenue that week, the running cumulative, and cumulative revenue
+    PER COHORT USER — the lifetime-value trajectory (q145's retention
+    grid with money on it, and the payback-period readout). Exact:
+    cents are int64, the cumulative is an ordered window over the
+    reduced grid, per-user LTV is one truncated division.
+
+    Scale: first-week frontier is a |users| aggregation; the revenue
+    join keys on user_id (frontier broadcasts under AQE once it
+    fits); the (cohort, week_index) grid is |weeks|²-bounded, so the
+    cumulative window and the per-cohort join are post-reduction.
+    Weeks with zero purchases are absent (gap-fill is q135's job —
+    the cumulative is correct at every OBSERVED cell regardless).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    fw = ev.groupBy("user_id").agg(
+        F.expr(f"min(unix_micros(cast(ts as timestamp))) div {_WEEK_US}").alias(
+            "cohort_week"
+        )
+    )
+    cs = fw.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fw, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.expr(f"unix_micros(cast(ts as timestamp)) div {_WEEK_US}")
+                - F.col("cohort_week")
+            ).alias("week_index"),
+            F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+        .groupBy("cohort_week", "week_index")
+        .agg(F.sum("v_cents").alias("rev_cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_index").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(F.broadcast(cs), "cohort_week")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .select(
+            "cohort_week",
+            "week_index",
+            "cohort_users",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr("cum_rev_cents div cohort_users").alias(
+                "ltv_per_user_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency percentiles (conversion-time distribution per cohort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_funnel_latency_percentiles",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(epoch_us(v.t_view) AS BIGINT) // {_WEEK_US} AS view_week,
+             CAST(epoch_us(p.t_purchase) - epoch_us(v.t_view) AS BIGINT)
+               AS lat_us
+      FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT view_week,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(CAST(lat_us AS DOUBLE), 0.5) AS lat_p50_us,
+           quantile_cont(CAST(lat_us AS DOUBLE), 0.9) AS lat_p90_us
+    FROM lat GROUP BY view_week
+    """,
+    tags=("agg", "percentile", "funnel"),
+)
+def q193_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency DISTRIBUTION per first-view week: q138
+    reports funnel counts and the latency total; operations teams ask
+    the next question — "how long does conversion take, and is the
+    tail getting worse" — answered here as exact p50/p90 of
+    view→purchase latency, cohorted by view week. Same strictly-
+    ordered frontier chain as q138 (min view; min click strictly
+    after; min purchase strictly after), so the two queries can't
+    disagree about who converted; percentiles ride the q99-pinned
+    interpolation over exact µs integers cast to double.
+
+    Scale: three filtered |users|-frame aggregations chained on
+    user_id (the q138 posture — no window over the log), then one
+    |weeks|-group percentile over the converted-users frame.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = p.join(v, "user_id").select(
+        F.expr(
+            f"unix_micros(cast(t_view as timestamp)) div {_WEEK_US}"
+        ).alias("view_week"),
+        (
+            F.unix_micros(F.col("t_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("t_view").cast("timestamp"))
+        ).alias("lat_us"),
+    )
+    return lat.groupBy("view_week").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile(F.col("lat_us").cast("double"), F.lit(0.5)).alias(
+            "lat_p50_us"
+        ),
+        F.percentile(F.col("lat_us").cast("double"), F.lit(0.9)).alias(
+            "lat_p90_us"
+        ),
+    )

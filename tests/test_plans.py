@@ -741,3 +741,21 @@ def test_q191_windows_share_user_partitioning(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q192_grid_window_after_reduction(spark):
+    """The LTV cumulative runs over the reduced (cohort, week) grid;
+    cohort sizes broadcast; no corpus-sized window."""
+    plan = plan_of(spark, "q192_cohort_ltv")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q193_frontier_chain_no_log_window(spark):
+    """Latency percentiles reuse q138's frontier-join chain: filtered
+    |users| aggregations joined on user_id — no Window over the raw
+    event log."""
+    plan = plan_of(spark, "q193_funnel_latency_percentiles")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # percentile is an agg, not a window here
