@@ -167,13 +167,24 @@ EVENT_QUERIES = (
     "q191_linear_resample",
     "q192_cohort_ltv",
     "q193_funnel_latency_percentiles",
+    "q195_seasonality_profile",
+    "q196_feature_pipeline",
+    "q197_anomaly_days",
 )
+# (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds
 # the time range constant, so K x users AND K x global incidents make
 # the overlap-pair OUTPUT itself grow ~K^2 — a property of the
 # synthetic densification, not of the operator (real 100x corpora grow
 # the time axis too). 10x pins the join cost tracks output size.
-EVENT_QUADRATIC_OUTPUT = ("q165_interval_overlap_join",)
+EVENT_QUADRATIC_OUTPUT = (
+    "q165_interval_overlap_join",
+    # q194: within-block pair space is sum(m²) over dominant-type
+    # blocks; the Kx-users fan-out keeps mixes similar, so blocks grow
+    # ~Kx and pairs ~K² — a densification artifact (real growth adds
+    # mix diversity / refines the block key). Swept to 10x.
+    "q194_behavioral_twins",
+)
 DOC_EXTRA_QUERIES = ("q141_snapshot_diff",)
 # multimodal content roundtrips (round 5): derive clips from doc_id
 # only, so the docs fan-out gives Kx clips directly; all map-only

@@ -2960,3 +2960,474 @@ def q193_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
             "lat_p90_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral twins (blocked cosine over event-mix vectors)
+# ---------------------------------------------------------------------------
+
+_TWIN_TOPK = 3
+_MIX_PPM = 1_000_000
+
+
+@query(
+    "q194_behavioral_twins",
+    oracle=f"""
+    WITH ct AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS nt FROM ct GROUP BY user_id),
+    mix AS (
+      SELECT ct.user_id, ct.event_type,
+             CAST(ct.c * {_MIX_PPM} // n.nt AS BIGINT) AS p
+      FROM ct JOIN n ON n.user_id = ct.user_id
+    ),
+    dom AS (
+      SELECT user_id, event_type AS dom_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY p DESC, event_type) AS rn
+        FROM mix) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, d1.dom_type,
+             CAST(SUM(a.p * b.p) AS BIGINT) AS dot
+      FROM mix a
+      JOIN dom d1 ON d1.user_id = a.user_id
+      JOIN mix b ON b.event_type = a.event_type AND b.user_id <> a.user_id
+      JOIN dom d2 ON d2.user_id = b.user_id AND d2.dom_type = d1.dom_type
+      GROUP BY a.user_id, b.user_id, d1.dom_type
+    ),
+    ranked AS (
+      SELECT ua AS user_id, ub AS twin_id, dom_type, dot,
+             row_number() OVER (PARTITION BY ua
+                                ORDER BY dot DESC, ub) AS rnk
+      FROM pairs
+    )
+    SELECT user_id, twin_id, dom_type, dot,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_TWIN_TOPK}
+    """,
+    tags=("similarity", "agg", "blocking"),
+)
+def q194_behavioral_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral twin matching: embed every user as their event-type
+    MIX (per-type share of their events, integer ppm — a
+    |types|-dimensional behavioral vector built from activity, no
+    model needed), then find each user's top-{_TWIN_TOPK} most
+    similar users by integer dot product, BLOCKED on the dominant
+    event type — the audience-lookalike / cold-start-neighbor
+    primitive. Exact: mixes are truncated-division ppm, similarity
+    is an int64 dot (sum of {_MIX_PPM}²-bounded products), ranking
+    carries full (dot, id) tiebreaks.
+
+    Scale: all-pairs user similarity is quadratic — the block key
+    (dominant type) is the LSH-style pigeonhole that bounds the pair
+    space to within-block (same posture as q96's byte-band blocking
+    and q180's cells: sum of m² over blocks, never n²); a true
+    deployment salts mega-blocks or blocks on (dominant, second)
+    pairs — same plan, finer key. Pair dots aggregate over the
+    shared-type join (map-side partials); ranking truncates per user
+    via WindowGroupLimit.
+
+    Headroom: p·p <= 1e12/term, |types| terms, summed over pairs —
+    int64-safe at any corpus size since mixes are bounded.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ct = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = ct.groupBy("user_id").agg(F.sum("c").alias("nt"))
+    mix = (
+        ct.join(n, "user_id")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(f"c * {_MIX_PPM} div nt").alias("p"),
+        )
+        .localCheckpoint(eager=False)  # feeds dom, both pair sides
+    )
+    w_dom = Window.partitionBy("user_id").orderBy(
+        F.col("p").desc(), F.col("event_type")
+    )
+    dom = (
+        mix.withColumn("rn", F.row_number().over(w_dom))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("dom_type"))
+    )
+    a = mix.join(dom, "user_id").select(
+        F.col("user_id").alias("ua"), "event_type", F.col("p").alias("pa"), "dom_type"
+    )
+    b = mix.join(dom, "user_id").select(
+        F.col("user_id").alias("ub"), "event_type", F.col("p").alias("pb"), "dom_type"
+    )
+    pairs = (
+        a.join(b, ["dom_type", "event_type"])
+        .filter(F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub", "dom_type")
+        .agg(F.sum(F.col("pa") * F.col("pb")).alias("dot"))
+    )
+    w_rank = Window.partitionBy("ua").orderBy(F.col("dot").desc(), F.col("ub"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= _TWIN_TOPK)
+        .select(
+            F.col("ua").alias("user_id"),
+            F.col("ub").alias("twin_id"),
+            "dom_type",
+            "dot",
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile (hour-of-day x day-of-week activity fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_seasonality_profile",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) // 3600000000 % 24 AS hod,
+             (CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 4) % 7 AS dow,
+             CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    cell AS (
+      SELECT event_type, hod, dow,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS v_cents
+      FROM r GROUP BY event_type, hod, dow
+    ),
+    tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt
+            FROM cell GROUP BY event_type)
+    SELECT c.event_type, c.hod, c.dow, c.n, c.v_cents,
+           CAST(c.n * 1000000 // t.nt AS BIGINT) AS share_ppm,
+           CASE WHEN c.n = (SELECT MAX(n) FROM cell c2
+                            WHERE c2.event_type = c.event_type)
+                THEN 1 ELSE 0 END AS is_peak
+    FROM cell c JOIN tot t ON t.event_type = c.event_type
+    """,
+    tags=("agg", "time", "seasonality"),
+)
+def q195_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality fingerprint: the hour-of-day × day-of-week activity
+    matrix per event type (count, value, ppm share of the type's
+    traffic, and a peak-cell flag) — the capacity-planning /
+    anomaly-baseline readout every ops team keeps, and a 168-cell
+    behavioral signature per type. Epoch day 0 (1970-01-01) was a
+    Thursday: dow = (day + 4) mod 7 gives 0 = Sunday on both engines
+    without any locale-dependent date function (EXTRACT(dow) exists
+    in both but disagrees with Spark's dayofweek numbering — integer
+    arithmetic sidesteps the trap entirely).
+
+    Scale: one corpus aggregation onto the |types| x 168 key space
+    (map-side partials do nearly all the work); shares and the peak
+    flag resolve on the reduced frame via a broadcast max per type.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    us = "unix_micros(cast(ts as timestamp))"
+    r = ev.select(
+        "event_type",
+        F.expr(f"{us} div 3600000000 % 24").alias("hod"),
+        F.expr(f"({us} div 86400000000 + 4) % 7").alias("dow"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cell = (
+        r.groupBy("event_type", "hod", "dow")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_cents"))
+        .localCheckpoint(eager=False)  # feeds totals, max, and output
+    )
+    tot = cell.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    mx = cell.groupBy("event_type").agg(F.max("n").alias("mx"))
+    return (
+        cell.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(mx), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "dow",
+            "n",
+            "v_cents",
+            F.expr("n * 1000000 div nt").alias("share_ppm"),
+            F.when(F.col("n") == F.col("mx"), 1).otherwise(0).cast("int").alias("is_peak"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: leakage-safe feature/label construction
+# ---------------------------------------------------------------------------
+
+_FP_HOLDOUT_US = 7 * 86_400_000_000  # label window: the final week
+_FP_SHIFT_CAP = 62  # dyadic decay: shifts past 62 are exactly 0 for cents
+
+
+def _fp_oracle_sql() -> str:
+    from target_hdfs_spark.functions.hashing import md5_hash32_sql
+
+    h = md5_hash32_sql("'split|' || CAST(f.user_id AS VARCHAR)")
+    return f"""
+    WITH anchor AS (
+      SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) - {_FP_HOLDOUT_US} AS cutoff
+      FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us,
+             CAST(floor(value * 100) AS BIGINT) AS v,
+             anchor.cutoff
+      FROM events CROSS JOIN anchor
+    ),
+    pre AS (SELECT * FROM e WHERE t_us < cutoff),
+    twap AS (
+      SELECT user_id,
+             CAST(SUM(v * w) // SUM(w) AS BIGINT) AS twap_cents
+      FROM (
+        SELECT user_id, v,
+               LEAD(t_us) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) - t_us AS w
+        FROM pre
+      ) WHERE w IS NOT NULL
+      GROUP BY user_id HAVING SUM(w) > 0
+    ),
+    feat AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT t_us // 86400000000) AS BIGINT)
+               AS days_active,
+             CAST(SUM(v // (CAST(1 AS BIGINT) << CAST(
+                    LEAST((cutoff - t_us) // 86400000000,
+                          {_FP_SHIFT_CAP}) AS INT)))
+                  AS BIGINT) AS decayed_cents
+      FROM pre GROUP BY user_id
+    ),
+    lab AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN t_us >= cutoff
+                           AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS label
+      FROM e GROUP BY user_id
+    )
+    SELECT f.user_id,
+           CASE WHEN {h} % 10 < 8 THEN 'train'
+                WHEN {h} % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           l.label, f.n_events, f.days_active, f.decayed_cents,
+           t.twap_cents
+    FROM feat f
+    JOIN lab l ON l.user_id = f.user_id
+    LEFT JOIN twap t ON t.user_id = f.user_id
+    """
+
+
+@query(
+    "q196_feature_pipeline",
+    oracle=_fp_oracle_sql(),
+    tags=("composition", "features", "ml", "time"),
+)
+def q196_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship feature-store composition (the events-side counterpart
+    of q98's corpus pipeline): one leakage-safe training frame —
+    features computed STRICTLY BEFORE a global cutoff (max event time
+    minus one week), the label (purchased in the final week) strictly
+    AFTER it, and a deterministic hash split — the construction every
+    supervised pipeline on event data repeats, with the
+    temporal-leakage and split-contamination mistakes made
+    structurally impossible (cutoff enforced in the plan, split from
+    a salted portable hash, q100/q171 discipline).
+
+    Features per user, all exact int64: pre-cutoff event count,
+    distinct active days, recency-decayed value (q175's dyadic
+    half-life ANCHORED AT THE CUTOFF — no peeking — and with the
+    shift capped at {_FP_SHIFT_CAP}, where cents decay to exactly 0,
+    removing q175's documented span limit), and pre-cutoff TWAP
+    (q174's interval weighting; NULL for users with fewer than two
+    pre-cutoff observations — single-observation exposure is
+    undefined, and the left join is part of the contract).
+
+    Scale: the anchor is a 1-row broadcast; the TWAP window and the
+    two per-user aggregations all key on user_id (shared partitioning
+    under AQE); output is |users|-sized. One corpus pass per feature
+    family, no window over anything bigger than a user's history.
+    """
+    from target_hdfs_spark.functions.hashing import md5_hash32
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    anchor = ev.agg((F.max(us) - F.lit(_FP_HOLDOUT_US)).alias("cutoff"))
+    e = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("t_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        "cutoff",
+    )
+    pre = e.filter(F.col("t_us") < F.col("cutoff"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    twap = (
+        pre.select(
+            "user_id", "v", (F.lead("t_us").over(w) - F.col("t_us")).alias("w_us")
+        )
+        .filter(F.col("w_us").isNotNull())
+        .groupBy("user_id")
+        .agg(F.expr("sum(v * w_us) div sum(w_us)").alias("twap_cents"))
+    )
+    # features and label FUSE into one conditional aggregation — the
+    # pre/post cutoff branches are CASE arms, so the event log is
+    # scanned twice total (here + the TWAP window), not three times
+    feat_lab = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("t_us") < F.col("cutoff"), 1).otherwise(0))
+            .alias("n_events"),
+            F.count_distinct(
+                F.when(
+                    F.col("t_us") < F.col("cutoff"),
+                    F.expr("t_us div 86400000000"),
+                )
+            ).alias("days_active"),
+            F.expr(
+                f"sum(CASE WHEN t_us < cutoff THEN"
+                f" v div shiftleft(cast(1 as bigint),"
+                f" cast(least((cutoff - t_us) div 86400000000,"
+                f" {_FP_SHIFT_CAP}) as int)) END)"
+            ).alias("decayed_cents"),
+            F.max(
+                F.when(
+                    (F.col("t_us") >= F.col("cutoff"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("label"),
+        )
+        .filter(F.col("n_events") > 0)  # oracle's pre-only inner join
+    )
+    h = md5_hash32(F.concat(F.lit("split|"), F.col("user_id").cast("string")))
+    return (
+        feat_lab.join(twap, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(h % 10 < 8, "train")
+            .when(h % 10 == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+            "label",
+            "n_events",
+            "days_active",
+            "decayed_cents",
+            "twap_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust daily anomaly flags (MAD gate over the daily series)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 5  # flag days beyond 5 robust deviations
+
+
+@query(
+    "q197_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS v_cents
+      FROM events GROUP BY event_type, day_id
+    ),
+    med AS (
+      SELECT event_type,
+             quantile_cont(CAST(v_cents AS DOUBLE), 0.5) AS med_v
+      FROM daily GROUP BY event_type
+    ),
+    mad AS (
+      SELECT d.event_type,
+             quantile_cont(abs(CAST(d.v_cents AS DOUBLE) - m.med_v), 0.5)
+               AS mad_v
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.day_id, d.n, d.v_cents, m.med_v, a.mad_v,
+           CASE WHEN abs(CAST(d.v_cents AS DOUBLE) - m.med_v)
+                     > {_MAD_K} * a.mad_v
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM daily d
+    JOIN med m ON m.event_type = d.event_type
+    JOIN mad a ON a.event_type = d.event_type
+    """,
+    tags=("agg", "time", "robust", "anomaly"),
+)
+def q197_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily anomaly gate: per event type, flag days whose
+    value total sits more than {_MAD_K} median-absolute-deviations
+    from the series median — q181's MAD machinery applied where
+    monitoring actually uses it (daily revenue/traffic series; a
+    mean/stddev gate would let one bad day inflate its own
+    threshold, the textbook reason MAD exists). The full flagged
+    series is emitted (day grain), not just the alarms — the
+    dashboard shape.
+
+    Exactness: daily totals are exact int64; both medians are the
+    q99-pinned interpolation on identical doubles; the gate is one
+    IEEE compare of identically-derived values.
+
+    Scale: one corpus aggregation onto (type, day); everything after
+    runs on the |types| x |days| frame (two small percentile aggs,
+    broadcast joins back).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day_id"
+            ),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_cents"))
+        .localCheckpoint(eager=False)  # feeds med, mad, and the output
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile(F.col("v_cents").cast("double"), F.lit(0.5)).alias("med_v")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("v_cents").cast("double") - F.col("med_v")).alias("dev"),
+        )
+        .groupBy("event_type")
+        .agg(F.percentile("dev", F.lit(0.5)).alias("mad_v"))
+    )
+    return (
+        daily.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day_id",
+            "n",
+            "v_cents",
+            "med_v",
+            "mad_v",
+            F.when(
+                F.abs(F.col("v_cents").cast("double") - F.col("med_v"))
+                > F.lit(float(_MAD_K)) * F.col("mad_v"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )

@@ -759,3 +759,43 @@ def test_q193_frontier_chain_no_log_window(spark):
     plan = plan_of(spark, "q193_funnel_latency_percentiles")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # percentile is an agg, not a window here
+
+
+def test_q194_pairs_blocked_on_dominant_type(spark):
+    """Twin pairing must join on the block key (shared-type equi
+    join) — never an all-users product — and ranking truncates via
+    WindowGroupLimit."""
+    plan = plan_of(spark, "q194_behavioral_twins")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_q195_single_corpus_agg_to_168_cells(spark):
+    """The corpus collapses onto |types| x 168 cells with map-side
+    partials; share/peak resolve via broadcasts on the reduced
+    frame."""
+    plan = plan_of(spark, "q195_seasonality_profile")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q196_all_stages_key_on_user(spark):
+    """The flagship feature frame: anchor broadcasts; TWAP window and
+    both per-user aggregations key on user_id; no corpus-sized
+    window, no product joins."""
+    plan = plan_of(spark, "q196_feature_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+    # exactly two corpus branches (fused feat+label agg, TWAP window),
+    # each joining the 1-row anchor broadcast once
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_q197_percentiles_on_reduced_daily_frame(spark):
+    """Both MAD-phase percentiles run on the checkpointed (type, day)
+    frame; enrichment joins broadcast back."""
+    plan = plan_of(spark, "q197_anomaly_days")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
