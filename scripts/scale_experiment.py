@@ -170,6 +170,8 @@ EVENT_QUERIES = (
     "q195_seasonality_profile",
     "q196_feature_pipeline",
     "q197_anomaly_days",
+    "q198_wilson_intervals",
+    "q199_expected_steps_to_purchase",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

@@ -3431,3 +3431,220 @@ def q197_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence intervals (segment conversion rates you can trust)
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.959963984540054  # 95% two-sided normal quantile, fixed literal
+# DuckDB parses bare decimal literals as DECIMAL and constant-folds
+# z*z EXACTLY, while Spark's lit() is a double — cast at the literal
+# so both engines run the identical IEEE tree
+_WZ_SQL = f"CAST({_WILSON_Z} AS DOUBLE)"
+
+
+@query(
+    "q198_wilson_intervals",
+    oracle=f"""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT CASE WHEN n < 50 THEN 'low'
+                  WHEN n < 80 THEN 'mid'
+                  ELSE 'high' END AS activity_band,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS k
+      FROM seg GROUP BY activity_band
+    )
+    SELECT activity_band, n, k,
+           (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) AS rate,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+             + {_WZ_SQL} * {_WZ_SQL} / (2.0 * CAST(n AS DOUBLE))
+             - {_WZ_SQL} * sqrt(
+                 (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+                 + {_WZ_SQL} * {_WZ_SQL}
+                   / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1.0 + {_WZ_SQL} * {_WZ_SQL} / CAST(n AS DOUBLE)) AS ci_lo,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+             + {_WZ_SQL} * {_WZ_SQL} / (2.0 * CAST(n AS DOUBLE))
+             + {_WZ_SQL} * sqrt(
+                 (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+                 + {_WZ_SQL} * {_WZ_SQL}
+                   / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1.0 + {_WZ_SQL} * {_WZ_SQL} / CAST(n AS DOUBLE)) AS ci_hi
+    FROM b
+    """,
+    tags=("agg", "stats", "ab"),
+)
+def q198_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence intervals on per-segment purchase
+    rates (users banded by activity): the interval that stays inside
+    [0, 1] and behaves at small n, which is why experiment readouts
+    use it over the naive Wald interval — q156 answers "is A
+    different from B"; this answers "how sure are we about each
+    rate". The z quantile is a FIXED literal (no inverse-CDF at run
+    time), so the whole interval is a fixed IEEE tree over two exact
+    int64 counts: double division, multiply, one sqrt — all
+    correctly-rounded and engine-identical (the q156 discipline;
+    sqrt is IEEE-exact, unlike the banned transcendentals).
+
+    Scale: one |users| aggregation, one |bands| aggregation — the
+    interval math runs on 3 rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    seg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "k"
+        ),
+    )
+    b = (
+        seg.select(
+            F.when(F.col("n") < 50, "low")
+            .when(F.col("n") < 80, "mid")
+            .otherwise("high")
+            .alias("activity_band"),
+            "n",
+            "k",
+        )
+        .groupBy("activity_band")
+        .agg(F.sum("n").alias("n"), F.sum("k").alias("k"))
+    )
+    z = F.lit(_WILSON_Z)
+    nn = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nn
+    center = p + z * z / (F.lit(2.0) * nn)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nn + z * z / (F.lit(4.0) * nn * nn)
+    )
+    denom = F.lit(1.0) + z * z / nn
+    return b.select(
+        "activity_band",
+        "n",
+        "k",
+        p.alias("rate"),
+        ((center - half) / denom).alias("ci_lo"),
+        ((center + half) / denom).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Absorbing-chain analysis (expected steps to purchase, value iteration)
+# ---------------------------------------------------------------------------
+
+_ABS_ITERS = 4
+_ABS_TARGET = "purchase"
+
+
+def _abs_iter_sql(t: int) -> str:
+    """E_{t+1}(s) = 1 + sum_dst P_ppb(s, dst) * E_t(dst) div 1e9 for
+    transient states; the target state stays absorbed at 0. States
+    whose transition rows all point at absorbed/known states converge
+    within the unrolled horizon; E is capped at the horizon
+    otherwise (documented partial sums — same on both engines)."""
+    return f"""
+    e{t + 1} AS (
+      SELECT m.src AS state,
+             CAST(1000000000 + SUM(m.p_ppb * e{t}.e) // {_PPB} AS BIGINT) AS e
+      FROM m JOIN e{t} ON e{t}.state = m.dst
+      WHERE m.src <> '{_ABS_TARGET}'
+      GROUP BY m.src
+      UNION ALL
+      SELECT '{_ABS_TARGET}' AS state, CAST(0 AS BIGINT) AS e
+    )"""
+
+
+@query(
+    "q199_expected_steps_to_purchase",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY src),
+    m AS (
+      SELECT c.src, c.dst, CAST(c.n * {_PPB} // tot.row_n AS BIGINT) AS p_ppb
+      FROM c JOIN tot ON c.src = tot.src
+    ),
+    e0 AS (
+      SELECT src AS state,
+             CAST(CASE WHEN src = '{_ABS_TARGET}' THEN 0
+                       ELSE {_PPB} END AS BIGINT) AS e
+      FROM tot
+    ),
+    {",".join(_abs_iter_sql(t) for t in range(_ABS_ITERS))}
+    SELECT state, e AS expected_steps_1e9
+    FROM e{_ABS_ITERS}
+    """,
+    tags=("window", "iterative", "graph", "funnel"),
+)
+def q199_expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain value iteration on the learned transition
+    matrix (q178's matrix, different question): the expected number
+    of steps for each behavioral state to reach '{_ABS_TARGET}',
+    {_ABS_ITERS} Bellman updates in 1e9 fixed point — E(s) =
+    1 + Σ P(s,·)E(·), absorbed states pinned at 0. Truncating at a
+    fixed horizon makes the iterative solve exactly oracle-checkable
+    (the q151/q178 discipline) and is also what you'd do at scale: E
+    converges geometrically, and the per-iteration error bound is
+    the chain's escape probability to the horizon.
+
+    Scale: identical posture to q178 — one corpus window pass for the
+    matrix, then S²-bounded joins per unrolled iteration (broadcast
+    under AQE); adding iterations adds zero corpus-sized stages.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = c.groupBy("src").agg(F.sum("n").alias("row_n"))
+    m = c.join(tot, "src").select(
+        "src", "dst", F.expr(f"n * {_PPB} div row_n").alias("p_ppb")
+    )
+    e = tot.select(
+        F.col("src").alias("state"),
+        F.when(F.col("src") == _ABS_TARGET, F.lit(0))
+        .otherwise(F.lit(_PPB))
+        .cast("long")
+        .alias("e"),
+    )
+    absorbed = e.filter(F.col("state") == _ABS_TARGET).select("state", "e")
+    for _ in range(_ABS_ITERS):
+        e = (
+            m.filter(F.col("src") != _ABS_TARGET)
+            .join(e, m.dst == e.state)
+            .groupBy("src")
+            .agg(
+                (F.lit(_PPB) + F.expr(f"sum(p_ppb * e) div {_PPB}")).alias("e")
+            )
+            .select(F.col("src").alias("state"), "e")
+            .unionByName(absorbed)
+        )
+    return e.select("state", F.col("e").alias("expected_steps_1e9"))

@@ -799,3 +799,19 @@ def test_q197_percentiles_on_reduced_daily_frame(spark):
     plan = plan_of(spark, "q197_anomaly_days")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q198_interval_math_on_bands_frame(spark):
+    """Two stacked aggregations (users, then 3 bands); the interval
+    tree evaluates on the reduced frame — no joins at all."""
+    plan = plan_of(spark, "q198_wilson_intervals")
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q199_iterations_are_matrix_bounded(spark):
+    """Value iteration joins only the checkpointed S²-bounded matrix —
+    no sort-merge, no cartesian, no corpus stage past the window."""
+    plan = plan_of(spark, "q199_expected_steps_to_purchase")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
