@@ -80,6 +80,7 @@ QUERIES = (
     # gram-keyed min/join)
     "q184_ngram_novelty",
     "q188_retrieval_eval",
+    "q200_bpe_merge_candidates",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",

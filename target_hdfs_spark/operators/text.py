@@ -1476,3 +1476,97 @@ def q166_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("p_scaled").alias("lm_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4: BPE merge-candidate statistics (the tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+@query(
+    "q200_bpe_merge_candidates",
+    oracle=f"""
+    WITH wf AS (
+      SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({TOKENS_SQL.format(expr="text")}) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, freq
+      FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2
+    ),
+    cnt AS (
+      SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq,
+             CAST(COUNT(*) AS BIGINT) AS n_word_types
+      FROM pairs GROUP BY a, b
+    ),
+    ranked AS (
+      SELECT a, b, pair_freq, n_word_types,
+             row_number() OVER (ORDER BY pair_freq DESC, a, b) AS rnk
+      FROM cnt
+    )
+    SELECT a, b, pair_freq, n_word_types, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_BPE_TOPK}
+    """,
+    tags=("text", "tokenizer", "agg"),
+)
+def q200_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration-one statistic: the
+    corpus-weighted adjacent-CHARACTER-pair counts over the word
+    frequency table, ranked — the exact argmax a byte-pair-encoding
+    trainer merges first, plus the next {_BPE_TOPK - 1} candidates
+    (subsequent iterations repeat this count over the merged symbol
+    sequences; the statistic, its weighting, and its (freq, pair)
+    tiebreak are what this query pins). pair_freq weights each pair
+    by its words' corpus frequencies; n_word_types counts the
+    distinct word shapes containing the pair — both drive real merge
+    heuristics.
+
+    Scale — the key structural point: pairs are counted over the
+    WORD-FREQUENCY TABLE, not the corpus. One corpus pass collapses
+    text to |vocab| (freq, word) rows; the character-pair explode
+    (map-side, transform over substr) touches vocab-sized data, so
+    100 TB of text costs one token count — exactly how production
+    BPE trainers (and q110's subword surface) are built. Final
+    ranking is a global top-{_BPE_TOPK} over the |alphabet|²-bounded
+    pair frame (TakeOrderedAndProject-scale).
+
+    Exactness: substr/length are codepoint-based in both engines
+    (the corpus is ASCII-safe by construction; byte-level BPE would
+    swap in octet functions); counts and ranks are exact int64 with
+    full tiebreaks.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wf = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> struct(substr(w, i, 1) AS a,"
+                    " substr(w, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "freq")
+    )
+    cnt = pairs.groupBy("a", "b").agg(
+        F.sum("freq").alias("pair_freq"),
+        F.count(F.lit(1)).alias("n_word_types"),
+    )
+    w_rank = Window.orderBy(F.col("pair_freq").desc(), "a", "b")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= _BPE_TOPK)
+    )

@@ -815,3 +815,14 @@ def test_q199_iterations_are_matrix_bounded(spark):
     plan = plan_of(spark, "q199_expected_steps_to_purchase")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q200_pairs_counted_over_vocab_not_corpus(spark):
+    """The char-pair explode must sit above the word-frequency
+    aggregation (one corpus pass to |vocab|); the final ranking is a
+    tiny global window over the |alphabet|² pair frame."""
+    plan = plan_of(spark, "q200_bpe_merge_candidates")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    # corpus exchange (vocab agg) + pair agg + rank: never more
+    assert plan.count("Exchange hashpartitioning") <= 3
