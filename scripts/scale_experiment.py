@@ -173,6 +173,8 @@ EVENT_QUERIES = (
     "q197_anomaly_days",
     "q198_wilson_intervals",
     "q199_expected_steps_to_purchase",
+    "q201_rfm_segments",
+    "q202_decile_calibration",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

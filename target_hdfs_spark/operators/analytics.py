@@ -3648,3 +3648,181 @@ def q199_expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFra
             .unionByName(absorbed)
         )
     return e.select("state", F.col("e").alias("expected_steps_1e9"))
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintile scoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q201_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+      SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS t_max FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(a.t_max - MAX(epoch_us(ts)) AS BIGINT) AS recency_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS monetary_cents
+      FROM events CROSS JOIN anchor a
+      GROUP BY user_id, a.t_max
+    ),
+    scored AS (
+      SELECT user_id, recency_us, frequency, monetary_cents,
+             CAST(NTILE(5) OVER (ORDER BY recency_us ASC, user_id)
+                  AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id)
+                  AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id)
+                  AS BIGINT) AS m_score
+      FROM u
+    )
+    SELECT user_id, recency_us, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE
+             WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+               THEN 'champion'
+             WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'new'
+             ELSE 'regular'
+           END AS segment
+    FROM scored
+    """,
+    tags=("window", "segmentation", "agg"),
+)
+def q201_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer scoring: per user,
+    recency (µs since last event, against the corpus anchor),
+    frequency (event count), monetary (purchase cents); each scored
+    into quintiles (1 = best) and combined into named segments
+    (champion / at-risk / new / regular). NTILE is deterministic
+    here because every ORDER BY carries the user_id tiebreak — the
+    engine's total-ordering discipline making a rank-based business
+    metric value-pinnable.
+
+    Scale: the corpus collapses to the |users| RFM frame in one
+    conditional aggregation (anchor is a 1-row broadcast). The three
+    NTILE windows are UNPARTITIONED over that reduced frame — the
+    honest cost of global quantile scoring (|users| rows through one
+    task, fine to ~1e8); past that, swap NTILE for broadcast
+    quantile-edge binning (q179's two-phase shape, same downstream
+    contract), which trades exact equal-frequency for map-side
+    assignment.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    anchor = ev.agg(F.max(us).alias("t_max"))
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            (F.any_value("t_max") - F.max(us)).alias("recency_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("monetary_cents"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_us").asc(), "user_id"))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    )
+    scored = u.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary_cents",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.expr(
+            "CASE"
+            " WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2"
+            "   THEN 'champion'"
+            " WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'"
+            " WHEN r_score <= 2 AND f_score >= 4 THEN 'new'"
+            " ELSE 'regular' END"
+        ).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile calibration table (score vs outcome, the model-monitoring grid)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_decile_calibration",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT score, y,
+             CAST(NTILE(10) OVER (ORDER BY score DESC, user_id)
+                  AS BIGINT) AS decile
+      FROM u
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(score) AS BIGINT) AS score_sum,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS rate_ppm
+    FROM d GROUP BY decile
+    """,
+    tags=("window", "ml", "calibration"),
+)
+def q202_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration/lift table: users ranked by a score (their
+    activity count stands in for a model score — the plumbing, the
+    binning, and the metrics are what this pins), cut into NTILE
+    deciles, with per-decile positives and rate — the
+    model-monitoring grid behind lift charts and calibration plots
+    (does decile 1 actually convert more?). Deterministic via the
+    user_id tiebreak; rates are exact integer ppm.
+
+    Scale: one corpus aggregation to the |users| frame; the decile
+    window is unpartitioned over the reduced frame (the q201 note
+    applies — swap to q179 edge-binning past ~1e8 users); the final
+    rollup is 10 rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    d = u.select(
+        "score",
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .cast("long")
+        .alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score").alias("score_sum"),
+        F.sum("y").alias("n_pos"),
+        F.expr("sum(y) * 1000000 div count(1)").alias("rate_ppm"),
+    )

@@ -826,3 +826,20 @@ def test_q200_pairs_counted_over_vocab_not_corpus(spark):
     assert "CartesianProduct" not in plan
     # corpus exchange (vocab agg) + pair agg + rank: never more
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q201_ntile_on_reduced_users_frame(spark):
+    """The three NTILE windows run on the |users| frame after the one
+    corpus aggregation — the corpus itself never passes through an
+    unpartitioned window."""
+    plan = plan_of(spark, "q201_rfm_segments")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # corpus collapses first
+
+
+def test_q202_decile_window_post_reduction(spark):
+    """Same contract: corpus -> |users| agg -> decile window -> 10-row
+    rollup."""
+    plan = plan_of(spark, "q202_decile_calibration")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
