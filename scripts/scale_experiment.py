@@ -81,6 +81,7 @@ QUERIES = (
     "q184_ngram_novelty",
     "q188_retrieval_eval",
     "q200_bpe_merge_candidates",
+    "q203_dedup_roi",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -132,6 +133,7 @@ FACT_QUERIES = (
     "q182_gini_best_split",
     "q185_weighted_percentiles",
     "q186_key_skew_profile",
+    "q204_gini_coefficient",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same

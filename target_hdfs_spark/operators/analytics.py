@@ -3826,3 +3826,98 @@ def q202_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("n_pos"),
         F.expr("sum(y) * 1000000 div count(1)").alias("rate_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini coefficient (segmented global rank — the capstone of the
+# two-level prefix-scan family)
+# ---------------------------------------------------------------------------
+
+_GINI_BAND_CENTS = 1_000_000  # $10k revenue bands for the segmented rank
+
+
+@query(
+    "q204_gini_coefficient",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x,
+             CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+      FROM cust
+    ),
+    comp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+               AS s,
+             CAST(CAST(SUM(CAST(i AS DECIMAL(19,0))
+                           * CAST(x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+               AS t
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           s AS total_cents,
+           (2.0 * t - (CAST(n AS DOUBLE) + 1.0) * s)
+             / (CAST(n AS DOUBLE) * s) AS gini
+    FROM comp
+    """,
+    tags=("window", "agg", "concentration"),
+)
+def q204_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue concentration —
+    G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) over ascending-ranked exact
+    cent totals. q160 reads off "customers to 80% of revenue"; this
+    is the single-number inequality summary next to it.
+
+    The global ascending RANK is the hard part at scale (the oracle's
+    one-window formulation is the single-partition trap), so the rank
+    is SEGMENTED exactly like q173/q185/q187: per-$10k-band counts
+    aggregate map-side, a |bands|-sized cumulative gives each band's
+    rank offset, and within-band row_number runs PARTITIONED BY band;
+    i = offset + within-rank. Rank ties share a revenue value, so
+    Σi·x is invariant to tie order (the tie group contributes
+    (Σranks)·x either way) — the statistic is deterministic beyond
+    what the row_number tiebreak already guarantees.
+
+    Exactness: products i·x stay int64 (< 9e18 to ~1e9 customers ×
+    $10M), SUMMED IN DECIMAL(38,0) (exact at any n); the three
+    components convert through VARCHAR (the decimals.py route) and
+    the final G is a fixed IEEE tree.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    ).withColumn("band", F.expr(f"x div {_GINI_BAND_CENTS}"))
+    band_n = cust.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_bands = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offs = band_n.select(
+        "band", F.coalesce(F.sum("bn").over(w_bands), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("band").orderBy("x", "o_custkey")
+    ranked = (
+        cust.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offs), "band")
+        .select("x", (F.col("off") + F.col("rn")).cast("long").alias("i"))
+    )
+    comp = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        to_double(F.sum(F.col("x").cast("decimal(19,0)"))).alias("s"),
+        to_double(
+            F.sum(F.col("i").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        ).alias("t"),
+    )
+    nn = F.col("n").cast("double")
+    return comp.select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_cents"),
+        (
+            (F.lit(2.0) * F.col("t") - (nn + F.lit(1.0)) * F.col("s"))
+            / (nn * F.col("s"))
+        ).alias("gini"),
+    )

@@ -1895,3 +1895,81 @@ def q171_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2n: dedup ROI readout — cluster-size histogram + corpus shrink ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_dedup_roi",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    undirected AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT doc_a, doc_b FROM undirected
+      UNION
+      SELECT r.src, u.doc_b
+      FROM reach r JOIN undirected u ON u.doc_a = r.dst
+    ),
+    clustered AS (
+      SELECT d.doc_id,
+             least(d.doc_id,
+                   coalesce((SELECT MIN(r.dst) FROM reach r
+                             WHERE r.src = d.doc_id), d.doc_id)) AS cluster
+      FROM documents d
+    ),
+    sizes AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize
+      FROM clustered GROUP BY cluster
+    ),
+    hist AS (
+      SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM sizes GROUP BY csize
+    ),
+    tot AS (
+      SELECT CAST(SUM(csize * n_clusters) AS BIGINT) AS n_docs,
+             CAST(SUM(n_clusters) AS BIGINT) AS n_kept
+      FROM hist
+    )
+    SELECT h.csize, h.n_clusters,
+           CAST(h.csize * h.n_clusters AS BIGINT) AS n_docs_at_size,
+           CAST((t.n_docs - t.n_kept) * 1000000 // t.n_docs AS BIGINT)
+             AS dedup_ppm
+    FROM hist h CROSS JOIN tot t
+    """,
+    tags=("dedup", "graph", "profile"),
+)
+def q203_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI readout: the near-dup CLUSTER-SIZE HISTOGRAM (how
+    many singletons, pairs, triples, ... the q85 pipeline finds) plus
+    the corpus shrink ratio if one representative per cluster is
+    kept — the number that justifies (or kills) running dedup at all,
+    and the skew telemetry for the cluster-keyed stages downstream
+    (one mega-cluster = one hot key in every per-cluster operation).
+
+    Scale: everything after the q85 pipeline is |clusters| ->
+    |distinct sizes| reductions; the shrink ratio is a 1-row
+    broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    clustered = connected_components(docs.select("doc_id"), pairs)
+    sizes = clustered.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    hist = sizes.groupBy("csize").agg(F.count(F.lit(1)).alias("n_clusters"))
+    tot = hist.agg(
+        F.sum(F.col("csize") * F.col("n_clusters")).alias("n_docs"),
+        F.sum("n_clusters").alias("n_kept"),
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "csize",
+        "n_clusters",
+        (F.col("csize") * F.col("n_clusters")).alias("n_docs_at_size"),
+        F.expr("(n_docs - n_kept) * 1000000 div n_docs").alias("dedup_ppm"),
+    )

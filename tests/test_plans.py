@@ -843,3 +843,20 @@ def test_q202_decile_window_post_reduction(spark):
     plan = plan_of(spark, "q202_decile_calibration")
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q203_post_pipeline_stages_are_reductions(spark):
+    """Everything after the checkpointed pair graph reduces:
+    |clusters| -> |sizes| aggs, 1-row broadcast ratio."""
+    plan = plan_of(spark, "q203_dedup_roi")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals only
+
+
+def test_q204_rank_is_band_partitioned(spark):
+    """The global ascending rank must be segmented: within-band
+    row_number PARTITIONED BY band + broadcast offsets — the only
+    unpartitioned window is the |bands| cumulative."""
+    plan = plan_of(spark, "q204_gini_coefficient")
+    assert "hashpartitioning(band" in plan
+    assert "CartesianProduct" not in plan
