@@ -177,6 +177,7 @@ EVENT_QUERIES = (
     "q199_expected_steps_to_purchase",
     "q201_rfm_segments",
     "q202_decile_calibration",
+    "q205_kaplan_meier",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

@@ -3921,3 +3921,131 @@ def q204_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nn * F.col("s"))
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate (churn with right-censoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q205_kaplan_meier",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS t_max FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {_WEEK_US}
+                  AS BIGINT) AS tenure_w,
+             CASE WHEN MAX(epoch_us(ts)) < a.t_max - {_WEEK_US}
+                  THEN 1 ELSE 0 END AS churned
+      FROM events CROSS JOIN anchor a
+      GROUP BY user_id, a.t_max
+    ),
+    wk AS (
+      SELECT tenure_w AS w,
+             CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(SUM(1 - churned) AS BIGINT) AS c
+      FROM u GROUP BY tenure_w
+    ),
+    risk AS (
+      SELECT w, d, c,
+             CAST(SUM(d + c) OVER (ORDER BY w DESC
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_at_risk
+      FROM wk
+    ),
+    packed AS (
+      SELECT list(struct_pack(w := w, d := d, n := n_at_risk)
+                  ORDER BY w) AS arr,
+             list(struct_pack(w := w, d := d, c := c, n := n_at_risk)
+                  ORDER BY w) AS fl
+      FROM risk
+    )
+    SELECT fl[i].w AS tenure_week, fl[i].n AS n_at_risk,
+           fl[i].d AS n_churned, fl[i].c AS n_censored,
+           list_reduce(
+             list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(arr[1:i],
+                 s -> 1.0 - CAST(s.d AS DOUBLE) / CAST(s.n AS DOUBLE))),
+             (acc, x) -> acc * x) AS survival
+    FROM packed, unnest(generate_series(1, len(fl))) AS t(i)
+    """,
+    tags=("agg", "time", "survival"),
+)
+def q205_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user churn with RIGHT
+    CENSORING: a user's tenure is first→last event in weeks; users
+    still active in the final week are CENSORED (we don't know their
+    true lifetime — dropping them, the naive churn analysis, biases
+    survival down). Per tenure week: at-risk count (reverse
+    cumulative), churn and censor counts, and the KM product
+    S(w) = Π_{{j<=w}} (1 - d_j/n_j).
+
+    The cumulative PRODUCT is the interesting exactness case: float
+    multiplication is order-dependent, so S is computed as a
+    LEFT FOLD over the week-ordered struct array (F.aggregate /
+    list_reduce — the engine's sequential-fold discipline from the
+    cosine family) — a fixed evaluation order on both engines, hence
+    bit-identical, with no transcendentals (the exp-sum-log rewrite
+    is banned and unnecessary).
+
+    Scale: one corpus aggregation to |users|, one to |weeks|; the
+    fold runs on a single packed row of ~|weeks| structs (the prefix
+    products are O(weeks²) scalar multiplies — trivial; at
+    thousands of time points switch to the segmented prefix scan
+    with per-band fold carry, same discipline as q185).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    anchor = ev.agg(F.max(us).alias("t_max"))
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                f"(max(unix_micros(cast(ts as timestamp)))"
+                f" - min(unix_micros(cast(ts as timestamp)))) div {_WEEK_US}"
+            ).alias("tenure_w"),
+            F.when(
+                F.max(us) < F.any_value("t_max") - F.lit(_WEEK_US), 1
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    wk = u.groupBy(F.col("tenure_w").alias("w")).agg(
+        F.sum("churned").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).alias("c"),
+    )
+    w_risk = Window.orderBy(F.col("w").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = wk.withColumn("n_at_risk", F.sum(F.col("d") + F.col("c")).over(w_risk))
+    packed = risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct("w", "d", F.col("n_at_risk").alias("n")))
+        ).alias("arr"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("w", "d", "c", F.col("n_at_risk").alias("n"))
+            )
+        ).alias("fl"),
+    )
+    return (
+        packed.select(
+            F.posexplode("fl").alias("pos", "f"), F.col("arr")
+        )
+        .select(
+            F.col("f.w").alias("tenure_week"),
+            F.col("f.n").alias("n_at_risk"),
+            F.col("f.d").alias("n_churned"),
+            F.col("f.c").alias("n_censored"),
+            F.expr(
+                "aggregate(transform(slice(arr, 1, pos + 1),"
+                " s -> 1.0D - cast(s.d as double) / cast(s.n as double)),"
+                " cast(1.0 as double), (acc, x) -> acc * x)"
+            ).alias("survival"),
+        )
+    )

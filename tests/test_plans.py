@@ -860,3 +860,13 @@ def test_q204_rank_is_band_partitioned(spark):
     plan = plan_of(spark, "q204_gini_coefficient")
     assert "hashpartitioning(band" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q205_fold_runs_on_packed_week_frame(spark):
+    """The KM product folds over a single packed row of |weeks|
+    structs — the corpus collapses through two aggregations first;
+    no corpus-sized window, no joins beyond the 1-row anchor."""
+    plan = plan_of(spark, "q205_kaplan_meier")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the anchor
+    assert "partial_count" in plan or "partial_sum" in plan
