@@ -82,6 +82,7 @@ QUERIES = (
     "q188_retrieval_eval",
     "q200_bpe_merge_candidates",
     "q203_dedup_roi",
+    "q207_dedup_manifest",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -134,6 +135,7 @@ FACT_QUERIES = (
     "q185_weighted_percentiles",
     "q186_key_skew_profile",
     "q204_gini_coefficient",
+    "q206_boxplot_stats",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same

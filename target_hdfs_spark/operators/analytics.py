@@ -4049,3 +4049,84 @@ def q205_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boxplot precompute (five-number summary + Tukey outlier counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q206_boxplot_stats",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS p25,
+             quantile_cont(l_extendedprice, 0.50) AS p50,
+             quantile_cont(l_extendedprice, 0.75) AS p75
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(q.p25) AS p25, ANY_VALUE(q.p50) AS p50,
+           ANY_VALUE(q.p75) AS p75,
+           MIN(CASE WHEN l.l_extendedprice
+                         >= q.p25 - 1.5 * (q.p75 - q.p25)
+                    THEN l.l_extendedprice END) AS whisker_lo,
+           MAX(CASE WHEN l.l_extendedprice
+                         <= q.p75 + 1.5 * (q.p75 - q.p25)
+                    THEN l.l_extendedprice END) AS whisker_hi,
+           CAST(SUM(CASE WHEN l.l_extendedprice
+                              < q.p25 - 1.5 * (q.p75 - q.p25)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_lo,
+           CAST(SUM(CASE WHEN l.l_extendedprice
+                              > q.p75 + 1.5 * (q.p75 - q.p25)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_hi
+    FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    tags=("agg", "percentile", "profile"),
+)
+def q206_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot precompute per group: the five-number summary with
+    TUKEY WHISKERS (the most extreme values still inside
+    quartile ± 1.5·IQR — whiskers sit on data points, not on the
+    fence formula) and the outlier counts beyond each fence — the
+    dashboard-side aggregate that renders a boxplot without
+    shipping rows. The q181/q112 robust family's presentation
+    endpoint.
+
+    Exactness: q99-pinned quartile interpolation; fences are a fixed
+    IEEE tree over identical quartiles; whisker min/max and outlier
+    counts are conditional aggregates on identical comparisons.
+
+    Scale: quartiles per group (|groups|-row frame, broadcast back),
+    then ONE conditional-aggregation pass — two corpus scans total,
+    both map-side-combined.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    lo_fence = F.col("p25") - F.lit(1.5) * iqr
+    hi_fence = F.col("p75") + F.lit(1.5) * iqr
+    x = F.col("l_extendedprice")
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("p25").alias("p25"),
+            F.any_value("p50").alias("p50"),
+            F.any_value("p75").alias("p75"),
+            F.min(F.when(x >= lo_fence, x)).alias("whisker_lo"),
+            F.max(F.when(x <= hi_fence, x)).alias("whisker_hi"),
+            F.sum(F.when(x < lo_fence, 1).otherwise(0)).alias("n_outliers_lo"),
+            F.sum(F.when(x > hi_fence, 1).otherwise(0)).alias("n_outliers_hi"),
+        )
+    )

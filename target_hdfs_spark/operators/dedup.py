@@ -1973,3 +1973,69 @@ def q203_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("csize") * F.col("n_clusters")).alias("n_docs_at_size"),
         F.expr("(n_docs - n_kept) * 1000000 div n_docs").alias("dedup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2o: dedup execution manifest (the keep/drop action plan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_dedup_manifest",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    undirected AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT doc_a, doc_b FROM undirected
+      UNION
+      SELECT r.src, u.doc_b
+      FROM reach r JOIN undirected u ON u.doc_a = r.dst
+    ),
+    clustered AS (
+      SELECT d.doc_id, d.n_chars,
+             least(d.doc_id,
+                   coalesce((SELECT MIN(r.dst) FROM reach r
+                             WHERE r.src = d.doc_id), d.doc_id)) AS cluster
+      FROM documents d
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN doc_id = cluster THEN 'keep' ELSE 'drop' END AS action,
+           CAST(CASE WHEN doc_id = cluster THEN 0
+                     ELSE n_chars END AS BIGINT) AS chars_saved
+    FROM clustered
+    WHERE doc_id <> cluster
+    """,
+    tags=("dedup", "graph", "manifest"),
+)
+def q207_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup EXECUTION manifest: the concrete row-level action plan
+    the q85 clustering implies — every non-representative document
+    with its cluster root and the bytes reclaimed by dropping it
+    (q203 prices dedup in aggregate; this is the plan a delete/
+    tombstone job actually executes, and the audit trail reviewers
+    sign off on). Representatives (doc_id == cluster root) are
+    implicit keeps and excluded, so the manifest is exactly the
+    delete set.
+
+    Scale: the q85 pipeline plus one |docs|-frame join back to
+    n_chars — manifest size is (corpus - clusters) rows by
+    construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    clustered = connected_components(docs.select("doc_id"), pairs)
+    return (
+        clustered.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .filter(F.col("doc_id") != F.col("cluster"))
+        .select(
+            "doc_id",
+            "cluster",
+            F.lit("drop").alias("action"),
+            F.col("n_chars").cast("long").alias("chars_saved"),
+        )
+    )

@@ -870,3 +870,20 @@ def test_q205_fold_runs_on_packed_week_frame(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the anchor
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q206_two_corpus_scans_broadcast_quartiles(spark):
+    """Quartiles reduce to |groups| and broadcast back; the whisker/
+    outlier pass is one conditional aggregation."""
+    plan = plan_of(spark, "q206_boxplot_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q207_manifest_joins_on_doc_id(spark):
+    """The manifest join back to n_chars keys on doc_id — no product,
+    no second signature pipeline."""
+    plan = plan_of(spark, "q207_dedup_manifest")
+    assert "CartesianProduct" not in plan
+    assert plan.count("md5") <= 1
