@@ -136,6 +136,8 @@ FACT_QUERIES = (
     "q186_key_skew_profile",
     "q204_gini_coefficient",
     "q206_boxplot_stats",
+    "q208_histogram_2d",
+    "q209_join_size_forecast",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same

@@ -4130,3 +4130,134 @@ def q206_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(x > hi_fence, 1).otherwise(0)).alias("n_outliers_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram (heatmap precompute)
+# ---------------------------------------------------------------------------
+
+_H2_PRICE_BIN = 10_000.0  # $100 price bins (price is in dollars)
+_H2_QTY_BIN = 10.0
+
+
+@query(
+    "q208_histogram_2d",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / {_H2_PRICE_BIN}) AS BIGINT)
+             AS price_bin,
+           CAST(floor(l_quantity / {_H2_QTY_BIN}) AS BIGINT) AS qty_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                     AS VARCHAR) AS DOUBLE) AS price_sum
+    FROM lineitem
+    GROUP BY price_bin, qty_bin
+    """,
+    tags=("agg", "histogram", "profile"),
+)
+def q208_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram of (price x quantity) — the heatmap/density
+    precompute behind joint-distribution dashboards and the
+    co-binning a 2-feature drift monitor consumes (q137 bins one
+    axis; joint structure needs both: correlated shifts are invisible
+    marginally). Fixed-width bins via floor division — identical
+    doubles both engines; cell sums ride the exact-decimal route.
+
+    Scale: ONE corpus aggregation with map-side partials onto the
+    bounded bin grid; output is |price bins| x |qty bins| regardless
+    of corpus size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    return (
+        li.select(
+            F.floor(F.col("l_extendedprice") / F.lit(_H2_PRICE_BIN))
+            .cast("long")
+            .alias("price_bin"),
+            F.floor(F.col("l_quantity") / F.lit(_H2_QTY_BIN))
+            .cast("long")
+            .alias("qty_bin"),
+            "l_extendedprice",
+        )
+        .groupBy("price_bin", "qty_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            to_double(F.sum(dec(F.col("l_extendedprice")))).alias("price_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-size forecasting (predict the shuffle before paying for it)
+# ---------------------------------------------------------------------------
+
+
+def _join_forecast_sql(label: str, left_key: str, right_tbl: str, right_key: str) -> str:
+    return f"""
+    SELECT '{label}' AS join_name,
+           CAST(SUM(a.c * b.c) AS BIGINT) AS predicted_rows,
+           CAST(SUM(CASE WHEN a.c * b.c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matching_keys,
+           CAST(MAX(a.c * b.c) AS BIGINT) AS max_key_contribution
+    FROM (SELECT {left_key} AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY {left_key}) a
+    JOIN (SELECT {right_key} AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {right_tbl} GROUP BY {right_key}) b ON b.k = a.k
+    """
+
+
+@query(
+    "q209_join_size_forecast",
+    oracle=f"""
+    {_join_forecast_sql("lineitem_x_orders", "l_orderkey", "orders", "o_orderkey")}
+    UNION ALL
+    {_join_forecast_sql("lineitem_x_part", "l_partkey", "part", "p_partkey")}
+    """,
+    tags=("agg", "join", "profile"),
+)
+def q209_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join-size forecasting: for each candidate equi-join, the
+    output cardinality it WOULD produce — Σ_k cnt_left(k)·cnt_right(k)
+    over the joined key-count frames — plus the matching-key count
+    and the largest single key's contribution (the row that predicts
+    a skew blow-up). q186 profiles one side's key distribution; this
+    is the two-sided readout a planner (or an engineer about to key a
+    100 TB shuffle) actually wants: the forecast costs two key-count
+    aggregations — corpus-reduced frames — instead of the join
+    itself, and the max-contribution column is the salting trigger.
+
+    Exactness: all counts exact int64; products bounded by
+    max_cnt_l · max_cnt_r (headroom to 3e9 x 3e9 per key).
+
+    Scale: two map-side-combined count aggregations to |keys| frames,
+    one key-keyed join between them, a 3-column rollup. The forecast
+    frame join is itself skew-immune: it carries one row per key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def forecast(label: str, left_key: str, right, right_key: str) -> DataFrame:
+        a = li.groupBy(F.col(left_key).alias("k")).agg(
+            F.count(F.lit(1)).alias("ca")
+        )
+        b = right.groupBy(F.col(right_key).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        return (
+            a.join(b, "k")
+            .agg(
+                F.sum(F.col("ca") * F.col("cb")).alias("predicted_rows"),
+                F.sum(
+                    F.when(F.col("ca") * F.col("cb") > 0, 1).otherwise(0)
+                ).alias("n_matching_keys"),
+                F.max(F.col("ca") * F.col("cb")).alias(
+                    "max_key_contribution"
+                ),
+            )
+            .select(F.lit(label).alias("join_name"), "*")
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    return forecast(
+        "lineitem_x_orders", "l_orderkey", orders, "o_orderkey"
+    ).unionByName(forecast("lineitem_x_part", "l_partkey", part, "p_partkey"))

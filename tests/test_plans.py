@@ -887,3 +887,20 @@ def test_q207_manifest_joins_on_doc_id(spark):
     plan = plan_of(spark, "q207_dedup_manifest")
     assert "CartesianProduct" not in plan
     assert plan.count("md5") <= 1
+
+
+def test_q208_single_pass_to_bin_grid(spark):
+    """One corpus aggregation onto the bounded 2-D bin grid."""
+    plan = plan_of(spark, "q208_histogram_2d")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+
+
+def test_q209_forecast_joins_key_count_frames(spark):
+    """The forecast joins |keys|-sized count frames, never the fact
+    tables themselves."""
+    plan = plan_of(spark, "q209_join_size_forecast")
+    assert "CartesianProduct" not in plan
+    # count-aggregate BELOW each join input: partial_count appears
+    # before any join in every branch
+    assert "partial_count" in plan
