@@ -4261,3 +4261,209 @@ def q209_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast(
         "lineitem_x_orders", "l_orderkey", orders, "o_orderkey"
     ).unionByName(forecast("lineitem_x_part", "l_partkey", part, "p_partkey"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting with degree orientation (graph structure telemetry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_triangle_count",
+    oracle="""
+    WITH ip AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM ip a JOIN ip b ON b.ok = a.ok AND b.p > a.p
+    ),
+    deg AS (
+      SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+      GROUP BY x
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    basics AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges > 0
+                     THEN 3 * n_triangles * 1000000 // n_wedges
+                     ELSE 0 END AS BIGINT) AS clustering_ppm
+    FROM basics CROSS JOIN ecnt CROSS JOIN tri
+    """,
+    tags=("graph", "triangle", "agg"),
+)
+def q212_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the
+    part co-purchase graph (parts sharing an order are adjacent) —
+    with q151's PageRank and q85's connected components this
+    completes the graph-telemetry trio: components say what's
+    CONNECTED, PageRank what's CENTRAL, triangles how CLIQUISH the
+    neighborhood structure is (near-dup graphs with high clustering
+    need transitive-closure-style dedup; low clustering means
+    pairwise suppression suffices).
+
+    Spark plan: DEGREE-ORIENTED join (each undirected edge directed
+    low-(deg,id) -> high-(deg,id) endpoint), so every triangle is
+    counted exactly once at its lowest-degree vertex and the wedge
+    join's fan-out per node is bounded by its ORIENTED out-degree =
+    O(sqrt(m)) on any graph (Schank/Wagner) — hot hubs never
+    enumerate their full neighbor square. The oracle deliberately
+    uses the UNORIENTED textbook 3-way self-join (independent
+    derivation, quadratic in hub degree — priced as oracle-only).
+
+    Exactness: everything is exact counts; the clustering coefficient
+    is one truncated ppm division (3T / wedges).
+
+    Scale: per-order pairing is quadratic in BASKET size (bounded by
+    order width, ~7 in TPC-H-shaped data); edges/degrees/wedges are
+    all key-partitioned joins and aggregations; the closing-edge
+    probe joins on the (src,dst) edge key. No stage is quadratic in
+    graph size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ip = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = ip.alias("a"), ip.alias("b")
+    e = (
+        a.join(b, (F.col("b.ok") == F.col("a.ok")) & (F.col("b.p") > F.col("a.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint()  # feeds degrees, orientation, and the closing probe
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    # orient: src = endpoint with the smaller (degree, id) pair
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).localCheckpoint()
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    # wedges at the low vertex: two out-edges, ordered by (deg, id) of
+    # the endpoints so each unordered wedge appears once
+    wedge = e1.join(
+        e2,
+        (F.col("e2.src") == F.col("e1.src"))
+        & (
+            (F.col("e1.ddst") < F.col("e2.ddst"))
+            | (
+                (F.col("e1.ddst") == F.col("e2.ddst"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(F.col("e1.dst").alias("src"), F.col("e2.dst").alias("dst"))
+    closing = o.select("src", "dst")
+    tri = wedge.join(closing, ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    basics = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        basics.join(F.broadcast(ecnt))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN 3 * n_triangles * 1000000 div n_wedges"
+                " ELSE 0 END"
+            )
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EMA (exponential moving average as an integer left fold)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q213_dyadic_ema",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(CAST(floor(value * 1000000) AS BIGINT)
+                  ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, x) -> (acc + x) // 2) AS ema_micro
+    FROM seq
+    """,
+    tags=("time", "window", "fold", "statistics"),
+)
+def q213_dyadic_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average with alpha = 1/2 as an
+    EXACT integer left fold: ema_0 = v_0, ema_t = (v_t + ema_{t-1})
+    div 2 over the event-time-ordered value sequence — the smoothing
+    readout feature stores keep per entity (q175's dyadic decay
+    weights by AGE at a fixed anchor; the EMA weights by POSITION in
+    the sequence, the classic online smoother). The dyadic alpha
+    makes every step one add + one truncating shift: no floats, no
+    transcendentals, order-pinned by construction — the q205
+    sequential-fold discipline applied to recurrences.
+
+    Exactness: floor(value*1e6) micro-units (positive values, so
+    Spark's truncating `div` and DuckDB's flooring `//` agree);
+    list_reduce/aggregate fold left over the (ts, event_id)-ordered
+    array identically in both engines.
+
+    Scale: one user-keyed aggregation; the per-user array is bounded
+    by per-entity history length (sequence features, not corpus
+    rows). For unbounded histories the streaming twin (ema_stream,
+    16 bytes of state per key) IS the scale path — the fold never
+    rematerializes the sequence.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts",
+                "event_id",
+                F.floor(F.col("value") * 1_000_000)
+                .cast("long")
+                .alias("vmicro"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.expr(
+            "aggregate(slice(seq, 2, size(seq) - 1), seq[0].vmicro,"
+            " (acc, x) -> (acc + x.vmicro) div 2)"
+        ).alias("ema_micro"),
+    )

@@ -1390,3 +1390,108 @@ def q188_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("hits_ppm div (sc - 1)").alias("r_at_k_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder stratified allocation (exact-size proportional sample)
+# ---------------------------------------------------------------------------
+
+_LR_TOTAL = 200  # total sample size to allocate across sources
+
+
+@query(
+    "q211_stratified_allocation",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+    quota AS (
+      SELECT source, c,
+             ({_LR_TOTAL} * c) // total AS base,
+             ({_LR_TOTAL} * c) % total AS rem,
+             row_number() OVER (ORDER BY ({_LR_TOTAL} * c) % total DESC,
+                                source) AS rem_rank,
+             SUM(({_LR_TOTAL} * c) // total) OVER () AS base_total
+      FROM cnt CROSS JOIN tot
+    ),
+    alloc AS (
+      SELECT source,
+             base + CASE WHEN rem_rank <= {_LR_TOTAL} - base_total
+                         THEN 1 ELSE 0 END AS n_alloc
+      FROM quota
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY {md5_hash32_sql("'lrs:' || CAST(d.doc_id AS VARCHAR)")},
+                        d.doc_id) AS sel_rank
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, CAST(r.sel_rank AS BIGINT) AS sel_rank,
+           CAST(a.n_alloc AS BIGINT) AS n_alloc
+    FROM ranked r JOIN alloc a ON a.source = r.source
+    WHERE r.sel_rank <= a.n_alloc
+    """,
+    tags=("sample", "curation", "mixture", "allocation"),
+)
+def q211_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size proportional stratified sample via largest-remainder
+    (Hamilton) allocation: the total sample size is hit exactly —
+    {_LR_TOTAL} documents, allocated across sources proportional to
+    their counts with floor quotas and the leftover seats going to the
+    largest fractional remainders (ties by source name). q104/q113
+    hash-threshold samples give only EXPECTED proportions; a training
+    mixture spec ("exactly 200 docs at these ratios") needs the
+    allocation to be exact, integer, and engine-reproducible.
+
+    Exactness: quotas are integer floor division and modulo on exact
+    counts — the fractional remainder comparison is the integer
+    remainder comparison (same denominator), so no floats anywhere.
+    Within each stratum, selection takes the first n_s documents by
+    salted md5 rank (deterministic, decorrelated from other hash uses).
+
+    Scale: the allocation runs on the |sources|-sized count frame
+    (window over a bounded frame — sources are dozens-to-thousands,
+    never corpus-scale); selection is one source-partitioned window
+    rank over the corpus, broadcast-joined to the allocation. At a
+    WindowGroupLimit-capable rank bound the per-source heap never
+    materializes a stratum sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    quota = cnt.join(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"({_LR_TOTAL} * c) div total").alias("base"),
+        F.expr(f"({_LR_TOTAL} * c) % total").alias("rem"),
+    )
+    w_rem = Window.orderBy(F.col("rem").desc(), "source")
+    w_all = Window.partitionBy()
+    alloc = quota.select(
+        "source",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rem)
+                <= F.lit(_LR_TOTAL) - F.sum("base").over(w_all),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    w_sel = Window.partitionBy("source").orderBy(
+        md5_hash32(F.concat(F.lit("lrs:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_sel).cast("long").alias("sel_rank"),
+    )
+    return ranked.join(F.broadcast(alloc), "source").filter(
+        F.col("sel_rank") <= F.col("n_alloc")
+    ).select("doc_id", "source", "sel_rank", "n_alloc")

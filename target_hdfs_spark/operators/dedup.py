@@ -2039,3 +2039,293 @@ def q207_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("chars_saved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L2f: exact set-similarity join via prefix filtering (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold for the prefix-filter join, as an exact rational
+# (1/2) so every derived bound is integer arithmetic: required overlap
+# ceil(s/2) = (s+1) div 2, prefix length s - (s+1) div 2 + 1, and the
+# final predicate 3*n_common >= na + nb.
+_PPJ_T_NUM, _PPJ_T_DEN = 1, 2
+
+
+@query(
+    "q210_prefix_filter_join",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    ),
+    pos AS (
+      SELECT s.doc_id, s.shingle,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.df, s.shingle) AS pos,
+             COUNT(*) OVER (PARTITION BY s.doc_id) AS n_sh
+      FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+    ),
+    pref AS (
+      SELECT doc_id, shingle, n_sh FROM pos
+      WHERE pos <= n_sh - (n_sh + 1) // 2 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb
+      FROM pref a JOIN pref b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE 2 * least(a.n_sh, b.n_sh) >= greatest(a.n_sh, b.n_sh)
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, c.na, c.nb,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           n_common,
+           CAST(n_common * 1000000 // (na + nb - n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM common
+    WHERE 3 * n_common >= na + nb
+    """,
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def q210_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin
+    family, Xiao et al. WWW'08): all document pairs with 3-gram
+    Jaccard >= 1/2, with NO false negatives and NO LSH randomness —
+    the third point in the near-dup design space next to q45 (exact
+    but df-capped) and q92 (LSH candidates, probabilistic recall).
+
+    The filter: order every document's shingles by ascending global
+    document frequency (rarest first, ties by shingle text); a pair
+    with Jaccard >= t MUST share one of each side's first
+    s - ceil(t*s) + 1 shingles (pigeonhole on the required overlap
+    ceil(t*s), valid with the length filter t*max <= min). Candidates
+    are therefore generated only from RARE shingles — the stop-shingle
+    blow-up that forces q45's df cap never happens, because a shingle
+    with high df sorts out of every prefix.
+
+    Exactness: threshold 1/2 keeps every bound integral — prefix
+    length s - (s+1) div 2 + 1, length filter 2*min >= max, verdict
+    3*n_common >= na + nb; jaccard_ppm is one truncated division.
+
+    Scale: the df frame is shingle-keyed (corpus-reduced); the prefix
+    rank is a DOC-partitioned window (no global sort — the global
+    order (df, shingle) is only a comparator inside each doc's local
+    sort); the candidate join touches prefix postings whose length is
+    bounded by the rarest-first order; verification joins candidate
+    pairs to their two posting lists (shuffle keyed on doc_id). Every
+    stage is key-partitioned; nothing is quadratic in corpus size —
+    output is bounded by true near-dup pairs plus prefix collisions
+    on rare shingles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from target_hdfs_spark.sources.readers import fan_out
+
+    sh = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
+        .distinct()
+        .localCheckpoint()  # feeds df counts, prefix pass, and verify
+    )
+    return prefix_filter_pairs(sh)
+
+
+def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard >= 1/2 pair join over (doc_id, shingle) element
+    rows via prefix filtering — the reusable core behind q210 (see
+    its docstring for the bound derivations). Input must be distinct
+    per (doc_id, shingle); output columns: doc_a, doc_b, na, nb,
+    n_common, jaccard_ppm."""
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_cnt = Window.partitionBy("doc_id")
+    pos = sh.join(dfreq, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w_doc).alias("pos"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_sh"),
+    )
+    pref = pos.filter(F.expr("pos <= n_sh - (n_sh + 1) div 2 + 1")).select(
+        "doc_id", "shingle", "n_sh"
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            2 * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return common.filter(3 * F.col("n_common") >= F.col("na") + F.col("nb")).select(
+        "doc_a",
+        "doc_b",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        "n_common",
+        F.expr("n_common * 1000000 div (na + nb - n_common)").alias(
+            "jaccard_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2g: sketch calibration — MinHash estimate vs exact Jaccard error
+# ---------------------------------------------------------------------------
+
+_CAL_MATCH_SQL = " + ".join(
+    f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+    for i in range(NUM_HASHES)
+)
+
+
+@query(
+    "q214_sketch_calibration",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL},
+    ds AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(sb.shingle) AS n_common
+      FROM pairs p
+      LEFT JOIN ds sa ON sa.doc_id = p.doc_a
+      LEFT JOIN ds sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b, {_CAL_MATCH_SQL} AS n_match
+      FROM pairs p
+      JOIN sigs a ON a.doc_id = p.doc_a
+      JOIN sigs b ON b.doc_id = p.doc_b
+    ),
+    j AS (
+      SELECT e.n_match,
+             c.n_common * 1000000
+               // (za.n_sh + zb.n_sh - c.n_common) AS exact_ppm,
+             e.n_match * 1000000 // {NUM_HASHES} AS est_ppm
+      FROM est e
+      JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+      JOIN sizes za ON za.doc_id = e.doc_a
+      JOIN sizes zb ON zb.doc_id = e.doc_b
+    )
+    SELECT CAST(n_match AS BIGINT) AS n_match,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(abs(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+             AS mean_abs_err_ppm,
+           CAST(MIN(exact_ppm) AS BIGINT) AS min_exact_ppm,
+           CAST(MAX(exact_ppm) AS BIGINT) AS max_exact_ppm
+    FROM j GROUP BY n_match
+    """,
+    tags=("dedup", "minhash", "calibration", "observability"),
+)
+def q214_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash SKETCH CALIBRATION: for every LSH candidate pair, the
+    signature-based Jaccard estimate (matching components / {NUM_HASHES})
+    joined against the exact shingle-set Jaccard, summarized per
+    match-count level — the error profile that tells an operator
+    whether {NUM_HASHES} hashes are enough BEFORE trusting the sketch
+    on a 100 TB dedup run (the observability twin of q71's ANN recall
+    readout, applied to the dedup sketch). A drifting
+    mean_abs_err_ppm at a given match level is the signal to widen
+    the signature or re-band.
+
+    Exactness: match counts, set sizes and both ppm readouts are
+    exact integers (truncated divisions); the mean abs error is an
+    integer div of integer sums.
+
+    Scale: candidates come from the capped LSH pipeline (never
+    all-pairs); the exact verify touches candidate pairs only (q92's
+    posture); signatures join back on doc_id; the output is at most
+    {NUM_HASHES}+1 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).localCheckpoint()  # feeds LSH + both sides
+    pairs = lsh_candidate_pairs(sig)
+    from target_hdfs_spark.sources.readers import fan_out
+
+    sh = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.lit(1).alias("hit")
+    )
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"], "left")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("hit").alias("n_common"))
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(NUM_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(NUM_HASHES)],
+    )
+    match_expr = None
+    for i in range(NUM_HASHES):
+        term = F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        match_expr = term if match_expr is None else match_expr + term
+    est = pairs.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a", "doc_b", match_expr.alias("n_match")
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        est.join(common, ["doc_a", "doc_b"])
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "n_match",
+            F.expr("n_common * 1000000 div (na + nb - n_common)").alias(
+                "exact_ppm"
+            ),
+            F.expr(f"n_match * 1000000 div {NUM_HASHES}").alias("est_ppm"),
+        )
+    )
+    return j.groupBy(F.col("n_match").cast("long").alias("n_match")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(abs(est_ppm - exact_ppm)) div count(1)")
+        .cast("long")
+        .alias("mean_abs_err_ppm"),
+        F.min("exact_ppm").cast("long").alias("min_exact_ppm"),
+        F.max("exact_ppm").cast("long").alias("max_exact_ppm"),
+    )

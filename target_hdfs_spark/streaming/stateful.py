@@ -1031,3 +1031,112 @@ def transition_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EMA accumulator (stateful twin of q213_dyadic_ema)
+# ---------------------------------------------------------------------------
+
+EMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ema_micro", T.LongType()),
+    ]
+)
+
+# the running EMA and the event count: 16 bytes/key, O(1) per history
+EMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ema_micro", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+EMA_STATE_TTL_SCHEMA = T.StructType(
+    [*EMA_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _ema_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"user_id": [], "n_events": [], "ema_micro": []}
+    ).astype("int64")
+    if state.hasTimedOut:
+        # an idle user's smoother evicts; a later return restarts the
+        # recurrence from its first new value (session-scoped EMA)
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        ema, n = int(stored[0]), int(stored[1])
+        prev_last = int(stored[2]) if ttl_ms is not None else 0
+    else:
+        ema, n, prev_last = 0, 0, 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    whole = whole.sort_values(["ts", "event_id"])
+    # floor(value*1e6): same micro-unit convention as batch q213;
+    # values are positive so truncated and floor division agree
+    v_micro = np.floor(whole["value"].to_numpy() * 1_000_000).astype("int64")
+    for v in v_micro:
+        v = int(v)
+        ema = v if n == 0 else (ema + v) // 2
+        n += 1
+    if ttl_ms is None:
+        state.update((ema, n))
+    else:
+        last_ms = max(prev_last, int(whole["ts"].max().value // 1_000_000))
+        state.update((ema, n, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    if n:
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "n_events": [n], "ema_micro": [ema]}
+        ).astype("int64")
+    else:
+        yield empty
+
+
+def ema_stream(
+    events: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming dyadic EMA (stateful twin of q213_dyadic_ema): the
+    alpha = 1/2 integer recurrence ema_t = (v_t + ema_{t-1}) div 2
+    runs ONLINE — 16 bytes of state per key carry the smoother across
+    micro-batches, so unbounded per-entity histories never
+    rematerialize (the batch fold's collected sequence is exactly
+    what this twin avoids). Each micro-batch emits the user's updated
+    (n_events, ema_micro); the LATEST row per user equals batch q213
+    on event-time-ordered logs (parity pinned by test — the
+    recurrence is order-sensitive, so cross-batch parity is scoped to
+    in-order logs like the other order-sensitive twins).
+
+    ``state_ttl_ms``: an idle user's smoother evicts once the
+    event-time watermark passes last event + TTL; a later return
+    restarts the EMA instead of blending across the idle gap.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, value).
+    """
+
+    def fn(key, pdfs, state):
+        return _ema_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = events, EMA_STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = EMA_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

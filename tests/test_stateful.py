@@ -1432,3 +1432,133 @@ def test_transition_ttl_breaks_chain(spark, tmp_path):
     u1 = sorted((r.src, r.dst) for r in rows if r.user_id == 1)
     # no (view -> click) bridge across the 32-min gap; only the fresh pair
     assert u1 == [("click", "purchase")]
+
+
+# ---------------------------------------------------------------------------
+# ema_stream (stateful twin of q213_dyadic_ema)
+# ---------------------------------------------------------------------------
+
+
+def _run_ema(spark, src, name, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import ema_stream
+
+    schema = jsonschema_to_spark(TWAP_SCHEMA_JSON)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = ema_stream(stream, state_ttl_ms=ttl_ms)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _ema_fold(values):
+    """The q213 recurrence in plain Python (positive micro-units)."""
+    ema = None
+    for v in values:
+        vm = int(v * 1_000_000 // 1)  # floor for positive values
+        ema = vm if ema is None else (ema + vm) // 2
+    return ema
+
+
+def test_ema_recurrence_straddles_batches(spark, tmp_path):
+    """The running EMA must cross the micro-batch boundary through the
+    state store: batch 2's readout blends batch 1's value, not just
+    its own."""
+    src = tmp_path / "emasrc"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "value": 8.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:30Z", "value": 2.0}],
+    )
+    rows = _run_ema(spark, src, "ema_straddle")
+    latest = max(rows, key=lambda r: r.n_events)
+    # (8e6 + 2e6) div 2 = 5e6 — requires batch-1 state
+    assert (latest.user_id, latest.n_events, latest.ema_micro) == (1, 2, 5_000_000)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_ema_stream_equals_batch_q213(spark, tmp_path, seed):
+    """On an in-order log the stream's LATEST row per user equals the
+    batch q213 fold (positive values: truncated and floor division
+    agree, matching the registered query's contract)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        {
+            "user_id": 1 + (i % 3),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "value": round(rng.uniform(0.01, 120), 2),
+        }
+        for i in range(90)
+    ]
+    src = tmp_path / f"ema_{seed}"
+    _write(src / "a.jsonl", rows[:50])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[50:])
+    got_rows = _run_ema(spark, src, f"ema_parity_{seed}")
+    latest = {}
+    for r in got_rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_events, r.ema_micro)
+
+    import math
+
+    expected = {}
+    for uid in {r["user_id"] for r in rows}:
+        vs = [r["value"] for r in rows if r["user_id"] == uid]
+        ema = None
+        for v in vs:
+            vm = math.floor(v * 1_000_000)
+            ema = vm if ema is None else (ema + vm) // 2
+        expected[uid] = (len(vs), ema)
+    assert latest == expected
+
+
+def test_ema_ttl_restarts_after_idle(spark, tmp_path):
+    """With a TTL, an idle user's smoother evicts (watermark advanced
+    by another user) and the post-gap return restarts the recurrence
+    instead of blending across the gap."""
+    src = tmp_path / "emattl"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "value": 100.0}],
+    )
+    time.sleep(1.1)
+    # two user-2 batches: the first advances the watermark past user
+    # 1's TTL, the second lets the timeout FIRE in a batch where user
+    # 1 has no data (a keyed timeout never fires in a batch that also
+    # delivers the key's events)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 2, "event_id": 2, "ts": "2026-08-13T12:00:00Z", "value": 1.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 2, "event_id": 3, "ts": "2026-08-13T12:01:00Z", "value": 1.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"user_id": 1, "event_id": 4, "ts": "2026-08-13T12:30:00Z", "value": 4.0}],
+    )
+    rows = _run_ema(spark, src, "ema_ttl", ttl_ms=60_000)
+    u1 = {(r.n_events, r.ema_micro) for r in rows if r.user_id == 1}
+    # fresh restart: the post-gap emission has n reset to 1 and the
+    # EMA equal to the new value alone — never (100e6 + 4e6) div 2
+    assert u1 == {(1, 100_000_000), (1, 4_000_000)}
