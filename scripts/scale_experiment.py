@@ -83,6 +83,15 @@ QUERIES = (
     "q200_bpe_merge_candidates",
     "q203_dedup_roi",
     "q207_dedup_manifest",
+    # round 6 continuation: prefix-filter exact similarity join
+    # (candidates from rare-shingle prefixes — constant dup density
+    # means constant per-copy candidates), largest-remainder exact
+    # allocation (|sources| frame + one corpus window), and the
+    # sketch-calibration composition (LSH pairs + exact verify +
+    # signature compare)
+    "q210_prefix_filter_join",
+    "q211_stratified_allocation",
+    "q214_sketch_calibration",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -138,6 +147,12 @@ FACT_QUERIES = (
     "q206_boxplot_stats",
     "q208_histogram_2d",
     "q209_join_size_forecast",
+    # round 6 continuation: degree-oriented triangle counting. The
+    # fact fan-out repeats the same baskets Kx, so the DISTINCT edge
+    # set (and the triangle count) is constant while the pair
+    # extraction scans Kx lineitems — the sweep measures the scan +
+    # distinct reduction, the graph stages stay fixed-size.
+    "q212_triangle_count",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same
@@ -182,6 +197,9 @@ EVENT_QUERIES = (
     "q201_rfm_segments",
     "q202_decile_calibration",
     "q205_kaplan_meier",
+    # round 6 continuation: dyadic EMA fold (one user-keyed agg;
+    # constant per-user density -> linear)
+    "q213_dyadic_ema",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

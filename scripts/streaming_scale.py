@@ -32,6 +32,7 @@ from target_hdfs_spark.session import get_spark
 
 def _ops():
     from target_hdfs_spark.streaming.stateful import (
+        ema_stream,
         funnel_stage_stream,
         gapped_pattern_stream,
         multi_pattern_stream,
@@ -47,6 +48,7 @@ def _ops():
         "scd2_interval_stream": scd2_interval_stream,
         "time_weighted_stream": time_weighted_stream,
         "transition_stream": transition_stream,
+        "ema_stream": ema_stream,
     }
 
 

@@ -4268,10 +4268,39 @@ def q209_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q212_triangle_count",
-    oracle="""
-    WITH ip AS (
+def coorder_part_edges(li: DataFrame) -> DataFrame:
+    """Distinct undirected part co-purchase edges (u < v by id) from
+    the lineitem fact: parts sharing an order are adjacent. Per-order
+    pairing is quadratic in BASKET width (bounded, ~7 in TPC-H-shaped
+    data), never in graph or corpus size. localCheckpoint'd — every
+    consumer (degrees, orientation, closing-edge probe, assortativity
+    moments) reuses the materialized edge list."""
+    ip = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = ip.alias("a"), ip.alias("b")
+    return (
+        a.join(b, (F.col("b.ok") == F.col("a.ok")) & (F.col("b.p") > F.col("a.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def edge_degrees(e: DataFrame) -> DataFrame:
+    """(node, d) exact degree frame of an undirected (u, v) edge list."""
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+# Shared DuckDB CTE fragment: the same edge + degree frames, derived
+# independently in SQL so q212/q217 verify against one graph.
+_COORDER_EDGES_SQL = """
+    ip AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
     ),
     e AS (
@@ -4282,7 +4311,13 @@ def q209_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
       FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
       GROUP BY x
-    ),
+    )"""
+
+
+@query(
+    "q212_triangle_count",
+    oracle=f"""
+    WITH {_COORDER_EDGES_SQL},
     tri AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
       FROM e e1
@@ -4332,22 +4367,8 @@ def q212_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph size.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ip = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = ip.alias("a"), ip.alias("b")
-    e = (
-        a.join(b, (F.col("b.ok") == F.col("a.ok")) & (F.col("b.p") > F.col("a.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-        .localCheckpoint()  # feeds degrees, orientation, and the closing probe
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    e = coorder_part_edges(li)
+    deg = edge_degrees(e)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     ed = e.join(du, "u").join(dv, "v")
@@ -4466,4 +4487,85 @@ def q213_dyadic_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(slice(seq, 2, size(seq) - 1), seq[0].vmicro,"
             " (acc, x) -> (acc + x.vmicro) div 2)"
         ).alias("ema_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (2nd graph-telemetry readout on the co-order graph)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217_degree_assortativity",
+    oracle=f"""
+    WITH {_COORDER_EDGES_SQL},
+    ed AS (
+      SELECT e.u, e.v, du.d AS du, dv.d AS dv
+      FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    mo AS (
+      SELECT CAST(2 * COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(du + dv) AS BIGINT) AS sx,
+             CAST(SUM(du * du + dv * dv) AS BIGINT) AS sxx,
+             CAST(SUM(2 * du * dv) AS BIGINT) AS sxy
+      FROM ed
+    )
+    SELECT n AS n_endpoint_pairs, sx, sxx, sxy,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS assortativity
+    FROM mo
+    """,
+    tags=("graph", "statistics", "agg"),
+)
+def q217_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over all SYMMETRIZED edge endpoint
+    pairs — do high-degree parts co-occur with other hubs (r > 0,
+    assortative) or with leaves (r < 0, disassortative)? The third
+    graph-telemetry readout next to q212's clustering coefficient:
+    together they predict how an LSH/dedup similarity graph will
+    behave under star contraction (disassortative hub-leaf graphs
+    collapse in few rounds; assortative hub-hub cores are the deep
+    ones).
+
+    Exactness: by symmetry Sx = Sy and Sxx = Syy, so Pearson's r
+    needs NO square root: r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) — all
+    moments exact int64 sums over bounded degrees, one final double
+    division of exactly-agreed integers (int64 -> double is correctly
+    rounded identically in both engines), zero-guarded for regular
+    graphs.
+
+    Scale: edge list and degree frame shared with q212 (same helper);
+    the moment pass is one map-side-combined aggregation over edges
+    joined to the |nodes|-sized degree frame on each endpoint — two
+    key-partitioned joins, one scalar row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = coorder_part_edges(li)
+    deg = edge_degrees(e)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    mo = ed.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("n"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("sx"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(2 * F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mo.select(
+        F.col("n").alias("n_endpoint_pairs"),
+        "sx",
+        "sxx",
+        "sxy",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("assortativity"),
     )

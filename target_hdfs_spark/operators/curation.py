@@ -1495,3 +1495,92 @@ def q211_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(alloc), "source").filter(
         F.col("sel_rank") <= F.col("n_alloc")
     ).select("doc_id", "source", "sel_rank", "n_alloc")
+
+
+# ---------------------------------------------------------------------------
+# Serpentine balanced sharding (size-aware shard assembly)
+# ---------------------------------------------------------------------------
+
+_SERP_SHARDS = 8
+_SERP_BAND = 64  # n_chars band width for the segmented descending rank
+
+
+@query(
+    "q216_balanced_shards",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS i
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN (i - 1) % {2 * _SERP_SHARDS} < {_SERP_SHARDS}
+                  THEN (i - 1) % {2 * _SERP_SHARDS}
+                  ELSE {2 * _SERP_SHARDS - 1} - (i - 1) % {2 * _SERP_SHARDS}
+             END AS shard
+      FROM ranked
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars
+    FROM assigned
+    GROUP BY shard
+    """,
+    tags=("curation", "shard", "allocation", "window"),
+)
+def q216_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assembly via SERPENTINE assignment: rank
+    documents by size descending and deal them boustrophedon across
+    {_SERP_SHARDS} shards (0..N-1 then N-1..0, repeating) — the
+    deterministic one-pass approximation of longest-processing-time
+    scheduling that keeps every shard's byte total within one
+    document of even (LPT itself is inherently sequential; serpentine
+    is its order-free rewrite, and on sorted input its imbalance
+    bound is the last row's size). q115's manifest shards by count;
+    this is the BYTE-balanced assembly a training loader wants so no
+    data-parallel worker starves.
+
+    Exactness: ranks are total-ordered (size desc, doc_id); the
+    serpentine index is pure integer arithmetic on the rank; shard
+    stats are exact integer aggregates.
+
+    Scale: the global descending rank is SEGMENTED (q204's two-level
+    decomposition): per-band counts roll up map-side, a |bands|-sized
+    cumulative window gives carry-in offsets, and within-band
+    row_number runs PARTITIONED BY band — no single-partition window
+    over the corpus (the oracle's one-window formulation is the
+    deliberate independent derivation).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    banded = docs.withColumn("band", F.expr(f"n_chars div {_SERP_BAND}"))
+    band_n = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_bands = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = band_n.select(
+        "band", F.coalesce(F.sum("bn").over(w_bands), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("band").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = (
+        banded.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offs), "band")
+        .select("n_chars", (F.col("off") + F.col("rn")).alias("i"))
+    )
+    two_n = 2 * _SERP_SHARDS
+    pos = (F.col("i") - 1) % two_n
+    shard = F.when(pos < _SERP_SHARDS, pos).otherwise(
+        F.lit(two_n - 1) - pos
+    )
+    return (
+        ranked.select(shard.cast("long").alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+        )
+    )

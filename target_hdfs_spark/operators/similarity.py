@@ -1775,3 +1775,144 @@ def q180_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hp.d").alias("hard_pos_dot"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L3n: int8 embedding quantization (storage-side compression, exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q215_int8_quantization",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_KM_SCALE}) AS BIGINT)) AS si
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, si,
+             list_max(list_transform(si, x -> abs(x))) AS max_abs
+      FROM s
+    ),
+    c AS (
+      SELECT vec_id, si, max_abs,
+             list_transform(si, x ->
+               CASE WHEN max_abs = 0 THEN 0
+                    WHEN x < 0 THEN -((-x) * 127 // max_abs)
+                    ELSE (x * 127) // max_abs END) AS codes
+      FROM m
+    )
+    SELECT vec_id,
+           CAST(max_abs AS BIGINT) AS max_abs,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(codes, x -> abs(x))),
+                  (acc, x) -> acc + x) AS BIGINT) AS sum_abs_code,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(codes, (x, i) -> x * i)),
+                  (acc, x) -> acc + x) AS BIGINT) AS code_checksum,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_zip(si, codes),
+                                 p -> abs(p[1] * 127 - p[2] * max_abs))),
+                  (acc, x) -> acc + x) AS BIGINT) AS abs_err,
+           CAST(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(si, x -> abs(x) * 127)),
+                       (acc, x) -> acc + x) = 0 THEN 0
+                ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_zip(si, codes),
+                                      p -> abs(p[1] * 127 - p[2] * max_abs))),
+                       (acc, x) -> acc + x) * 1000000
+                     // list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(si, x -> abs(x) * 127)),
+                          (acc, x) -> acc + x) END AS BIGINT) AS rel_err_ppm
+    FROM c
+    """,
+    tags=("similarity", "quantization", "compression"),
+)
+def q215_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric INT8 quantization of the embedding column — the
+    storage-side compression step a 100 TB vector corpus applies
+    before indexing (4x smaller than float32; q89's PQ is the
+    codebook-trained cousin, this is the training-free per-vector
+    scheme every vector store ships). Per vector: max-abs scale,
+    codes code_i = sign(s_i) * (|s_i| * 127 div max_abs) in
+    [-127, 127], plus the exact reconstruction-error readouts that
+    tell an operator whether int8 is safe for their corpus.
+
+    Exactness: coords enter the {_KM_SCALE} fixed-point domain
+    (floor — identical IEEE doubles both engines); quantization is
+    integer division on NON-NEGATIVE operands (sign factored out, so
+    Spark's truncating div and DuckDB's flooring // agree); the
+    checksum pins every code against position (1-based weights:
+    DuckDB's lambda index convention); errors compare s_i * 127
+    against code_i * max_abs in exact int64.
+
+    Scale: map-only — one scan, all array ops scan-side, no shuffle
+    at any size; the readout is |vectors| rows. The codes column
+    itself (not returned here — the driver canonicalizer takes scalar
+    frames) is the array a writer would store alongside max_abs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _KM_SCALE).cast("long"),
+        ).alias("si"),
+    )
+    m = s.select(
+        "vec_id",
+        "si",
+        F.array_max(F.transform(F.col("si"), F.abs)).alias("max_abs"),
+    )
+    c = m.select(
+        "vec_id",
+        "si",
+        "max_abs",
+        F.expr(
+            "transform(si, x -> CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)"
+            " WHEN x < 0 THEN -(((-x) * 127) div max_abs)"
+            " ELSE (x * 127) div max_abs END)"
+        ).alias("codes"),
+    )
+    # exact int64 fold sums (order-free: integer addition)
+    sums = c.select(
+        "vec_id",
+        "max_abs",
+        F.aggregate(
+            F.transform(F.col("codes"), F.abs),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_abs_code"),
+        F.aggregate(
+            F.transform(F.col("codes"), lambda x, i: x * (i + F.lit(1).cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("code_checksum"),
+        F.aggregate(
+            F.zip_with(
+                F.col("si"),
+                F.col("codes"),
+                lambda a, b: F.abs(a * 127 - b * F.col("max_abs")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("abs_err"),
+        F.aggregate(
+            F.transform(F.col("si"), lambda x: F.abs(x) * 127),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_denom"),
+    )
+    return sums.select(
+        "vec_id",
+        F.col("max_abs").cast("long").alias("max_abs"),
+        "sum_abs_code",
+        "code_checksum",
+        "abs_err",
+        F.expr(
+            "CASE WHEN _denom = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (abs_err * 1000000) div _denom END"
+        ).alias("rel_err_ppm"),
+    )
