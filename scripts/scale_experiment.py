@@ -92,6 +92,8 @@ QUERIES = (
     "q210_prefix_filter_join",
     "q211_stratified_allocation",
     "q214_sketch_calibration",
+    # serpentine sharding: segmented descending rank + 8-key agg
+    "q216_balanced_shards",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -112,6 +114,8 @@ EMB_QUERIES = (
     # tracks cell occupancy — constant-occupancy fan-out keeps it
     # linear in cells)
     "q180_hard_negative_mining",
+    # round 6 continuation: map-only int8 quantization (no shuffle)
+    "q215_int8_quantization",
 )
 # the bucketed-cosine graph family (pair generation is quadratic in
 # bucket occupancy): sweep with SPARK_GRAFT_SRP_PLANES grown
@@ -153,6 +157,7 @@ FACT_QUERIES = (
     # extraction scans Kx lineitems — the sweep measures the scan +
     # distinct reduction, the graph stages stay fixed-size.
     "q212_triangle_count",
+    "q217_degree_assortativity",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same

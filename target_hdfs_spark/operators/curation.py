@@ -1584,3 +1584,79 @@ def q216_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").cast("long").alias("min_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram fraction (cross-doc duplication signal per document)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q218_duplicate_ngram_fraction",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({shingles_sql(_TOK, _NGRAM)}) AS gram
+        FROM documents
+      )
+    ),
+    dfreq AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM grams g JOIN dfreq d ON d.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "dedup", "curation", "quality"),
+)
+def q218_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DUPLICATE-n-gram fraction: the share of a doc's
+    distinct {_NGRAM}-grams that appear in at least one OTHER document
+    — the Dolma/RedPajama-style duplication signal that feeds quality
+    gates ("drop documents that are >80% recombined boilerplate").
+    Complements q184's novelty: novelty credits the FIRST occurrence
+    (temporal, ingest-ordered); the duplicate fraction is
+    order-free — a gram's originator and its copiers all count as
+    duplicated, which is the right semantics for symmetric
+    boilerplate (headers, licenses) rather than plagiarism direction.
+
+    Exactness: exact counts + one truncated ppm division.
+
+    Scale: one tokenize+shingle+distinct pass (fanned out,
+    checkpointed — q184's shape); df is a gram-keyed aggregation
+    whose Exchange the join back reuses; per-doc aggregation is
+    map-side combined. A gram's df is bounded per doc by the
+    distinct, so hot boilerplate grams cost one row per containing
+    doc, never a pair space.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(docs, "doc_id").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = (
+        toks.select(
+            "doc_id", F.explode(shingles(F.col("toks"), _NGRAM)).alias("gram")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds df AND the join back
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_duplicated"
+            ),
+            F.expr(
+                "sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            ).alias("dup_ppm"),
+        )
+    )

