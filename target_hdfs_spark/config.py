@@ -29,6 +29,7 @@ ORC_COMPRESSION = {
     "none": "none",
 }
 VALID_SCHEMA_EVOLUTION = ("strict", "additive")
+VALID_ON_INVALID = ("fail", "skip", "dlq")
 
 
 def convert_size_to_bytes(size: str | int) -> int:
@@ -87,6 +88,14 @@ class TargetConfig:
     # accepted (old files read as null via mergeSchema) while type
     # changes and column drops still fail loudly.
     schema_evolution: str = "strict"
+    # Invalid-record policy: "fail" = the reference's behavior (any
+    # record that fails schema coercion aborts the run); "skip" =
+    # drop invalid records, counting them; "dlq" = quarantine the
+    # raw record + error into <destination_path>/_dlq/<stream> as
+    # parquet, never blocking the healthy flow. RECORDs for
+    # undeclared streams always fail — that is a tap protocol
+    # violation, not a data-quality event.
+    on_invalid: str = "fail"
 
     def __post_init__(self) -> None:
         if not self.destination_path:
@@ -100,6 +109,11 @@ class TargetConfig:
             raise ValueError(
                 f"schema_evolution must be one of {VALID_SCHEMA_EVOLUTION}, "
                 f"got {self.schema_evolution!r}"
+            )
+        if self.on_invalid not in VALID_ON_INVALID:
+            raise ValueError(
+                f"on_invalid must be one of {VALID_ON_INVALID}, "
+                f"got {self.on_invalid!r}"
             )
         if self.compression not in VALID_COMPRESSION:
             raise ValueError(
@@ -142,6 +156,7 @@ class TargetConfig:
             target_file_bytes=raw.get("target_file_bytes"),
             table_format=str(raw.get("table_format", "parquet")),
             schema_evolution=str(raw.get("schema_evolution", "strict")),
+            on_invalid=str(raw.get("on_invalid_record", "fail")),
         )
 
     def stream_path(self, stream_name: str) -> str:

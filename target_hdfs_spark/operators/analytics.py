@@ -4583,3 +4583,187 @@ def q217_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes smoothed segment rates (shrinkage without floats)
+# ---------------------------------------------------------------------------
+
+_EB_PRIOR_N = 50  # prior strength: pseudo-orders carrying the global rate
+
+
+@query(
+    "q221_smoothed_segment_rates",
+    oracle=f"""
+    WITH cells AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(SUM(k) * 1000000 // SUM(n) AS BIGINT) AS g_ppm FROM cells
+    )
+    SELECT nation, segment, n, k,
+           CAST(k * 1000000 // n AS BIGINT) AS raw_ppm,
+           CAST((k * 1000000 + {_EB_PRIOR_N} * g.g_ppm)
+                // (n + {_EB_PRIOR_N}) AS BIGINT) AS smoothed_ppm
+    FROM cells CROSS JOIN g
+    """,
+    tags=("agg", "statistics", "smoothing"),
+)
+def q221_smoothed_segment_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes SHRINKAGE of per-(nation, segment) urgent-order
+    rates toward the global rate: smoothed = (k + S*g) / (n + S) with
+    prior strength S = {_EB_PRIOR_N} pseudo-observations — the
+    standard fix for small-cell rate dashboards, where a 3-order cell
+    showing 67% urgent would otherwise outrank every well-measured
+    cell (q198's Wilson interval WIDENS small cells' uncertainty;
+    shrinkage MOVES their point estimate — dashboards want both).
+
+    Exactness: entirely integer — the global rate is one ppm
+    truncated division, the shrunk estimate one more on exact counts;
+    no Beta-function machinery needed for the posterior-mean form.
+
+    Scale: dims broadcast into one fact aggregation (map-side
+    combined) onto the |nations x segments| cell frame; the global
+    rate is a 1-row broadcast back over that tiny frame.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    g = cells.agg(
+        F.expr("sum(k) * 1000000 div sum(n)").alias("g_ppm")
+    )
+    return (
+        cells.join(F.broadcast(g))
+        .select(
+            "nation",
+            "segment",
+            "n",
+            F.col("k").cast("long").alias("k"),
+            F.expr("k * 1000000 div n").cast("long").alias("raw_ppm"),
+            F.expr(
+                f"(k * 1000000 + {_EB_PRIOR_N} * g_ppm)"
+                f" div (n + {_EB_PRIOR_N})"
+            )
+            .cast("long")
+            .alias("smoothed_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance (nonlinear scan via packed-accumulator fold)
+# ---------------------------------------------------------------------------
+
+_BAL_PACK = 1_000_000  # packed accumulator: acc = balance*PACK + resets
+
+
+@query(
+    "q222_clamped_running_balance",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             list(CASE WHEN event_type IN ('view', 'click')
+                       THEN CAST(floor(value * 100) AS BIGINT)
+                       ELSE -CAST(floor(value * 100) AS BIGINT) END
+                  ORDER BY ts, event_id) AS deltas
+      FROM events GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, CAST(len(deltas) AS BIGINT) AS n_events,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), deltas),
+               (acc, x) -> greatest(acc // {_BAL_PACK} + x, 0) * {_BAL_PACK}
+                           + acc % {_BAL_PACK}
+                           + CASE WHEN acc // {_BAL_PACK} + x < 0
+                                  THEN 1 ELSE 0 END) AS packed
+      FROM seq
+    )
+    SELECT user_id, n_events,
+           CAST(packed // {_BAL_PACK} AS BIGINT) AS final_balance_cents,
+           CAST(packed % {_BAL_PACK} AS BIGINT) AS n_resets
+    FROM folded
+    """,
+    tags=("time", "fold", "window"),
+)
+def q222_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CLAMPED running balance: credits (view/click cents)
+    and debits (all other events) accumulate in event-time order with
+    the balance floored at zero, counting how often the clamp fires —
+    the canonical NONLINEAR scan (inventory that can't go negative,
+    a token bucket, capped usage credits) that no declarative window
+    frame can express: max(0, prev + delta) does not decompose into
+    any associative aggregate, so it runs as the q205/q213
+    sequential-fold discipline.
+
+    The engine-portability trick: the fold state is TWO counters
+    (balance, reset count) packed into one int64
+    (balance * {_BAL_PACK} + resets), because both engines' fold
+    primitives require accumulator type == element type. Balances are
+    non-negative by construction, so truncating and flooring division
+    unpack identically.
+
+    Scale: one user-keyed aggregation; per-user arrays bounded by
+    entity history. The streaming twin shape (16 B state/key) is
+    ema_stream's — a clamped-balance twin drops in the same mold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    delta = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.floor(F.col("value") * 100).cast("long"),
+    ).otherwise(-F.floor(F.col("value") * 100).cast("long"))
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", delta.alias("d")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+        .select(
+            "user_id",
+            F.size("seq").cast("long").alias("n_events"),
+            F.expr("transform(seq, x -> x.d)").alias("deltas"),
+        )
+    )
+    folded = seq.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            f"aggregate(deltas, CAST(0 AS BIGINT), (acc, x) ->"
+            f" greatest(acc div {_BAL_PACK} + x, CAST(0 AS BIGINT))"
+            f" * {_BAL_PACK} + acc % {_BAL_PACK}"
+            f" + CASE WHEN acc div {_BAL_PACK} + x < 0 THEN 1 ELSE 0 END)"
+        ).alias("packed"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.expr(f"packed div {_BAL_PACK}").cast("long").alias(
+            "final_balance_cents"
+        ),
+        (F.col("packed") % _BAL_PACK).cast("long").alias("n_resets"),
+    )

@@ -115,6 +115,10 @@ class SingerPipe:
         self.spark = spark
         self.config = config
         self.streams: dict[str, _StreamBuffer] = {}
+        # invalid-record policy state (config.on_invalid): per-stream
+        # skip counters, and the quarantine buffer for "dlq" mode
+        self.invalid_counts: dict[str, int] = {}
+        self._dlq: list[tuple[str, str, str]] = []
 
     # -- message loop -----------------------------------------------------
 
@@ -178,11 +182,28 @@ class SingerPipe:
         name = msg["stream"]
         buf = self.streams.get(name)
         if buf is None:
+            # always a hard failure: a RECORD without a prior SCHEMA is
+            # a tap protocol violation, not a data-quality event the
+            # skip/dlq policies are meant to absorb
             raise RecordValidationError(f"RECORD for undeclared stream {name!r}")
         rec = msg["record"]
-        buf.records.append(
-            tuple(_coerce(rec.get(f.name), f.dataType, f.name) for f in buf.schema.fields)
-        )
+        try:
+            row = tuple(
+                _coerce(rec.get(f.name), f.dataType, f.name)
+                for f in buf.schema.fields
+            )
+        except RecordValidationError as e:
+            if self.config.on_invalid == "fail":
+                raise
+            self.invalid_counts[name] = self.invalid_counts.get(name, 0) + 1
+            if self.config.on_invalid == "dlq":
+                self._dlq.append(
+                    (name, json.dumps(rec, separators=(",", ":")), str(e))
+                )
+                if len(self._dlq) >= self.config.max_batch_size:
+                    self._flush_dlq()
+            return
+        buf.records.append(row)
         if len(buf.records) >= self.config.max_batch_size:
             self._flush(name)
 
@@ -217,6 +238,26 @@ class SingerPipe:
     def flush_all(self) -> None:
         for name in list(self.streams):
             self._flush(name)
+        self._flush_dlq()
+
+    def _flush_dlq(self) -> None:
+        """Quarantine invalid records ("dlq" mode): raw record JSON +
+        the validation error, appended as parquet under
+        <destination_path>/_dlq/<stream>. At-least-once like the main
+        flow (written before the covering STATE is emitted); the DLQ
+        write path is append-only parquet and never consults the
+        drift guard — its schema is fixed by the engine, not the tap."""
+        if not self._dlq:
+            return
+        df = self.spark.createDataFrame(
+            self._dlq, schema="stream string, record string, error string"
+        )
+        base = f"{self.config.destination_path.rstrip('/')}/_dlq"
+        for (name,) in {(r[0],) for r in self._dlq}:
+            df.filter(df.stream == name).drop("stream").coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{base}/{name}")
+        self._dlq.clear()
 
     def _flush(self, name: str) -> None:
         buf = self.streams[name]

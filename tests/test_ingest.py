@@ -412,3 +412,68 @@ def test_activate_version_mid_buffer_stamps_old_version(spark, tmp_path):
     assert rows[2]._sdc_table_version == 9
     assert rows[1]._sdc_deleted_at is not None  # retired
     assert rows[2]._sdc_deleted_at is None
+
+
+def test_on_invalid_skip_drops_and_counts(spark, tmp_path):
+    """"skip" policy: invalid records are dropped (counted per
+    stream) and every valid record still lands."""
+    config = TargetConfig(destination_path=str(tmp_path), on_invalid="skip")
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1),
+        _rec("s", id="bad"),
+        _rec("s", id=2),
+        _rec("s", id="worse"),
+    ]))
+    got = sorted(r.id for r in spark.read.parquet(str(tmp_path / "s")).collect())
+    assert got == [1, 2]
+    assert pipe.invalid_counts == {"s": 2}
+
+
+def test_on_invalid_dlq_quarantines_raw_records(spark, tmp_path):
+    """"dlq" policy: the raw record JSON and its validation error are
+    quarantined under _dlq/<stream>; valid flow is unaffected."""
+    config = TargetConfig(destination_path=str(tmp_path), on_invalid="dlq")
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=7),
+        _rec("s", id="oops", extra="kept"),
+    ]))
+    got = [r.id for r in spark.read.parquet(str(tmp_path / "s")).collect()]
+    assert got == [7]
+    dlq = spark.read.parquet(str(tmp_path / "_dlq" / "s")).collect()
+    assert len(dlq) == 1
+    assert json.loads(dlq[0].record) == {"id": "oops", "extra": "kept"}
+    assert "not an integer" in dlq[0].error
+    assert pipe.invalid_counts == {"s": 1}
+
+
+def test_on_invalid_default_still_fails(spark, tmp_path):
+    """Default policy is the reference's: first invalid record aborts."""
+    pipe = SingerPipe(spark, TargetConfig(destination_path=str(tmp_path)))
+    with pytest.raises(RecordValidationError):
+        list(pipe.process_lines([
+            _schema_msg("s", {"id": {"type": "integer"}}),
+            _rec("s", id="bad"),
+        ]))
+
+
+def test_on_invalid_dlq_undeclared_stream_still_fails(spark, tmp_path):
+    """Protocol violations are not data-quality events: a RECORD for
+    an undeclared stream fails even in dlq mode."""
+    pipe = SingerPipe(
+        spark, TargetConfig(destination_path=str(tmp_path), on_invalid="dlq")
+    )
+    with pytest.raises(RecordValidationError, match="undeclared stream"):
+        list(pipe.process_lines([_rec("ghost", id=1)]))
+
+
+def test_on_invalid_config_validation():
+    with pytest.raises(ValueError, match="on_invalid"):
+        TargetConfig(destination_path="/x", on_invalid="bogus")
+    cfg = TargetConfig.from_dict(
+        {"hdfs_destination_path": "/x", "on_invalid_record": "dlq"}
+    )
+    assert cfg.on_invalid == "dlq"
