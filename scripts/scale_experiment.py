@@ -94,6 +94,12 @@ QUERIES = (
     "q214_sketch_calibration",
     # serpentine sharding: segmented descending rank + 8-key agg
     "q216_balanced_shards",
+    # dup-ngram fraction (one gram pass), 2-round LPA over LSH pairs,
+    # vocab profile (vocab-bounded partials), reference-CDF mapping
+    "q218_duplicate_ngram_fraction",
+    "q219_label_propagation",
+    "q220_vocab_growth",
+    "q223_quantile_mapping",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -158,6 +164,8 @@ FACT_QUERIES = (
     # distinct reduction, the graph stages stay fixed-size.
     "q212_triangle_count",
     "q217_degree_assortativity",
+    # shrinkage rates: broadcast dims + 1-row global over cell frame
+    "q221_smoothed_segment_rates",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same
@@ -203,8 +211,9 @@ EVENT_QUERIES = (
     "q202_decile_calibration",
     "q205_kaplan_meier",
     # round 6 continuation: dyadic EMA fold (one user-keyed agg;
-    # constant per-user density -> linear)
+    # constant per-user density -> linear), clamped-balance fold
     "q213_dyadic_ema",
+    "q222_clamped_running_balance",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

@@ -4268,33 +4268,54 @@ def q209_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_COORDER_MIN_SUPPORT = 2  # co-occurrence support threshold (see helper)
+_COORDER_MIN_SUPPORT = 2  # minimum co-occurrence count
+_COORDER_MIN_LIFT = 2  # minimum lift (observed / expected-independent)
 
 
 def coorder_part_edges(li: DataFrame) -> DataFrame:
     """Undirected part co-purchase edges (u < v by id) from the
-    lineitem fact: parts co-ordered in >= _COORDER_MIN_SUPPORT
-    distinct orders are adjacent. The support cut is q176's
-    association-mining discipline applied to graph construction — a
-    single shared basket is noise, not affinity — and it is ALSO the
-    density knob that keeps downstream wedge enumeration bounded: the
-    unthresholded co-purchase graph on uniform basket data is a dense
-    quasi-random graph (measured: ~880k edges / avg degree ~88 at
-    sf0.1, ~77M wedges — a 50 s triangle count), while the supported
-    graph carries only statistically repeated pairs. Per-order
-    pairing is quadratic in BASKET width (bounded, ~7 in TPC-H-shaped
-    data), never in graph or corpus size. localCheckpoint'd — every
-    consumer (degrees, orientation, closing-edge probe, assortativity
-    moments) reuses the materialized edge list."""
-    ip = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
+    lineitem fact: parts are adjacent when their co-occurrence is
+    STATISTICALLY REAL — observed together in >= _COORDER_MIN_SUPPORT
+    orders AND at lift >= _COORDER_MIN_LIFT over the independence
+    expectation (obs * n_orders >= lift * cnt_u * cnt_v, exact
+    integers). This is q176's association-mining discipline applied
+    to graph construction, and it is what keeps the graph density
+    SCALE-INVARIANT: an absolute support cut alone collapses as the
+    corpus grows (every noise pair's count rises with corpus
+    multiplicity — measured: the support-2 graph at a 10x fan-out
+    re-densifies to ~880k edges / ~77M wedges, a 60 s triangle
+    count), while lift is a ratio of counts that growth leaves
+    fixed. Per-order pairing is quadratic in BASKET width (bounded,
+    ~7 in TPC-H-shaped data), never in graph or corpus size.
+    localCheckpoint'd — every consumer (degrees, orientation,
+    closing-edge probe, assortativity moments) reuses the
+    materialized edge list."""
+    ip = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()  # feeds pairs, per-part counts, n_orders
+    )
+    cnt = ip.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    n_orders = ip.agg(F.count_distinct("ok").alias("n_ord"))
     a, b = ip.alias("a"), ip.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("b.ok") == F.col("a.ok")) & (F.col("b.p") > F.col("a.p")))
         .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .agg(F.count(F.lit(1)).alias("_sup"))
-        .filter(F.col("_sup") >= _COORDER_MIN_SUPPORT)
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    cu = cnt.select(F.col("p").alias("u"), F.col("c").alias("cu"))
+    cv = cnt.select(F.col("p").alias("v"), F.col("c").alias("cv"))
+    return (
+        pairs.join(cu, "u")
+        .join(cv, "v")
+        .join(F.broadcast(n_orders))
+        .filter(
+            (F.col("obs") >= _COORDER_MIN_SUPPORT)
+            & (
+                F.col("obs") * F.col("n_ord")
+                >= _COORDER_MIN_LIFT * F.col("cu") * F.col("cv")
+            )
+        )
         .select("u", "v")
         .localCheckpoint()
     )
@@ -4316,10 +4337,20 @@ _COORDER_EDGES_SQL = """
     ip AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
     ),
-    e AS (
-      SELECT a.p AS u, b.p AS v
+    pcnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM ip GROUP BY p),
+    nord AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_ord FROM ip),
+    obs AS (
+      SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS obs
       FROM ip a JOIN ip b ON b.ok = a.ok AND b.p > a.p
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT o.u, o.v
+      FROM obs o
+      JOIN pcnt cu ON cu.p = o.u
+      JOIN pcnt cv ON cv.p = o.v
+      CROSS JOIN nord
+      WHERE o.obs >= 2 AND o.obs * n_ord >= 2 * cu.c * cv.c
     ),
     deg AS (
       SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d

@@ -1660,3 +1660,81 @@ def q218_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("dup_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile mapping against a reference source (distribution alignment)
+# ---------------------------------------------------------------------------
+
+_QM_REF_SOURCE = "src0"
+
+
+@query(
+    "q223_quantile_mapping",
+    oracle=f"""
+    WITH nref AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE source = '{_QM_REF_SOURCE}'
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST((SELECT COUNT(*) FROM documents r
+                 WHERE r.source = '{_QM_REF_SOURCE}'
+                   AND r.n_chars <= d.n_chars) * 1000000
+                // nref.n AS BIGINT) AS ref_pct_ppm
+    FROM documents d CROSS JOIN nref
+    """,
+    tags=("curation", "statistics", "normalization"),
+)
+def q223_quantile_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE MAPPING of every document's length onto the
+    {_QM_REF_SOURCE} reference distribution: each doc gets the
+    percentile (ppm) its n_chars would occupy among the reference
+    source's documents — the distribution-alignment transform that
+    makes per-source features comparable ("is this doc long FOR
+    WIKI-LIKE TEXT" rather than "long in absolute chars"), the
+    feature-store companion of q179's equi-depth bins.
+
+    Exactness: the mapped percentile is an exact empirical-CDF count
+    (reference values <= x) over exact integers, one ppm truncated
+    division. The oracle deliberately uses the correlated-subquery
+    formulation (independent, quadratic) — the engine side builds
+    the CDF once.
+
+    Scale: the reference CDF is (distinct value -> cumulative count)
+    on a VALUE-DOMAIN-bounded frame (distinct n_chars values, never
+    corpus rows); corpus values merge into that frame, a carry-forward
+    window fills each value's floor entry, and the lookup broadcasts
+    back against the corpus scan. One corpus Exchange total (the
+    doc-side join is broadcast).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ref = docs.filter(F.col("source") == _QM_REF_SOURCE)
+    ref_vals = ref.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_ref = ref.agg(F.count(F.lit(1)).alias("n"))
+    # union of observed values (reference + corpus), each tagged with
+    # the reference count at exactly that value (0 if unseen there)
+    corpus_vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    vals = (
+        corpus_vals.join(ref_vals, "v", "left")
+        .select("v", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .unionByName(
+            ref_vals.join(corpus_vals, "v", "left_anti").select("v", "c")
+        )
+    )
+    # cumulative reference count <= v over the value-domain frame
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = vals.select("v", F.sum("c").over(w).alias("cum_le"))
+    return (
+        docs.join(F.broadcast(cdf), docs.n_chars == cdf.v)
+        .join(F.broadcast(n_ref))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr("cum_le * 1000000 div n").cast("long").alias("ref_pct_ppm"),
+        )
+    )

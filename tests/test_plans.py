@@ -904,3 +904,105 @@ def test_q209_forecast_joins_key_count_frames(spark):
     # count-aggregate BELOW each join input: partial_count appears
     # before any join in every branch
     assert "partial_count" in plan
+
+
+def test_q210_prefix_join_no_cartesian_single_tokenize(spark):
+    """The prefix-filter join stays equi-keyed on shingle (never a
+    cartesian), tokenizes the corpus exactly once (checkpoint fans
+    the frame to four consumers), and verifies via array_intersect
+    (no re-exploded posting-list aggregation after the candidates)."""
+    plan = plan_of(spark, "q210_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") >= 1
+    assert "array_intersect" in plan
+
+
+def test_q211_allocation_windows_on_sources_frame(spark):
+    """Quota math windows run above the |sources| aggregation; the
+    allocation joins back as a broadcast."""
+    plan = plan_of(spark, "q211_stratified_allocation")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # counts aggregate map-side
+
+
+def test_q212_triangles_oriented_join_keys(spark):
+    """Degree-oriented wedge join: every join is hash-keyed (src /
+    (src,dst)); no cartesian, no global sort."""
+    plan = plan_of(spark, "q212_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q213_ema_single_user_aggregation(spark):
+    """The EMA fold is one user-keyed aggregation: exactly one
+    Exchange, fold evaluated scan-side above it."""
+    plan = plan_of(spark, "q213_dyadic_ema")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "aggregate(" in plan
+
+
+def test_q215_quantization_is_map_only(spark):
+    """INT8 quantization never shuffles: all array math is scan-side."""
+    plan = plan_of(spark, "q215_int8_quantization")
+    assert "Exchange" not in plan
+
+
+def test_q216_shard_rank_is_band_partitioned(spark):
+    """The descending size rank is segmented: within-band windows are
+    PARTITIONED BY band; no single-partition corpus window."""
+    plan = plan_of(spark, "q216_balanced_shards")
+    assert "partitionBy=[band" in plan.replace(" ", "") or "band#" in plan
+    assert "BroadcastHashJoin" in plan  # offsets broadcast back
+
+
+def test_q217_assortativity_shares_keyed_joins(spark):
+    """Moment pass joins the degree frame per endpoint — hash-keyed,
+    reduced output, no cartesian."""
+    plan = plan_of(spark, "q217_degree_assortativity")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q218_dup_fraction_reuses_gram_exchange(spark):
+    """One gram pass feeds df and the join back; per-doc aggregation
+    combines map-side."""
+    plan = plan_of(spark, "q218_duplicate_ngram_fraction")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q219_lpa_rounds_are_keyed_joins(spark):
+    """Each LPA round is a node-keyed join + (node,label) aggregation
+    + rank; symmetrized edges come from one checkpoint."""
+    plan = plan_of(spark, "q219_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
+
+
+def test_q220_vocab_partials_bounded(spark):
+    """(source, token) aggregation combines map-side — per-mapper
+    state is vocabulary-bounded, not corpus-bounded."""
+    plan = plan_of(spark, "q220_vocab_growth")
+    assert "partial_count" in plan
+
+
+def test_q221_smoothing_broadcasts_dims_and_global(spark):
+    """Dims and the 1-row global rate broadcast; one fact Exchange."""
+    plan = plan_of(spark, "q221_smoothed_segment_rates")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q222_balance_fold_single_exchange(spark):
+    """The clamped-balance fold is one user-keyed aggregation."""
+    plan = plan_of(spark, "q222_clamped_running_balance")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "greatest" in plan
+
+
+def test_q223_cdf_broadcast_one_corpus_exchange(spark):
+    """The reference CDF builds on the value-domain frame and
+    broadcasts back; the corpus side never shuffles for the lookup."""
+    plan = plan_of(spark, "q223_quantile_mapping")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
