@@ -100,6 +100,10 @@ QUERIES = (
     "q219_label_propagation",
     "q220_vocab_growth",
     "q223_quantile_mapping",
+    # literal keyword scan (one pass) + inter-source unigram cosine
+    # (pair join over the vocab-bounded count frame)
+    "q224_keyword_scan",
+    "q225_source_similarity",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",

@@ -1640,3 +1640,172 @@ def q220_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hapax_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4n: multi-keyword scan (policy/PII-style literal matching, exact)
+# ---------------------------------------------------------------------------
+
+# Literal keywords only: occurrence counting via length arithmetic
+# ((len(text) - len(replace(text, kw))) / len(kw)) is exact and
+# engine-portable, where regex engines (Java vs RE2) are not.
+_SCAN_KEYWORDS = ("data", "model", "spark", "quality", "token")
+
+
+@query(
+    "q224_keyword_scan",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{kw}' AS keyword,
+           CAST(SUM(CASE WHEN contains(lower(text), '{kw}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(SUM((length(lower(text))
+                     - length(replace(lower(text), '{kw}', '')))
+                    // {len(kw)}) AS BIGINT) AS n_occurrences
+    FROM documents
+    """
+        for kw in _SCAN_KEYWORDS
+    ),
+    tags=("text", "scan", "policy"),
+)
+def q224_keyword_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-keyword LITERAL scan over the corpus: per keyword, how
+    many documents contain it and how many total occurrences — the
+    policy/blocklist/PII-shaped pass every curation pipeline runs
+    (contraband terms, license markers, eval-set canaries). Literal
+    matching by length arithmetic ((len - len(text with kw removed))
+    / len(kw)) instead of regex, because regex dialects diverge
+    across engines while replace() is exact everywhere.
+
+    Scale: ONE corpus scan evaluates every keyword map-side (the
+    conditional aggregates all ride the same pass — adding a keyword
+    adds zero scans); output is |keywords| rows. At thousands of
+    keywords, switch the expression to an Aho-Corasick pandas_udf;
+    the plan shape (scan-side scoring, tiny agg) is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("t")
+    )
+    aggs = []
+    for kw in _SCAN_KEYWORDS:
+        occ = (
+            (F.length("t") - F.length(F.replace(F.col("t"), F.lit(kw))))
+            / len(kw)
+        ).cast("long")
+        aggs.append(
+            F.struct(
+                F.lit(kw).alias("keyword"),
+                F.sum(F.when(F.col("t").contains(kw), 1).otherwise(0))
+                .cast("long")
+                .alias("n_docs"),
+                F.sum(occ).cast("long").alias("n_occurrences"),
+            ).alias(f"_{kw}")
+        )
+    row = docs.agg(*aggs)
+    return row.select(
+        F.explode(F.array(*[F.col(f"_{kw}") for kw in _SCAN_KEYWORDS])).alias(
+            "s"
+        )
+    ).select("s.keyword", "s.n_docs", "s.n_occurrences")
+
+
+# ---------------------------------------------------------------------------
+# L4o: inter-source unigram similarity (corpus redundancy telemetry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q225_source_similarity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK}) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok
+    ),
+    norms AS (
+      SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM tc GROUP BY source
+    ),
+    dots AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM tc a JOIN tc b ON b.tok = a.tok AND b.source > a.source
+      GROUP BY 1, 2
+    )
+    SELECT d.src_a, d.src_b, d.n_common, d.dot,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                                    * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.source = d.src_a
+    JOIN norms nb ON nb.source = d.src_b
+    """,
+    tags=("text", "similarity", "profile"),
+)
+def q225_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE similarity on unigram count vectors: for every
+    source pair, shared vocabulary size, exact integer dot product,
+    and cosine similarity — the inter-source redundancy matrix that
+    tells a mixture designer which sources are near-copies of each
+    other (q114/q126 weight sources; this says when two "different"
+    sources shouldn't count twice).
+
+    Exactness: counts and dots are exact int64; cosine is a fixed
+    IEEE tree (int64 -> double casts, two sqrts, one multiply, one
+    divide — identical operand order both engines, q198's
+    discipline).
+
+    Scale: the corpus reduces to the (source, token) count frame
+    first (map-side combined, vocabulary-bounded); the pair join is
+    token-keyed over that REDUCED frame — never over documents — and
+    the output is |sources|² rows. Hot tokens contribute one row per
+    source, so the join's fan-out per token is bounded by |sources|.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    from target_hdfs_spark.sources.readers import fan_out
+
+    tc = (
+        fan_out(docs, "doc_id")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # feeds norms and both pair-join sides
+    )
+    norms = tc.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a, b = tc.alias("a"), tc.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("b.tok") == F.col("a.tok"))
+            & (F.col("b.source") > F.col("a.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("source").alias("src_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("source").alias("src_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+    )

@@ -1006,3 +1006,19 @@ def test_q223_cdf_broadcast_one_corpus_exchange(spark):
     plan = plan_of(spark, "q223_quantile_mapping")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q224_keyword_scan_single_pass(spark):
+    """Every keyword's conditional aggregate rides ONE corpus scan;
+    no Exchange beyond the final single-row aggregation."""
+    plan = plan_of(spark, "q224_keyword_scan")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q225_pair_join_on_reduced_count_frame(spark):
+    """The source-pair join runs over the (source, token) count frame
+    (partial_count proves the reduction), never over documents."""
+    plan = plan_of(spark, "q225_source_similarity")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
