@@ -104,6 +104,8 @@ QUERIES = (
     # (pair join over the vocab-bounded count frame)
     "q224_keyword_scan",
     "q225_source_similarity",
+    # coverage curve: vocab-bounded rank frame
+    "q226_vocab_coverage",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -218,6 +220,8 @@ EVENT_QUERIES = (
     # constant per-user density -> linear), clamped-balance fold
     "q213_dyadic_ema",
     "q222_clamped_running_balance",
+    # burstiness: one lag window + shared-Exchange moments
+    "q227_interarrival_burstiness",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

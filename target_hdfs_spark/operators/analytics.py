@@ -4290,17 +4290,32 @@ def coorder_part_edges(li: DataFrame) -> DataFrame:
     localCheckpoint'd — every consumer (degrees, orientation,
     closing-edge probe, assortativity moments) reuses the
     materialized edge list."""
-    ip = (
+    # ONE order-keyed shuffle builds the basket arrays; pairs explode
+    # MAP-SIDE from each sorted basket (q176's transform x slice —
+    # no self-join, no second corpus shuffle), and the same frame
+    # feeds per-part counts and the basket total
+    baskets = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint()  # feeds pairs, per-part counts, n_orders
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .localCheckpoint()
     )
-    cnt = ip.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
-    n_orders = ip.agg(F.count_distinct("ok").alias("n_ord"))
-    a, b = ip.alias("a"), ip.alias("b")
+    cnt = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_ord"))
     pairs = (
-        a.join(b, (F.col("b.ok") == F.col("a.ok")) & (F.col("b.p") > F.col("a.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("obs"))
     )
     cu = cnt.select(F.col("p").alias("u"), F.col("c").alias("cu"))
@@ -4797,4 +4812,85 @@ def q222_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_balance_cents"
         ),
         (F.col("packed") % _BAL_PACK).cast("long").alias("n_resets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (rational CV² — no sqrt, no transcendentals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q227_interarrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events
+    ),
+    mo AS (
+      SELECT user_id, CAST(COUNT(d) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS s,
+             SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS s2
+      FROM gaps WHERE d IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n, s AS total_us,
+           CAST(s // n AS BIGINT) AS mean_gap_us,
+           CAST(CASE WHEN s = 0 THEN 0
+                ELSE (CAST(n AS HUGEINT) * s2
+                      - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) * 1000000
+                     // (CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) END
+                AS BIGINT) AS cv2_ppm
+    FROM mo
+    """,
+    tags=("time", "statistics", "profile"),
+)
+def q227_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival BURSTINESS: the squared coefficient of
+    variation of event gaps, CV² = var/mean² = (n·Σd² − (Σd)²) /
+    (Σd)² — CV² ≈ 1 is Poisson-random arrival, >> 1 is bursty
+    sessions, ~0 is a metronome (bot signature). The identity keeps
+    it a pure RATIONAL of exact integer moments — the variance-shaped
+    readout without stddev's sqrt — so it's exactly oracle-checkable
+    (q183's no-transcendentals discipline applied to dispersion).
+    Seasonality (q195) shows WHEN a user acts; burstiness shows the
+    arrival-process SHAPE — the bot/human separator feature.
+
+    Exactness: µs gaps from one lag() window; count and Σd are int64,
+    Σd² rides DECIMAL(38,0)/HUGEINT (a single month-long µs gap
+    squares past int64); the numerator n·Σd² − (Σd)² is non-negative
+    by Cauchy-Schwarz, so truncating and flooring integral division
+    agree, and one ppm division ends it.
+
+    Scale: ONE user-partitioned window pass + one map-side-combined
+    moment aggregation sharing the same Exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # unix_micros needs LTZ — value-identity cast under the UTC session
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    d38 = F.col("d").cast("decimal(38,0)")
+    mo = gaps.groupBy("user_id").agg(
+        F.count("d").alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(d38 * d38).alias("s2"),
+    )
+    return mo.select(
+        "user_id",
+        "n",
+        F.col("s").cast("long").alias("total_us"),
+        F.expr("s div n").cast("long").alias("mean_gap_us"),
+        F.expr(
+            "CASE WHEN s = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+            " * 1000000 div (CAST(s AS DECIMAL(38,0))"
+            " * CAST(s AS DECIMAL(38,0))) AS BIGINT) END"
+        )
+        .cast("long")
+        .alias("cv2_ppm"),
     )

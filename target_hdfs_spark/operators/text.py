@@ -1809,3 +1809,96 @@ def q225_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4p: vocabulary coverage curve (tokenizer sizing readout)
+# ---------------------------------------------------------------------------
+
+_COV_SIZES = (10, 100, 1000, 10000)
+
+
+@query(
+    "q226_vocab_coverage",
+    oracle=f"""
+    WITH tc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk,
+             CAST(SUM(c) OVER () AS BIGINT) AS total
+      FROM tc
+    )
+    SELECT CAST(k AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN rnk <= k THEN c ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(ANY_VALUE(total) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rnk <= k THEN c ELSE 0 END) * 1000000
+                // ANY_VALUE(total) AS BIGINT) AS coverage_ppm
+    FROM ranked
+    CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _COV_SIZES)}]) AS k)
+    GROUP BY k
+    """,
+    tags=("text", "vocabulary", "tokenizer"),
+)
+def q226_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE curve: for each candidate vocab size k,
+    the share of all corpus token occurrences covered by the k most
+    frequent types — the readout that sizes a tokenizer vocabulary
+    ("32k types cover 99.2% of occurrences; the tail is OOV") and
+    complements q111's fixed-vocab OOV rate by sweeping the size
+    axis. Frequency rank ties break by token text (total order).
+
+    Exactness: exact counts; coverage is one ppm truncated division
+    per k.
+
+    Scale: the corpus reduces to the type-count frame first
+    (vocabulary-bounded, map-side combined); the rank + total run on
+    that REDUCED frame (at web-scale vocabularies, segment the rank
+    per count band — q204's decomposition — the curve math is
+    unchanged); the k-sweep is a broadcast of {len(_COV_SIZES)}
+    constants, so adding a size costs nothing.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from target_hdfs_spark.sources.readers import fan_out
+
+    tc = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), "tok")
+    w_all = Window.partitionBy()
+    ranked = tc.select(
+        "c",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in _COV_SIZES])
+    ).alias("vocab_size")
+    return (
+        ranked.select("c", "rnk", "total", ks)
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("vocab_size"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.any_value("total").cast("long").alias("total_tokens"),
+            F.expr(
+                "sum(CASE WHEN rnk <= vocab_size THEN c ELSE 0 END)"
+                " * 1000000 div any_value(total)"
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            "covered_tokens",
+            "total_tokens",
+            "coverage_ppm",
+        )
+    )

@@ -1022,3 +1022,18 @@ def test_q225_pair_join_on_reduced_count_frame(spark):
     plan = plan_of(spark, "q225_source_similarity")
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q226_coverage_on_reduced_type_frame(spark):
+    """Rank/total windows run above the vocabulary-bounded type-count
+    aggregation (partial_count pins the map-side reduce)."""
+    plan = plan_of(spark, "q226_vocab_coverage")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q227_burstiness_single_window_shared_exchange(spark):
+    """One user-partitioned lag window; the moment aggregation reuses
+    the same user hash partitioning (no second corpus Exchange)."""
+    plan = plan_of(spark, "q227_interarrival_burstiness")
+    assert plan.count("Exchange hashpartitioning") == 1
