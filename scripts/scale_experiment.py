@@ -172,6 +172,8 @@ FACT_QUERIES = (
     "q217_degree_assortativity",
     # shrinkage rates: broadcast dims + 1-row global over cell frame
     "q221_smoothed_segment_rates",
+    # contract gate: one fused conditional-agg scan + count_distinct
+    "q229_expectation_checks",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same
@@ -222,6 +224,8 @@ EVENT_QUERIES = (
     "q222_clamped_running_balance",
     # burstiness: one lag window + shared-Exchange moments
     "q227_interarrival_burstiness",
+    # Spearman: reduce-to-users then two segmented ranks
+    "q228_spearman_activity_value",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

@@ -4894,3 +4894,213 @@ def q227_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cv2_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (exact rational via total-order ranks)
+# ---------------------------------------------------------------------------
+
+_SP_BAND_CENTS = 1_000_000  # value band for the segmented rank
+
+
+@query(
+    "q228_spearman_activity_value",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT row_number() OVER (ORDER BY n_events, user_id) AS rx,
+             row_number() OVER (ORDER BY cents, user_id) AS ry
+      FROM u
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(rx - ry AS HUGEINT) * CAST(rx - ry AS HUGEINT)) AS d2
+      FROM r
+    )
+    SELECT n, CAST(d2 AS BIGINT) AS sum_d2,
+           CAST(CASE WHEN n < 2 THEN 0
+                ELSE 1000000 - 6 * d2 * 1000000
+                     // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT)
+                         * CAST(n AS HUGEINT) - 1)) END AS BIGINT)
+             AS rho_ppm
+    FROM mo
+    """,
+    tags=("statistics", "correlation", "rank"),
+)
+def q228_spearman_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event
+    count) and per-user spend (exact cents) — the monotone-association
+    readout that q136's Pearson misses when the relationship is
+    nonlinear ("do heavier users spend more, in ANY monotone way").
+
+    Exactness: both rankings use the TOTAL order (metric, user_id), so
+    ranks are unique and the tie-free identity rho = 1 − 6Σd² /
+    (n(n²−1)) holds exactly — a pure rational of integer moments, no
+    sqrt (the tied-rank general form needs one; the deterministic
+    tiebreak is what keeps this oracle-exact). Σd² and n³ ride
+    DECIMAL(38,0)/HUGEINT. 1e6 − nonneg div nonneg keeps every
+    division on non-negative operands (truncation == floor).
+
+    Scale: the corpus reduces to the |users| frame first; both global
+    ranks are SEGMENTED (q204's band decomposition) — per-band counts
+    give carry-in offsets, within-band row_number is band-partitioned.
+    The oracle deliberately uses plain global windows (independent).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    ).localCheckpoint()  # feeds both segmented ranks
+
+    def seg_rank(df: DataFrame, col: str, band_w: int, out: str) -> DataFrame:
+        banded = df.withColumn("band", F.expr(f"{col} div {band_w}"))
+        bn = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+        w_b = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+        offs = bn.select(
+            "band", F.coalesce(F.sum("bn").over(w_b), F.lit(0)).alias("off")
+        )
+        w_in = Window.partitionBy("band").orderBy(col, "user_id")
+        return (
+            banded.withColumn("rn", F.row_number().over(w_in))
+            .join(F.broadcast(offs), "band")
+            .select("user_id", (F.col("off") + F.col("rn")).alias(out))
+        )
+    rx = seg_rank(u, "n_events", 8, "rx")
+    ry = seg_rank(u, "cents", _SP_BAND_CENTS, "ry")
+    d = F.col("rx") - F.col("ry")
+    d38 = d.cast("decimal(38,0)")
+    mo = rx.join(ry, "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d38 * d38).alias("d2")
+    )
+    return mo.select(
+        "n",
+        F.col("d2").cast("long").alias("sum_d2"),
+        F.expr(
+            "CASE WHEN n < 2 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(1000000 - 6 * d2 * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))"
+            " * CAST(n AS DECIMAL(38,0)) - 1)) AS BIGINT) END"
+        ).alias("rho_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract expectation checks (Great-Expectations-shaped gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_expectation_checks",
+    oracle="""
+    SELECT 'o_totalprice_positive' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_violations,
+           CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) = 0
+                AS BIGINT) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_enum',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                         THEN 0 ELSE 1 END) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_not_null',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_in_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+                          AND o_orderdate < TIMESTAMP '2030-01-01'
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+                          AND o_orderdate < TIMESTAMP '2030-01-01'
+                         THEN 0 ELSE 1 END) = 0 AS BIGINT)
+    FROM orders
+    """,
+    tags=("quality", "contract", "profile"),
+)
+def q229_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONTRACT gate over the orders snapshot: five
+    expectation-suite-shaped checks (positive amounts, enum
+    membership, non-null key, key uniqueness, date range) each
+    reporting row count, violation count, and a pass bit — the
+    accept/reject summary a pipeline evaluates BEFORE publishing a
+    snapshot downstream (q155 audits cross-table consistency; this is
+    the single-table contract layer in front of it). Row-level checks
+    fuse into ONE conditional-aggregation pass; the uniqueness check
+    adds the one count_distinct.
+
+    Exactness: counts and boolean sums — exact integers throughout.
+
+    Scale: one corpus scan with map-side-combined conditional
+    aggregates (adding a row-level check costs zero scans); the
+    distinct count is the only shuffle-bearing term. At 100 TB run
+    exactly this shape per partition-to-publish.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row_checks = [
+        (
+            "o_totalprice_positive",
+            F.when(F.col("o_totalprice") > 0, 0).otherwise(1),
+        ),
+        (
+            "o_orderstatus_enum",
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0).otherwise(1),
+        ),
+        (
+            "o_custkey_not_null",
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0),
+        ),
+        (
+            "o_orderdate_in_range",
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("2030-01-01").cast("timestamp_ntz")),
+                0,
+            ).otherwise(1),
+        ),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, viol in row_checks:
+        aggs.append(F.sum(viol).cast("long").alias(f"v_{name}"))
+    aggs.append(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("v_o_orderkey_unique")
+    )
+    one = o.agg(*aggs)
+    names = [n for n, _ in row_checks] + ["o_orderkey_unique"]
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("check_name"),
+                        F.col("n_rows").cast("long").alias("n_rows"),
+                        F.col(f"v_{n}").alias("n_violations"),
+                        (F.col(f"v_{n}") == 0).cast("long").alias("passed"),
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.check_name", "s.n_rows", "s.n_violations", "s.passed")

@@ -1037,3 +1037,18 @@ def test_q227_burstiness_single_window_shared_exchange(spark):
     the same user hash partitioning (no second corpus Exchange)."""
     plan = plan_of(spark, "q227_interarrival_burstiness")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q228_spearman_ranks_band_partitioned(spark):
+    """Both global ranks are segmented: within-band windows are
+    PARTITIONED (never a corpus-wide single-partition sort), and the
+    moments reduce the |users| frame."""
+    plan = plan_of(spark, "q228_spearman_activity_value")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_q229_checks_fuse_into_one_scan(spark):
+    """All row-level expectations ride one corpus scan."""
+    plan = plan_of(spark, "q229_expectation_checks")
+    assert plan.count("Scan parquet") == 1
