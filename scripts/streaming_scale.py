@@ -32,6 +32,7 @@ from target_hdfs_spark.session import get_spark
 
 def _ops():
     from target_hdfs_spark.streaming.stateful import (
+        clamped_balance_stream,
         ema_stream,
         funnel_stage_stream,
         gapped_pattern_stream,
@@ -49,6 +50,7 @@ def _ops():
         "time_weighted_stream": time_weighted_stream,
         "transition_stream": transition_stream,
         "ema_stream": ema_stream,
+        "clamped_balance_stream": clamped_balance_stream,
     }
 
 

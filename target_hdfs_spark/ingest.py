@@ -42,6 +42,21 @@ ABOUT = {
         "max_batch_size": {"type": "integer", "default": 10000},
         "flattening_max_depth": {"type": ["integer", "null"]},
         "target_file_bytes": {"type": ["integer", "string", "null"]},
+        "table_format": {
+            "type": "string",
+            "default": "parquet",
+            "enum": ["parquet", "orc", "delta", "iceberg"],
+        },
+        "schema_evolution": {
+            "type": "string",
+            "default": "strict",
+            "enum": ["strict", "additive"],
+        },
+        "on_invalid_record": {
+            "type": "string",
+            "default": "fail",
+            "enum": ["fail", "skip", "dlq"],
+        },
     },
 }
 
@@ -54,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
         "TARGET_HDFS_SPARK_* environment variables (+ ./.env)",
     )
     parser.add_argument("--about", action="store_true", help="print config surface")
+    parser.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="validate the message stream (demux, schema coercion, "
+        "batching) without writing; prints a per-stream summary to "
+        "stderr and echoes STATE lines as validation checkpoints",
+    )
     parser.add_argument(
         "--version",
         action="version",
@@ -74,9 +96,19 @@ def main(argv: list[str] | None = None) -> int:
             config = TargetConfig.from_dict(json.load(fh))
     spark = get_spark(app_name="target_hdfs_spark_ingest")
     spark.sparkContext.setLogLevel("ERROR")
-    pipe = SingerPipe(spark, config)
+    pipe = SingerPipe(spark, config, dry_run=args.dry_run)
     for state_line in pipe.process_lines(sys.stdin):
         print(state_line, flush=True)
+    if args.dry_run:
+        summary = {
+            "dry_run": True,
+            "streams": {
+                name: {"records_valid": buf.rows_written}
+                for name, buf in pipe.streams.items()
+            },
+            "records_invalid": pipe.invalid_counts,
+        }
+        print(json.dumps(summary), file=sys.stderr, flush=True)
     return 0
 
 

@@ -111,7 +111,9 @@ def _coerce(value, dtype: T.DataType, path: str):
 class SingerPipe:
     """Stateful Singer message processor (one instance per run)."""
 
-    def __init__(self, spark: SparkSession, config: TargetConfig):
+    def __init__(
+        self, spark: SparkSession, config: TargetConfig, dry_run: bool = False
+    ):
         self.spark = spark
         self.config = config
         self.streams: dict[str, _StreamBuffer] = {}
@@ -119,6 +121,11 @@ class SingerPipe:
         # skip counters, and the quarantine buffer for "dlq" mode
         self.invalid_counts: dict[str, int] = {}
         self._dlq: list[tuple[str, str, str]] = []
+        # dry_run: full demux + validation + batching, NO writes —
+        # the pre-flight a pipeline runs against a new tap before
+        # letting it touch the destination. STATE lines still echo
+        # (they confirm validation, not durability, in this mode).
+        self.dry_run = dry_run
 
     # -- message loop -----------------------------------------------------
 
@@ -213,7 +220,7 @@ class SingerPipe:
         (soft delete — the Singer SDK's non-hard-delete finalization).
         Only applies when record metadata is on (the version column
         exists on disk)."""
-        if not self.config.add_record_metadata:
+        if not self.config.add_record_metadata or self.dry_run:
             return
         if self.config.table_format not in ("parquet", "orc"):
             # Delta/Iceberg manage row versions in their own metadata
@@ -249,6 +256,9 @@ class SingerPipe:
         drift guard — its schema is fixed by the engine, not the tap."""
         if not self._dlq:
             return
+        if self.dry_run:
+            self._dlq.clear()
+            return
         df = self.spark.createDataFrame(
             self._dlq, schema="stream string, record string, error string"
         )
@@ -262,6 +272,11 @@ class SingerPipe:
     def _flush(self, name: str) -> None:
         buf = self.streams[name]
         if not buf.records:
+            return
+        if self.dry_run:
+            buf.rows_written += len(buf.records)
+            buf.files_flushed += 1
+            buf.records.clear()
             return
         df = self.spark.createDataFrame(buf.records, schema=buf.schema)
         df = self._shape(name, df, buf)

@@ -1140,3 +1140,120 @@ def ema_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Clamped-balance accumulator (stateful twin of q222_clamped_running_balance)
+# ---------------------------------------------------------------------------
+
+BAL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("final_balance_cents", T.LongType()),
+        T.StructField("n_resets", T.LongType()),
+    ]
+)
+
+# running (balance, resets, n): 24 bytes/key, O(1) per history
+BAL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bal", T.LongType()),
+        T.StructField("resets", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+BAL_STATE_TTL_SCHEMA = T.StructType(
+    [*BAL_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+_BAL_CREDIT_TYPES = ("view", "click")  # same credit rule as batch q222
+
+
+def _bal_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"user_id": [], "n_events": [], "final_balance_cents": [], "n_resets": []}
+    ).astype("int64")
+    if state.hasTimedOut:
+        # an idle account's balance evicts; a post-gap return starts a
+        # fresh ledger (exposure-window semantics, like ema_stream)
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        bal, resets, n = int(stored[0]), int(stored[1]), int(stored[2])
+        prev_last = int(stored[3]) if ttl_ms is not None else 0
+    else:
+        bal, resets, n, prev_last = 0, 0, 0, 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    whole = whole.sort_values(["ts", "event_id"])
+    cents = np.floor(whole["value"].to_numpy() * 100).astype("int64")
+    credit = whole["event_type"].isin(_BAL_CREDIT_TYPES).to_numpy()
+    for c, is_credit in zip(cents, credit):
+        d = int(c) if is_credit else -int(c)
+        nb = bal + d
+        if nb < 0:
+            resets += 1
+            nb = 0
+        bal = nb
+        n += 1
+    if ttl_ms is None:
+        state.update((bal, resets, n))
+    else:
+        last_ms = max(prev_last, int(whole["ts"].max().value // 1_000_000))
+        state.update((bal, resets, n, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    if n:
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [n],
+                "final_balance_cents": [bal],
+                "n_resets": [resets],
+            }
+        ).astype("int64")
+    else:
+        yield empty
+
+
+def clamped_balance_stream(
+    events: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming clamped running balance (stateful twin of
+    q222_clamped_running_balance): credits (view/click cents) and
+    debits accumulate ONLINE with the balance floored at zero and
+    clamp events counted — 24 bytes of state per key instead of the
+    batch fold's collected delta sequence. Each micro-batch emits the
+    user's updated (n_events, final_balance_cents, n_resets); the
+    LATEST row per user equals batch q222 on event-time-ordered logs
+    (two-seed parity test). ``state_ttl_ms``: an idle account evicts
+    once the watermark passes last event + TTL; a later return starts
+    a fresh ledger rather than resuming the stale balance.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type, value).
+    """
+
+    def fn(key, pdfs, state):
+        return _bal_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = events, BAL_STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = BAL_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=BAL_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -477,3 +477,21 @@ def test_on_invalid_config_validation():
         {"hdfs_destination_path": "/x", "on_invalid_record": "dlq"}
     )
     assert cfg.on_invalid == "dlq"
+
+
+def test_dry_run_validates_without_writing(spark, tmp_path):
+    """dry_run: full demux + validation + batching, zero writes; the
+    per-stream counters still advance so a summary can report them."""
+    config = TargetConfig(destination_path=str(tmp_path / "out"), on_invalid="skip")
+    pipe = SingerPipe(spark, config, dry_run=True)
+    states = list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1),
+        _rec("s", id="bad"),
+        _rec("s", id=2),
+        json.dumps({"type": "STATE", "value": {"x": 1}}),
+    ]))
+    assert states == ['{"x":1}']
+    assert not (tmp_path / "out").exists()
+    assert pipe.streams["s"].rows_written == 2
+    assert pipe.invalid_counts == {"s": 1}

@@ -1562,3 +1562,111 @@ def test_ema_ttl_restarts_after_idle(spark, tmp_path):
     # fresh restart: the post-gap emission has n reset to 1 and the
     # EMA equal to the new value alone — never (100e6 + 4e6) div 2
     assert u1 == {(1, 100_000_000), (1, 4_000_000)}
+
+
+# ---------------------------------------------------------------------------
+# clamped_balance_stream (stateful twin of q222_clamped_running_balance)
+# ---------------------------------------------------------------------------
+
+BAL_SCHEMA_JSON = {
+    "properties": {
+        "user_id": {"type": "integer"},
+        "event_id": {"type": "integer"},
+        "ts": {"type": "string", "format": "date-time"},
+        "event_type": {"type": "string"},
+        "value": {"type": "number"},
+    }
+}
+
+
+def _run_bal(spark, src, name, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import clamped_balance_stream
+
+    schema = jsonschema_to_spark(BAL_SCHEMA_JSON)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = clamped_balance_stream(stream, state_ttl_ms=ttl_ms)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_balance_clamp_straddles_batches(spark, tmp_path):
+    """The balance (and the clamp) must act on cross-batch state: a
+    batch-2 debit larger than the batch-1 credit clamps to zero and
+    counts one reset."""
+    src = tmp_path / "balsrc"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z",
+          "event_type": "view", "value": 5.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:30Z",
+          "event_type": "purchase", "value": 9.0}],
+    )
+    rows = _run_bal(spark, src, "bal_straddle")
+    latest = max(rows, key=lambda r: r.n_events)
+    # 500 - 900 -> clamp at 0, one reset
+    assert (latest.user_id, latest.n_events, latest.final_balance_cents,
+            latest.n_resets) == (1, 2, 0, 1)
+
+
+@pytest.mark.parametrize("seed", [11, 31])
+def test_balance_stream_equals_batch_q222(spark, tmp_path, seed):
+    """On an in-order log the stream's LATEST row per user equals the
+    batch q222 packed fold."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "refund"]
+    rows = [
+        {
+            "user_id": 1 + (i % 3),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+            "value": round(rng.uniform(0.01, 80), 2),
+        }
+        for i in range(90)
+    ]
+    src = tmp_path / f"bal_{seed}"
+    _write(src / "a.jsonl", rows[:50])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[50:])
+    got_rows = _run_bal(spark, src, f"bal_parity_{seed}")
+    latest = {}
+    for r in got_rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+            latest[r.user_id] = (
+                r.n_events, r.final_balance_cents, r.n_resets
+            )
+    expected = {}
+    for uid in {r["user_id"] for r in rows}:
+        bal, resets, n = 0, 0, 0
+        for r in rows:
+            if r["user_id"] != uid:
+                continue
+            d = math.floor(r["value"] * 100)
+            if r["event_type"] not in ("view", "click"):
+                d = -d
+            if bal + d < 0:
+                resets += 1
+                bal = 0
+            else:
+                bal += d
+            n += 1
+        expected[uid] = (n, bal, resets)
+    assert latest == expected
