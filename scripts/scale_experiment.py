@@ -174,6 +174,8 @@ FACT_QUERIES = (
     "q221_smoothed_segment_rates",
     # contract gate: one fused conditional-agg scan + count_distinct
     "q229_expectation_checks",
+    # quantile-sketch calibration: histogram pass + exact-percentile pass
+    "q230_histogram_quantile_error",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same

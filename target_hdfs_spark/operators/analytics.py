@@ -5104,3 +5104,144 @@ def q229_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return rows.select("s.check_name", "s.n_rows", "s.n_violations", "s.passed")
+
+
+# ---------------------------------------------------------------------------
+# Histogram-quantile accuracy (the q214 calibration discipline, for quantiles)
+# ---------------------------------------------------------------------------
+
+_HQ_BIN = 5_000.0  # equi-width histogram bin (price dollars)
+# dyadic probe fractions: exact doubles in both engines
+_HQ_PROBES = (("p50", 1, 2), ("p75", 3, 4), ("p9375", 15, 16))
+
+
+@query(
+    "q230_histogram_quantile_error",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(floor(l_extendedprice / {_HQ_BIN}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY bin
+    ),
+    c AS (
+      SELECT bin, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM h
+    ),
+    probes AS (
+      SELECT * FROM (VALUES {", ".join(f"('{lbl}', {num}, {den})" for lbl, num, den in _HQ_PROBES)})
+        AS t(lbl, num, den)
+    ),
+    est AS (
+      SELECT p.lbl, c.n,
+             (p.num * c.n + p.den - 1) // p.den AS need,
+             MIN(c.bin) AS bin
+      FROM probes p JOIN c ON c.cum >= (p.num * c.n + p.den - 1) // p.den
+      GROUP BY p.lbl, c.n, need
+    ),
+    est2 AS (
+      SELECT e.lbl, e.n, e.need,
+             CAST(e.bin * {int(_HQ_BIN * 1_000_000)}
+                  + ({int(_HQ_BIN * 1_000_000)}
+                     * (e.need - (c.cum - c.cnt))) // c.cnt
+                  AS BIGINT) AS est_micro
+      FROM est e JOIN c ON c.bin = e.bin
+    ),
+    truth AS (
+      SELECT {", ".join(f"CAST(floor(quantile_cont(l_extendedprice, CAST({num} AS DOUBLE) / {den}) * 1000000) AS BIGINT) AS t_{lbl}" for lbl, num, den in _HQ_PROBES)}
+      FROM lineitem
+    )
+    SELECT e.lbl AS probe, e.n,
+           e.est_micro,
+           CASE e.lbl {" ".join(f"WHEN '{lbl}' THEN t.t_{lbl}" for lbl, _, _ in _HQ_PROBES)} END AS true_micro,
+           abs(e.est_micro - CASE e.lbl {" ".join(f"WHEN '{lbl}' THEN t.t_{lbl}" for lbl, _, _ in _HQ_PROBES)} END)
+             AS abs_err_micro
+    FROM est2 e CROSS JOIN truth t
+    """,
+    tags=("agg", "percentile", "calibration", "histogram"),
+)
+def q230_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile ACCURACY: estimate p50/p75/p93.75 from the
+    equi-width price histogram (cumulative bin scan + linear
+    interpolation inside the crossing bin) and report each estimate
+    against the exact interpolated percentile — q214 calibrates the
+    dedup sketch, this calibrates the quantile sketch every
+    monitoring dashboard actually serves (a histogram is the
+    mergeable, streaming-safe quantile structure; the readout says
+    whether bin width {_HQ_BIN} is tight enough to trust).
+
+    Exactness: histogram counts, the required-rank arithmetic
+    (need = ceil(p*n) in integers), and the in-bin interpolation
+    (micro-dollars, truncated div) are all integer; the exact
+    percentile rides q99's interpolated-percentile surface floored to
+    micro-dollars; probe fractions are dyadic so the double p is
+    bit-identical both engines.
+
+    Scale: ONE map-side-combined histogram aggregation (bounded bin
+    frame) + ONE exact-percentile aggregation for ground truth (the
+    expensive half — at 100 TB you run the histogram side alone and
+    spot-check truth on a sample); the cumulative scan and probe join
+    run on the |bins| frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    h = (
+        li.select(
+            F.floor(F.col("l_extendedprice") / F.lit(_HQ_BIN))
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = h.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    ).localCheckpoint()  # |bins| frame, feeds the probe join twice
+    probes = spark.createDataFrame(
+        list(_HQ_PROBES), "lbl string, num long, den long"
+    )
+    bin_micro = int(_HQ_BIN * 1_000_000)
+    est = (
+        F.broadcast(probes)
+        .join(c, F.col("cum") >= F.expr("(num * n + den - 1) div den"))
+        .groupBy("lbl", "n", F.expr("(num * n + den - 1) div den").alias("need"))
+        .agg(F.min("bin").alias("bin"))
+    )
+    est2 = est.join(c.select("bin", "cnt", "cum"), "bin").select(
+        "lbl",
+        "n",
+        F.expr(
+            f"bin * {bin_micro} + ({bin_micro} * (need - (cum - cnt))) div cnt"
+        )
+        .cast("long")
+        .alias("est_micro"),
+    )
+    truth = li.agg(
+        *[
+            F.floor(
+                F.percentile("l_extendedprice", F.lit(num / den)) * 1_000_000
+            )
+            .cast("long")
+            .alias(f"t_{lbl}")
+            for lbl, num, den in _HQ_PROBES
+        ]
+    )
+    true_col = None
+    for lbl, _, _ in _HQ_PROBES:
+        branch = F.when(F.col("lbl") == lbl, F.col(f"t_{lbl}"))
+        true_col = branch if true_col is None else true_col.when(
+            F.col("lbl") == lbl, F.col(f"t_{lbl}")
+        )
+    return est2.join(F.broadcast(truth)).select(
+        F.col("lbl").alias("probe"),
+        "n",
+        "est_micro",
+        true_col.alias("true_micro"),
+        F.abs(F.col("est_micro") - true_col).alias("abs_err_micro"),
+    )

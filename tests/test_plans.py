@@ -1052,3 +1052,13 @@ def test_q229_checks_fuse_into_one_scan(spark):
     """All row-level expectations ride one corpus scan."""
     plan = plan_of(spark, "q229_expectation_checks")
     assert plan.count("Scan parquet") == 1
+
+
+def test_q230_histogram_side_is_one_pass(spark):
+    """Probe math joins the (checkpointed) |bins| frame — no
+    cartesian; the exact-percentile truth side broadcasts as a
+    1-row frame."""
+    plan = plan_of(spark, "q230_histogram_quantile_error")
+    assert "CartesianProduct" not in plan
+    assert "percentile" in plan  # truth side rides q99's surface
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
