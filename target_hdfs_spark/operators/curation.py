@@ -1399,6 +1399,39 @@ def q188_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LR_TOTAL = 200  # total sample size to allocate across sources
 
 
+def largest_remainder_alloc(cnt: DataFrame, total_n: int) -> DataFrame:
+    """Hamilton (largest-remainder) allocation of exactly ``total_n``
+    seats across strata — the reusable core behind q211. Input: one
+    row per stratum, columns (source, c). Output: (source, n_alloc)
+    with sum(n_alloc) == total_n exactly and every n_alloc in
+    {floor(quota), floor(quota)+1} (quota = total_n * c / sum(c));
+    ties on the fractional remainder break by source name. All
+    integer arithmetic (the remainder comparison shares one
+    denominator). Runs on the |strata| frame — the windows here never
+    see corpus-scale data."""
+    tot = cnt.agg(F.sum("c").alias("total"))
+    quota = cnt.join(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"({total_n} * c) div total").alias("base"),
+        F.expr(f"({total_n} * c) % total").alias("rem"),
+    )
+    w_rem = Window.orderBy(F.col("rem").desc(), "source")
+    w_all = Window.partitionBy()
+    return quota.select(
+        "source",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rem)
+                <= F.lit(total_n) - F.sum("base").over(w_all),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )
+
+
 @query(
     "q211_stratified_allocation",
     oracle=f"""
@@ -1462,27 +1495,7 @@ def q211_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(F.sum("c").alias("total"))
-    quota = cnt.join(F.broadcast(tot)).select(
-        "source",
-        F.expr(f"({_LR_TOTAL} * c) div total").alias("base"),
-        F.expr(f"({_LR_TOTAL} * c) % total").alias("rem"),
-    )
-    w_rem = Window.orderBy(F.col("rem").desc(), "source")
-    w_all = Window.partitionBy()
-    alloc = quota.select(
-        "source",
-        (
-            F.col("base")
-            + F.when(
-                F.row_number().over(w_rem)
-                <= F.lit(_LR_TOTAL) - F.sum("base").over(w_all),
-                1,
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_alloc"),
-    )
+    alloc = largest_remainder_alloc(cnt, _LR_TOTAL)
     w_sel = Window.partitionBy("source").orderBy(
         md5_hash32(F.concat(F.lit("lrs:"), F.col("doc_id").cast("string"))),
         "doc_id",

@@ -2056,7 +2056,7 @@ _PPJ_T_NUM, _PPJ_T_DEN = 1, 2
     "q210_prefix_filter_join",
     oracle=f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      SELECT DISTINCT doc_id, unnest({_SHINGLE_HASHES_SQL}) AS shingle
       FROM documents
     ),
     dfreq AS (
@@ -2133,7 +2133,21 @@ def q210_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         fan_out(docs, "doc_id")
         .select("doc_id", tokens("text").alias("_toks"))
-        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
+        .select(
+            "doc_id",
+            # hash shingles to int64 FIRST (portable md5, the q42
+            # sketch-family convention): every downstream frame —
+            # df counts, the prefix windows, both join sides, the
+            # collected verify arrays — carries 8-byte longs instead
+            # of shingle strings (~6x less shuffle/state at 100x;
+            # the 8g-heap 100x run went from GC-bound to CPU-bound).
+            # Semantics become "Jaccard over hashed shingles", the
+            # same universe q42/q43 sketch; the oracle hashes
+            # identically so exactness is preserved.
+            F.explode(
+                F.transform(shingles(F.col("_toks")), md5_hash32)
+            ).alias("shingle"),
+        )
         .distinct()
         .localCheckpoint()  # feeds df counts, prefix pass, and verify
     )
