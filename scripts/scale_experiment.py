@@ -101,9 +101,10 @@ QUERIES = (
     "q220_vocab_growth",
     "q223_quantile_mapping",
     # literal keyword scan (one pass) + inter-source unigram cosine
-    # (pair join over the vocab-bounded count frame)
+    # (pair join over the vocab-bounded count frame) + lang-id eval
     "q224_keyword_scan",
     "q225_source_similarity",
+    "q231_langid_confusion",
     # coverage curve: vocab-bounded rank frame
     "q226_vocab_coverage",
 )

@@ -1902,3 +1902,109 @@ def q226_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4q: language-ID confusion matrix (classifier eval on the truth label)
+# ---------------------------------------------------------------------------
+
+_CONF_PRED_SQL = f"""
+      CASE
+        WHEN score_en = 0 AND score_es = 0 AND score_fr = 0 AND score_de = 0 THEN 'unknown'
+        WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+        WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+        WHEN score_fr >= score_de THEN 'fr'
+        ELSE 'de'
+      END"""
+
+
+@query(
+    "q231_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+             {", ".join(f"{_score_sql(lang)} AS score_{lang}" for lang in _LANG_MARKERS)}
+      FROM documents
+    ),
+    pred AS (
+      SELECT actual_lang, {_CONF_PRED_SQL} AS predicted_lang FROM scored
+    ),
+    cells AS (
+      SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    per_actual AS (
+      SELECT actual_lang, CAST(SUM(n) AS BIGINT) AS n_actual FROM cells
+      GROUP BY actual_lang
+    )
+    SELECT c.actual_lang, c.predicted_lang, c.n,
+           CAST(c.n * 1000000 // p.n_actual AS BIGINT) AS recall_ppm
+    FROM cells c JOIN per_actual p ON p.actual_lang = c.actual_lang
+    """,
+    tags=("text", "langid", "eval", "calibration"),
+)
+def q231_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX for the q53 language-ID heuristic against the
+    corpus truth label: per (actual, predicted) cell, the count and
+    the per-class recall share — the eval readout that turns a
+    classifier from "deployed" into "measured" (q188 value-pins the
+    retrieval eval, q214 the dedup sketch, q230 the quantile sketch;
+    this closes the loop on the classification surface). The diagonal
+    is per-language recall; off-diagonal mass names the confusable
+    pairs; the 'unknown' column is the coverage gap.
+
+    Exactness: identical marker scoring + identical priority-ordered
+    argmax on both sides (q53's pinned expressions reused verbatim),
+    exact counts, one ppm division.
+
+    Scale: scan-side scoring (array filters over the bound token
+    array) + one map-side-combined aggregation onto the
+    |langs|x(|langs|+1) cell frame; the per-actual totals roll up
+    from the cells, never rescanning the corpus.
+    """
+    with_toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("_toks")
+    )
+
+    def _is_marker(ms: tuple[str, ...]):
+        return lambda x: x.isin(list(ms))
+
+    scores = {
+        lang: F.size(F.filter(F.col("_toks"), _is_marker(ms)))
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    scored = with_toks.select(
+        F.col("lang").alias("actual_lang"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["de"] == 0),
+            "unknown",
+        )
+        .when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en"
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    cells = (
+        scored.select("actual_lang", predicted.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("_num"),
+        F.sum("n").over(w).alias("_den"),
+    ).select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.expr("_num div _den").cast("long").alias("recall_ppm"),
+    )

@@ -1062,3 +1062,12 @@ def test_q230_histogram_side_is_one_pass(spark):
     assert "CartesianProduct" not in plan
     assert "percentile" in plan  # truth side rides q99's surface
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q231_confusion_single_agg_no_rescan(spark):
+    """Scoring is scan-side; the confusion matrix is one map-side-
+    combined aggregation, per-actual totals a window on the cell
+    frame — the corpus is scanned once."""
+    plan = plan_of(spark, "q231_langid_confusion")
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan
