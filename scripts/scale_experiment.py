@@ -92,6 +92,7 @@ QUERIES = (
     "q210_prefix_filter_join",
     "q211_stratified_allocation",
     "q214_sketch_calibration",
+    "q232_threshold_sensitivity",
     # serpentine sharding: segmented descending rank + 8-key agg
     "q216_balanced_shards",
     # dup-ngram fraction (one gram pass), 2-round LPA over LSH pairs,

@@ -4400,7 +4400,9 @@ _COORDER_EDGES_SQL = """
 )
 def q212_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + global clustering coefficient over the
-    part co-purchase graph (parts sharing an order are adjacent) —
+    part co-purchase graph (parts adjacent when co-ordered at
+    support >= 2 AND lift >= 2 — see coorder_part_edges for why the
+    lift term is what keeps the graph scale-invariant) —
     with q151's PageRank and q85's connected components this
     completes the graph-telemetry trio: components say what's
     CONNECTED, PageRank what's CENTRAL, triangles how CLIQUISH the
@@ -4582,9 +4584,9 @@ def q213_dyadic_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "statistics", "agg"),
 )
 def q217_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree assortativity of the part co-purchase graph: the Pearson
-    correlation of endpoint degrees over all SYMMETRIZED edge endpoint
-    pairs — do high-degree parts co-occur with other hubs (r > 0,
+    """Degree assortativity of the part co-purchase graph (same
+    lift-thresholded edges as q212): the Pearson correlation of
+    endpoint degrees over all SYMMETRIZED edge endpoint pairs — do high-degree parts co-occur with other hubs (r > 0,
     assortative) or with leaves (r < 0, disassortative)? The third
     graph-telemetry readout next to q212's clustering coefficient:
     together they predict how an LSH/dedup similarity graph will

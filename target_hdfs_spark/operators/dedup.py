@@ -2471,3 +2471,110 @@ def q219_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").cast("long").alias("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2i: dedup threshold sensitivity (what each cutoff would delete)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_threshold_sensitivity",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL},
+    doc_shingles AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id
+    ),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN doc_shingles sa ON sa.doc_id = p.doc_a
+      JOIN doc_shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT c.n_common * 1000000
+               // (za.n_sh + zb.n_sh - c.n_common) AS jac_ppm
+      FROM common c
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+    ),
+    jbands AS (
+      SELECT CAST(jac_ppm // 100000 AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM j GROUP BY 1
+    )
+    SELECT band,
+           CAST(band * 100000 AS BIGINT) AS threshold_ppm,
+           n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS pairs_at_or_above
+    FROM jbands
+    """,
+    tags=("dedup", "calibration", "observability"),
+)
+def q232_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD sensitivity: exact-Jaccard pairs from the
+    production q92 pipeline banded into 10%-wide similarity bands,
+    with the reverse-cumulative count of pairs at or above each band
+    — the knob-chooser that says, BEFORE a 100 TB dedup run, how many
+    pairs each candidate threshold would suppress (q214 calibrates
+    the sketch against exact truth; this turns the truth into the
+    deletion-volume curve an operator actually tunes against).
+
+    Exactness: exact shingle-set Jaccard in integer ppm (q92's
+    verify), integer banding, exact cumulative counts.
+
+    Scale: the expensive part IS q92 (LSH candidates -> exact verify
+    — never all-pairs); the banding adds one aggregation onto a
+    <= 11-row frame and a window over it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    from target_hdfs_spark.sources.readers import fan_out
+
+    sh = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            F.expr("n_common * 1000000 div (na + nb - n_common)").alias(
+                "jac_ppm"
+            )
+        )
+    )
+    bands = j.groupBy(F.expr("jac_ppm div 100000").cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return bands.select(
+        "band",
+        (F.col("band") * 100000).cast("long").alias("threshold_ppm"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
+    )

@@ -1071,3 +1071,11 @@ def test_q231_confusion_single_agg_no_rescan(spark):
     plan = plan_of(spark, "q231_langid_confusion")
     assert plan.count("Scan parquet") == 1
     assert "partial_count" in plan
+
+
+def test_q232_sensitivity_rides_q92_pipeline(spark):
+    """The banding adds only reductions above q92's verified pairs —
+    no cartesian, verify joins stay equi-keyed."""
+    plan = plan_of(spark, "q232_threshold_sensitivity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
