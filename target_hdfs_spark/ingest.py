@@ -74,7 +74,10 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="validate the message stream (demux, schema coercion, "
         "batching) without writing; prints a per-stream summary to "
-        "stderr and echoes STATE lines as validation checkpoints",
+        "stderr. STATE lines are routed to stderr too — emitted "
+        "STATE is the Singer durable-commit signal, and nothing was "
+        "committed, so stdout stays silent to keep any wrapping "
+        "orchestrator from persisting bookmarks past unwritten data",
     )
     parser.add_argument(
         "--version",
@@ -97,8 +100,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="target_hdfs_spark_ingest")
     spark.sparkContext.setLogLevel("ERROR")
     pipe = SingerPipe(spark, config, dry_run=args.dry_run)
+    # In the Singer protocol, STATE on stdout is the durable-commit
+    # signal: orchestrators persist it as the tap's bookmark. A dry
+    # run commits nothing, so its STATE lines go to stderr (visible
+    # as validation checkpoints, never persisted) — otherwise the
+    # tap could advance past unwritten data and skip it on the next
+    # real run.
+    state_out = sys.stderr if args.dry_run else sys.stdout
     for state_line in pipe.process_lines(sys.stdin):
-        print(state_line, flush=True)
+        print(state_line, file=state_out, flush=True)
     if args.dry_run:
         summary = {
             "dry_run": True,

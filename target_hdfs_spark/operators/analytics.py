@@ -4677,9 +4677,13 @@ def q221_smoothed_segment_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated division, the shrunk estimate one more on exact counts;
     no Beta-function machinery needed for the posterior-mean form.
 
-    Scale: dims broadcast into one fact aggregation (map-side
-    combined) onto the |nations x segments| cell frame; the global
-    rate is a 1-row broadcast back over that tiny frame.
+    Scale: nation (25 rows) and the 1-row global rate broadcast;
+    customer scales with SF (~150k x SF rows) so it joins as a
+    shuffle side — AQE may still auto-broadcast it at small SF, but
+    the plan never FORCES it past the size threshold (a forced hint
+    would OOM the executors at the 100 TB posture). The fact
+    aggregation is map-side combined onto the |nations x segments|
+    cell frame.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority"
@@ -4689,7 +4693,7 @@ def q221_smoothed_segment_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cells = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),

@@ -1688,9 +1688,11 @@ def q224_keyword_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs = []
     for kw in _SCAN_KEYWORDS:
-        occ = (
-            (F.length("t") - F.length(F.replace(F.col("t"), F.lit(kw))))
-            / len(kw)
+        # integer `div`, matching the oracle's `//` exactly: float
+        # division then cast is only exact below 2^53 per-doc lengths
+        # — a latent divergence for very large documents (ADVICE r6)
+        occ = F.expr(
+            f"(length(t) - length(replace(t, '{kw}', ''))) div {len(kw)}"
         ).cast("long")
         aggs.append(
             F.struct(

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import sys
 from collections.abc import Iterable, Iterator
 from dataclasses import dataclass, field
 
@@ -123,8 +124,12 @@ class SingerPipe:
         self._dlq: list[tuple[str, str, str]] = []
         # dry_run: full demux + validation + batching, NO writes —
         # the pre-flight a pipeline runs against a new tap before
-        # letting it touch the destination. STATE lines still echo
-        # (they confirm validation, not durability, in this mode).
+        # letting it touch the destination. process_lines still
+        # yields STATE payloads (they mark validation checkpoints),
+        # but the CLI routes them to stderr in this mode: emitted
+        # stdout STATE is the protocol's durable-commit signal, and
+        # a dry run must never let an orchestrator persist bookmarks
+        # for data that was not written.
         self.dry_run = dry_run
 
     # -- message loop -----------------------------------------------------
@@ -157,6 +162,27 @@ class SingerPipe:
             # unknown types are ignored (forward compatibility)
         self.flush_all()
         self._finalize_versions()
+        self._report_invalid()
+
+    def _report_invalid(self) -> None:
+        """End-of-stream observability for the lossy policies: with
+        on_invalid='skip' records are dropped and with 'dlq' they are
+        diverted — either way a normal run must leave an operator-
+        visible signal that data was discarded, not just an in-memory
+        counter (ADVICE r6). One JSON line on stderr, mirroring the
+        dry-run summary's shape. Silent when nothing was invalid."""
+        if not self.invalid_counts or self.dry_run:
+            return
+        print(
+            json.dumps(
+                {
+                    "invalid_records": dict(sorted(self.invalid_counts.items())),
+                    "policy": self.config.on_invalid,
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
 
     def _on_schema(self, msg: dict) -> None:
         name = msg["stream"]
@@ -250,10 +276,18 @@ class SingerPipe:
     def _flush_dlq(self) -> None:
         """Quarantine invalid records ("dlq" mode): raw record JSON +
         the validation error, appended as parquet under
-        <destination_path>/_dlq/<stream>. At-least-once like the main
-        flow (written before the covering STATE is emitted); the DLQ
-        write path is append-only parquet and never consults the
-        drift guard — its schema is fixed by the engine, not the tap."""
+        <destination_path>/_dlq/stream=<stream>. At-least-once like
+        the main flow (written before the covering STATE is emitted);
+        the DLQ write path is append-only parquet and never consults
+        the drift guard — its schema is fixed by the engine, not the
+        tap.
+
+        ONE write job partitioned by the stream column (ADVICE r6):
+        the previous shape ran a coalesce(1) job per distinct stream
+        on every flush, and flush_all fires on every STATE — a chatty
+        tap in dlq mode produced many driver-blocking jobs and tiny
+        single-row files. partitionBy keeps the per-stream directory
+        layout (Hive-style) while issuing a single job per flush."""
         if not self._dlq:
             return
         if self.dry_run:
@@ -263,10 +297,7 @@ class SingerPipe:
             self._dlq, schema="stream string, record string, error string"
         )
         base = f"{self.config.destination_path.rstrip('/')}/_dlq"
-        for (name,) in {(r[0],) for r in self._dlq}:
-            df.filter(df.stream == name).drop("stream").coalesce(1).write.mode(
-                "append"
-            ).parquet(f"{base}/{name}")
+        df.coalesce(1).write.partitionBy("stream").mode("append").parquet(base)
         self._dlq.clear()
 
     def _flush(self, name: str) -> None:

@@ -433,7 +433,8 @@ def test_on_invalid_skip_drops_and_counts(spark, tmp_path):
 
 def test_on_invalid_dlq_quarantines_raw_records(spark, tmp_path):
     """"dlq" policy: the raw record JSON and its validation error are
-    quarantined under _dlq/<stream>; valid flow is unaffected."""
+    quarantined under _dlq/stream=<stream> (ONE partitioned write per
+    flush, not a job per stream); valid flow is unaffected."""
     config = TargetConfig(destination_path=str(tmp_path), on_invalid="dlq")
     pipe = SingerPipe(spark, config)
     list(pipe.process_lines([
@@ -443,11 +444,61 @@ def test_on_invalid_dlq_quarantines_raw_records(spark, tmp_path):
     ]))
     got = [r.id for r in spark.read.parquet(str(tmp_path / "s")).collect()]
     assert got == [7]
-    dlq = spark.read.parquet(str(tmp_path / "_dlq" / "s")).collect()
+    # Hive-style per-stream layout survives the single-write shape
+    assert (tmp_path / "_dlq" / "stream=s").is_dir()
+    dlq = (
+        spark.read.parquet(str(tmp_path / "_dlq"))
+        .filter("stream = 's'")
+        .collect()
+    )
     assert len(dlq) == 1
     assert json.loads(dlq[0].record) == {"id": "oops", "extra": "kept"}
     assert "not an integer" in dlq[0].error
     assert pipe.invalid_counts == {"s": 1}
+
+
+def test_on_invalid_dlq_one_write_many_streams(spark, tmp_path):
+    """Two streams' quarantined rows land in their own partitions out
+    of one partitionBy write; each keeps its own error text."""
+    config = TargetConfig(destination_path=str(tmp_path), on_invalid="dlq")
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("a", {"id": {"type": "integer"}}),
+        _schema_msg("b", {"id": {"type": "integer"}}),
+        _rec("a", id="bad_a"),
+        _rec("b", id="bad_b"),
+    ]))
+    dlq = spark.read.parquet(str(tmp_path / "_dlq"))
+    got = {r.stream: json.loads(r.record)["id"] for r in dlq.collect()}
+    assert got == {"a": "bad_a", "b": "bad_b"}
+    assert pipe.invalid_counts == {"a": 1, "b": 1}
+
+
+def test_invalid_summary_emitted_on_stderr(spark, tmp_path, capsys):
+    """Lossy policies leave an observable end-of-stream signal: one
+    JSON line on stderr naming per-stream invalid counts and the
+    active policy (silent drop was ADVICE r6's finding)."""
+    config = TargetConfig(destination_path=str(tmp_path), on_invalid="skip")
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1),
+        _rec("s", id="bad"),
+    ]))
+    err = capsys.readouterr().err
+    summary = json.loads(err.strip().splitlines()[-1])
+    assert summary == {"invalid_records": {"s": 1}, "policy": "skip"}
+
+
+def test_invalid_summary_silent_when_clean(spark, tmp_path, capsys):
+    """No invalid records -> no summary line (stderr noise-free)."""
+    config = TargetConfig(destination_path=str(tmp_path), on_invalid="skip")
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1),
+    ]))
+    assert "invalid_records" not in capsys.readouterr().err
 
 
 def test_on_invalid_default_still_fails(spark, tmp_path):
@@ -495,3 +546,31 @@ def test_dry_run_validates_without_writing(spark, tmp_path):
     assert not (tmp_path / "out").exists()
     assert pipe.streams["s"].rows_written == 2
     assert pipe.invalid_counts == {"s": 1}
+
+
+def test_dry_run_cli_routes_state_to_stderr(spark, tmp_path, monkeypatch, capsys):
+    """--dry-run keeps stdout silent: emitted stdout STATE is the
+    Singer durable-commit signal, and a dry run commits nothing — a
+    wrapping orchestrator must never persist these bookmarks and let
+    the tap advance past unwritten data (ADVICE r6, medium). The
+    checkpoint and summary remain visible on stderr."""
+    import io
+
+    from target_hdfs_spark.ingest import main
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(
+        json.dumps({"hdfs_destination_path": str(tmp_path / "out")})
+    )
+    lines = "\n".join([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id=1),
+        json.dumps({"type": "STATE", "value": {"bookmark": 42}}),
+    ]) + "\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(lines))
+    assert main(["--config", str(cfg_path), "--dry-run"]) == 0
+    out, err = capsys.readouterr()
+    assert out == ""  # no durable-commit signal escaped
+    assert '{"bookmark":42}' in err  # checkpoint still visible
+    assert '"dry_run": true' in err  # summary on stderr
+    assert not (tmp_path / "out").exists()

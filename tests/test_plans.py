@@ -987,10 +987,13 @@ def test_q220_vocab_partials_bounded(spark):
 
 
 def test_q221_smoothing_broadcasts_dims_and_global(spark):
-    """Dims and the 1-row global rate broadcast; one fact Exchange."""
+    """Nation and the 1-row global rate broadcast; customer is NOT
+    force-broadcast (it scales with SF — ADVICE r6), so only the
+    genuinely-small sides carry hints. AQE may still auto-broadcast
+    customer at small SF, hence >= 1 rather than an exact count."""
     plan = plan_of(spark, "q221_smoothed_segment_rates")
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
 
 
 def test_q222_balance_fold_single_exchange(spark):
