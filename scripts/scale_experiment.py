@@ -198,6 +198,9 @@ EVENT_QUERIES = (
     # patterns holds the single-Exchange posture at Kx users)
     "q161_multi_pattern_match",
     "q162_gapped_pattern_match",
+    # round 7: alternation/negation vocabulary — same single-Exchange
+    # alignment posture as q161/q162, so the sweep should track them
+    "q233_alternation_negation_match",
     # round 6 continuation: interval-weighted/decayed aggregates (one
     # user window or scan-side scoring + one user-keyed agg), U-shaped
     # attribution (q131's equi-join posture + purchase-id window), and
@@ -422,6 +425,29 @@ def main() -> None:
         if only
         else {"docs", "emb", "facts", "events", "mm"}
     )
+    # --queries=substr[,substr]: restrict every family's sweep list to
+    # queries matching any substring (targeted re-sweeps after a fix)
+    name_filter = [
+        p
+        for f in flags
+        if f.startswith("--queries=")
+        for p in f.split("=", 1)[1].split(",")
+    ]
+    if name_filter:
+        global QUERIES, EMB_QUERIES, NEARDUP_QUERIES, FACT_QUERIES
+        global MM_QUERIES, EVENT_QUERIES, EVENT_QUADRATIC_OUTPUT
+        global DOC_EXTRA_QUERIES
+        keep = lambda qs: tuple(  # noqa: E731
+            q for q in qs if any(p in q for p in name_filter)
+        )
+        QUERIES = keep(QUERIES)
+        EMB_QUERIES = keep(EMB_QUERIES)
+        NEARDUP_QUERIES = keep(NEARDUP_QUERIES)
+        FACT_QUERIES = keep(FACT_QUERIES)
+        MM_QUERIES = keep(MM_QUERIES)
+        EVENT_QUERIES = keep(EVENT_QUERIES)
+        EVENT_QUADRATIC_OUTPUT = keep(EVENT_QUADRATIC_OUTPUT)
+        DOC_EXTRA_QUERIES = keep(DOC_EXTRA_QUERIES)
     spark = get_spark(app_name="scale_experiment")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()

@@ -852,52 +852,81 @@ def q161_multi_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _gap_pattern_masks(spec: dict) -> list[tuple[list[tuple[int, str]], int]]:
-    """Compile one GAP_PATTERNS spec to alignment masks over the
-    lead() frame: each mask is ([(lead_idx, required_type), ...],
-    completion_idx), ordered earliest-completion-first. Row 0 (the
-    match start) is constrained separately to spec['first']."""
+def _gap_pattern_masks(
+    spec: dict,
+) -> list[tuple[list[tuple[int, str, bool]], int]]:
+    """Compile one GAP_PATTERNS/ALT_PATTERNS spec to alignment masks
+    over the lead() frame: each mask is
+    ([(lead_idx, type, positive), ...], completion_idx), ordered
+    earliest-completion-first; `positive=False` entries require the
+    position NOT to be the type (the negated-gap form). Row 0 (the
+    match start) is constrained separately to spec['first'] (a type
+    or an alternation tuple)."""
+    from target_hdfs_spark.streaming.stateful import _gap_form
+
     masks = []
-    if spec["middle_any"]:
+    form = _gap_form(spec)
+    if form == "any":
         # bounded gap: last at the EARLIEST j; intermediate rows free.
         # The mask chain encodes "earliest" by listing shorter spans
         # first and (for correctness under when-chains alone) pinning
         # earlier positions as NOT-last via chain order.
         for j in range(1, spec["within"]):
-            masks.append(([(j, spec["last"])], j))
+            masks.append(([(j, spec["last"], True)], j))
+    elif form == "not":
+        # negated gap `A (!X)* C`: every intermediate position must
+        # NOT be X; earliest completion again via chain order
+        for j in range(1, spec["within"]):
+            mask = [(i, spec["middle_not"], False) for i in range(1, j)]
+            mask.append((j, spec["last"], True))
+            masks.append((mask, j))
     else:
         # contiguous quantifier: m repeats of middle then last
         for m in range(1, spec["within"] - 1):
-            mask = [(i, spec["middle"]) for i in range(1, m + 1)]
-            mask.append((m + 1, spec["last"]))
+            mask = [(i, spec["middle"], True) for i in range(1, m + 1)]
+            mask.append((m + 1, spec["last"], True))
             masks.append((mask, m + 1))
     return masks
 
 
-def _gap_pattern_oracle() -> str:
-    """DuckDB oracle generated from streaming.stateful.GAP_PATTERNS —
-    the q161 anti-drift trick: one lead() self-alignment shared by all
+def _gap_pattern_oracle(patterns: dict[str, dict] | None = None) -> str:
+    """DuckDB oracle generated from a streaming.stateful pattern dict
+    (default GAP_PATTERNS; q233 passes ALT_PATTERNS) — the q161
+    anti-drift trick: one lead() self-alignment shared by all
     patterns, one UNION ALL branch per pattern, earliest completion
-    per start row via an ordered CASE chain."""
-    from target_hdfs_spark.streaming.stateful import GAP_KEEP, GAP_PATTERNS
+    per start row via an ordered CASE chain. Negated positions
+    compile to `t{i} <> 'X'` (NULL-safe: a NULL lead at i < j implies
+    a NULL completion lead at j, so the arm never fires past the end
+    of the stream); alternation starts compile to an IN list."""
+    from target_hdfs_spark.streaming.stateful import (
+        GAP_PATTERNS,
+        _gap_first,
+        _gap_keep,
+    )
 
+    patterns = patterns or GAP_PATTERNS
+    keep = _gap_keep(patterns)
     leads = ",\n             ".join(
         f"lead(event_type, {i}) OVER w AS t{i}, "
         f"lead(event_id, {i}) OVER w AS id{i}"
-        for i in range(1, GAP_KEEP + 1)
+        for i in range(1, keep + 1)
     )
     branches = []
-    for name, spec in GAP_PATTERNS.items():
+    for name, spec in patterns.items():
         arms_id, arms_span = [], []
         for mask, j in _gap_pattern_masks(spec):
-            cond = " AND ".join(f"t{i} = '{t}'" for i, t in mask)
+            cond = " AND ".join(
+                f"t{i} {'=' if positive else '<>'} '{t}'"
+                for i, t, positive in mask
+            )
             arms_id.append(f"WHEN {cond} THEN id{j}")
             arms_span.append(f"WHEN {cond} THEN {j + 1}")
+        firsts = ", ".join(f"'{t}'" for t in _gap_first(spec))
         branches.append(
             f"SELECT user_id, '{name}' AS pattern, event_id AS first_event_id,\n"
             f"           CASE {' '.join(arms_id)} END AS last_event_id,\n"
             f"           CAST(CASE {' '.join(arms_span)} END AS INT) AS span\n"
-            f"    FROM seq WHERE event_type = '{spec['first']}'\n"
+            f"    FROM seq WHERE event_type IN ({firsts})\n"
             f"      AND CASE {' '.join(arms_id)} END IS NOT NULL"
         )
     return (
@@ -936,24 +965,39 @@ def q162_gapped_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern is a map-side when-chain filter over it. Adding a pattern
     or widening a quantifier adds zero shuffles.
     """
-    from target_hdfs_spark.streaming.stateful import GAP_KEEP, GAP_PATTERNS
+    from target_hdfs_spark.streaming.stateful import GAP_PATTERNS
 
+    return _gapped_match_plan(spark, sf_dir, GAP_PATTERNS)
+
+
+def _gapped_match_plan(
+    spark: SparkSession, sf_dir: str, patterns: dict[str, dict]
+) -> DataFrame:
+    """The shared batch plan for a gapped-pattern dict (q162's
+    GAP_PATTERNS, q233's ALT_PATTERNS): one user_id window Exchange
+    builds lookaheads to the dict's largest span bound, the alignment
+    frame is eagerly checkpointed, and each pattern is a map-side
+    when-chain over the compiled masks (ordered -> earliest
+    completion per start)."""
+    from target_hdfs_spark.streaming.stateful import _gap_first, _gap_keep
+
+    keep = _gap_keep(patterns)
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
         "event_type",
         "event_id",
-        *[F.lead("event_type", i).over(w).alias(f"t{i}") for i in range(1, GAP_KEEP + 1)],
-        *[F.lead("event_id", i).over(w).alias(f"id{i}") for i in range(1, GAP_KEEP + 1)],
+        *[F.lead("event_type", i).over(w).alias(f"t{i}") for i in range(1, keep + 1)],
+        *[F.lead("event_id", i).over(w).alias(f"id{i}") for i in range(1, keep + 1)],
     ).localCheckpoint(eager=True)
     out = None
-    for name, spec in GAP_PATTERNS.items():
+    for name, spec in patterns.items():
         hit = None  # ordered when-chain -> earliest completion wins
         for mask, j in _gap_pattern_masks(spec):
             cond = None
-            for i, t in mask:
-                c = F.col(f"t{i}") == t
+            for i, t, positive in mask:
+                c = (F.col(f"t{i}") == t) if positive else (F.col(f"t{i}") != t)
                 cond = c if cond is None else cond & c
             arm = F.struct(
                 F.col(f"id{j}").alias("last_event_id"),
@@ -961,7 +1005,7 @@ def q162_gapped_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             hit = F.when(cond, arm) if hit is None else hit.when(cond, arm)
         branch = (
-            seq.filter(F.col("event_type") == spec["first"])
+            seq.filter(F.col("event_type").isin(*_gap_first(spec)))
             .select(
                 "user_id",
                 F.lit(name).alias("pattern"),
@@ -979,6 +1023,45 @@ def q162_gapped_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+def _alt_pattern_oracle() -> str:
+    from target_hdfs_spark.streaming.stateful import ALT_PATTERNS
+
+    return _gap_pattern_oracle(ALT_PATTERNS)
+
+
+@query(
+    "q233_alternation_negation_match",
+    oracle=_alt_pattern_oracle(),
+    tags=("window", "sequence", "pattern", "alternation", "negation",
+          "streaming-twin"),
+)
+def q233_alternation_negation_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite, vocabulary depth 4 (r6 verdict item 7):
+    ALTERNATION on the start step — `(view|signup) .. purchase`, any
+    of the listed types opens a match — and NEGATION on the gap —
+    `click (!error)* purchase`, any events may intervene EXCEPT the
+    forbidden type (the clean-path conversion: one error inside the
+    window kills every completion after it). Both compile through the
+    SAME single-spec discipline as q148/q161/q162: one ALT_PATTERNS
+    entry emits the Spark when-chain plan, the generated DuckDB
+    oracle, and the incremental streaming matcher
+    (gapped_pattern_stream(patterns=ALT_PATTERNS)), so the three
+    surfaces cannot drift. Semantics unchanged from q162:
+    skip-to-next-row overlap, earliest completion per start, span
+    bounded per pattern.
+
+    Scale: identical posture to q162 — ONE user_id window Exchange,
+    checkpointed ~60-byte alignment rows, map-side when-chains;
+    alternation adds an isin to the start filter and negation flips
+    mask equalities — zero additional shuffles.
+    """
+    from target_hdfs_spark.streaming.stateful import ALT_PATTERNS
+
+    return _gapped_match_plan(spark, sf_dir, ALT_PATTERNS)
 
 
 # ---------------------------------------------------------------------------

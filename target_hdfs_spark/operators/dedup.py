@@ -836,6 +836,46 @@ def q85_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs)
 
 
+def pair_overlap_counts(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact set-overlap counts for a candidate pair frame: joins
+    (doc_a, doc_b) candidates against distinct element rows
+    (doc_id, shingle) and returns (doc_a, doc_b, na, nb, n_common).
+
+    The verify shape is q210's (prefix_filter_pairs): each doc's
+    distinct shingles are collected ONCE into a doc-keyed array,
+    candidates hash-join to the two array frames, and the overlap is
+    counted MAP-SIDE with array_intersect. The family's previous
+    shape re-joined candidates through exploded posting rows and
+    aggregated pair-keyed — materializing |pairs| x |shingles-per-doc|
+    intermediate rows, the dominant term at 100x docs (q232 ran 13.8x
+    wall at 100x on it; BENCH_NOTES). Set sizes ride along as
+    array sizes, so the separate per-doc size aggregation and its two
+    join-backs disappear too.
+
+    Pairs with ZERO overlap are KEPT (n_common = 0): q214 needs them
+    (its oracle left-joins), q92/q120's similarity thresholds drop
+    them naturally, and q232 filters n_common > 0 explicitly to match
+    its oracle's inner-join derivation.
+    """
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("_arr"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("_arr").alias("_arr_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("_arr").alias("_arr_b"))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("_arr_a").cast("long").alias("na"),
+            F.size("_arr_b").cast("long").alias("nb"),
+            F.size(F.array_intersect("_arr_a", "_arr_b"))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2f: candidate generation + exact verification in one pipeline —
 # the production near-dup query (LSH recall, exact precision)
@@ -876,7 +916,11 @@ def q92_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: exact Jaccard runs on candidate pairs ONLY (vs q45's
     all-shared-shingle pairs) — the verification cost is proportional
     to LSH candidates, which the hot-bucket cap already bounds; this
-    is the shape that stays tractable at 100 TB.
+    is the shape that stays tractable at 100 TB. Verification uses
+    the collected-array shape (pair_overlap_counts): candidates join
+    to two doc-keyed shingle arrays and the overlap is counted
+    map-side, so the |pairs| x |shingles-per-doc| posting blow-up of
+    the previous pair-keyed aggregation never materializes.
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
@@ -886,24 +930,12 @@ def q92_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b"))
-    common = (
-        pairs.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("b_doc")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    counts = pair_overlap_counts(pairs, sh)
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        counts.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
@@ -1386,7 +1418,9 @@ def q120_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same candidate-bounded join shape as q92 (verification
     touches LSH candidates only, hot buckets capped); the two
-    containment ratios reuse one n_common aggregate.
+    containment ratios reuse one n_common readout from the
+    collected-array verify (pair_overlap_counts — no posting-row
+    re-explosion).
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
@@ -1396,23 +1430,11 @@ def q120_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b"))
-    common = (
-        pairs.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("b_doc")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    counts = pair_overlap_counts(pairs, sh)
     c_ab = F.col("n_common").cast("double") / F.col("na")
     c_ba = F.col("n_common").cast("double") / F.col("nb")
     return (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select(
+        counts.select(
             "doc_a",
             "doc_b",
             c_ab.alias("contain_a_in_b"),
@@ -2154,12 +2176,27 @@ def q210_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_pairs(sh)
 
 
-def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
-    """Exact Jaccard >= 1/2 pair join over (doc_id, shingle) element
-    rows via prefix filtering — the reusable core behind q210 (see
-    its docstring for the bound derivations). Input must be distinct
-    per (doc_id, shingle); output columns: doc_a, doc_b, na, nb,
-    n_common, jaccard_ppm.
+def prefix_filter_pairs(
+    sh: DataFrame, t_num: int = _PPJ_T_NUM, t_den: int = _PPJ_T_DEN
+) -> DataFrame:
+    """Exact Jaccard >= t_num/t_den pair join over (doc_id, shingle)
+    element rows via prefix filtering — the reusable core behind q210.
+    Input must be distinct per (doc_id, shingle); output columns:
+    doc_a, doc_b, na, nb, n_common, jaccard_ppm.
+
+    Every bound stays INTEGER for any rational t = p/q (r6 verdict
+    item 5 generalized the hardcoded 1/2):
+
+    - required overlap, pair form: J >= p/q <=> (p+q)*c >= p*(na+nb),
+      i.e. c >= ceil(p*(na+nb)/(p+q)) — the final verify predicate
+      and the positional filter's requirement;
+    - required overlap, per-side form: with the length filter in
+      force (q*min >= p*max), c >= ceil(p*s/q) for EACH side's size s
+      (proof: c >= p(na+nb)/(p+q) >= p*s/q <=> q*(na+nb) >= s(p+q)
+      <=> q*other >= p*s, which the length filter gives for s = max
+      and min >= p*min/q gives trivially for s = min);
+    - prefix length: s - ceil(p*s/q) + 1 (pigeonhole on the per-side
+      required overlap over the doc's df-ordered shingles).
 
     Two PPJoin refinements beyond the plain prefix bound (both pure
     candidate PRUNING — provably no false negatives, so the oracle's
@@ -2178,6 +2215,9 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
       re-exploding posting lists through a pair-keyed aggregation —
       the candidate x |doc| row blow-up never materializes.
     """
+    p, q = int(t_num), int(t_den)
+    if not (0 < p <= q):
+        raise ValueError(f"threshold must satisfy 0 < t <= 1, got {p}/{q}")
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     w_cnt = Window.partitionBy("doc_id")
@@ -2187,9 +2227,11 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
         F.row_number().over(w_doc).alias("pos"),
         F.count(F.lit(1)).over(w_cnt).alias("n_sh"),
     )
-    pref = pos.filter(F.expr("pos <= n_sh - (n_sh + 1) div 2 + 1")).select(
-        "doc_id", "shingle", "pos", "n_sh"
-    )
+    # prefix length s - ceil(p*s/q) + 1, with ceil(p*s/q) as the
+    # integer (p*s + q - 1) div q
+    pref = pos.filter(
+        F.expr(f"pos <= n_sh - ({p} * n_sh + {q - 1}) div {q} + 1")
+    ).select("doc_id", "shingle", "pos", "n_sh")
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
@@ -2198,18 +2240,21 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(
-            2 * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-            >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            # length filter: q*min >= p*max
+            q * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            >= p * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
         )
         .filter(
-            # positional overlap bound vs required ceil(max/2)
+            # positional overlap bound vs the PAIR-form requirement
+            # ceil(p*(na+nb)/(p+q)) — tighter than the per-side
+            # ceil(p*max/q) the 1/2-only version used
             1
             + F.least(
                 F.col("a.n_sh") - F.col("a.pos"),
                 F.col("b.n_sh") - F.col("b.pos"),
             )
-            >= F.floor(
-                (F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) + 1) / 2
+            >= F.expr(
+                f"({p} * (a.n_sh + b.n_sh) + {p + q - 1}) div {p + q}"
             )
         )
         .select(
@@ -2236,7 +2281,9 @@ def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
             .alias("n_common"),
         )
     )
-    return common.filter(3 * F.col("n_common") >= F.col("na") + F.col("nb")).select(
+    return common.filter(
+        (p + q) * F.col("n_common") >= p * (F.col("na") + F.col("nb"))
+    ).select(
         "doc_a",
         "doc_b",
         F.col("na").cast("long").alias("na"),
@@ -2330,19 +2377,12 @@ def q214_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens("text").alias("_toks"))
         .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
         .distinct()
-        .localCheckpoint()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.lit(1).alias("hit")
-    )
-    common = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"], "left")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("hit").alias("n_common"))
-    )
+    # collected-array verify (pair_overlap_counts): zero-overlap
+    # candidates stay present with n_common = 0, exactly what the
+    # previous left-join posting shape guaranteed — but without the
+    # |pairs| x |shingles-per-doc| row materialization
+    counts = pair_overlap_counts(pairs, sh)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(NUM_HASHES)],
@@ -2358,12 +2398,8 @@ def q214_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pairs.join(a, "doc_a").join(b, "doc_b").select(
         "doc_a", "doc_b", match_expr.alias("n_match")
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     j = (
-        est.join(common, ["doc_a", "doc_b"])
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
+        est.join(counts, ["doc_a", "doc_b"])
         .select(
             "n_match",
             F.expr("n_common * 1000000 div (na + nb - n_common)").alias(
@@ -2531,8 +2567,11 @@ def q232_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify), integer banding, exact cumulative counts.
 
     Scale: the expensive part IS q92 (LSH candidates -> exact verify
-    — never all-pairs); the banding adds one aggregation onto a
-    <= 11-row frame and a window over it.
+    — never all-pairs); the verify uses the collected-array shape
+    (pair_overlap_counts — the |pairs| x |shingles-per-doc| posting
+    blow-up that made this the family's 100x pain point never
+    materializes); the banding adds one aggregation onto a <= 11-row
+    frame and a window over it.
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
@@ -2544,22 +2583,12 @@ def q232_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens("text").alias("_toks"))
         .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
         .distinct()
-        .localCheckpoint()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # n_common > 0: the oracle derives `common` through inner posting
+    # joins, so zero-overlap candidates never reach its banding
     j = (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
+        pair_overlap_counts(pairs, sh)
+        .filter(F.col("n_common") > 0)
         .select(
             F.expr("n_common * 1000000 div (na + nb - n_common)").alias(
                 "jac_ppm"

@@ -115,7 +115,15 @@ def stream_cdc_apply(
             merged = latest_per_key(prev.unionByName(batch_changes.select(*_STATE_COLS)))
         else:
             merged = batch_changes
-        merged.select(*_STATE_COLS).coalesce(1).write.mode("overwrite").parquet(
+        # NO coalesce(1): the snapshot frame grows with key
+        # cardinality, and a forced single-partition write makes the
+        # snapshot task the micro-batch straggler at large key spaces
+        # (r6 verdict item 4). latest_per_key ends in a hash Exchange,
+        # so AQE's advisory-size coalescing already yields one file
+        # while the state is small and fans the write out as the key
+        # space grows — scaling in both directions with zero extra
+        # jobs (no count, no persist).
+        merged.select(*_STATE_COLS).write.mode("overwrite").parquet(
             f"{sink_dir}/snap={batch_id}"
         )
         _prune_snapshots(sess, sink_dir, KEEP_SNAPSHOTS)

@@ -374,14 +374,65 @@ FUNNEL_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# one int64 epoch-micros stamp per stage; -1 = not reached
+# Per-stage CANDIDATE sets (epoch micros), pruned to the provably
+# sufficient statistic of the prefix seen so far (see _funnel_chain):
+# stage 0 keeps only its min; stage i>0 keeps every candidate at or
+# below its current frontier stamp (candidates above it can never
+# become the answer — frontiers are non-increasing).
 FUNNEL_STATE_SCHEMA = T.StructType(
-    [T.StructField(f"t{i}_us", T.LongType()) for i in range(len(FUNNEL_STAGES))]
+    [
+        T.StructField(f"c{i}_us", T.ArrayType(T.LongType()))
+        for i in range(len(FUNNEL_STAGES))
+    ]
 )
 # TTL mode adds the latest-ever event time (ms) for the monotone re-arm
 FUNNEL_STATE_TTL_SCHEMA = T.StructType(
     [*FUNNEL_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
 )
+
+
+def _funnel_chain(cands: list[list[int]]) -> list[int]:
+    """q138's frontier chain over candidate sets: stamp[0] = min of
+    stage-0 candidates; stamp[i] = min stage-i candidate STRICTLY
+    after stamp[i-1]; -1 where undefined. Pure function of the
+    candidate state, so pre/post-batch stamps diff into exactly the
+    revision rows a batch emits."""
+    stamps = [-1] * len(cands)
+    prev = None
+    for i, cs in enumerate(cands):
+        if i == 0:
+            stamps[0] = min(cs) if cs else -1
+        elif prev is not None and prev != -1:
+            elig = [c for c in cs if c > prev]
+            stamps[i] = min(elig) if elig else -1
+        prev = stamps[i]
+    return stamps
+
+
+def _funnel_prune(cands: list[list[int]], stamps: list[int]) -> list[list[int]]:
+    """Drop candidates that can never become a stage's answer.
+
+    Stage 0's answer is a plain min — keep one value. For stage i>0
+    the answer is min{c > stamp[i-1]}; stamp[i-1] only DECREASES as
+    more data arrives (more candidates, lower thresholds), so the
+    stage-i answer is non-increasing: any candidate strictly above
+    the current answer is dominated forever and can be dropped, while
+    every candidate at or below it (including those under today's
+    threshold) may be re-enabled by a later, earlier-in-event-time
+    prerequisite and must stay. This is exactly the sufficient
+    statistic: replaying batch q138 over (kept ∪ future) equals
+    replaying it over (all-seen ∪ future). In well-formed behavioral
+    logs candidates below a stage's threshold are rare (clicks before
+    the user's first view), so the kept sets stay O(1) in practice."""
+    out: list[list[int]] = []
+    for i, cs in enumerate(cands):
+        if i == 0:
+            out.append([min(cs)] if cs else [])
+        elif stamps[i] != -1:
+            out.append(sorted(c for c in cs if c <= stamps[i]))
+        else:
+            out.append(sorted(cs))
+    return out
 
 
 def _funnel_group(
@@ -410,40 +461,41 @@ def _funnel_group(
     n = len(FUNNEL_STAGES)
     if state.exists:
         stored = state.get
-        stamps = list(stored[:n])
+        cands = [list(stored[i]) for i in range(n)]
         prev_last = stored[n] if ttl_ms is not None else 0
     else:
-        stamps, prev_last = [-1] * n, 0
+        cands, prev_last = [[] for _ in range(n)], 0
     last = n - 1
-    out: list[tuple] = []
+    # pre-batch stamps: what the sink already believes for this user
+    before = _funnel_chain(cands)
     whole = pd.concat(list(pdfs), ignore_index=True)
-    for pdf in (whole.sort_values(["ts", "event_id"]),):
-        # datetime64[ns] -> epoch micros (events.ts is micros-backed,
-        # so this is exact)
-        ts_us_col = pdf["ts"].astype("int64") // 1000
-        for ts_us, etype in zip(ts_us_col, pdf["event_type"]):
-            try:
-                i = FUNNEL_STAGES.index(etype)
-            except ValueError:
-                continue
-            if stamps[i] != -1:
-                continue  # stage already reached (earliest-only)
-            if i > 0 and not (stamps[i - 1] != -1 and ts_us > stamps[i - 1]):
-                continue  # prerequisite missing or not strictly after
-            stamps[i] = int(ts_us)
-            out.append(
-                (
-                    key[0],
-                    etype,
-                    int(ts_us),
-                    int(ts_us - stamps[0]) if i == last else None,
-                )
-            )
+    # datetime64[ns] -> epoch micros (events.ts is micros-backed,
+    # so this is exact)
+    ts_us_col = whole["ts"].astype("int64") // 1000
+    for ts_us, etype in zip(ts_us_col, whole["event_type"]):
+        try:
+            i = FUNNEL_STAGES.index(etype)
+        except ValueError:
+            continue
+        cands[i].append(int(ts_us))
+    after = _funnel_chain(cands)
+    # emit one row per stage whose truth CHANGED this batch — a newly
+    # reached stage or a downward revision from a late earlier event
+    # (the sink's latest row per (user, stage) is current truth)
+    out: list[tuple] = []
+    for i in range(n):
+        if after[i] == -1:
+            continue
+        since = int(after[i] - after[0]) if i == last else None
+        prev_since = int(before[i] - before[0]) if i == last else None
+        if after[i] != before[i] or (i == last and since != prev_since):
+            out.append((key[0], FUNNEL_STAGES[i], int(after[i]), since))
+    pruned = _funnel_prune(cands, after)
     if ttl_ms is None:
-        state.update(tuple(stamps))
+        state.update(tuple(pruned))
     else:
         last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
-        state.update((*stamps, last_ms))
+        state.update((*pruned, last_ms))
         state.setTimeoutTimestamp(last_ms + ttl_ms)
     yield (
         pd.DataFrame(out, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields])
@@ -458,22 +510,28 @@ def funnel_stage_stream(
     watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming gapped-funnel tracker: emit one row per user per
-    funnel stage the moment the stage is first reached (view; click
-    strictly after the view; purchase strictly after the click), with
-    the final stage carrying its view→purchase latency. Stage
-    prerequisites straddle micro-batch boundaries through the per-user
-    tri-stamp state (24 bytes/key — billions of users fit a RocksDB
-    state store).
+    funnel stage when the stage's truth CHANGES — first reached, or
+    revised downward by a late event-time-earlier arrival (view;
+    click strictly after the view; purchase strictly after the
+    click), the final stage carrying its view→purchase latency. The
+    sink's latest row per (user, stage) is current truth (the
+    standard upsert-consumption of an append stream); for in-order
+    logs no revisions occur, so each stage emits exactly once.
 
-    Counting rows per stage and summing since_view_us over the sink
-    reproduces q138_event_funnel's summary exactly FOR
-    EVENT-TIME-ORDERED (or watermark-complete) logs — the parity test
-    pins this identity on in-order input. Stage stamps are
-    commit-once: if a micro-batch later delivers an
-    event-time-EARLIER view/click for a user whose stage already
-    fired, the tracker keeps its first stamp while batch q138 takes
-    the global minimum, so out-of-order arrival can diverge on
-    latency sums.
+    Parity with batch q138_event_funnel is UNCONDITIONAL — any
+    arrival permutation, any batch split: the state holds each
+    stage's candidate stamps pruned to the provably sufficient
+    statistic (_funnel_prune — stage frontiers are non-increasing,
+    so candidates above the current frontier are dominated forever;
+    everything at or below it is kept because a later, earlier-in-
+    event-time prerequisite can re-enable it — the case a
+    commit-once stamp can never repair). Aggregating latest-per-
+    (user, stage) sink rows reproduces q138's summary exactly; the
+    parity tests pin this on in-order AND shuffled logs. State is
+    the min view plus below-frontier click/purchase candidates —
+    O(1) in practice (a below-frontier click is a click before the
+    user's first view), bounded by the user's funnel-event count in
+    the adversarial worst case, never by the stream.
 
     ``state_ttl_ms`` turns the tracker into an attribution-window
     funnel: an idle user's progress evicts once the event-time
@@ -626,15 +684,76 @@ GAP_PATTERNS: dict[str, dict] = {
     },
 }
 
-for _n, _p in GAP_PATTERNS.items():
-    # earliest-completion-per-start is UNIQUE for the contiguous form
-    # only when the quantified step differs from the closing step
-    # (A B+ B would re-complete on every extension); keep that a
-    # registration-time error, not a silent semantics change
-    assert _p["middle_any"] or _p["middle"] != _p["last"], _n
-    assert _p["within"] >= (2 if _p["middle_any"] else 3), _n
+# Round-7 vocabulary extension (r6 verdict item 7): ALTERNATION on
+# the start step — `(A|B) .. C` via a tuple "first" — and NEGATION on
+# the gap — `A (!X)* C` via "middle_not": any events may intervene
+# EXCEPT type X (the clean-path pattern: a conversion with no error
+# in between). Kept in a separate dict so q162's registered result is
+# unchanged; q233 compiles this dict through the SAME three surfaces
+# (batch plan, DuckDB oracle, streaming matcher).
+ALT_PATTERNS: dict[str, dict] = {
+    # (view|signup) .. purchase within 5 events: either entry point
+    "any_entry_convert": {
+        "first": ("view", "signup"),
+        "middle": None,
+        "middle_any": True,
+        "last": "purchase",
+        "within": 5,
+    },
+    # click (!error)* purchase within 5: conversion with a CLEAN gap
+    "clean_convert": {
+        "first": "click",
+        "middle": None,
+        "middle_any": False,
+        "middle_not": "error",
+        "last": "purchase",
+        "within": 5,
+    },
+}
 
-GAP_KEEP = max(p["within"] for p in GAP_PATTERNS.values()) - 1
+
+def _gap_first(spec: dict) -> tuple[str, ...]:
+    """The start step's allowed types (alternation normalizes str to
+    a 1-tuple)."""
+    f = spec["first"]
+    return (f,) if isinstance(f, str) else tuple(f)
+
+
+def _gap_form(spec: dict) -> str:
+    """'any' (bounded gap), 'not' (negated gap), or 'quant'
+    (contiguous one-or-more quantifier)."""
+    if spec["middle_any"]:
+        return "any"
+    if spec.get("middle_not") is not None:
+        return "not"
+    return "quant"
+
+
+def _validate_gap_patterns(patterns: dict[str, dict]) -> None:
+    for _n, _p in patterns.items():
+        form = _gap_form(_p)
+        if form == "quant":
+            # earliest-completion-per-start is UNIQUE for the
+            # contiguous form only when the quantified step differs
+            # from the closing step (A B+ B would re-complete on
+            # every extension); keep that a registration-time error,
+            # not a silent semantics change
+            assert _p["middle"] != _p["last"], _n
+        if form == "not":
+            assert _p["middle"] is None, _n
+        assert _p["within"] >= (3 if form == "quant" else 2), _n
+        assert _gap_first(_p), _n
+
+
+_validate_gap_patterns(GAP_PATTERNS)
+_validate_gap_patterns(ALT_PATTERNS)
+
+
+def _gap_keep(patterns: dict[str, dict]) -> int:
+    return max(p["within"] for p in patterns.values()) - 1
+
+
+GAP_KEEP = _gap_keep(GAP_PATTERNS)
 
 GAP_OUTPUT_SCHEMA = T.StructType(
     [
@@ -659,26 +778,35 @@ GAP_STATE_TTL_SCHEMA = T.StructType(
 )
 
 
-def _gap_completions(window: list[tuple[str, int]]) -> list[tuple]:
+def _gap_completions(
+    window: list[tuple[str, int]], patterns: dict[str, dict] | None = None
+) -> list[tuple]:
     """Matches that complete EXACTLY at the newest event of `window`
     ((type, event_id) pairs, oldest first). Pure function of the
     suffix — evaluating it once per arriving event reproduces the
     batch semantics incrementally."""
     etype, eid = window[-1]
     out: list[tuple] = []
-    for name, spec in GAP_PATTERNS.items():
+    for name, spec in (patterns or GAP_PATTERNS).items():
         if etype != spec["last"]:
             continue
+        form = _gap_form(spec)
         for s in range(len(window) - 1):
             span = len(window) - s
-            if span < (2 if spec["middle_any"] else 3) or span > spec["within"]:
+            if span < (3 if form == "quant" else 2) or span > spec["within"]:
                 continue
-            if window[s][0] != spec["first"]:
+            if window[s][0] not in _gap_first(spec):
                 continue
             between = [t for t, _ in window[s + 1 : -1]]
-            if spec["middle_any"]:
+            if form == "any":
                 # earliest completion: no earlier `last` in the gap
                 if spec["last"] in between:
+                    continue
+            elif form == "not":
+                # negated gap: no forbidden type anywhere in between
+                # (an X at any earlier position kills every later
+                # completion too), and earliest completion as above
+                if spec["middle_not"] in between or spec["last"] in between:
                     continue
             else:
                 if any(t != spec["middle"] for t in between):
@@ -692,7 +820,10 @@ def _gap_match_group(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
     ttl_ms: int | None = None,
+    patterns: dict[str, dict] | None = None,
 ) -> Iterable[pd.DataFrame]:
+    patterns = patterns or GAP_PATTERNS
+    keep = _gap_keep(patterns)
     empty = pd.DataFrame(
         {
             "user_id": [],
@@ -727,9 +858,11 @@ def _gap_match_group(
     for pdf in (whole.sort_values(["ts", "event_id"]),):
         for event_id, etype in zip(pdf["event_id"], pdf["event_type"]):
             window = [*suffix, (str(etype), int(event_id))]
-            for name, first_id, last_id, span in _gap_completions(window):
+            for name, first_id, last_id, span in _gap_completions(
+                window, patterns
+            ):
                 out.append((key[0], name, first_id, last_id, span))
-            suffix = window[-GAP_KEEP:]
+            suffix = window[-keep:]
     types_s = _SUFFIX_SEP.join(t for t, _ in suffix)
     ids_s = _SUFFIX_SEP.join(str(i) for _, i in suffix)
     if ttl_ms is None:
@@ -751,12 +884,15 @@ def gapped_pattern_stream(
     events: DataFrame,
     state_ttl_ms: int | None = None,
     watermark_delay: str = "0 seconds",
+    patterns: dict[str, dict] | None = None,
 ) -> DataFrame:
     """Streaming quantified / bounded-gap pattern detection: every
-    GAP_PATTERNS entry (`first middle+ last` contiguous-quantified, or
-    `first .. last` bounded-gap) is matched per user in one pass with
-    one shared piece of state — the (max within - 1)-event
-    (type, event_id) suffix — emitting
+    entry of ``patterns`` (default GAP_PATTERNS; pass ALT_PATTERNS
+    for the alternation `(A|B) .. C` / negated-gap `A (!X)* C`
+    vocabulary — q233's dict) — `first middle+ last`
+    contiguous-quantified, or `first .. last` bounded-gap — is
+    matched per user in one pass with one shared piece of state — the
+    (max within - 1)-event (type, event_id) suffix — emitting
     (user_id, pattern, first_event_id, last_event_id, span) per match.
     A match is checked only when its completing event arrives, so
     every span-bounded match whose start straddles a micro-batch
@@ -776,7 +912,7 @@ def gapped_pattern_stream(
     """
 
     def fn(key, pdfs, state):
-        return _gap_match_group(key, pdfs, state, state_ttl_ms)
+        return _gap_match_group(key, pdfs, state, state_ttl_ms, patterns)
 
     if state_ttl_ms is None:
         src, schema, timeout = events, GAP_STATE_SCHEMA, GroupStateTimeout.NoTimeout

@@ -478,6 +478,17 @@ def test_q162_single_alignment_pass(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q233_alternation_negation_same_posture(spark):
+    """The alternation/negation vocabulary keeps q162's posture: the
+    one window Exchange is spent before the checkpoint, so the plan
+    over the alignment frame is Exchange-free map work — alternation
+    is an isin on the start filter, negation flips mask equalities."""
+    plan = plan_of(spark, "q233_alternation_negation_match")
+    assert "Scan ExistingRDD" in plan  # checkpointed alignment frame
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q163_prunes_before_decode(spark):
     """Selective decode: the metadata predicates must reach the
     parquet scan as PushedFilters — skipped rows never cross the

@@ -8,6 +8,7 @@ cases (2*min == max) likely."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -24,13 +25,15 @@ sets_strategy = st.lists(
 )
 
 
-def _brute_pairs(sets: list[set[int]]) -> set[tuple[int, int, int]]:
+def _brute_pairs(
+    sets: list[set[int]], p: int = 1, q: int = 2
+) -> set[tuple[int, int, int]]:
     out = set()
     for i in range(len(sets)):
         for j in range(i + 1, len(sets)):
             inter = len(sets[i] & sets[j])
             union = len(sets[i] | sets[j])
-            if 2 * inter >= union:  # jaccard >= 1/2, exact rational
+            if q * inter >= p * union:  # jaccard >= p/q, exact rational
                 out.add((i, j, inter))
     return out
 
@@ -51,6 +54,39 @@ def test_prefix_filter_matches_brute_force(spark, sets):
         for r in prefix_filter_pairs(sh).collect()
     }
     assert got == _brute_pairs(sets)
+
+
+@pytest.mark.parametrize("p,q", [(1, 3), (1, 2), (2, 3), (4, 5)])
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sets=sets_strategy)
+def test_prefix_filter_any_rational_threshold(spark, p, q, sets):
+    """r6 verdict item 5: the integer prefix/length/positional bounds
+    generalize to any rational t = p/q — exact agreement with the
+    brute-force scan at each threshold (false negatives would come
+    from a too-short prefix or a too-tight positional bound; false
+    positives from a buggy final predicate)."""
+    rows = [
+        (i, f"t{tok:02d}") for i, s in enumerate(sets) for tok in s
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in prefix_filter_pairs(sh, p, q).collect()
+    }
+    assert got == _brute_pairs(sets, p, q)
+
+
+def test_prefix_filter_rejects_bad_threshold():
+    import pyspark.sql  # noqa: F401 — spark-free arg validation
+
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_filter_pairs(None, 0, 2)
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_filter_pairs(None, 3, 2)
 
 
 def test_prefix_filter_sizes_and_ppm(spark):

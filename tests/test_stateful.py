@@ -511,6 +511,105 @@ def test_funnel_stream_equals_batch_q138(spark, tmp_path, seed):
     assert n_purchase > 0, "corpus produced no conversions — generator broken"
 
 
+@pytest.mark.parametrize("seed", [5, 31])
+def test_funnel_stream_equals_batch_q138_shuffled(spark, tmp_path, seed):
+    """UNCONDITIONAL parity (r6 verdict item 3): the log is delivered
+    in a random — NOT event-time — order across two batches, so late
+    batches carry event-time-earlier views/clicks that must revise
+    already-emitted stages, including re-enabling previously
+    sub-frontier clicks (the case a commit-once stamp can never
+    repair). Reading the sink as final-truth-per-(user, stage)
+    reproduces batch q138's chain exactly. Final truth is recovered
+    order-independently: stamps only revise DOWNWARD, so the final
+    stage time is the min emitted stage_ts_us, and for the purchase
+    stage since_view_us at fixed t_purchase only grows (t_view only
+    decreases) — max since_view among min-ts rows."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [
+        {
+            "user_id": 1 + (i % 7),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(140)
+    ]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    src = tmp_path / "fsrc_shuf"
+    _write(src / "a.jsonl", shuffled[:70])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", shuffled[70:])
+    got = _run_funnel(spark, src, f"fun_shuf_{seed}")
+
+    final_ts: dict = {}
+    final_since: dict = {}
+    for r in got:
+        k = (r.user_id, r.stage)
+        if k not in final_ts or r.stage_ts_us < final_ts[k]:
+            final_ts[k] = r.stage_ts_us
+            final_since[k] = r.since_view_us
+        elif r.stage_ts_us == final_ts[k] and r.since_view_us is not None:
+            if final_since[k] is None or r.since_view_us > final_since[k]:
+                final_since[k] = r.since_view_us
+
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    v = (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        df.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        df.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    exp_v = {r.user_id: r.t_view for r in v.collect()}
+    exp_c = {r.user_id: r.t_click for r in c.collect()}
+    exp_p = {r.user_id: r.t_purchase for r in p.collect()}
+    us = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)  # noqa: E731
+
+    got_v = {u: t for (u, s), t in final_ts.items() if s == "view"}
+    got_c = {u: t for (u, s), t in final_ts.items() if s == "click"}
+    got_p = {u: t for (u, s), t in final_ts.items() if s == "purchase"}
+    assert got_v == {u: us(t) for u, t in exp_v.items()}
+    assert got_c == {u: us(t) for u, t in exp_c.items()}
+    assert got_p == {u: us(t) for u, t in exp_p.items()}
+    got_total = sum(
+        since for (u, s), since in final_since.items() if s == "purchase"
+    )
+    exp_total = sum(us(exp_p[u]) - us(exp_v[u]) for u in exp_p)
+    assert got_total == exp_total
+    assert exp_p, "corpus produced no conversions — generator broken"
+
+
 # ---------------------------------------------------------------------------
 # Round-5: SCD-2 interval builder (q105 twin)
 # ---------------------------------------------------------------------------
@@ -924,7 +1023,7 @@ def test_zscore_ttl_rebaselines_after_idle(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _run_gap_pattern(spark, src, name, ttl_ms=None):
+def _run_gap_pattern(spark, src, name, ttl_ms=None, patterns=None):
     from target_hdfs_spark.streaming.stateful import gapped_pattern_stream
 
     schema = jsonschema_to_spark(PAT_SCHEMA)
@@ -934,7 +1033,7 @@ def _run_gap_pattern(spark, src, name, ttl_ms=None):
         .json(str(src))
     )
     q = (
-        gapped_pattern_stream(stream, state_ttl_ms=ttl_ms)
+        gapped_pattern_stream(stream, state_ttl_ms=ttl_ms, patterns=patterns)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -1060,6 +1159,141 @@ def test_gapped_stream_equals_batch_q162(spark, tmp_path, seed):
     }
     assert got == expected
     assert expected, "corpus produced no matches — generator broken"
+
+
+def test_alt_pattern_alternation_and_negation_straddle(spark, tmp_path):
+    """ALT_PATTERNS vocabulary (q233 twin): user 1 opens
+    any_entry_convert from a SIGNUP (alternation start) and converts
+    across an error — the bounded gap permits it; user 2's
+    clean_convert is KILLED by the in-gap error (negation); user 3's
+    clean_convert crosses the batch boundary over a clean two-event
+    gap, and both alternation starts (view and signup) convert."""
+    from target_hdfs_spark.streaming.stateful import ALT_PATTERNS
+
+    src = tmp_path / "altsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "signup"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "error"},
+            {"user_id": 2, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "click"},
+            {"user_id": 2, "event_id": 5, "ts": "2026-08-13T10:00:04Z", "event_type": "error"},
+            {"user_id": 3, "event_id": 7, "ts": "2026-08-13T10:00:06Z", "event_type": "click"},
+            {"user_id": 3, "event_id": 8, "ts": "2026-08-13T10:00:07Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "purchase"},
+            {"user_id": 2, "event_id": 6, "ts": "2026-08-13T10:00:05Z", "event_type": "purchase"},
+            {"user_id": 3, "event_id": 9, "ts": "2026-08-13T10:00:08Z", "event_type": "signup"},
+            {"user_id": 3, "event_id": 10, "ts": "2026-08-13T10:00:09Z", "event_type": "purchase"},
+        ],
+    )
+    got = _run_gap_pattern(spark, src, "alt_straddle", patterns=ALT_PATTERNS)
+    assert got == {
+        (1, "any_entry_convert", 1, 3, 3),
+        (3, "clean_convert", 7, 10, 4),
+        (3, "any_entry_convert", 8, 10, 3),
+        (3, "any_entry_convert", 9, 10, 2),
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_alt_stream_equals_batch_q233(spark, tmp_path, seed):
+    """Batch-stream parity for the alternation/negation vocabulary:
+    the streaming matcher over ALT_PATTERNS must equal the REGISTERED
+    q233 batch query on the same two-batch log (single-compiler
+    discipline: one dict drives plan, oracle, and matcher)."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [
+        {
+            "user_id": 1 + (i % 3),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(120)
+    ]
+    src = tmp_path / "altsrc2"
+    _write(src / "a.jsonl", rows[:60])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[60:])
+    from target_hdfs_spark.streaming.stateful import ALT_PATTERNS
+
+    got = _run_gap_pattern(
+        spark, src, f"alt_parity_{seed}", patterns=ALT_PATTERNS
+    )
+
+    import datetime as dt
+
+    from target_hdfs_spark.operators.analytics import (
+        q233_alternation_negation_match,
+    )
+
+    sf_dir = tmp_path / "sfalt"
+    spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    expected = {
+        (r.user_id, r.pattern, r.first_event_id, r.last_event_id, r.span)
+        for r in q233_alternation_negation_match(spark, str(sf_dir)).collect()
+    }
+    assert got == expected
+    assert expected, "corpus produced no matches — generator broken"
+
+
+def test_alt_pattern_ttl_evicts_idle_suffix(spark, tmp_path):
+    """TTL discipline carries over to the ALT vocabulary: a click
+    left idle past the TTL cannot complete clean_convert when the
+    purchase finally arrives; a fresh post-return run still matches."""
+    from target_hdfs_spark.streaming.stateful import ALT_PATTERNS
+
+    src = tmp_path / "altttl"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "click"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:30:00Z", "event_type": "signup"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 2, "event_id": 4, "ts": "2026-08-13T10:31:00Z", "event_type": "signup"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [
+            {"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:00Z", "event_type": "purchase"},
+            {"user_id": 1, "event_id": 6, "ts": "2026-08-13T10:32:01Z", "event_type": "click"},
+            {"user_id": 1, "event_id": 7, "ts": "2026-08-13T10:32:02Z", "event_type": "purchase"},
+        ],
+    )
+    got = _run_gap_pattern(
+        spark, src, "alt_ttl", ttl_ms=60_000, patterns=ALT_PATTERNS
+    )
+    assert got == {(1, "clean_convert", 6, 7, 2)}
 
 
 def test_gap_pattern_ttl_evicts_idle_suffix(spark, tmp_path):

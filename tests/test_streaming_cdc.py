@@ -142,3 +142,67 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
         tuple(r) for r in current_state(spark, str(sink)).collect()
     }
     assert after == before
+
+
+def test_cdc_snapshot_write_fans_out_with_key_space(spark, tmp_path):
+    """r6 verdict item 4: the snapshot write is no longer forced to a
+    single partition. At an inflated key space (20k keys, two
+    batches) the fold still equals the batch rule, AND the snapshot
+    directory carries multiple part files once the state exceeds the
+    AQE advisory size — the write scales with the key space instead
+    of making one task the micro-batch straggler. The advisory size
+    is pinned tiny for the test so 20k keys is "large"; production
+    keeps the 64 MB default, so small states still land in one file."""
+    import glob
+    import time as _time
+
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    n = 20_000
+    rows_a = [
+        (i, i, f"2026-08-13T10:00:{i % 60:02d}", float(i), "view")
+        for i in range(n)
+    ]
+    rows_b = [
+        (i, n + i, f"2026-08-13T11:00:{i % 60:02d}", float(i * 2),
+         "error" if i % 10 == 0 else "view")
+        for i in range(0, n, 2)
+    ]
+    _write_jsonl(src / "a.jsonl", rows_a)
+    # shrink BOTH AQE knobs: advisory sets the target partition size,
+    # minPartitionSize (1MB default) is the coalescing floor that
+    # would otherwise still merge a ~1MB test state into one task
+    knobs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in knobs}
+    for k, v in knobs.items():
+        spark.conf.set(k, v)
+    try:
+        t0 = _time.time()
+        _run(spark, src, sink, ckpt)
+        _write_jsonl(src / "b.jsonl", rows_b)
+        _run(spark, src, sink, ckpt)
+        wall = _time.time() - t0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    got = {
+        (r.user_id, r.final_value)
+        for r in current_state(spark, str(sink)).collect()
+    }
+    assert got == _batch_rule(spark, rows_a + rows_b)
+    from target_hdfs_spark.streaming.sampling import _snapshot_versions
+
+    latest = max(_snapshot_versions(spark, str(sink)))
+    parts = glob.glob(f"{sink}/snap={latest}/part-*.parquet")
+    assert len(parts) > 1, (
+        f"snapshot write stayed single-partition ({len(parts)} file) "
+        f"at 20k keys with an 8KB advisory — straggler guard regressed"
+    )
+    # observability breadcrumb for BENCH_NOTES-style review
+    print(f"cdc fan-out: 2 batches over {n} keys in {wall:.2f}s, "
+          f"{len(parts)} snapshot part files")
