@@ -81,6 +81,8 @@ QUERIES = (
     "q184_ngram_novelty",
     "q188_retrieval_eval",
     "q200_bpe_merge_candidates",
+    # round 7: iteration-2 BPE (argmax merge applied vocab-side)
+    "q237_bpe_apply_merge",
     "q203_dedup_roi",
     "q207_dedup_manifest",
     # round 6 continuation: prefix-filter exact similarity join
@@ -108,6 +110,8 @@ QUERIES = (
     "q231_langid_confusion",
     # coverage curve: vocab-bounded rank frame
     "q226_vocab_coverage",
+    # round 7: dyadic frequency spectrum (two stacked aggs)
+    "q238_frequency_spectrum",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -172,6 +176,9 @@ FACT_QUERIES = (
     # distinct reduction, the graph stages stay fixed-size.
     "q212_triangle_count",
     "q217_degree_assortativity",
+    # round 7: bounded-round k-core peel on the same edge frame —
+    # node-keyed degree agg + joins over shrinking rounds
+    "q236_kcore_peel",
     # shrinkage rates: broadcast dims + 1-row global over cell frame
     "q221_smoothed_segment_rates",
     # contract gate: one fused conditional-agg scan + count_distinct
@@ -198,9 +205,10 @@ EVENT_QUERIES = (
     # patterns holds the single-Exchange posture at Kx users)
     "q161_multi_pattern_match",
     "q162_gapped_pattern_match",
-    # round 7: alternation/negation vocabulary — same single-Exchange
-    # alignment posture as q161/q162, so the sweep should track them
+    # round 7: alternation/negation + multi-step vocabularies — same
+    # single-Exchange alignment posture as q161/q162
     "q233_alternation_negation_match",
+    "q235_three_step_gapped_match",
     # round 6 continuation: interval-weighted/decayed aggregates (one
     # user window or scan-side scoring + one user-keyed agg), U-shaped
     # attribution (q131's equi-join posture + purchase-id window), and

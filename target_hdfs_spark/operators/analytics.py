@@ -866,6 +866,28 @@ def _gap_pattern_masks(
 
     masks = []
     form = _gap_form(spec)
+    if form == "steps":
+        # multi-step gapped sequence `A .. B .. C within K`: for each
+        # completion index j (ascending -> earliest completion wins in
+        # the when/CASE chain), one mask per strictly-increasing
+        # placement of the intermediate steps before j — the OR over
+        # placements is the ordered-subsequence existence test. The
+        # arm count is sum_j C(j-1, k-2), bounded by the span bound
+        # (within <= 8ish keeps it tens of arms), and each arm is a
+        # map-side conjunction: still zero extra shuffles.
+        from itertools import combinations
+
+        mids = spec["steps"][1:-1]
+        last = spec["steps"][-1]
+        k = len(spec["steps"])
+        for j in range(k - 1, spec["within"]):
+            for placement in combinations(range(1, j), k - 2):
+                mask = [
+                    (pos, mid, True) for pos, mid in zip(placement, mids)
+                ]
+                mask.append((j, last, True))
+                masks.append((mask, j))
+        return masks
     if form == "any":
         # bounded gap: last at the EARLIEST j; intermediate rows free.
         # The mask chain encodes "earliest" by listing shorter spans
@@ -1062,6 +1084,45 @@ def q233_alternation_negation_match(
     from target_hdfs_spark.streaming.stateful import ALT_PATTERNS
 
     return _gapped_match_plan(spark, sf_dir, ALT_PATTERNS)
+
+
+def _seq_pattern_oracle() -> str:
+    from target_hdfs_spark.streaming.stateful import SEQ_PATTERNS
+
+    return _gap_pattern_oracle(SEQ_PATTERNS)
+
+
+@query(
+    "q235_three_step_gapped_match",
+    oracle=_seq_pattern_oracle(),
+    tags=("window", "sequence", "pattern", "multi-step", "streaming-twin"),
+)
+def q235_three_step_gapped_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite, vocabulary depth 5: MULTI-STEP gapped
+    sequences — `view .. click .. purchase within 6 events`, every
+    intermediate step required IN ORDER with free gaps (the full
+    funnel at event granularity, unlike q138's per-user frontier
+    summary: every (start, earliest completion) instance is a row,
+    span-bounded). The SEQ_PATTERNS entry compiles to
+    ordered-subsequence masks — for each completion index j
+    (ascending, so the when/CASE chain's first hit IS the earliest
+    completion), one arm per strictly-increasing placement of the
+    intermediate steps; the OR over placements is the subsequence
+    existence test. Same three-surface discipline: this plan, the
+    generated DuckDB oracle, and
+    gapped_pattern_stream(patterns=SEQ_PATTERNS) all compile from the
+    one dict. Skip-to-next-row overlap; earliest completion per
+    start (an earlier in-gap closing event with a valid embedding
+    completes there instead — chain order and the streaming matcher
+    agree by construction).
+
+    Scale: q162's posture — ONE user_id window Exchange, checkpointed
+    alignment rows, map-side when-chains; the arm count is
+    sum_j C(j-1, k-2) (15 arms here), all evaluated in one projection.
+    """
+    from target_hdfs_spark.streaming.stateful import SEQ_PATTERNS
+
+    return _gapped_match_plan(spark, sf_dir, SEQ_PATTERNS)
 
 
 # ---------------------------------------------------------------------------
@@ -4714,6 +4775,110 @@ def q217_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (3rd graph-telemetry readout on the co-order graph)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev: str, out: str) -> str:
+    """One unrolled peel: recompute degrees over `prev`, keep edges
+    whose BOTH endpoints still have degree >= k. MATERIALIZED: each
+    round is referenced twice (next round's degrees + its join), so
+    without the hint DuckDB inlines and re-evaluates the chain
+    exponentially (2^rounds evaluations of the base edge pipeline)."""
+    return f"""
+    {out}_d AS MATERIALIZED (
+      SELECT x AS node, COUNT(*) AS d
+      FROM (SELECT u AS x FROM {prev} UNION ALL SELECT v AS x FROM {prev})
+      GROUP BY x
+    ),
+    {out} AS MATERIALIZED (
+      SELECT p.u, p.v
+      FROM {prev} p
+      JOIN {out}_d a ON a.node = p.u AND a.d >= {_KCORE_K}
+      JOIN {out}_d b ON b.node = p.v AND b.d >= {_KCORE_K}
+    )"""
+
+
+@query(
+    "q236_kcore_peel",
+    # Each round's stats read the NEXT round's degree CTE (degrees of
+    # e{r} are exactly what peel r+1 recomputes), so the whole oracle
+    # is one linear CTE chain — scalar subqueries over the raw edge
+    # CTEs re-evaluated the entire unrolled chain per readout
+    # (measured 138 s at sf0.01; this shape runs in seconds).
+    # n_nodes = rows of the degree frame (every incident node has
+    # d >= 1), n_edges = sum(d) / 2.
+    oracle=f"""
+    WITH {_COORDER_EDGES_SQL},
+    {",".join(_kcore_round_sql(f"e{r}" if r else "e", f"e{r + 1}")
+              for r in range(_KCORE_ROUNDS))},
+    {_kcore_round_sql(f"e{_KCORE_ROUNDS}", f"e{_KCORE_ROUNDS + 1}")},
+    stats AS (
+      {" UNION ALL ".join(
+          f"SELECT {r + 1} AS round,"
+          f" CAST(COUNT(*) AS BIGINT) AS n_nodes,"
+          f" CAST(SUM(d) // 2 AS BIGINT) AS n_edges"
+          f" FROM e{r + 2}_d"
+          for r in range(_KCORE_ROUNDS))}
+    )
+    SELECT CAST(round AS BIGINT) AS round, n_nodes, n_edges FROM stats
+    """,
+    tags=("graph", "kcore", "iterative", "observability"),
+)
+def q236_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-CORE PEELING over the lift-thresholded
+    co-purchase graph: {_KCORE_ROUNDS} unrolled rounds of "drop every
+    node with degree < {_KCORE_K}, keep edges whose both endpoints
+    survive", reporting (round, n_nodes, n_edges) — the dense-core
+    extraction that separates structurally-embedded products from
+    tendrils (q85 CC finds who is CONNECTED; the k-core finds who is
+    EMBEDDED — a bridge keeps components together but dies in the
+    first peel). Round-limited like q151/q178/q219 so the iterative
+    algorithm is exactly oracle-checkable: the DuckDB side unrolls
+    the same {_KCORE_ROUNDS} CTE rounds.
+
+    Exactness: degrees, survivals, and counts are exact integers;
+    the peel is a deterministic function of the edge set, so Spark
+    and the unrolled SQL agree bit-exactly per round.
+
+    Scale: each round is one node-keyed degree aggregation plus two
+    node-keyed semi-shaped joins over a monotonically SHRINKING edge
+    frame — O(edges)/round, never quadratic; per-round
+    localCheckpoint cuts the unrolled lineage exactly like the other
+    fixed-point operators. Full convergence at 100 TB would run
+    peels until fixpoint with the same per-round plan (round count
+    grows with core depth, not corpus size — degeneracy-ordered
+    peeling stays out of scope because it is inherently sequential;
+    the round-synchronous peel is the distributed formulation).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cur = coorder_part_edges(li)
+    rows = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = edge_degrees(cur).filter(F.col("d") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(deg.withColumnRenamed("node", "u"), "u")
+            .join(deg.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        stat = (
+            cur.select(F.col("u").alias("x"))
+            .unionAll(cur.select(F.col("v").alias("x")))
+            .agg(
+                F.count_distinct(F.col("x")).cast("long").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            )
+            .select(F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges")
+        )
+        rows = stat if rows is None else rows.unionByName(stat)
+    return rows
 
 
 # ---------------------------------------------------------------------------

@@ -2607,3 +2607,112 @@ def q232_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2n: EXACT threshold-sensitivity curve (deterministic complement of
+# q232 — no LSH recall term anywhere in the counts)
+# ---------------------------------------------------------------------------
+
+# the curve's floor threshold: every pair with Jaccard >= 1/3 is
+# enumerated exactly, so every cutoff band >= 333333 ppm is exact
+_CURVE_T_NUM, _CURVE_T_DEN = 1, 3
+
+
+@query(
+    "q234_exact_threshold_curve",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLE_HASHES_SQL}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON b.shingle = a.shingle AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT c.n_common * 1000000
+               // (za.n_sh + zb.n_sh - c.n_common) AS jac_ppm
+      FROM common c
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE {_CURVE_T_NUM + _CURVE_T_DEN} * c.n_common
+            >= {_CURVE_T_NUM} * (za.n_sh + zb.n_sh)
+    ),
+    jbands AS (
+      SELECT CAST(jac_ppm // 100000 AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM j GROUP BY 1
+    )
+    SELECT band,
+           CAST(band * 100000 AS BIGINT) AS threshold_ppm,
+           n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS pairs_at_or_above
+    FROM jbands
+    """,
+    tags=("dedup", "prefix-filter", "calibration", "observability"),
+)
+def q234_exact_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT dedup threshold-sensitivity curve: the deletion-volume
+    knob q232 computes over LSH-candidate pairs, re-derived with ZERO
+    recall term — one prefix-filter join (PPJoin, prefix_filter_pairs
+    at its now-rational floor t = 1/3)
+    enumerates EVERY pair with Jaccard >= 1/3 deterministically, and
+    one banding pass turns them into the per-cutoff
+    pairs_at_or_above curve. Where q232's counts inherit the sketch's
+    banding recall (its caveat, not a bug — it calibrates the
+    production pipeline), this curve is the ground truth an operator
+    can diff q232 against: curve_exact - curve_lsh IS the recall gap
+    per cutoff, measured on the corpus itself.
+
+    Exactness: the prefix filter has provably zero false negatives at
+    its threshold (integer bounds, property-tested at 1/3), the
+    verify is exact set intersection, banding and the reverse
+    cumulative are integer.
+
+    Scale: q210's posture at a lower threshold — prefixes grow to
+    s - ceil(s/3) + 1 (longer than t=1/2's, priced in the docstring
+    bounds) but stay rare-shingle-ordered, so candidates never
+    approach all-pairs on natural corpora; the verify joins
+    candidates to collected arrays (pair_overlap_counts' shape,
+    inlined in prefix_filter_pairs); the banding is a <= 11-row
+    frame. The floor 1/3 bounds the enumerated pair set — curves
+    below it need a lower floor, priced the same way.
+
+    Cites reference behavior: none (beyond-reference operator; the
+    reference has no dedup surface).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from target_hdfs_spark.sources.readers import fan_out
+
+    sh = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", tokens("text").alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(shingles(F.col("_toks")), md5_hash32)
+            ).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds df counts, prefix pass, and verify
+    )
+    pairs = prefix_filter_pairs(sh, _CURVE_T_NUM, _CURVE_T_DEN)
+    bands = pairs.groupBy(
+        F.expr("jaccard_ppm div 100000").cast("long").alias("band")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return bands.select(
+        "band",
+        (F.col("band") * 100000).cast("long").alias("threshold_ppm"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
+    )

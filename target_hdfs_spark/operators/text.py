@@ -1643,6 +1643,215 @@ def q220_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4m2: dyadic frequency spectrum (Zipf/Heaps diagnostics, log-free)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q238_frequency_spectrum",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK}) AS tok FROM documents
+    ),
+    types AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+           CAST(SUM(CAST(1 AS BIGINT)) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM types
+    GROUP BY source, length(bin(c)) - 1
+    """,
+    tags=("text", "vocabulary", "zipf", "profile"),
+)
+def q238_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DYADIC FREQUENCY SPECTRUM: how many word types (and
+    how much token mass) occur 1x, 2-3x, 4-7x, ... — the
+    corpus-linguistics rank-frequency diagnostic that reads Zipf
+    shape and vocabulary saturation without a single transcendental:
+    the bucket is floor(log2(freq)) computed as the binary-string
+    length minus one (`bin()` agrees across both engines, verified),
+    so the whole readout stays integer-exact (the log-free discipline
+    q175/q213 use for decay applied to the frequency axis). A healthy
+    natural-language source shows geometrically decaying n_types per
+    bucket; a machine-generated or boilerplate-heavy source shows
+    mass piled in few buckets — the triage signal next to q220's
+    TTR/hapax profile.
+
+    Scale: one corpus token count (map-side combined) collapses to
+    the |source x vocab| type frame; the bucket is a map-side
+    expression on it and the spectrum is a second tiny aggregation —
+    |sources| x ~40 output rows. Nothing beyond the two stacked
+    aggregations q220 already prices.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    types = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        types.groupBy(
+            "source",
+            (F.length(F.bin("c")) - 1).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4n2: BPE iteration TWO — apply the argmax merge, recount (q200's
+# trainer loop actually turned one crank)
+# ---------------------------------------------------------------------------
+
+_BPE2_TOPK = 5
+
+
+@query(
+    "q237_bpe_apply_merge",
+    oracle=f"""
+    WITH wf AS (
+      SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({TOKENS_SQL.format(expr="text")}) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    cpairs AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, freq
+      FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2
+    ),
+    top1 AS (
+      SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (ORDER BY SUM(freq) DESC, a, b) AS rn
+        FROM cpairs GROUP BY a, b
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT replace(
+               array_to_string(
+                 list_transform(generate_series(1, length(w)),
+                                i -> substr(w, i, 1)), ' '),
+               a || ' ' || b, a || b) AS seq,
+             freq
+      FROM wf CROSS JOIN top1
+    ),
+    syms AS (SELECT string_split(seq, ' ') AS s, freq FROM merged),
+    spairs AS (
+      SELECT s[i] AS sym_a, s[i + 1] AS sym_b, freq
+      FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)
+      WHERE len(s) >= 2
+    ),
+    cnt AS (
+      SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS pair_freq,
+             CAST(COUNT(*) AS BIGINT) AS n_word_types
+      FROM spairs GROUP BY sym_a, sym_b
+    ),
+    ranked AS (
+      SELECT sym_a, sym_b, pair_freq, n_word_types,
+             row_number() OVER (ORDER BY pair_freq DESC, sym_a, sym_b) AS rnk
+      FROM cnt
+    )
+    SELECT sym_a, sym_b, pair_freq, n_word_types, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_BPE2_TOPK}
+    """,
+    tags=("text", "tokenizer", "iterative"),
+)
+def q237_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training iteration TWO: take q200's argmax character pair,
+    APPLY the merge to every word's symbol sequence, and recount
+    adjacent SYMBOL pairs over the merged sequences — the trainer
+    loop actually advanced one step, so the iteration-2 candidates
+    can contain the new two-character symbol. The merge-application
+    trick: a symbol sequence rendered as a space-joined string makes
+    plain SQL `replace(seq, 'a b', 'ab')` EXACTLY the BPE merge —
+    both engines' replace scans left-to-right non-overlapping, which
+    is the trainer's greedy rule ('a a a' under merge (a,a) becomes
+    ['aa','a'], never ['a','aa']).
+
+    Exactness: the argmax merge is unique under the (freq desc, a, b)
+    tiebreak q200 pins; replace semantics match across engines;
+    counts and ranks are exact int64.
+
+    Scale: q200's structural point carries through — every stage
+    after the one corpus token count runs on the |vocab|-bounded
+    word-frequency table: the merge application is one map-side
+    string pass over vocab rows (the 1-row argmax broadcasts), the
+    symbol-pair explode is vocab-bounded, and the final ranking is a
+    top-{_BPE2_TOPK} over an |alphabet+1|²-bounded frame. A full
+    trainer unrolls this block per merge (q151's unrolled-iteration
+    discipline), one vocab-sized pass each.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wf = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()  # feeds the argmax AND the merge pass
+    )
+    cpairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> struct(substr(w, i, 1) AS a,"
+                    " substr(w, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "freq")
+    )
+    w_top = Window.orderBy(F.col("_pf").desc(), "a", "b")
+    top1 = (
+        cpairs.groupBy("a", "b")
+        .agg(F.sum("freq").alias("_pf"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("a", "b")
+    )
+    merged = wf.crossJoin(F.broadcast(top1)).select(
+        F.expr(
+            "replace(array_join(transform(sequence(1, length(w)),"
+            " i -> substr(w, i, 1)), ' '),"
+            " concat(a, ' ', b), concat(a, b))"
+        ).alias("seq"),
+        "freq",
+    )
+    spairs = (
+        merged.select(F.split("seq", " ").alias("s"), "freq")
+        .filter(F.size("s") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " i -> struct(element_at(s, i) AS sym_a,"
+                    " element_at(s, i + 1) AS sym_b))"
+                )
+            ).alias("p"),
+        )
+        .select("p.sym_a", "p.sym_b", "freq")
+    )
+    cnt = spairs.groupBy("sym_a", "sym_b").agg(
+        F.sum("freq").alias("pair_freq"),
+        F.count(F.lit(1)).alias("n_word_types"),
+    )
+    w_rank = Window.orderBy(F.col("pair_freq").desc(), "sym_a", "sym_b")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= _BPE2_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # L4n: multi-keyword scan (policy/PII-style literal matching, exact)
 # ---------------------------------------------------------------------------
 

@@ -712,16 +712,39 @@ ALT_PATTERNS: dict[str, dict] = {
 }
 
 
+# Multi-step gapped sequences — `A .. B .. C within K` (round-7
+# depth after q233): the full funnel shape at event granularity,
+# every intermediate step required IN ORDER with free gaps, total
+# span bounded. One dict entry again drives plan, oracle, and
+# streaming matcher (q235).
+SEQ_PATTERNS: dict[str, dict] = {
+    "full_funnel_path": {
+        "steps": ("view", "click", "purchase"),
+        "within": 6,
+    },
+}
+
+
 def _gap_first(spec: dict) -> tuple[str, ...]:
     """The start step's allowed types (alternation normalizes str to
     a 1-tuple)."""
+    if "steps" in spec:
+        return (spec["steps"][0],)
     f = spec["first"]
     return (f,) if isinstance(f, str) else tuple(f)
 
 
+def _gap_last(spec: dict) -> str:
+    """The closing step's type."""
+    return spec["steps"][-1] if "steps" in spec else spec["last"]
+
+
 def _gap_form(spec: dict) -> str:
-    """'any' (bounded gap), 'not' (negated gap), or 'quant'
-    (contiguous one-or-more quantifier)."""
+    """'steps' (multi-step gapped sequence), 'any' (bounded gap),
+    'not' (negated gap), or 'quant' (contiguous one-or-more
+    quantifier)."""
+    if "steps" in spec:
+        return "steps"
     if spec["middle_any"]:
         return "any"
     if spec.get("middle_not") is not None:
@@ -732,6 +755,10 @@ def _gap_form(spec: dict) -> str:
 def _validate_gap_patterns(patterns: dict[str, dict]) -> None:
     for _n, _p in patterns.items():
         form = _gap_form(_p)
+        if form == "steps":
+            assert len(_p["steps"]) >= 3, _n  # 2-step = the 'any' form
+            assert _p["within"] >= len(_p["steps"]), _n
+            continue
         if form == "quant":
             # earliest-completion-per-start is UNIQUE for the
             # contiguous form only when the quantified step differs
@@ -747,6 +774,13 @@ def _validate_gap_patterns(patterns: dict[str, dict]) -> None:
 
 _validate_gap_patterns(GAP_PATTERNS)
 _validate_gap_patterns(ALT_PATTERNS)
+_validate_gap_patterns(SEQ_PATTERNS)
+
+
+def _subseq_in(needles: tuple[str, ...], hay: list[str]) -> bool:
+    """Ordered subsequence containment (the steps-form gap test)."""
+    it = iter(hay)
+    return all(n in it for n in needles)
 
 
 def _gap_keep(patterns: dict[str, dict]) -> int:
@@ -788,17 +822,34 @@ def _gap_completions(
     etype, eid = window[-1]
     out: list[tuple] = []
     for name, spec in (patterns or GAP_PATTERNS).items():
-        if etype != spec["last"]:
+        if etype != _gap_last(spec):
             continue
         form = _gap_form(spec)
+        min_span = (
+            len(spec["steps"]) if form == "steps"
+            else 3 if form == "quant"
+            else 2
+        )
         for s in range(len(window) - 1):
             span = len(window) - s
-            if span < (3 if form == "quant" else 2) or span > spec["within"]:
+            if span < min_span or span > spec["within"]:
                 continue
             if window[s][0] not in _gap_first(spec):
                 continue
             between = [t for t, _ in window[s + 1 : -1]]
-            if form == "any":
+            if form == "steps":
+                mids = tuple(spec["steps"][1:-1])
+                if not _subseq_in(mids, between):
+                    continue
+                # earliest completion: an earlier in-gap `last` with a
+                # valid mid-embedding before it already completed
+                last_t = _gap_last(spec)
+                if any(
+                    t == last_t and _subseq_in(mids, between[:k])
+                    for k, t in enumerate(between)
+                ):
+                    continue
+            elif form == "any":
                 # earliest completion: no earlier `last` in the gap
                 if spec["last"] in between:
                     continue

@@ -489,6 +489,16 @@ def test_q233_alternation_negation_same_posture(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q235_multistep_same_posture(spark):
+    """Multi-step gapped sequences keep the alignment posture: the
+    placement OR is arm enumeration inside one map-side when-chain —
+    no Exchange, no cartesian over the checkpointed frame."""
+    plan = plan_of(spark, "q235_three_step_gapped_match")
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q163_prunes_before_decode(spark):
     """Selective decode: the metadata predicates must reach the
     parquet scan as PushedFilters — skipped rows never cross the
@@ -924,6 +934,48 @@ def test_q210_prefix_join_no_cartesian_single_tokenize(spark):
     (no re-exploded posting-list aggregation after the candidates)."""
     plan = plan_of(spark, "q210_prefix_filter_join")
     assert "CartesianProduct" not in plan
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") >= 1
+    assert "array_intersect" in plan
+
+
+def test_q238_spectrum_two_stacked_aggs(spark):
+    """The spectrum is two stacked aggregations with map-side
+    partials; the dyadic bucket is scan-side expression work."""
+    plan = plan_of(spark, "q238_frequency_spectrum")
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q237_bpe_merge_vocab_bounded(spark):
+    """Iteration 2 stays vocab-bounded: the 1-row argmax merge
+    broadcasts into the merge pass (BroadcastNestedLoopJoin on a
+    1-row side is the cross join's correct shape), and there is no
+    corpus-sized join anywhere after the token count."""
+    plan = plan_of(spark, "q237_bpe_apply_merge")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed vocab frame
+    assert "replace" in plan  # the merge IS a string replace
+
+
+def test_q236_kcore_rounds_node_keyed(spark):
+    """Every peel round is node-keyed work over checkpointed,
+    shrinking edge frames — no cartesian, no nested-loop join; the
+    final plan reads materialized round outputs."""
+    plan = plan_of(spark, "q236_kcore_peel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed rounds
+
+
+def test_q234_exact_curve_rides_prefix_join(spark):
+    """The exact threshold curve is q210's posture at t=1/3 plus
+    reductions: equi-keyed prefix join (no cartesian), one
+    checkpointed tokenize pass, array_intersect verify; the banding
+    adds a tiny aggregation + window above it."""
+    plan = plan_of(spark, "q234_exact_threshold_curve")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") >= 1
     assert "array_intersect" in plan
 

@@ -1296,6 +1296,103 @@ def test_alt_pattern_ttl_evicts_idle_suffix(spark, tmp_path):
     assert got == {(1, "clean_convert", 6, 7, 2)}
 
 
+def test_seq_pattern_three_step_semantics_straddle(spark, tmp_path):
+    """SEQ_PATTERNS (q235 twin): user 1's full funnel completes
+    across the batch boundary through free gap events; user 2 pins
+    the earliest-completion subtlety — an in-gap purchase WITHOUT a
+    preceding click neither completes nor kills, so the later
+    purchase (after the click) is the match; user 3's second
+    purchase is suppressed (the first already completed)."""
+    from target_hdfs_spark.streaming.stateful import SEQ_PATTERNS
+
+    src = tmp_path / "seqsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "error"},
+            {"user_id": 2, "event_id": 6, "ts": "2026-08-13T10:00:05Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 7, "ts": "2026-08-13T10:00:06Z", "event_type": "purchase"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "click"},
+            {"user_id": 1, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "signup"},
+            {"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:00:04Z", "event_type": "purchase"},
+            {"user_id": 2, "event_id": 8, "ts": "2026-08-13T10:00:07Z", "event_type": "click"},
+            {"user_id": 2, "event_id": 9, "ts": "2026-08-13T10:00:08Z", "event_type": "purchase"},
+            {"user_id": 3, "event_id": 10, "ts": "2026-08-13T10:00:09Z", "event_type": "view"},
+            {"user_id": 3, "event_id": 11, "ts": "2026-08-13T10:00:10Z", "event_type": "click"},
+            {"user_id": 3, "event_id": 12, "ts": "2026-08-13T10:00:11Z", "event_type": "purchase"},
+            {"user_id": 3, "event_id": 13, "ts": "2026-08-13T10:00:12Z", "event_type": "purchase"},
+        ],
+    )
+    got = _run_gap_pattern(spark, src, "seq_straddle", patterns=SEQ_PATTERNS)
+    assert got == {
+        (1, "full_funnel_path", 1, 5, 5),
+        (2, "full_funnel_path", 6, 9, 4),
+        (3, "full_funnel_path", 10, 12, 3),
+    }
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_seq_stream_equals_batch_q235(spark, tmp_path, seed):
+    """Batch-stream parity for the multi-step vocabulary: the
+    streaming matcher over SEQ_PATTERNS must equal the REGISTERED
+    q235 batch query on the same two-batch log."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [
+        {
+            "user_id": 1 + (i % 3),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(120)
+    ]
+    src = tmp_path / "seqsrc2"
+    _write(src / "a.jsonl", rows[:60])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", rows[60:])
+    from target_hdfs_spark.streaming.stateful import SEQ_PATTERNS
+
+    got = _run_gap_pattern(
+        spark, src, f"seq_parity_{seed}", patterns=SEQ_PATTERNS
+    )
+
+    import datetime as dt
+
+    from target_hdfs_spark.operators.analytics import (
+        q235_three_step_gapped_match,
+    )
+
+    sf_dir = tmp_path / "sfseq"
+    spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    expected = {
+        (r.user_id, r.pattern, r.first_event_id, r.last_event_id, r.span)
+        for r in q235_three_step_gapped_match(spark, str(sf_dir)).collect()
+    }
+    assert got == expected
+    assert expected, "corpus produced no matches — generator broken"
+
+
 def test_gap_pattern_ttl_evicts_idle_suffix(spark, tmp_path):
     """An idle user's suffix evicts past the TTL: the purchase
     arriving after the gap completes nothing, while a fresh run after
