@@ -93,6 +93,14 @@ QUERIES = (
     # signature compare)
     "q210_prefix_filter_join",
     "q211_stratified_allocation",
+    # round 7: source-pair rollup over q92's verified pairs, the
+    # dedup strategy planner (one shingle pass -> 1-row decision),
+    # and top-k vocabulary stability (WindowGroupLimit ranks).
+    # q234 (exact threshold curve) sweeps only to 10x — see
+    # DOC_EXPENSIVE_10X.
+    "q242_cross_source_redundancy",
+    "q243_dedup_planner",
+    "q244_topk_stability",
     "q214_sketch_calibration",
     "q232_threshold_sensitivity",
     # serpentine sharding: segmented descending rank + 8-key agg
@@ -110,8 +118,10 @@ QUERIES = (
     "q231_langid_confusion",
     # coverage curve: vocab-bounded rank frame
     "q226_vocab_coverage",
-    # round 7: dyadic frequency spectrum (two stacked aggs)
+    # round 7: dyadic frequency spectrum (two stacked aggs) and
+    # CountMin build+probe (vocab-bounded after the token count)
     "q238_frequency_spectrum",
+    "q240_countmin_calibration",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -209,6 +219,12 @@ EVENT_QUERIES = (
     # single-Exchange alignment posture as q161/q162
     "q233_alternation_negation_match",
     "q235_three_step_gapped_match",
+    # round 7: KMV bottom-k sketch (WindowGroupLimit keeps the
+    # per-type sort at tasks x k rows regardless of user count) and
+    # theta-sketch intersection (pair stage on the |types| frame;
+    # the exact calibration side is the user-keyed distinct join)
+    "q239_kmv_distinct_sketch",
+    "q241_theta_intersection",
     # round 6 continuation: interval-weighted/decayed aggregates (one
     # user window or scan-side scoring + one user-keyed agg), U-shaped
     # attribution (q131's equi-join posture + purchase-id window), and
@@ -257,6 +273,14 @@ EVENT_QUADRATIC_OUTPUT = (
     "q194_behavioral_twins",
 )
 DOC_EXTRA_QUERIES = ("q141_snapshot_diff",)
+# Exact-enumeration queries whose worst case the synthetic corpus IS:
+# q234's t=1/3 prefix filter keeps ~2s/3 of each doc's shingles in
+# the prefix, and the tiny suffixed-token vocabulary (prefix
+# filtering's documented worst case) makes the candidate join
+# super-linear at 100x (measured: >25 min — killed). Real web-scale
+# shingle distributions prune far harder, and the q243 planner routes
+# corpora like this one to the LSH curve (q232) instead. Swept to 10x.
+DOC_EXPENSIVE_10X = ("q234_exact_threshold_curve",)
 # multimodal content roundtrips (round 5): derive clips from doc_id
 # only, so the docs fan-out gives Kx clips directly; all map-only
 # mapInPandas passes — the sweep measures the per-core decode constant
@@ -444,7 +468,7 @@ def main() -> None:
     if name_filter:
         global QUERIES, EMB_QUERIES, NEARDUP_QUERIES, FACT_QUERIES
         global MM_QUERIES, EVENT_QUERIES, EVENT_QUADRATIC_OUTPUT
-        global DOC_EXTRA_QUERIES
+        global DOC_EXTRA_QUERIES, DOC_EXPENSIVE_10X
         keep = lambda qs: tuple(  # noqa: E731
             q for q in qs if any(p in q for p in name_filter)
         )
@@ -456,6 +480,7 @@ def main() -> None:
         EVENT_QUERIES = keep(EVENT_QUERIES)
         EVENT_QUADRATIC_OUTPUT = keep(EVENT_QUADRATIC_OUTPUT)
         DOC_EXTRA_QUERIES = keep(DOC_EXTRA_QUERIES)
+        DOC_EXPENSIVE_10X = keep(DOC_EXPENSIVE_10X)
     spark = get_spark(app_name="scale_experiment")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
@@ -463,6 +488,8 @@ def main() -> None:
         if "docs" in families:
             sf_dir = SRC if factor == 1 else build(spark, factor)
             _sweep(spark, specs, QUERIES, factor, sf_dir)
+            if factor <= 10:
+                _sweep(spark, specs, DOC_EXPENSIVE_10X, factor, sf_dir)
         if "emb" in families:
             sf_dir = SRC if factor == 1 else build_embeddings(spark, factor)
             _sweep(spark, specs, EMB_QUERIES, factor, sf_dir)

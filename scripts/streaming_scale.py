@@ -36,6 +36,7 @@ def _ops():
         ema_stream,
         funnel_stage_stream,
         gapped_pattern_stream,
+        kmv_distinct_stream,
         multi_pattern_stream,
         scd2_interval_stream,
         time_weighted_stream,
@@ -51,6 +52,7 @@ def _ops():
         "transition_stream": transition_stream,
         "ema_stream": ema_stream,
         "clamped_balance_stream": clamped_balance_stream,
+        "kmv_distinct_stream": kmv_distinct_stream,
     }
 
 
@@ -102,6 +104,13 @@ def drive(spark, events_path: str, op_name: str, op, n_batches_hint: int) -> dic
 
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:] if not a.startswith("--")] or [1, 10]
+    # --ops=substr[,substr]: restrict to matching operators
+    pats = [
+        p
+        for a in sys.argv[1:]
+        if a.startswith("--ops=")
+        for p in a.split("=", 1)[1].split(",")
+    ]
     spark = get_spark(app_name="streaming_scale")
     spark.sparkContext.setLogLevel("ERROR")
     import scale_experiment as se
@@ -112,6 +121,8 @@ def main() -> None:
         # TIMESTAMP(NANOS), which a schema-pinned readStream rejects)
         events_path = f"{se.build_events(spark, factor)}/events.parquet"
         for op_name, op in _ops().items():
+            if pats and not any(p in op_name for p in pats):
+                continue
             row = drive(spark, events_path, op_name, op, n_batches_hint=4)
             print(f"factor={factor:>3} {row}", flush=True)
 

@@ -5499,3 +5499,258 @@ def q230_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame
         true_col.alias("true_micro"),
         F.abs(F.col("est_micro") - true_col).alias("abs_err_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch — DETERMINISTIC, hence exactly
+# oracle-checkable (the calibration-not-rows-only answer to q20's
+# engine-specific approx_count_distinct)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_DOMAIN = 1 << 32  # md5_hash32 is uniform on [0, 2^32)
+
+
+def _kmv_hash_sql() -> str:
+    from target_hdfs_spark.functions.hashing import md5_hash32_sql
+
+    return md5_hash32_sql("CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "q239_kmv_distinct_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_kmv_hash_sql()} AS hv FROM events
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+             MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth_hash
+      FROM ranked WHERE rn <= {_KMV_K}
+      GROUP BY event_type
+    ),
+    est AS (
+      SELECT s.event_type,
+             CAST(COALESCE(s.kth_hash, -1) AS BIGINT) AS kth_hash,
+             CAST(CASE WHEN s.kth_hash IS NULL THEN s.n_in_sketch
+                  ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN}
+                       // greatest(s.kth_hash, 1) END AS BIGINT)
+               AS est_distinct
+      FROM sk s
+    )
+    SELECT x.event_type, x.n_exact, e.kth_hash, e.est_distinct,
+           CAST(abs(e.est_distinct - x.n_exact) * 1000000 // x.n_exact
+                AS BIGINT) AS err_ppm
+    FROM exact x JOIN est e ON e.event_type = x.event_type
+    """,
+    tags=("sketch", "distinct", "calibration", "observability"),
+)
+def q239_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / k-minimum-values) DISTINCT sketch per event
+    type, with its estimate judged against the exact distinct count —
+    the mergeable distinct-count sketch rebuilt on the engine's
+    portable md5 hash, which makes it fully DETERMINISTIC and
+    therefore exactly value-checkable (q20's approx_count_distinct
+    is rows-only by design because HLL internals are
+    engine-specific; this sketch retires that trade-off for the
+    bottom-k family: same mergeability — union two sketches by
+    keeping the k smallest of the union — zero RNG). Estimator:
+    the classic (k-1) * 2^32 div h_(k) on the k-th smallest distinct
+    hash; groups holding fewer than k distinct hashes report their
+    exact sketch size.
+
+    Exactness: both engines compute identical md5-derived hashes,
+    identical k-th order statistics, and identical integer division;
+    err_ppm pins the calibration end-to-end.
+
+    Scale: the rank <= k filter over the per-type window compiles to
+    WindowGroupLimit — each scan task keeps only its local bottom-k
+    per group BEFORE the shuffle, so the final per-group sort touches
+    at most tasks x k rows, never |users| (the single-partition
+    window trap this plan is specifically shaped to avoid; pinned).
+    The exact side is one count_distinct with partial aggregation.
+    At a billion keys per group, state is still k hashes per group.
+    """
+    from target_hdfs_spark.functions.hashing import md5_hash32
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.select(
+        "event_type",
+        md5_hash32(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    topk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    sk = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in_sketch"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("_kth"),
+    )
+    est = sk.select(
+        "event_type",
+        F.coalesce(F.col("_kth"), F.lit(-1)).cast("long").alias("kth_hash"),
+        F.when(F.col("_kth").isNull(), F.col("n_in_sketch"))
+        .otherwise(
+            F.expr(
+                f"({_KMV_K} - 1) * {_KMV_DOMAIN} div greatest(_kth, 1)"
+            )
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "kth_hash",
+        "est_distinct",
+        F.expr("abs(est_distinct - n_exact) * 1000000 div n_exact")
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set operations over the KMV sketches (q239's family):
+# distinct-intersection estimation, deterministically
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q241_theta_intersection",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, user_id, {_kmv_hash_sql()} AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT event_type, hv FROM h)
+    ),
+    sk AS (
+      SELECT event_type, list(hv ORDER BY hv) AS mins,
+             CASE WHEN COUNT(*) = {_KMV_K} THEN MAX(hv)
+                  ELSE {_KMV_DOMAIN} END AS theta
+      FROM ranked WHERE rn <= {_KMV_K}
+      GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             least(a.theta, b.theta) AS theta,
+             len(list_filter(list_intersect(a.mins, b.mins),
+                             x -> x < least(a.theta, b.theta))) AS n_common
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    exact AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS exact_common
+      FROM (SELECT DISTINCT event_type, user_id FROM events) x
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+        ON y.user_id = x.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b, e.exact_common,
+           CAST(p.n_common AS BIGINT) AS sketch_common,
+           CAST(p.n_common * {_KMV_DOMAIN} // p.theta AS BIGINT)
+             AS est_common
+    FROM exact e
+    JOIN pairs p ON p.type_a = e.type_a AND p.type_b = e.type_b
+    """,
+    tags=("sketch", "distinct", "set-ops", "calibration"),
+)
+def q241_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-SKETCH set operations on q239's KMV sketches:
+    distinct-INTERSECTION estimation per event-type pair ("how many
+    users both viewed and purchased") from two bottom-k sketches
+    alone — the audience-overlap question that exact distinct-joins
+    answer at full shuffle cost and theta sketches answer from
+    2 x k integers. theta = min(kth_a, kth_b) (the coarser sample
+    rate); hashes below theta present in BOTH sketches form an
+    unbiased sample of the intersection; est = n_common * 2^32 div
+    theta. Deterministic md5 base hash -> the oracle rebuilds the
+    identical sketches and the calibration (est vs the exact
+    distinct-user intersection) is value-checked end-to-end.
+
+    Scale: sketches come from the q239 WindowGroupLimit shape (never
+    |users| in one sort); each sketch is k integers, so the pair
+    stage is a |types|² broadcast self-join over k-length arrays.
+    The exact side — needed here only as calibration truth — is the
+    user-keyed distinct self-join, the thing the sketch path lets a
+    100 TB pipeline skip.
+    """
+    from target_hdfs_spark.functions.hashing import md5_hash32
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.select(
+        "event_type",
+        "user_id",
+        md5_hash32(F.col("user_id").cast("string")).alias("hv"),
+    )
+    hv = h.select("event_type", "hv").distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    topk = (
+        hv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    sk = topk.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("hv")).alias("mins"),
+        F.when(F.count(F.lit(1)) == _KMV_K, F.max("hv"))
+        .otherwise(F.lit(_KMV_DOMAIN))
+        .alias("theta"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("mins").alias("mins_a"),
+        F.col("theta").alias("theta_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("mins").alias("mins_b"),
+        F.col("theta").alias("theta_b"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.least("theta_a", "theta_b").alias("theta"),
+            F.size(
+                F.filter(
+                    F.array_intersect("mins_a", "mins_b"),
+                    lambda x: x < F.least(F.col("theta_a"), F.col("theta_b")),
+                )
+            ).alias("n_common"),
+        )
+    )
+    du = h.select("event_type", "user_id").distinct()
+    x = du.select(F.col("event_type").alias("type_a"), "user_id")
+    y = du.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_common"))
+    )
+    return exact.join(F.broadcast(pairs), ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_common",
+        F.col("n_common").cast("long").alias("sketch_common"),
+        F.expr(f"n_common * {_KMV_DOMAIN} div theta")
+        .cast("long")
+        .alias("est_common"),
+    )

@@ -2685,6 +2685,18 @@ def q234_exact_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame. The floor 1/3 bounds the enumerated pair set — curves
     below it need a lower floor, priced the same way.
 
+    Measured limit (the honest price of exactness): at t=1/3 the
+    prefix keeps ~2s/3 of each doc's shingles, so on ADVERSARIALLY
+    tiny vocabularies (the synthetic sweep corpus is prefix
+    filtering's documented worst case) candidate volume goes
+    super-linear — the 100x docs sweep was killed at >25 min and the
+    sweep is capped at 10x (scripts/scale_experiment.py
+    DOC_EXPENSIVE_10X; 1x/10x: 4.7 s / 25.7 s). Production routing:
+    run q243_dedup_planner first — on corpora shaped like this one it
+    answers 'lsh-verify:q92', and the LSH curve (q232) is the right
+    instrument there; the exact curve is for the corpora where the
+    planner says prefix filtering is affordable.
+
     Cites reference behavior: none (beyond-reference operator; the
     reference has no dedup surface).
     """
@@ -2715,4 +2727,222 @@ def q234_exact_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("band") * 100000).cast("long").alias("threshold_ppm"),
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2o: cross-source redundancy matrix (which sources duplicate which)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_cross_source_redundancy",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL},
+    doc_shingles AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN doc_shingles sa ON sa.doc_id = p.doc_a
+      JOIN doc_shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE CAST(c.n_common AS DOUBLE)
+            / (za.n_sh + zb.n_sh - c.n_common) >= 0.2
+    ),
+    src AS (
+      SELECT v.doc_a, v.doc_b,
+             least(da.source, db.source) AS source_x,
+             greatest(da.source, db.source) AS source_y,
+             CAST(length(db.text) AS BIGINT) AS dup_chars
+      FROM verified v
+      JOIN documents da ON da.doc_id = v.doc_a
+      JOIN documents db ON db.doc_id = v.doc_b
+    )
+    SELECT source_x, source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(dup_chars) AS BIGINT) AS dup_chars
+    FROM src GROUP BY 1, 2
+    """,
+    tags=("dedup", "lsh", "verify", "observability"),
+)
+def q242_cross_source_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE redundancy matrix: q92's exact-verified near-dup
+    pairs rolled up per unordered source pair — which sources
+    duplicate which (the mixture-level diagonal is within-source
+    boilerplate; off-diagonal mass is mirroring/plagiarism between
+    feeds, the thing a mixture designer must know before weighting
+    sources independently; q225's unigram cosine sees topical
+    overlap, this sees literal duplication). dup_chars sums the
+    higher-doc_id side's length per pair — the deletion upper bound
+    a min-id survivor rule would reclaim from that source pair.
+
+    Exactness: q92's candidate + exact-verify semantics verbatim
+    (threshold 0.2), integer counts/sums; least/greatest give the
+    unordered pair key identically in both engines.
+
+    Scale: everything up to `verified` IS q92 (LSH-bounded, array
+    verify via pair_overlap_counts); the source rollup adds two
+    doc-keyed joins against the slim (doc_id, source, length) frame
+    and an aggregation onto the |sources|² grid.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
+        .distinct()
+    )
+    counts = pair_overlap_counts(pairs, sh)
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    verified = counts.filter(jac >= 0.2).select("doc_a", "doc_b")
+    meta = docs.select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    ma = meta.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    mb = meta.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("dup_chars_b"),
+    )
+    return (
+        verified.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("dup_chars_b").cast("long").alias("dup_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2p: dedup strategy planner — the q45/q210/q92 router, itself a
+# checked query (plan the plan, exactly)
+# ---------------------------------------------------------------------------
+
+# Routing rule over corpus shingle statistics (each bound is priced in
+# the routed query's own docstring):
+#  - exact-all-pairs (q45)  : every shingle df <= the q45 cap — the
+#    shared-shingle pair join is provably bounded;
+#  - exact-prefix (q210)    : hot shingles exist but the MEAN posting
+#    length stays small — rarest-first prefixes keep candidates
+#    bounded (hot shingles sort out of every prefix);
+#  - lsh-verify (q92)       : heavy posting mass — candidate volume
+#    must be capped probabilistically (LSH bands + hot-bucket cap).
+_PLANNER_MEAN_DF_X10_MAX = 80  # mean df <= 8.0 (x10 fixed-point)
+
+
+@query(
+    "q243_dedup_planner",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_shingle_types,
+             CAST(SUM(df) AS BIGINT) AS n_postings,
+             CAST(MAX(df) AS BIGINT) AS max_df,
+             CAST(SUM(df) * 10 // COUNT(*) AS BIGINT) AS mean_df_x10,
+             CAST(SUM(CASE WHEN df > {_Q45_MAX_SHINGLE_DF} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hot_shingles
+      FROM dfreq
+    ),
+    docs_n AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sh
+    )
+    SELECT d.n_docs, s.n_shingle_types, s.n_postings, s.max_df,
+           s.mean_df_x10, s.n_hot_shingles,
+           CASE WHEN s.max_df <= {_Q45_MAX_SHINGLE_DF}
+                  THEN 'exact-all-pairs:q45'
+                WHEN s.mean_df_x10 <= {_PLANNER_MEAN_DF_X10_MAX}
+                  THEN 'exact-prefix:q210'
+                ELSE 'lsh-verify:q92' END AS strategy
+    FROM stats s CROSS JOIN docs_n d
+    """,
+    tags=("dedup", "planner", "observability"),
+)
+def q243_dedup_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP STRATEGY PLANNER: one shingle-statistics pass decides
+    which of the engine's three exact/near-dup pair generators to run
+    — the routing decision q45's df-cap guard makes reactively
+    (raise_error on a hot shingle), made PROACTIVELY from the same
+    statistics, as a query an orchestrator can run before committing
+    a 100 TB dedup job. Routing: all postings under the q45 cap ->
+    the plain shared-shingle exact join is safely bounded; hot
+    shingles but small MEAN posting length -> q210's prefix filter
+    (hot shingles sort out of every rarest-first prefix, so they
+    cost nothing); heavy posting mass -> q92's LSH + exact verify
+    (candidates must be capped probabilistically). The decision
+    thresholds are the ones the routed queries' docstrings price.
+
+    Exactness: every statistic is an exact integer (mean df in x10
+    fixed point); the CASE routing is deterministic — the planner's
+    DECISION is value-checked, not just its inputs.
+
+    Scale: one tokenize+explode+distinct corpus pass reduced to the
+    shingle-keyed df frame, then a single aggregation to ONE row —
+    strictly cheaper than any of the three strategies it prices.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
+        .distinct()
+        .localCheckpoint()  # feeds the df stats AND the doc count
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    stats = dfreq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingle_types"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.max("df").cast("long").alias("max_df"),
+        F.expr("sum(df) * 10 div count(1)").cast("long").alias("mean_df_x10"),
+        F.sum(
+            F.when(F.col("df") > _Q45_MAX_SHINGLE_DF, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hot_shingles"),
+    )
+    n_docs = sh.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    return (
+        stats.join(F.broadcast(n_docs))
+        .select(
+            "n_docs",
+            "n_shingle_types",
+            "n_postings",
+            "max_df",
+            "mean_df_x10",
+            "n_hot_shingles",
+            F.when(
+                F.col("max_df") <= _Q45_MAX_SHINGLE_DF,
+                F.lit("exact-all-pairs:q45"),
+            )
+            .when(
+                F.col("mean_df_x10") <= _PLANNER_MEAN_DF_X10_MAX,
+                F.lit("exact-prefix:q210"),
+            )
+            .otherwise(F.lit("lsh-verify:q92"))
+            .alias("strategy"),
+        )
     )

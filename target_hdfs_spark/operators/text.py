@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from target_hdfs_spark.functions.hashing import MERSENNE_P, md5_hash32, md5_hash32_sql
+from target_hdfs_spark.functions.hashing import (
+    MERSENNE_P,
+    hash_coeffs,
+    md5_hash32,
+    md5_hash32_sql,
+)
 from target_hdfs_spark.functions.textfuncs import TOKENS_SQL, tokens
 from target_hdfs_spark.registry import query
 from target_hdfs_spark.sources.readers import fan_out, load_table
@@ -2219,3 +2224,228 @@ def q231_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("_num div _den").cast("long").alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4p: CountMin sketch calibration — deterministic, exactly
+# oracle-checkable (the frequency-sketch counterpart of q239's KMV)
+# ---------------------------------------------------------------------------
+
+_CM_ROWS = 4
+_CM_WIDTH = 512
+_CM_TOPK = 20
+_CM_COEFFS = hash_coeffs(_CM_ROWS)
+
+
+def _cm_bucket_sql(i: int) -> str:
+    a, b = _CM_COEFFS[i]
+    return f"(({a} * h + {b}) % {MERSENNE_P}) % {_CM_WIDTH}"
+
+
+@query(
+    "q240_countmin_calibration",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOK}) AS tok FROM documents
+    ),
+    vf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c,
+             {md5_hash32_sql("tok")} AS h
+      FROM tok GROUP BY tok
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS r, {_cm_bucket_sql(i)} AS bkt,"
+          f" CAST(SUM(c) AS BIGINT) AS cell FROM vf GROUP BY 2"
+          for i in range(_CM_ROWS))}
+    ),
+    top AS (
+      SELECT tok, c, h,
+             row_number() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM vf
+    ),
+    probes AS (
+      SELECT t.tok, t.c, t.rnk, x.r,
+             CASE x.r {" ".join(
+                 f"WHEN {i} THEN {_cm_bucket_sql(i).replace('h', 't.h')}"
+                 for i in range(_CM_ROWS))} END AS bkt
+      FROM top t CROSS JOIN (SELECT unnest(generate_series(0, {_CM_ROWS - 1})) AS r) x
+      WHERE t.rnk <= {_CM_TOPK}
+    )
+    SELECT p.tok, p.c AS exact_c, CAST(p.rnk AS BIGINT) AS rnk,
+           CAST(MIN(cl.cell) AS BIGINT) AS est_c,
+           CAST((MIN(cl.cell) - p.c) * 1000000 // p.c AS BIGINT) AS over_ppm
+    FROM probes p JOIN cells cl ON cl.r = p.r AND cl.bkt = p.bkt
+    GROUP BY p.tok, p.c, p.rnk
+    """,
+    tags=("sketch", "text", "calibration", "observability"),
+)
+def q240_countmin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN sketch calibration: a {_CM_ROWS}x{_CM_WIDTH}
+    CountMin built from the engine's portable hash family (the
+    minhash coefficient table over the md5-32 base hash), point-probed
+    for the exact top-{_CM_TOPK} tokens — estimate vs truth with the
+    one-sided overestimate in ppm. Like q239 (KMV) this retires the
+    "sketches are engine-specific" caveat for a second family: every
+    cell and every probe is a deterministic integer, so the DuckDB
+    oracle rebuilds the identical sketch and the calibration is
+    value-checked end-to-end (q214 does this for minhash-vs-Jaccard;
+    q230 for histogram quantiles). CountMin never underestimates —
+    over_ppm >= 0 is a structural invariant the oracle enforces by
+    value.
+
+    Scale: ONE corpus token pass collapses to the |vocab| frequency
+    frame; the sketch build is a map-side bucket expression + an
+    aggregation onto the {_CM_ROWS}x{_CM_WIDTH}-bounded cell frame
+    per row (union of {_CM_ROWS} vocab-frame passes over one
+    checkpointed frame); probes touch {_CM_TOPK} tokens x {_CM_ROWS}
+    cells with a broadcast join. Nothing after the token count scales
+    with the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vf = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("tok", "c", md5_hash32(F.col("tok")).alias("h"))
+        .localCheckpoint()  # feeds the sketch build AND the probes
+    )
+    cells = None
+    for i, (a, b) in enumerate(_CM_COEFFS):
+        part = vf.groupBy(
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _CM_WIDTH).alias(
+                "bkt"
+            )
+        ).agg(F.sum("c").alias("cell")).select(
+            F.lit(i).alias("r"), "bkt", "cell"
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    w_rank = Window.orderBy(F.col("c").desc(), "tok")
+    top = (
+        vf.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _CM_TOPK)
+    )
+    probes = None
+    for i, (a, b) in enumerate(_CM_COEFFS):
+        p = top.select(
+            "tok",
+            F.col("c").alias("exact_c"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.lit(i).alias("r"),
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _CM_WIDTH).alias(
+                "bkt"
+            ),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        cells.join(F.broadcast(probes), ["r", "bkt"])
+        .groupBy("tok", "exact_c", "rnk")
+        .agg(F.min("cell").cast("long").alias("est_c"))
+        .select(
+            "tok",
+            "exact_c",
+            "rnk",
+            "est_c",
+            F.expr("(est_c - exact_c) * 1000000 div exact_c")
+            .cast("long")
+            .alias("over_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4q: top-k vocabulary stability (drift telemetry between corpus
+# halves — the "did the distribution move" gate)
+# ---------------------------------------------------------------------------
+
+_STAB_DEPTHS = (10, 25, 50)
+
+
+@query(
+    "q244_topk_stability",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest({_TOK}) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT half, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY half, tok
+    ),
+    ranked AS (
+      SELECT half, tok,
+             row_number() OVER (PARTITION BY half
+                                ORDER BY c DESC, tok) AS rn
+      FROM tc
+    ),
+    joined AS (
+      SELECT a.rn AS rn_a, b.rn AS rn_b
+      FROM (SELECT tok, rn FROM ranked WHERE half = 0
+              AND rn <= {max(_STAB_DEPTHS)}) a
+      JOIN (SELECT tok, rn FROM ranked WHERE half = 1
+              AND rn <= {max(_STAB_DEPTHS)}) b
+        ON b.tok = a.tok
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS depth,"
+        f" CAST(COUNT(CASE WHEN rn_a <= {d} AND rn_b <= {d}"
+        f" THEN 1 END) AS BIGINT) AS n_common,"
+        f" CAST(COUNT(CASE WHEN rn_a <= {d} AND rn_b <= {d}"
+        f" THEN 1 END) * 1000000 // {d} AS BIGINT) AS overlap_ppm"
+        f" FROM joined"
+        for d in _STAB_DEPTHS)}
+    """,
+    tags=("text", "drift", "topk", "observability"),
+)
+def q244_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K VOCABULARY STABILITY between two deterministic corpus
+    halves (doc_id parity): the overlap of each half's top-d tokens
+    at depths {_STAB_DEPTHS} — the cheap drift gate that answers
+    "did the token distribution move between these two slices"
+    before anything expensive retrains (swap the parity split for
+    yesterday/today partitions and this is the production daily
+    check; q197 gates on volume anomalies, this gates on CONTENT
+    rank movement). overlap_ppm = |top_d(A) ∩ top_d(B)| / d.
+
+    Exactness: exact counts, total-order (count desc, token) ranks,
+    integer overlap ratios — both engines agree bit-for-bit.
+
+    Scale: one corpus token pass to the |half x vocab| count frame;
+    ranking compiles to WindowGroupLimit (each task keeps its local
+    top-{max(_STAB_DEPTHS)} per half before the shuffle); the depth
+    rollup is a conditional aggregation over a <= {max(_STAB_DEPTHS)}
+    -row join.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tc = (
+        fan_out(docs, "doc_id")
+        .select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(tokens("text")).alias("tok"),
+        )
+        .groupBy("half", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("half").orderBy(F.col("c").desc(), "tok")
+    ranked = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max(_STAB_DEPTHS))
+        .localCheckpoint()  # both join sides read it
+    )
+    a = ranked.filter(F.col("half") == 0).select("tok", F.col("rn").alias("rn_a"))
+    b = ranked.filter(F.col("half") == 1).select("tok", F.col("rn").alias("rn_b"))
+    joined = a.join(b, "tok")
+    out = None
+    for d in _STAB_DEPTHS:
+        hit = F.when((F.col("rn_a") <= d) & (F.col("rn_b") <= d), 1)
+        row = joined.agg(
+            F.count(hit).cast("long").alias("n_common")
+        ).select(
+            F.lit(d).cast("long").alias("depth"),
+            "n_common",
+            F.expr(f"n_common * 1000000 div {d}")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

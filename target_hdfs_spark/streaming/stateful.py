@@ -1444,3 +1444,137 @@ def clamped_balance_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (stateful twin of q239_kmv_distinct_sketch)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_DOMAIN = 1 << 32
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_in_sketch", T.LongType()),
+        T.StructField("kth_hash", T.LongType()),  # -1 while |sketch| < k
+        T.StructField("est_distinct", T.LongType()),
+    ]
+)
+
+# the sketch IS the state: the k smallest distinct portable hashes
+KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.LongType()))]
+)
+KMV_STATE_TTL_SCHEMA = T.StructType(
+    [*KMV_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _kmv_hash_py(user_id: int) -> int:
+    """The engine's portable 32-bit hash (functions/hashing.py),
+    computed Python-side: first 8 hex chars of md5(str(user_id)) —
+    CAST(bigint AS STRING) is plain decimal digits in both engines,
+    so this matches md5_hash32(CAST(user_id AS STRING)) bit-exactly."""
+    import hashlib
+
+    return int(hashlib.md5(str(int(user_id)).encode()).hexdigest()[:8], 16)
+
+
+def _kmv_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"event_type": [], "n_in_sketch": [], "kth_hash": [], "est_distinct": []}
+    ).astype(
+        {
+            "event_type": "object",
+            "n_in_sketch": "int64",
+            "kth_hash": "int64",
+            "est_distinct": "int64",
+        }
+    )
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        mins = list(stored[0])
+        prev_last = stored[1] if ttl_ms is not None else 0
+    else:
+        mins, prev_last = [], 0
+    before = tuple(mins)
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # bottom-k of a set union is a SEMILATTICE: merge order cannot
+    # matter, so batch parity is unconditional for any arrival order
+    merged = set(mins)
+    merged.update(_kmv_hash_py(u) for u in whole["user_id"])
+    mins = sorted(merged)[:KMV_K]
+    out: list[tuple] = []
+    if tuple(mins) != before:
+        n = len(mins)
+        kth = mins[KMV_K - 1] if n == KMV_K else None
+        est = (
+            (KMV_K - 1) * _KMV_DOMAIN // max(kth, 1)
+            if kth is not None
+            else n
+        )
+        out.append((key[0], n, kth if kth is not None else -1, est))
+    if ttl_ms is None:
+        state.update((mins,))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((mins, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield (
+        pd.DataFrame(out, columns=[f.name for f in KMV_OUTPUT_SCHEMA.fields])
+        if out
+        else empty
+    )
+
+
+def kmv_distinct_stream(
+    events: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming KMV (bottom-k) distinct-user sketch per event type:
+    O(k) state per key (the k smallest portable hashes — the sketch
+    IS the state), one row emitted whenever a batch CHANGES a key's
+    sketch (sink latest-per-key = current sketch). Because bottom-k
+    of a set union is a semilattice, the final sketch equals batch
+    q239's for ANY arrival permutation and batch split —
+    unconditional parity with zero ordering machinery (the parity
+    test shuffles the log to pin exactly this). est_distinct follows
+    q239's estimator; kth_hash is -1 while the sketch holds fewer
+    than k hashes (the estimate is then exact by construction).
+
+    The q20 contrast, streaming edition: approx_count_distinct's HLL
+    state is engine-internal; this sketch's state is portable
+    integers, so the batch oracle can verify the STREAM's readout
+    value-exactly. TTL gives sliding-population semantics (an idle
+    type's sketch evicts); None accumulates forever at 8k bytes/key.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+
+    def fn(key, pdfs, state):
+        return _kmv_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = events, KMV_STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = KMV_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

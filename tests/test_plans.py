@@ -938,6 +938,68 @@ def test_q210_prefix_join_no_cartesian_single_tokenize(spark):
     assert "array_intersect" in plan
 
 
+def test_q243_planner_single_reduction(spark):
+    """The planner is one checkpointed shingle pass reduced to a
+    1-row decision — strictly cheaper than any strategy it prices."""
+    plan = plan_of(spark, "q243_dedup_planner")
+    assert "Scan ExistingRDD" in plan  # checkpointed shingle frame
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q244_stability_group_limited_ranks(spark):
+    """The rank stage materializes once (checkpoint feeds both join
+    sides), so the visible plan is tiny-frame work: a broadcast join
+    over the <= 2x50-row rank frame and per-depth aggregations. The
+    WindowGroupLimit shape inside the checkpointed stage is pinned by
+    the rn <= 50 filter construction (same as q239's, asserted
+    there)."""
+    plan = plan_of(spark, "q244_topk_stability")
+    assert "Scan ExistingRDD" in plan  # checkpointed rank frame
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q241_theta_pairs_are_tiny_broadcast(spark):
+    """The sketch pair stage is a broadcast self-join over the
+    |types|-row sketch frame; bottom-k extraction keeps the
+    WindowGroupLimit shape; no cartesian beyond the tiny broadcast
+    inequality join."""
+    plan = plan_of(spark, "q241_theta_intersection")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q242_redundancy_rides_q92(spark):
+    """The source rollup adds only doc-keyed joins and a |sources|²
+    aggregation above q92's verified pairs (array verify, no posting
+    re-explosion)."""
+    plan = plan_of(spark, "q242_cross_source_redundancy")
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q240_countmin_vocab_bounded(spark):
+    """The sketch builds from ONE checkpointed vocab frame (the
+    corpus is tokenized once); probes broadcast into the cell join;
+    no corpus-sized work after the token count."""
+    plan = plan_of(spark, "q240_countmin_calibration")
+    assert "Scan ExistingRDD" in plan  # checkpointed vocab frame
+    assert "BroadcastHashJoin" in plan  # probes side
+    assert "CartesianProduct" not in plan
+
+
+def test_q239_kmv_bottom_k_is_group_limited(spark):
+    """The rank <= k filter compiles to WindowGroupLimit: each scan
+    task keeps its local bottom-k per group BEFORE the shuffle, so
+    the per-group sort never sees |users| rows — the specific shape
+    that avoids the single-partition window trap."""
+    plan = plan_of(spark, "q239_kmv_distinct_sketch")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q238_spectrum_two_stacked_aggs(spark):
     """The spectrum is two stacked aggregations with map-side
     partials; the dyadic bucket is scan-side expression work."""

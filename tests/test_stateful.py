@@ -2001,3 +2001,164 @@ def test_balance_stream_equals_batch_q222(spark, tmp_path, seed):
             n += 1
         expected[uid] = (n, bal, resets)
     assert latest == expected
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_stream (stateful twin of q239_kmv_distinct_sketch)
+# ---------------------------------------------------------------------------
+
+
+def _run_kmv(spark, src, name, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import kmv_distinct_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        kmv_distinct_stream(stream, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_kmv_stream_small_group_exact(spark, tmp_path):
+    """Below k distinct users the sketch holds every hash: the latest
+    row reports kth_hash = -1 and est_distinct equal to the EXACT
+    distinct count, accumulated across a batch boundary (user 2's
+    repeat event must not grow the sketch)."""
+    src = tmp_path / "kmvsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"},
+            {"user_id": 3, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "view"},
+        ],
+    )
+    rows = _run_kmv(spark, src, "kmv_small")
+    by_batch = [(r.n_in_sketch, r.kth_hash, r.est_distinct) for r in rows]
+    # batch 1 emits (2, -1, 2); batch 2 adds ONE new user -> (3, -1, 3)
+    assert set(by_batch) == {(2, -1, 2), (3, -1, 3)}
+
+
+@pytest.mark.parametrize("seed", [13, 41])
+def test_kmv_stream_equals_batch_q239(spark, tmp_path, seed):
+    """Semilattice parity: the log is SHUFFLED across two batches, and
+    the final sketch per event type (latest row, recovered as max
+    n_in_sketch then the row carrying it) must equal the REGISTERED
+    q239 batch sketch on the same events — bottom-k of a set union is
+    merge-order-free, so no ordering machinery is needed."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase"]
+    rows = [
+        {
+            "user_id": rng.randrange(500),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(400)
+    ]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    src = tmp_path / "kmvsrc2"
+    _write(src / "a.jsonl", shuffled[:200])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", shuffled[200:])
+    got_rows = _run_kmv(spark, src, f"kmv_parity_{seed}")
+    final = {}
+    for r in got_rows:
+        # sketches only improve: n_in_sketch grows until k, then the
+        # kth hash strictly decreases — latest row = max n, min kth
+        cur = final.get(r.event_type)
+        if (
+            cur is None
+            or r.n_in_sketch > cur.n_in_sketch
+            or (
+                r.n_in_sketch == cur.n_in_sketch
+                and r.kth_hash != -1
+                and (cur.kth_hash == -1 or r.kth_hash < cur.kth_hash)
+            )
+        ):
+            final[r.event_type] = r
+    got = {
+        t: (r.kth_hash, r.est_distinct) for t, r in final.items()
+    }
+
+    import datetime as dt
+
+    from target_hdfs_spark.operators.analytics import q239_kmv_distinct_sketch
+
+    sf_dir = tmp_path / "sfkmv"
+    spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")),
+                r["event_type"],
+            )
+            for r in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    expected = {
+        r.event_type: (r.kth_hash, r.est_distinct)
+        for r in q239_kmv_distinct_sketch(spark, str(sf_dir)).collect()
+    }
+    assert got == expected
+    assert expected
+
+
+def test_kmv_stream_ttl_resets_population(spark, tmp_path):
+    """TTL mode: an idle type's sketch evicts, so the post-gap row
+    reports a FRESH 1-user sketch rather than the accumulated one."""
+    src = tmp_path / "kmvttl"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 9, "event_id": 3, "ts": "2026-08-13T10:30:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 9, "event_id": 4, "ts": "2026-08-13T10:31:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"user_id": 3, "event_id": 5, "ts": "2026-08-13T10:32:00Z", "event_type": "view"}],
+    )
+    rows = _run_kmv(spark, src, "kmv_ttl", ttl_ms=60_000)
+    views = [
+        (r.n_in_sketch, r.est_distinct)
+        for r in rows
+        if r.event_type == "view"
+    ]
+    assert (2, 2) in views  # pre-gap accumulation
+    assert (1, 1) in views  # post-eviction fresh sketch
+    assert (3, 3) not in views  # the old population did NOT survive
