@@ -290,6 +290,8 @@ MM_QUERIES = (
     "q147_image_dhash_dedup",
     "q152_audio_pcm_features",
     "q153_video_container_index",
+    # round 7: frame-delta scene profile (map-only walk + doc window)
+    "q245_video_scene_deltas",
 )
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 ID_STRIDE = 10_000_000

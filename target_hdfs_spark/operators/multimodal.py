@@ -1238,3 +1238,111 @@ def q164_media_storage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.octet_length("image")).alias("max_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L5h: frame-delta scene profile (frame-SEQUENCE analytics over the
+# real chunk walk — the shot-boundary shape)
+# ---------------------------------------------------------------------------
+
+_SCENE_CUT_MIN_DELTA = 1500  # |checksum_k - checksum_{k-1}| >= this = a cut
+
+
+@query(
+    "q245_video_scene_deltas",
+    oracle=f"""
+    WITH f AS (
+      SELECT d.doc_id, k.k,
+             16 + (d.doc_id * 7 + k.k * 13) % 64 AS n_bytes
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_AVI_MAX_FRAMES - 1})) AS k) k
+      WHERE k.k < 1 + d.doc_id % {_AVI_MAX_FRAMES}
+    ),
+    b AS (
+      SELECT f.doc_id, f.k,
+             CAST(SUM((f.doc_id + f.k + j.j) % 256) AS BIGINT) AS checksum
+      FROM f
+      CROSS JOIN (SELECT unnest(generate_series(0, 78)) AS j) j
+      WHERE j.j < f.n_bytes
+      GROUP BY f.doc_id, f.k
+    ),
+    d AS (
+      SELECT doc_id, k,
+             abs(checksum - lag(checksum) OVER w) AS delta
+      FROM b
+      WINDOW w AS (PARTITION BY doc_id ORDER BY k)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(CASE WHEN delta >= {_SCENE_CUT_MIN_DELTA}
+                      THEN 1 END) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta,
+           CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS total_delta
+    FROM d
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "video", "sequence", "mapInPandas"),
+)
+def q245_video_scene_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-DELTA scene profile over stored AVI bytes: walk every
+    clip's frames with the real chunk walker (q153's index), compute
+    each frame's payload checksum, and profile the frame-to-frame
+    deltas per clip — count of cut-like jumps (delta >=
+    {_SCENE_CUT_MIN_DELTA}), max and total delta. This is the
+    shot-boundary-detection SHAPE with the codec swapped for the
+    container's synthetic payloads: the sequence analytics
+    (lag-per-clip over decoded frame features) and its plan are
+    exactly what a real scene-cut pass runs after a histogram/SSIM
+    UDF, and the oracle recomputes everything from the synthesis
+    formulas so the whole decode -> feature -> sequence chain is
+    value-checked (single-frame clips report zero cuts/deltas —
+    COALESCEd aggregates over their empty delta set).
+
+    Scale: one map-only mapInPandas pass emits (doc_id, frame_idx,
+    checksum) int64 rows — payloads never shuffle; the lag runs in a
+    doc-partitioned window over <= {_AVI_MAX_FRAMES} rows per clip
+    (bounded frames per partition key; a long-video corpus would key
+    the window by (clip, minute) exactly like q173's segmented scan);
+    the profile aggregation combines map-side.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    clips = media_table(spark, sf_dir).select("doc_id", "video_avi")
+
+    def frame_rows(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["video_avi"]):
+                blob = bytes(blob)
+                for idx, off, n in decode_avi_index(blob):
+                    payload = np.frombuffer(
+                        blob, dtype=np.uint8, count=n, offset=off
+                    )
+                    rows.append(
+                        (int(doc_id), idx, int(payload.sum(dtype=np.int64)))
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "checksum"])
+
+    frames = clips.mapInPandas(
+        frame_rows, "doc_id long, frame_idx long, checksum long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.abs(F.col("checksum") - F.lag("checksum").over(w)).alias("delta"),
+    )
+    return d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.count(
+            F.when(F.col("delta") >= _SCENE_CUT_MIN_DELTA, 1)
+        )
+        .cast("long")
+        .alias("n_cuts"),
+        F.coalesce(F.max("delta"), F.lit(0)).cast("long").alias("max_delta"),
+        F.coalesce(F.sum("delta"), F.lit(0)).cast("long").alias("total_delta"),
+    )

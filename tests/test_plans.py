@@ -938,6 +938,16 @@ def test_q210_prefix_join_no_cartesian_single_tokenize(spark):
     assert "array_intersect" in plan
 
 
+def test_q245_scene_deltas_payloads_stay_mapside(spark):
+    """The frame walk is one mapInPandas stage emitting int64 rows —
+    payloads never shuffle; the lag window is doc-partitioned (no
+    global sort) and the profile combines map-side."""
+    plan = plan_of(spark, "q245_video_scene_deltas")
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q243_planner_single_reduction(spark):
     """The planner is one checkpointed shingle pass reduced to a
     1-row decision — strictly cheaper than any strategy it prices."""

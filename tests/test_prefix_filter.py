@@ -109,3 +109,42 @@ def test_prefix_filter_sizes_and_ppm(spark):
         3,
         1_000_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# pair_overlap_counts (the r7 shared verify core) — direct property
+# test against brute-force set intersection, independent of any
+# oracle composition
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sets=sets_strategy)
+def test_pair_overlap_counts_matches_bruteforce(spark, sets):
+    """For EVERY doc pair (all-pairs candidates), the collected-array
+    verify must return exact set sizes and intersection counts —
+    including zero-overlap pairs, which must stay PRESENT with
+    n_common = 0 (q214's left-join contract)."""
+    from target_hdfs_spark.operators.dedup import pair_overlap_counts
+
+    rows = [(i, f"t{tok:02d}") for i, s in enumerate(sets) for tok in s]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    n = len(sets)
+    cand = spark.createDataFrame(
+        [(i, j) for i in range(n) for j in range(i + 1, n)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.na, r.nb, r.n_common)
+        for r in pair_overlap_counts(cand, sh).collect()
+    }
+    expected = {
+        (i, j): (len(sets[i]), len(sets[j]), len(sets[i] & sets[j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+    }
+    assert got == expected
