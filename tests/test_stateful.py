@@ -2162,3 +2162,82 @@ def test_kmv_stream_ttl_resets_population(spark, tmp_path):
     assert (2, 2) in views  # pre-gap accumulation
     assert (1, 1) in views  # post-eviction fresh sketch
     assert (3, 3) not in views  # the old population did NOT survive
+
+
+def test_kmv_state_survives_query_restart(spark, tmp_path):
+    """Kill-resume: the sketch crosses a full query RESTART (state
+    restored from the checkpoint, not just a batch boundary) — the
+    second run's emission reflects the union of BOTH runs' users, not
+    a fresh sketch (n_in_sketch=3, still exact below k)."""
+    from target_hdfs_spark.streaming.stateful import kmv_distinct_stream
+
+    src, sink, ckpt = tmp_path / "ksrc", tmp_path / "ksink", tmp_path / "kckpt"
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            kmv_distinct_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    run_once()  # sketch holds {h(1), h(2)}
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"},
+            {"user_id": 3, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "view"},
+        ],
+    )
+    run_once()  # restarted query must MERGE into the restored sketch
+    got = {
+        (r.n_in_sketch, r.kth_hash, r.est_distinct)
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    assert got == {(2, -1, 2), (3, -1, 3)}
+
+
+def test_kmv_stream_on_rocksdb(spark, tmp_path):
+    """The array-typed sketch state roundtrips through the RocksDB
+    provider identically (production backend for large keyed state)."""
+    src = tmp_path / "krocks"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 3, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"}],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = _run_kmv(spark, src, "kmv_rocks")
+    finally:
+        spark.conf.set(key, prev)
+    got = {(r.n_in_sketch, r.kth_hash, r.est_distinct) for r in rows}
+    assert got == {(2, -1, 2), (3, -1, 3)}
