@@ -225,6 +225,7 @@ EVENT_QUERIES = (
     # the exact calibration side is the user-keyed distinct join)
     "q239_kmv_distinct_sketch",
     "q241_theta_intersection",
+    "q246_kmv_union_merge",
     # round 6 continuation: interval-weighted/decayed aggregates (one
     # user window or scan-side scoring + one user-keyed agg), U-shaped
     # attribution (q131's equi-join posture + purchase-id window), and

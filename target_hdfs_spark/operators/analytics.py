@@ -5754,3 +5754,140 @@ def q241_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_common"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV mergeability — the distributed-sketch THEOREM, value-checked
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q246_kmv_union_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_kmv_hash_sql()} AS hv FROM events
+    ),
+    part_ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    merged_pool AS (
+      SELECT DISTINCT hv FROM part_ranked WHERE rn <= {_KMV_K}
+    ),
+    merged_ranked AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM merged_pool
+    ),
+    direct_ranked AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM h)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_m,
+             MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth_m
+      FROM merged_ranked WHERE rn <= {_KMV_K}
+    ),
+    d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_d,
+             MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth_d
+      FROM direct_ranked WHERE rn <= {_KMV_K}
+    ),
+    x AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
+    )
+    SELECT x.n_exact,
+           CAST(COALESCE(m.kth_m, -1) AS BIGINT) AS merged_kth,
+           CAST(CASE WHEN m.kth_m IS NULL THEN m.n_m
+                ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN}
+                     // greatest(m.kth_m, 1) END AS BIGINT) AS merged_est,
+           CAST(COALESCE(d.kth_d, -1) AS BIGINT) AS direct_kth,
+           CAST(CASE WHEN d.kth_d IS NULL THEN d.n_d
+                ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN}
+                     // greatest(d.kth_d, 1) END AS BIGINT) AS direct_est,
+           (m.n_m = d.n_d AND COALESCE(m.kth_m, -1) = COALESCE(d.kth_d, -1))
+             AS sketches_match
+    FROM m CROSS JOIN d CROSS JOIN x
+    """,
+    tags=("sketch", "distinct", "mergeability", "calibration"),
+)
+def q246_kmv_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGEABILITY, value-checked as a theorem: the global
+    sketch assembled by MERGING the per-event-type partial sketches
+    (bottom-k of the union of each part's bottom-k) must equal the
+    sketch built directly from all users — because any hash in the
+    global bottom-k is necessarily within its own part's bottom-k,
+    partial sketches lose nothing the global view needs. This is THE
+    property that makes the sketch distributable (executors build
+    partials, the driver merges k integers each) and incrementally
+    maintainable (yesterday's sketch merges with today's delta);
+    sketches_match = true is asserted by VALUE against the oracle,
+    which replays both constructions independently.
+
+    Exactness: both constructions and both estimates are
+    deterministic integers; the comparison is part of the checked
+    row.
+
+    Scale: the partial pass is q239's WindowGroupLimit shape; the
+    merge pool is <= |types| x k integers — driver-mergeable by
+    design; the direct side costs one more global bottom-k (itself
+    group-limited). The exact count appears only as calibration.
+    """
+    from target_hdfs_spark.functions.hashing import md5_hash32
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.select(
+        "event_type",
+        md5_hash32(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct().localCheckpoint()  # feeds partial AND direct sides
+    w_part = Window.partitionBy("event_type").orderBy("hv")
+    pool = (
+        h.withColumn("rn", F.row_number().over(w_part))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("hv")
+        .distinct()
+    )
+    w_all = Window.orderBy("hv")
+    merged = (
+        pool.withColumn("rn", F.row_number().over(w_all))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(
+            F.count(F.lit(1)).alias("n_m"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("kth_m"),
+        )
+    )
+    direct = (
+        h.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_all))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(
+            F.count(F.lit(1)).alias("n_d"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("kth_d"),
+        )
+    )
+    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    est = lambda kth, n: (  # noqa: E731
+        F.when(F.col(kth).isNull(), F.col(n))
+        .otherwise(
+            F.expr(f"({_KMV_K} - 1) * {_KMV_DOMAIN} div greatest({kth}, 1)")
+        )
+        .cast("long")
+    )
+    return (
+        merged.join(F.broadcast(direct))
+        .join(F.broadcast(exact))
+        .select(
+            "n_exact",
+            F.coalesce(F.col("kth_m"), F.lit(-1)).cast("long").alias("merged_kth"),
+            est("kth_m", "n_m").alias("merged_est"),
+            F.coalesce(F.col("kth_d"), F.lit(-1)).cast("long").alias("direct_kth"),
+            est("kth_d", "n_d").alias("direct_est"),
+            (
+                (F.col("n_m") == F.col("n_d"))
+                & (
+                    F.coalesce(F.col("kth_m"), F.lit(-1))
+                    == F.coalesce(F.col("kth_d"), F.lit(-1))
+                )
+            ).alias("sketches_match"),
+        )
+    )

@@ -970,6 +970,16 @@ def test_q244_stability_group_limited_ranks(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q246_merge_both_sides_group_limited(spark):
+    """Both the per-type partial bottom-k AND the direct global
+    bottom-k compile to WindowGroupLimit (the global window is safe
+    because every task pre-limits to k before the final merge); the
+    comparison joins are 1-row broadcasts."""
+    plan = plan_of(spark, "q246_kmv_union_merge")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_q241_theta_pairs_are_tiny_broadcast(spark):
     """The sketch pair stage is a broadcast self-join over the
     |types|-row sketch frame; bottom-k extraction keeps the
