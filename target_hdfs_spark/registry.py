@@ -18,6 +18,11 @@ identifiers).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -56,268 +61,54 @@ def query(
     return deco
 
 
-# Evaluation-priority order. The round driver records correctness
-# rows for only the FIRST 50 registered queries, so this tuple is
-# the rotation schedule. GENERATED by scripts/gen_priority.py from
-# the CORRECTNESS_r*.json ledger: never-driver-checked queries
-# first (numeric query-id order), then stalest latest-check
-# first —
-# re-run the script after a round lands to rotate the window to
-# whatever rows are then oldest. Do not hand-edit the tuple.
-PRIORITY_ORDER = (
-    "q212_triangle_count",  # last driver row: never checked
-    "q213_dyadic_ema",  # last driver row: never checked
-    "q214_sketch_calibration",  # last driver row: never checked
-    "q215_int8_quantization",  # last driver row: never checked
-    "q216_balanced_shards",  # last driver row: never checked
-    "q217_degree_assortativity",  # last driver row: never checked
-    "q218_duplicate_ngram_fraction",  # last driver row: never checked
-    "q219_label_propagation",  # last driver row: never checked
-    "q220_vocab_growth",  # last driver row: never checked
-    "q221_smoothed_segment_rates",  # last driver row: never checked
-    "q222_clamped_running_balance",  # last driver row: never checked
-    "q223_quantile_mapping",  # last driver row: never checked
-    "q224_keyword_scan",  # last driver row: never checked
-    "q225_source_similarity",  # last driver row: never checked
-    "q226_vocab_coverage",  # last driver row: never checked
-    "q227_interarrival_burstiness",  # last driver row: never checked
-    "q228_spearman_activity_value",  # last driver row: never checked
-    "q229_expectation_checks",  # last driver row: never checked
-    "q230_histogram_quantile_error",  # last driver row: never checked
-    "q231_langid_confusion",  # last driver row: never checked
-    "q232_threshold_sensitivity",  # last driver row: never checked
-    "q233_alternation_negation_match",  # last driver row: never checked
-    "q234_exact_threshold_curve",  # last driver row: never checked
-    "q235_three_step_gapped_match",  # last driver row: never checked
-    "q236_kcore_peel",  # last driver row: never checked
-    "q237_bpe_apply_merge",  # last driver row: never checked
-    "q238_frequency_spectrum",  # last driver row: never checked
-    "q239_kmv_distinct_sketch",  # last driver row: never checked
-    "q240_countmin_calibration",  # last driver row: never checked
-    "q241_theta_intersection",  # last driver row: never checked
-    "q242_cross_source_redundancy",  # last driver row: never checked
-    "q243_dedup_planner",  # last driver row: never checked
-    "q244_topk_stability",  # last driver row: never checked
-    "q245_video_scene_deltas",  # last driver row: never checked
-    "q246_kmv_union_merge",  # last driver row: never checked
-    "q61_image_decode_pipeline",  # last driver row: r2
-    "q63_ann_ivf",  # last driver row: r2
-    "q69_hamming_neighbors",  # last driver row: r2
-    "q92_lsh_verified_pairs",  # last driver row: r2
-    "q94_wav_audio_meta",  # last driver row: r2
-    "q97_table_profile",  # last driver row: r2
-    "q98_corpus_pipeline",  # last driver row: r2
-    "q99_exact_percentiles",  # last driver row: r2
-    "q100_hash_split",  # last driver row: r2
-    "q101_decontamination",  # last driver row: r2
-    "q104_stratified_hash_sample",  # last driver row: r2
-    "q32_sliding_window",  # last driver row: r3
-    "q48_embedding_neardup_pairs",  # last driver row: r3
-    "q49_embedding_norms",  # last driver row: r3
-    "q51_token_frequencies",  # last driver row: r3
-    "q56_bigram_counts",  # last driver row: r3
-    "q57_document_chunks",  # last driver row: r3
-    "q58_redacted_documents",  # last driver row: r3
-    "q59_unicode_normalize",  # last driver row: r3
-    "q68_disjunctive_predicates",  # last driver row: r3
-    "q70_ann_ivf_multiprobe",  # last driver row: r3
-    "q71_ann_recall",  # last driver row: r3
-    "q72_applyinpandas_minmax_norm",  # last driver row: r3
-    "q73_nation_pair_volume",  # last driver row: r3
-    "q74_market_share",  # last driver row: r3
-    "q75_customer_order_distribution",  # last driver row: r3
-    "q76_top_supplier",  # last driver row: r3
-    "q77_hamming_rerank",  # last driver row: r3
-    "q78_kmeans_ivf_cells",  # last driver row: r3
-    "q79_forecast_revenue_change",  # last driver row: r3
-    "q80_product_profit",  # last driver row: r3
-    "q81_returned_item_ranking",  # last driver row: r3
-    "q82_important_part_value",  # last driver row: r3
-    "q83_dominant_brand_suppliers",  # last driver row: r3
-    "q84_sole_late_suppliers",  # last driver row: r3
-    "q85_dedup_clusters",  # last driver row: r3
-    "q86_full_outer_year_activity",  # last driver row: r3
-    "q87_bag_set_ops",  # last driver row: r3
-    "q88_unpivot",  # last driver row: r3
-    "q89_pq_codes",  # last driver row: r3
-    "q90_pq_adc_search",  # last driver row: r3
-    "q91_zorder_values",  # last driver row: r3
-    "q93_lsh_bucket_stats",  # last driver row: r3
-    "q95_lsh_editdistance_pairs",  # last driver row: r3
-    "q96_simhash_hamming_pairs",  # last driver row: r3
-    "q102_sequence_packing",  # last driver row: r3
-    "q103_repetition_quality",  # last driver row: r3
-    "q105_scd2_intervals",  # last driver row: r3
-    "q106_group_topk_sample",  # last driver row: r3
-    "q107_pit_feature_join",  # last driver row: r3
-    "q108_substring_duplication",  # last driver row: r3
-    "q109_bloom_join_reduction",  # last driver row: r3
-    "q110_subword_token_counts",  # last driver row: r3
-    "q111_oov_rate",  # last driver row: r3
-    "q112_trimmed_mean",  # last driver row: r3
-    "q113_weighted_sample",  # last driver row: r3
-    "q114_corpus_mixture",  # last driver row: r3
-    "q115_shard_manifest",  # last driver row: r3
-    "q116_incremental_dedup",  # last driver row: r3
-    "q117_quality_percentile_filter",  # last driver row: r3
-    "q118_bucket_root_dedup",  # last driver row: r3
-    "q01_pricing_summary",  # last driver row: r4
-    "q02_filter_project",  # last driver row: r4
-    "q03_local_supplier_revenue",  # last driver row: r4
-    "q04_semi_join_urgent_customers",  # last driver row: r4
-    "q05_anti_join_orderless_customers",  # last driver row: r4
-    "q06_range_join_size_bands",  # last driver row: r4
-    "q30_asof_join_last_view",  # last driver row: r4
-    "q66_priority_shipping_buckets",  # last driver row: r4
-    "q119_unigram_lm_quality",  # last driver row: r4
-    "q120_minhash_containment",  # last driver row: r4
-    "q121_priority_sample",  # last driver row: r4
-    "q122_pandas_cosine_topk",  # last driver row: r4
-    "q123_trending_topk",  # last driver row: r4
-    "q124_sample_merge_algebra",  # last driver row: r4
-    "q125_inverted_index",  # last driver row: r4
-    "q126_temperature_mixture",  # last driver row: r4
-    "q127_multiband_root_dedup",  # last driver row: r4
-    "q128_segment_dedup",  # last driver row: r4
-    "q129_bm25_topk",  # last driver row: r4
-    "q130_semantic_dedup",  # last driver row: r4
-    "q131_attribution_window_join",  # last driver row: r4
-    "q132_neardup_triangles",  # last driver row: r4
-    "q133_arrow_token_stats",  # last driver row: r4
-    "q134_udtf_runlength",  # last driver row: r4
-    "q135_hourly_gapfill",  # last driver row: r4
-    "q136_group_ols_regression",  # last driver row: r4
-    "q137_price_histogram",  # last driver row: r4
-    "q138_event_funnel",  # last driver row: r4
-    "q139_jsonl_roundtrip",  # last driver row: r4
-    "q140_csv_roundtrip",  # last driver row: r4
-    "q141_snapshot_diff",  # last driver row: r4
-    "q142_rank_fusion",  # last driver row: r4
-    "q143_cdc_last_writer_wins",  # last driver row: r4
-    "q144_token_lift",  # last driver row: r4
-    "q145_retention_cohorts",  # last driver row: r4
-    "q146_heavy_hitters",  # last driver row: r4
-    "q147_image_dhash_dedup",  # last driver row: r4
-    "q148_event_pattern",  # last driver row: r4
-    "q149_filtered_cosine_topk",  # last driver row: r4
-    "q150_token_budget_selection",  # last driver row: r4
-    "q151_pagerank_dup_graph",  # last driver row: r4
-    "q152_audio_pcm_features",  # last driver row: r4
-    "q153_video_container_index",  # last driver row: r4
-    "q154_sql_frontend",  # last driver row: r4
-    "q155_integrity_audit",  # last driver row: r4
-    "q156_ab_test_metrics",  # last driver row: r4
-    "q157_diversified_topk",  # last driver row: r4
-    "q158_fair_interleave",  # last driver row: r4
-    "q159_distribution_drift",  # last driver row: r4
-    "q160_pareto_concentration",  # last driver row: r4
-    "q07_agg_stats",  # last driver row: r5
-    "q08_distinct",  # last driver row: r5
-    "q09_rollup",  # last driver row: r5
-    "q10_window_rank",  # last driver row: r5
-    "q11_window_analytic",  # last driver row: r5
-    "q12_global_topk",  # last driver row: r5
-    "q13_set_ops",  # last driver row: r5
-    "q14_string_funcs",  # last driver row: r5
-    "q15_date_funcs",  # last driver row: r5
-    "q16_math_conditional",  # last driver row: r5
-    "q17_array_explode",  # last driver row: r5
-    "q18_json_extract",  # last driver row: r5
-    "q19_pivot",  # last driver row: r5
-    "q20_approx_aggs",  # last driver row: r5
-    "q21_sample",  # last driver row: r5
-    "q22_pandas_udf",  # last driver row: r5
-    "q23_shipping_priority",  # last driver row: r5
-    "q24_large_volume_orders",  # last driver row: r5
-    "q25_below_average_lineitems",  # last driver row: r5
-    "q26_window_distribution",  # last driver row: r5
-    "q27_range_frame_spend",  # last driver row: r5
-    "q28_cube",  # last driver row: r5
-    "q29_grouping_sets_sql",  # last driver row: r5
-    "q31_tumbling_window",  # last driver row: r5
-    "q33_session_window",  # last driver row: r5
-    "q34_salted_skew_agg",  # last driver row: r5
-    "q35_parts_supplier_counts",  # last driver row: r5
-    "q36_rich_inactive_customers",  # last driver row: r5
-    "q37_cheapest_supplier_per_part",  # last driver row: r5
-    "q38_argmax_aggregates",  # last driver row: r5
-    "q39_null_semantics",  # last driver row: r5
-    "q40_exact_dedup",  # last driver row: r5
-    "q41_hash_dedup_groups",  # last driver row: r5
-    "q42_minhash_signatures",  # last driver row: r5
-    "q43_minhash_lsh_pairs",  # last driver row: r5
-    "q44_simhash",  # last driver row: r5
-    "q45_ngram_jaccard_pairs",  # last driver row: r5
-    "q46_cosine_topk",  # last driver row: r5
-    "q47_ann_lsh_bucketed",  # last driver row: r5
-    "q50_token_stats",  # last driver row: r5
-    "q52_tfidf",  # last driver row: r5
-    "q53_lang_id",  # last driver row: r5
-    "q54_quality_filter",  # last driver row: r5
-    "q55_fingerprint",  # last driver row: r5
-    "q60_binary_metadata",  # last driver row: r5
-    "q62_frame_sampling",  # last driver row: r5
-    "q64_audio_features",  # last driver row: r5
-    "q65_priority_order_counts",  # last driver row: r5
-    "q67_brand_revenue_share",  # last driver row: r5
-    "q161_multi_pattern_match",  # last driver row: r5
-    "q162_gapped_pattern_match",  # last driver row: r6
-    "q163_media_pruned_decode",  # last driver row: r6
-    "q164_media_storage_profile",  # last driver row: r6
-    "q165_interval_overlap_join",  # last driver row: r6
-    "q166_bigram_lm_quality",  # last driver row: r6
-    "q167_skyline_parts",  # last driver row: r6
-    "q168_prototype_selection",  # last driver row: r6
-    "q169_record_linkage",  # last driver row: r6
-    "q170_golden_record",  # last driver row: r6
-    "q171_leakage_safe_split",  # last driver row: r6
-    "q172_incremental_ivf",  # last driver row: r6
-    "q173_peak_concurrency",  # last driver row: r6
-    "q174_time_weighted_value",  # last driver row: r6
-    "q175_recency_weighted_engagement",  # last driver row: r6
-    "q176_association_rules",  # last driver row: r6
-    "q177_multi_touch_attribution",  # last driver row: r6
-    "q178_markov_stationary",  # last driver row: r6
-    "q179_equidepth_bins",  # last driver row: r6
-    "q180_hard_negative_mining",  # last driver row: r6
-    "q181_mad_robust_stats",  # last driver row: r6
-    "q182_gini_best_split",  # last driver row: r6
-    "q183_simpson_diversity",  # last driver row: r6
-    "q184_ngram_novelty",  # last driver row: r6
-    "q185_weighted_percentiles",  # last driver row: r6
-    "q186_key_skew_profile",  # last driver row: r6
-    "q187_cusum_changepoint",  # last driver row: r6
-    "q188_retrieval_eval",  # last driver row: r6
-    "q189_conversion_paths",  # last driver row: r6
-    "q190_rolling_distinct_users",  # last driver row: r6
-    "q191_linear_resample",  # last driver row: r6
-    "q192_cohort_ltv",  # last driver row: r6
-    "q193_funnel_latency_percentiles",  # last driver row: r6
-    "q194_behavioral_twins",  # last driver row: r6
-    "q195_seasonality_profile",  # last driver row: r6
-    "q196_feature_pipeline",  # last driver row: r6
-    "q197_anomaly_days",  # last driver row: r6
-    "q198_wilson_intervals",  # last driver row: r6
-    "q199_expected_steps_to_purchase",  # last driver row: r6
-    "q200_bpe_merge_candidates",  # last driver row: r6
-    "q201_rfm_segments",  # last driver row: r6
-    "q202_decile_calibration",  # last driver row: r6
-    "q203_dedup_roi",  # last driver row: r6
-    "q204_gini_coefficient",  # last driver row: r6
-    "q205_kaplan_meier",  # last driver row: r6
-    "q206_boxplot_stats",  # last driver row: r6
-    "q207_dedup_manifest",  # last driver row: r6
-    "q208_histogram_2d",  # last driver row: r6
-    "q209_join_size_forecast",  # last driver row: r6
-    "q210_prefix_filter_join",  # last driver row: r6
-    "q211_stratified_allocation",  # last driver row: r6
-)
+# --- Evaluation-priority order --------------------------------------
+# The round driver records correctness rows for only the FIRST 50
+# queries returned by ``all_queries()``, so the ordering is a rotation
+# schedule. It is COMPUTED at access time from the CORRECTNESS_r*.json
+# ledgers on disk: never-driver-checked queries first (numeric
+# query-id order), then stalest latest-check first. Dropping a new
+# ledger file therefore rotates the window automatically — there is no
+# pinned tuple to go stale (a pinned tuple went stale at three
+# consecutive round closes; VERDICT r5-r7).
+#
+# Registry MEMBERSHIP (which queries exist) is still snapshotted in
+# ``registry_snapshot.py`` so additions/renames fail the hygiene suite
+# until reviewed; regenerate with ``python scripts/gen_priority.py
+# --write``. Membership does not depend on the ledgers, so a new
+# ledger can never fail the suite.
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def all_queries() -> dict[str, QuerySpec]:
-    """Import all operator modules (side effect: registration) and
-    return the registry in evaluation-priority order."""
-    # Imports are deferred so `import target_hdfs_spark` stays cheap.
+def latest_check_round(repo_root: str | None = None) -> dict[str, int]:
+    """query name -> highest round with a driver correctness row."""
+    root = repo_root if repo_root is not None else _REPO_ROOT
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            # A torn / in-progress ledger must never break imports; the
+            # driver may drop the file mid-round.
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def query_number(name: str) -> int:
+    m = re.match(r"q(\d+)", name)
+    return int(m.group(1)) if m else 1 << 30
+
+
+def _import_operator_modules() -> None:
+    """Import all operator modules (side effect: registration).
+    Deferred so ``import target_hdfs_spark`` stays cheap."""
     from target_hdfs_spark.operators import (  # noqa: F401
         analytics,
         asof,
@@ -333,11 +124,35 @@ def all_queries() -> dict[str, QuerySpec]:
         windows,
     )
 
-    ordered: dict[str, QuerySpec] = {}
-    for name in PRIORITY_ORDER:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    for name, spec in REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = spec
-    return ordered
+
+def compute_priority_order(
+    latest: dict[str, int] | None = None,
+) -> tuple[str, ...]:
+    """The rotation schedule, derived from the correctness ledgers.
+
+    Never-checked queries first (numeric query-id order), then
+    stalest latest-check first; the numeric query id breaks ties —
+    NOT dict registration position, which depends on module import
+    order. ``latest`` is injectable for tests (simulating a freshly
+    dropped ledger); by default it is read from disk.
+    """
+    _import_operator_modules()
+    if latest is None:
+        latest = latest_check_round()
+    return tuple(
+        sorted(REGISTRY, key=lambda n: (latest.get(n, 0), query_number(n), n))
+    )
+
+
+def __getattr__(name: str):
+    # PEP 562: PRIORITY_ORDER is computed on access, never pinned.
+    if name == "PRIORITY_ORDER":
+        return compute_priority_order()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Import all operator modules (side effect: registration) and
+    return the registry in evaluation-priority order."""
+    order = compute_priority_order()
+    return {name: REGISTRY[name] for name in order}

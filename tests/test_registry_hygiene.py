@@ -117,23 +117,97 @@ def test_every_family_has_hard_signal_representative():
     assert not orphaned, f"tag families with no checked/windowed member: {orphaned}"
 
 
-def test_priority_order_matches_ledger_rotation():
-    """PRIORITY_ORDER is generated, not hand-maintained: it must equal
-    scripts/gen_priority.py's ledger-derived ordering (never-checked
-    queries first, then stalest latest-check first). If this fails you
-    registered or renamed a query — run
+def test_snapshot_matches_registry_membership():
+    """Registry MEMBERSHIP is snapshotted (order is not — it is
+    computed from the ledgers on access). If this fails you registered
+    or renamed a query — run
 
         python scripts/gen_priority.py --write
 
-    to rotate the window instead of editing the tuple by hand."""
-    import importlib.util
-    import os
+    to regenerate the snapshot. A new CORRECTNESS_r*.json ledger
+    cannot change membership, so the driver dropping one after the
+    final commit can never fail this test (VERDICT r5-r7 recurrence)."""
+    from target_hdfs_spark.registry import query_number
+    from target_hdfs_spark.registry_snapshot import REGISTERED_QUERIES
 
-    spec = importlib.util.spec_from_file_location(
-        "gen_priority",
-        os.path.join(os.path.dirname(__file__), "..", "scripts", "gen_priority.py"),
+    live = sorted(all_queries(), key=lambda n: (query_number(n), n))
+    assert list(REGISTERED_QUERIES) == live, (
+        "registry membership changed — run `python scripts/gen_priority.py"
+        " --write` to regenerate registry_snapshot.py"
     )
-    gen = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(gen)
-    ordered, _ = gen.compute_order()
-    assert list(PRIORITY_ORDER) == ordered
+
+
+def test_priority_order_is_ledger_derived_permutation():
+    """PRIORITY_ORDER (computed on access) is an exact permutation of
+    the registry, ordered never-checked-first then stalest-first."""
+    from target_hdfs_spark.registry import latest_check_round, query_number
+
+    ordered = list(PRIORITY_ORDER)
+    assert sorted(ordered) == sorted(all_queries())
+    latest = latest_check_round()
+    keys = [(latest.get(n, 0), query_number(n), n) for n in ordered]
+    assert keys == sorted(keys)
+
+
+def test_new_ledger_rotates_window_and_cannot_fail_suite():
+    """Simulate the driver dropping a brand-new ledger covering the
+    current first-50 window: the computed order must rotate those
+    names to the back and stay a permutation — the exact end-of-round
+    event that used to strand a stale pinned tuple."""
+    from target_hdfs_spark.registry import (
+        compute_priority_order,
+        latest_check_round,
+    )
+
+    latest = latest_check_round()
+    current = list(compute_priority_order(latest))
+    max_round = max(latest.values(), default=0)
+    simulated = dict(latest)
+    for name in current[:DRIVER_WINDOW]:
+        simulated[name] = max_round + 1
+    rotated = list(compute_priority_order(simulated))
+    assert sorted(rotated) == sorted(current), "rotation broke the permutation"
+    freshly_checked = set(current[:DRIVER_WINDOW])
+    assert freshly_checked & set(rotated[:DRIVER_WINDOW]) == set(), (
+        "freshly driver-checked queries must leave the window"
+    )
+    assert set(rotated[-DRIVER_WINDOW:]) == freshly_checked, (
+        "freshly checked names should rotate to the back"
+    )
+
+
+def test_docs_list_every_registered_query():
+    """r7 verdict item 7: INDEX.md and COVERAGE.md must mention every
+    registered query, and every qNNN_name token they mention must be
+    registered — doc drift (a query added without its doc row, or a
+    renamed query leaving a phantom mention) fails here instead of
+    waiting for a judge to diff by hand."""
+    import re
+
+    names = set(all_queries())
+    for doc in ("INDEX.md", "COVERAGE.md"):
+        with open(os.path.join(REPO, doc)) as fh:
+            text = fh.read()
+        full = set(re.findall(r"\bq\d+_[a-z0-9_]+", text))
+        # COVERAGE compresses some rows to bare ids (q01, q23 in the
+        # TPC-H shape row) — a bare id counts as a mention too
+        bare_ids = set(re.findall(r"\bq(\d+)\b(?!_)", text))
+        missing = {
+            n
+            for n in names
+            if n not in full and re.match(r"q(\d+)_", n).group(1) not in bare_ids
+        }
+        assert not missing, f"{doc} missing registered queries: {sorted(missing)}"
+        phantom = full - names
+        assert not phantom, f"{doc} mentions unregistered queries: {sorted(phantom)}"
+
+
+def test_torn_ledger_never_breaks_import(tmp_path):
+    """A half-written CORRECTNESS file (the driver may drop one
+    mid-round) is skipped, not fatal."""
+    from target_hdfs_spark.registry import latest_check_round
+
+    (tmp_path / "CORRECTNESS_r98.json").write_text('{"q01_pricing_summary"')
+    (tmp_path / "CORRECTNESS_r99.json").write_text('{"q01_pricing_summary": {}}')
+    latest = latest_check_round(repo_root=str(tmp_path))
+    assert latest == {"q01_pricing_summary": 99}
