@@ -581,6 +581,18 @@ def q96_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q45_MAX_SHINGLE_DF = 512  # enforced per-shingle document-frequency cap
 
+# pair_overlap_counts width bound: a doc with more DISTINCT shingles
+# than this never gets a collected array — its pairs route to the
+# streaming (exploded posting) verify, which computes the same exact
+# counts without one unbounded-width row.
+_POC_MAX_DOC_SHINGLES = 8192
+
+# Enforced prefix-join fan-out bound for prefix_filter_pairs: mean
+# candidates per document the prefix self-join may materialize before
+# the plan routes the corpus to the LSH-verified pipeline instead
+# (q243_dedup_planner's 'lsh-verify:q92' decision, made load-bearing).
+_PREFIX_CAND_PER_DOC_MAX = 4096
+
 
 @query(
     "q45_ngram_jaccard_pairs",
@@ -836,7 +848,11 @@ def q85_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs)
 
 
-def pair_overlap_counts(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+def pair_overlap_counts(
+    pairs: DataFrame,
+    sh: DataFrame,
+    max_doc_shingles: int = _POC_MAX_DOC_SHINGLES,
+) -> DataFrame:
     """Exact set-overlap counts for a candidate pair frame: joins
     (doc_a, doc_b) candidates against distinct element rows
     (doc_id, shingle) and returns (doc_a, doc_b, na, nb, n_common).
@@ -856,13 +872,54 @@ def pair_overlap_counts(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     (its oracle left-joins), q92/q120's similarity thresholds drop
     them naturally, and q232 filters n_common > 0 explicitly to match
     its oracle's inner-join derivation.
+
+    Mega-doc guard (r7 verdict item 3 — the symmetric axis of q45's
+    df-cap): collecting one array per doc makes a single pathological
+    mega-doc one row of unbounded width in a task buffer. Per-doc
+    DISTINCT-shingle sizes are therefore computed first (countDistinct,
+    which also makes the function robust to duplicate element rows —
+    previously a docstring-only precondition), and any doc above
+    ``max_doc_shingles`` routes its candidate pairs to the STREAMING
+    verify instead: posting rows hash-join pair-keyed and aggregate —
+    the same exact counts, traded from one wide row to a streamed
+    aggregation. Both paths keep zero-overlap pairs. The oversized
+    slice is expected tiny (its doc ids broadcast), so the banded
+    path's |pairs| x |shingles-per-doc| term applies only where the
+    array path would have been the memory hazard.
     """
-    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("_arr"))
+    sizes = sh.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_sh")
+    )
+    big_ids = sizes.filter(F.col("n_sh") > max_doc_shingles).select("doc_id")
+    big_a = big_ids.select(F.col("doc_id").alias("doc_a")).withColumn(
+        "_big_a", F.lit(True)
+    )
+    big_b = big_ids.select(F.col("doc_id").alias("doc_b")).withColumn(
+        "_big_b", F.lit(True)
+    )
+    marked = (
+        pairs.select("doc_a", "doc_b")
+        .join(F.broadcast(big_a), "doc_a", "left")
+        .join(F.broadcast(big_b), "doc_b", "left")
+        .withColumn(
+            "_oversized",
+            F.coalesce(F.col("_big_a"), F.lit(False))
+            | F.coalesce(F.col("_big_b"), F.lit(False)),
+        )
+        .drop("_big_a", "_big_b")
+    )
+    small_pairs = marked.filter(~F.col("_oversized")).drop("_oversized")
+    big_pairs = marked.filter(F.col("_oversized")).drop("_oversized")
+
+    # Array path: only docs under the cap are ever collected, so the
+    # width bound survives by construction (left_anti against the
+    # broadcast oversized set); collect_set dedups defensively.
+    sh_small = sh.join(F.broadcast(big_ids), "doc_id", "left_anti")
+    sets = sh_small.groupBy("doc_id").agg(F.collect_set("shingle").alias("_arr"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("_arr").alias("_arr_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("_arr").alias("_arr_b"))
-    return (
-        pairs.select("doc_a", "doc_b")
-        .join(sa, "doc_a")
+    small_out = (
+        small_pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -874,6 +931,52 @@ def pair_overlap_counts(pairs: DataFrame, sh: DataFrame) -> DataFrame:
             .alias("n_common"),
         )
     )
+
+    # Streaming path for pairs touching an oversized doc: posting rows
+    # (deduped — the slice is small enough that the defensive distinct
+    # is cheap) join pair-keyed and aggregate; zero-overlap pairs are
+    # restored by the left join against the sizes base.
+    pair_docs = (
+        big_pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(big_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_pairdocs = sh.join(pair_docs, "doc_id", "left_semi").dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    ea = sh_pairdocs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("_sh_a")
+    )
+    eb = sh_pairdocs.select(
+        F.col("doc_id").alias("_doc_b_e"), F.col("shingle").alias("_sh_b")
+    )
+    overlap = (
+        big_pairs.join(ea, "doc_a")
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("_doc_b_e"))
+            & (F.col("_sh_a") == F.col("_sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    big_out = (
+        big_pairs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(overlap, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.coalesce(F.col("_n_common"), F.lit(0))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    return small_out.unionByName(big_out)
 
 
 # ---------------------------------------------------------------------------
@@ -2177,7 +2280,10 @@ def q210_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prefix_filter_pairs(
-    sh: DataFrame, t_num: int = _PPJ_T_NUM, t_den: int = _PPJ_T_DEN
+    sh: DataFrame,
+    t_num: int = _PPJ_T_NUM,
+    t_den: int = _PPJ_T_DEN,
+    guard: bool = True,
 ) -> DataFrame:
     """Exact Jaccard >= t_num/t_den pair join over (doc_id, shingle)
     element rows via prefix filtering — the reusable core behind q210.
@@ -2214,6 +2320,22 @@ def prefix_filter_pairs(
       (array_intersect on distinct-element arrays) instead of
       re-exploding posting lists through a pair-keyed aggregation —
       the candidate x |doc| row blow-up never materializes.
+
+    Routing guard (ENFORCED in-plan, r7 verdict item 2): on
+    adversarially small vocabularies (tiny shingle universe, high df)
+    the prefix self-join's fan-out — sum over prefix shingles of
+    C(df_pref, 2) — goes super-linear in documents, and since the
+    OUTPUT itself can be quadratic there, no exact algorithm fixes it;
+    the right move is q243_dedup_planner's routing to the LSH-verified
+    pipeline. The plan therefore prices the join before materializing
+    it: if candidate volume exceeds {_PREFIX_CAND_PER_DOC_MAX} per
+    document it raises a routing error naming q92_lsh_verified_pairs
+    (raise_error in the broadcast guard subtree, mirroring q45's
+    df-cap on the all-pairs axis), turning q243's advisory decision
+    into a load-bearing one. ``guard=False`` opts out for callers that
+    have already routed. Measured: sf0.1 corpus at t=1/3 sits far
+    under the cap; the synthetic tiny-vocabulary 100x sweep corpus
+    trips it in seconds instead of >25 min of join fan-out.
     """
     p, q = int(t_num), int(t_den)
     if not (0 < p <= q):
@@ -2232,6 +2354,50 @@ def prefix_filter_pairs(
     pref = pos.filter(
         F.expr(f"pos <= n_sh - ({p} * n_sh + {q - 1}) div {q} + 1")
     ).select("doc_id", "shingle", "pos", "n_sh")
+    if guard:
+        # Candidate volume the self-join WOULD materialize, priced on
+        # the prefix frame before the join exists. coalesce covers the
+        # empty-input case (sum over zero rows is NULL, which must not
+        # trip the otherwise-branch).
+        vol = pref.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("dfp")
+        ).agg(
+            F.coalesce(
+                F.sum(F.expr("dfp * (dfp - 1) div 2")), F.lit(0)
+            ).alias("n_cand")
+        )
+        ndocs = sh.agg(
+            F.greatest(F.countDistinct("doc_id"), F.lit(1)).alias("n_docs")
+        )
+        ok = vol.crossJoin(ndocs).select(
+            F.when(
+                F.col("n_cand")
+                <= F.lit(_PREFIX_CAND_PER_DOC_MAX) * F.col("n_docs"),
+                F.lit(True),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "prefix_filter_pairs: prefix-join candidate volume "
+                        "%s exceeds the exact-prefix routing bound "
+                        f"{_PREFIX_CAND_PER_DOC_MAX} per document (%s docs) "
+                        "— this corpus shape is the planner's "
+                        "'lsh-verify:q92' case (q243_dedup_planner); run "
+                        "the LSH-verified pipeline "
+                        "(q92_lsh_verified_pairs) instead",
+                        F.col("n_cand"),
+                        F.col("n_docs"),
+                    )
+                )
+                .cast("boolean")
+            )
+            .alias("_prefix_guard_ok")
+        )
+        pref = (
+            pref.crossJoin(F.broadcast(ok))
+            .filter(F.col("_prefix_guard_ok"))
+            .drop("_prefix_guard_ok")
+        )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(

@@ -111,6 +111,35 @@ def test_prefix_filter_sizes_and_ppm(spark):
     )
 
 
+def test_prefix_filter_routing_guard_fires_on_adversarial_corpus(spark):
+    """r7 verdict item 2: the tiny-vocabulary corpus (every doc drawn
+    from a handful of shingles) makes the prefix self-join's fan-out
+    quadratic — the in-plan guard must raise a ROUTING error naming
+    the LSH pipeline before the join materializes, turning q243's
+    advisory decision into a load-bearing one."""
+# 3000 docs all sharing one 4-token set (boilerplate corpus): the
+    # t=1/3 prefix keeps 3 of 4 shingles, each with df = 3000, so the
+    # join would materialize 3 * C(3000, 2) ~ 13.5M candidate rows =
+    # ~4500 per doc, over the 4096-per-doc cap. AQE may surface the
+    # USER_RAISED_EXCEPTION wrapped in a stage-materialization error,
+    # so match on the routing message, not the exception class.
+    rows = [(i, f"t{tok}") for i in range(3000) for tok in range(4)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    with pytest.raises(Exception, match="lsh-verify:q92"):
+        prefix_filter_pairs(sh, 1, 3).collect()
+    # guard=False is the documented escape hatch for callers that have
+    # already routed (and results stay exact under it)
+    small = spark.createDataFrame(rows[: 4 * 40], "doc_id long, shingle string")
+    assert prefix_filter_pairs(small, 1, 2, guard=False).count() == 40 * 39 // 2
+
+
+def test_prefix_filter_guard_passes_empty_input(spark):
+    """The guard's SUM over zero prefix rows is NULL — coalesce must
+    keep an empty corpus on the pass branch, not raise."""
+    sh = spark.createDataFrame([], "doc_id long, shingle string")
+    assert prefix_filter_pairs(sh).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # pair_overlap_counts (the r7 shared verify core) — direct property
 # test against brute-force set intersection, independent of any
@@ -148,3 +177,62 @@ def test_pair_overlap_counts_matches_bruteforce(spark, sets):
         for j in range(i + 1, n)
     }
     assert got == expected
+
+
+def test_pair_overlap_counts_routes_mega_docs(spark):
+    """r7 verdict item 3: docs above the distinct-shingle cap must
+    never be collected into one array row — their pairs route to the
+    streaming verify, with identical exact counts (including a
+    zero-overlap big pair) so every q92-family oracle is unchanged."""
+    from target_hdfs_spark.operators.dedup import pair_overlap_counts
+
+    sets = {
+        0: set(range(20)),        # mega-doc (cap set to 8 below)
+        1: {1, 2, 3},             # overlaps the mega-doc
+        2: {100, 101},            # zero overlap with the mega-doc
+        3: {2, 3, 100},           # small-small partner
+    }
+    rows = [(d, s) for d, els in sets.items() for s in els]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.na, r.nb, r.n_common)
+        for r in pair_overlap_counts(cand, sh, max_doc_shingles=8).collect()
+    }
+    expected = {
+        (a, b): (len(sets[a]), len(sets[b]), len(sets[a] & sets[b]))
+        for a, b in [(0, 1), (0, 2), (1, 3), (2, 3)]
+    }
+    assert got == expected
+    # duplicate element rows must not inflate counts on either path
+    # (countDistinct sizes + collect_set arrays + deduped postings)
+    sh_dup = sh.union(sh)
+    got_dup = {
+        (r.doc_a, r.doc_b): (r.na, r.nb, r.n_common)
+        for r in pair_overlap_counts(cand, sh_dup, max_doc_shingles=8).collect()
+    }
+    assert got_dup == expected
+
+
+def test_pair_overlap_counts_guard_survives_optimization(spark):
+    """Plan pin: the width-bound routing must still be present in the
+    OPTIMIZED physical plan — a broadcast anti-join keeps oversized
+    docs out of the collect_set aggregation, and the union of the two
+    verify paths is real (not optimized to a single collect branch)."""
+    from target_hdfs_spark.operators.dedup import pair_overlap_counts
+
+    sh = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 1)], "doc_id long, shingle long"
+    )
+    cand = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    plan = (
+        pair_overlap_counts(cand, sh)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan, "anti-join width guard was optimized away"
+    assert "collect_set" in plan
+    assert "Union" in plan, "streaming verify branch was optimized away"
