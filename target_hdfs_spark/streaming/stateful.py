@@ -409,7 +409,11 @@ def _funnel_chain(cands: list[list[int]]) -> list[int]:
     return stamps
 
 
-def _funnel_prune(cands: list[list[int]], stamps: list[int]) -> list[list[int]]:
+def _funnel_prune(
+    cands: list[list[int]],
+    stamps: list[int],
+    max_pending: int | None = None,
+) -> list[list[int]]:
     """Drop candidates that can never become a stage's answer.
 
     Stage 0's answer is a plain min — keep one value. For stage i>0
@@ -423,15 +427,33 @@ def _funnel_prune(cands: list[list[int]], stamps: list[int]) -> list[list[int]]:
     statistic: replaying batch q138 over (kept ∪ future) equals
     replaying it over (all-seen ∪ future). In well-formed behavioral
     logs candidates below a stage's threshold are rare (clicks before
-    the user's first view), so the kept sets stay O(1) in practice."""
+    the user's first view), so the kept sets stay O(1) in practice.
+
+    Two state-size controls (r7 verdict nit 3 / ADVICE):
+
+    - kept sets are DEDUPED to distinct stamps — pure compaction with
+      no accuracy cost (min{c > v} is a set function), so a user
+      replaying the same click timestamp forever holds one entry;
+    - worst case (malformed logs: thousands of DISTINCT clicks and no
+      view — the answer function genuinely needs every distinct value
+      for exactness, so unbounded-exact is the default), an optional
+      ``max_pending`` caps each kept set to its SMALLEST values.
+      Caveat when it truncates: if the prerequisite stamp later lands
+      ABOVE the whole kept set, the stage reports unreached (-1)
+      instead of a dropped larger candidate — the right trade on
+      adversarial keys, since dropped values are the LARGEST and
+      well-formed funnels resolve from the smallest candidates.
+    """
     out: list[list[int]] = []
     for i, cs in enumerate(cands):
         if i == 0:
             out.append([min(cs)] if cs else [])
         elif stamps[i] != -1:
-            out.append(sorted(c for c in cs if c <= stamps[i]))
+            out.append(sorted({c for c in cs if c <= stamps[i]}))
         else:
-            out.append(sorted(cs))
+            out.append(sorted(set(cs)))
+        if max_pending is not None and i > 0:
+            out[i] = out[i][:max_pending]
     return out
 
 
@@ -440,6 +462,7 @@ def _funnel_group(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
     ttl_ms: int | None = None,
+    max_pending: int | None = None,
 ) -> Iterable[pd.DataFrame]:
     empty = pd.DataFrame(
         {"user_id": [], "stage": [], "stage_ts_us": [], "since_view_us": []}
@@ -490,7 +513,7 @@ def _funnel_group(
         prev_since = int(before[i] - before[0]) if i == last else None
         if after[i] != before[i] or (i == last and since != prev_since):
             out.append((key[0], FUNNEL_STAGES[i], int(after[i]), since))
-    pruned = _funnel_prune(cands, after)
+    pruned = _funnel_prune(cands, after, max_pending)
     if ttl_ms is None:
         state.update(tuple(pruned))
     else:
@@ -508,6 +531,7 @@ def funnel_stage_stream(
     events: DataFrame,
     state_ttl_ms: int | None = None,
     watermark_delay: str = "0 seconds",
+    max_pending_candidates: int | None = None,
 ) -> DataFrame:
     """Streaming gapped-funnel tracker: emit one row per user per
     funnel stage when the stage's truth CHANGES — first reached, or
@@ -530,8 +554,17 @@ def funnel_stage_stream(
     parity tests pin this on in-order AND shuffled logs. State is
     the min view plus below-frontier click/purchase candidates —
     O(1) in practice (a below-frontier click is a click before the
-    user's first view), bounded by the user's funnel-event count in
-    the adversarial worst case, never by the stream.
+    user's first view), bounded by the user's DISTINCT funnel-event
+    stamps in the adversarial worst case (kept sets are deduped —
+    exact compaction), never by the stream.
+    ``max_pending_candidates`` hard-caps each stage's kept set to its
+    smallest values for deployments that must bound state against
+    MALFORMED logs (e.g. thousands of distinct clicks and no view —
+    where exactness genuinely needs every distinct stamp); when it
+    truncates, a prerequisite landing above the whole kept set reports
+    the stage unreached instead of a dropped larger candidate
+    (_funnel_prune's caveat). TTL-less deployments with ``None``
+    assume well-formed logs, where kept sets are O(1).
 
     ``state_ttl_ms`` turns the tracker into an attribution-window
     funnel: an idle user's progress evicts once the event-time
@@ -544,7 +577,9 @@ def funnel_stage_stream(
     """
 
     def fn(key, pdfs, state):
-        return _funnel_group(key, pdfs, state, state_ttl_ms)
+        return _funnel_group(
+            key, pdfs, state, state_ttl_ms, max_pending_candidates
+        )
 
     if state_ttl_ms is None:
         src, schema, timeout = events, FUNNEL_STATE_SCHEMA, GroupStateTimeout.NoTimeout
@@ -759,6 +794,13 @@ def _validate_gap_patterns(patterns: dict[str, dict]) -> None:
             assert len(_p["steps"]) >= 3, _n  # 2-step = the 'any' form
             assert _p["within"] >= len(_p["steps"]), _n
             continue
+        if form == "any":
+            # middle_any=True with a middle_not set would silently
+            # classify as the 'any' form and DROP the negation
+            # (_gap_form checks middle_any first) — keep the
+            # contradictory spec a registration-time error like the
+            # A B+ B case (ADVICE r7)
+            assert _p.get("middle_not") is None, _n
         if form == "quant":
             # earliest-completion-per-start is UNIQUE for the
             # contiguous form only when the quantified step differs
@@ -1534,6 +1576,152 @@ def _kmv_group(
         pd.DataFrame(out, columns=[f.name for f in KMV_OUTPUT_SCHEMA.fields])
         if out
         else empty
+    )
+
+
+CM_ROWS = 4
+CM_WIDTH = 512
+
+CM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("probe_user", T.LongType()),
+        T.StructField("est_c", T.LongType()),
+    ]
+)
+
+# the sketch IS the state: the flattened ROWS x WIDTH int64 cell
+# matrix (plus the total event count for observability)
+CM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+CM_STATE_TTL_SCHEMA = T.StructType(
+    [*CM_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _cm_coeffs() -> list[tuple[int, int]]:
+    from target_hdfs_spark.functions.hashing import hash_coeffs
+
+    return hash_coeffs(CM_ROWS)
+
+
+def _cm_buckets(user_id: int) -> list[int]:
+    """The CM_ROWS bucket indices for a user — q240's bucket function
+    verbatim ((a*h + b) mod Mersenne mod width over the portable
+    md5-32 base hash), so a batch rebuild is bit-identical."""
+    from target_hdfs_spark.functions.hashing import MERSENNE_P
+
+    h = _kmv_hash_py(user_id)
+    return [(a * h + b) % MERSENNE_P % CM_WIDTH for a, b in _cm_coeffs()]
+
+
+def _cm_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    probe_users: tuple[int, ...],
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"event_type": [], "probe_user": [], "est_c": []}
+    ).astype({"event_type": "object", "probe_user": "int64", "est_c": "int64"})
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        cells = list(stored[0])
+        n_events = int(stored[1])
+        prev_last = stored[2] if ttl_ms is not None else 0
+    else:
+        cells, n_events, prev_last = [0] * (CM_ROWS * CM_WIDTH), 0, 0
+
+    def estimate(user: int) -> int:
+        bkts = _cm_buckets(user)
+        return min(cells[r * CM_WIDTH + bkts[r]] for r in range(CM_ROWS))
+
+    before = {u: estimate(u) for u in probe_users}
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # counter addition is a commutative monoid: merge order cannot
+    # matter, so batch parity is unconditional for any arrival order
+    # (the same argument as KMV's bottom-k semilattice, on +)
+    for u in whole["user_id"]:
+        for r, bkt in enumerate(_cm_buckets(int(u))):
+            cells[r * CM_WIDTH + bkt] += 1
+    n_events += len(whole)
+    out = [
+        (key[0], u, estimate(u))
+        for u in probe_users
+        if estimate(u) != before[u]
+    ]
+    if ttl_ms is None:
+        state.update((cells, n_events))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((cells, n_events, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield (
+        pd.DataFrame(out, columns=[f.name for f in CM_OUTPUT_SCHEMA.fields])
+        if out
+        else empty
+    )
+
+
+def countmin_stream(
+    events: DataFrame,
+    probe_users: tuple[int, ...],
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming COUNT-MIN frequency sketch per event type — the
+    frequency-sketch companion to kmv_distinct_stream (r7 verdict
+    item 8), completing the streaming sketch story: KMV answers "how
+    many DISTINCT users", this answers "how often has user u done X".
+    State IS the sketch: the {CM_ROWS}x{CM_WIDTH} int64 cell matrix
+    (16 KB/key, flat forever — the whole point of a sketch), built
+    with q240_countmin_calibration's exact bucket function, so a batch
+    rebuild of the same matrix verifies the stream's readout
+    value-exactly. Counter addition is a commutative monoid, so the
+    final sketch equals the batch sketch for ANY arrival permutation
+    and batch split — the same unconditional-parity-by-algebra
+    argument as KMV's bottom-k semilattice, with + in place of min.
+
+    Emission contract: one row per probe user whose point estimate
+    (min over rows of its cells — never an underestimate) CHANGED this
+    batch; sink latest-per-(event_type, probe_user) = current
+    estimate. Probes are fixed at query start (the production shape:
+    a dashboard watches known-hot entities; ad-hoc probes replay the
+    sketch from the state store).
+
+    ``state_ttl_ms`` gives sliding-population semantics (an idle
+    type's matrix evicts); ``None`` accumulates forever at 16 KB/key.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+    probes = tuple(int(u) for u in probe_users)
+    if not probes:
+        raise ValueError("countmin_stream requires at least one probe user")
+
+    def fn(key, pdfs, state):
+        return _cm_group(key, pdfs, state, probes, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = events, CM_STATE_SCHEMA, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = CM_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=CM_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
     )
 
 

@@ -385,7 +385,7 @@ def test_multi_pattern_stream_equals_batch_q161(spark, tmp_path, seed):
 # ---------------------------------------------------------------------------
 
 
-def _run_funnel(spark, src, name):
+def _run_funnel(spark, src, name, **kwargs):
     from target_hdfs_spark.streaming.stateful import funnel_stage_stream
 
     schema = jsonschema_to_spark(PAT_SCHEMA)
@@ -395,7 +395,7 @@ def _run_funnel(spark, src, name):
         .json(str(src))
     )
     q = (
-        funnel_stage_stream(stream)
+        funnel_stage_stream(stream, **kwargs)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -428,6 +428,89 @@ def test_funnel_stage_straddles_batches(spark, tmp_path):
     )
     rows = {(r.stage, r.since_view_us) for r in _run_funnel(spark, src, "fun_straddle")}
     assert rows == {("view", None), ("click", None), ("purchase", 6_000_000)}
+
+
+def test_funnel_state_bound_adversarial_heavy_user():
+    """r7 verdict item 4: pin the kept-candidate cardinality on the
+    adversarial key — a user with thousands of clicks before any view.
+    Exactness genuinely requires every DISTINCT stamp there (a future
+    view at any position selects min{click > view}), so the default
+    keeps exactly the distinct set (the honest bound: the user's
+    distinct funnel-event stamps, never the stream), duplicates
+    compact to one entry at zero accuracy cost, and the opt-in cap
+    hard-bounds state to the smallest values."""
+    from target_hdfs_spark.streaming.stateful import (
+        _funnel_chain,
+        _funnel_prune,
+    )
+
+    clicks = [i * 10 for i in range(5000)]
+    cands = [[], list(clicks), []]
+    stamps = _funnel_chain(cands)
+    assert stamps == [-1, -1, -1]
+    kept = _funnel_prune(cands, stamps)
+    assert kept[1] == sorted(clicks)  # exact default: all distinct
+    # duplicate stamps are redundant for min{c > v} — compacted
+    dup = [[], [7] * 5000, []]
+    kept_dup = _funnel_prune(dup, _funnel_chain(dup))
+    assert kept_dup[1] == [7]
+    # opt-in hard cap: smallest values survive
+    capped = _funnel_prune(cands, stamps, max_pending=64)
+    assert capped[1] == sorted(clicks)[:64]
+    assert capped[2] == []
+    # well-formed key (view before clicks): frontier defined, kept set
+    # is the below-frontier candidates only — O(1), cap irrelevant
+    wf = [[100], [50, 150, 200], []]
+    wf_stamps = _funnel_chain(wf)
+    assert wf_stamps[:2] == [100, 150]
+    assert _funnel_prune(wf, wf_stamps, max_pending=64)[1] == [50, 150]
+
+
+def test_funnel_capped_stream_matches_uncapped_on_wellformed_log(
+    spark, tmp_path
+):
+    """max_pending_candidates must be a no-op on well-formed logs
+    (views arrive with the earliest stamps): capped and uncapped runs
+    emit identical stage rows."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        uid = 1 + (i % 5)
+        # each user's first event is their view (well-formed): event
+        # times ascend with i
+        etype = (
+            "view"
+            if i < 5
+            else rng.choice(["click", "purchase", "error", "signup"])
+        )
+        rows.append(
+            {
+                "user_id": uid,
+                "event_id": i,
+                "ts": f"2026-08-13T11:{i // 60:02d}:{i % 60:02d}Z",
+                "event_type": etype,
+            }
+        )
+    src_a = tmp_path / "fc_a"
+    src_b = tmp_path / "fc_b"
+    for src in (src_a, src_b):
+        _write(src / "a.jsonl", rows[:60])
+        time.sleep(1.1)
+        _write(src / "b.jsonl", rows[60:])
+    plain = {
+        (r.user_id, r.stage, r.stage_ts_us, r.since_view_us)
+        for r in _run_funnel(spark, src_a, "fun_nocap")
+    }
+    capped = {
+        (r.user_id, r.stage, r.stage_ts_us, r.since_view_us)
+        for r in _run_funnel(
+            spark, src_b, "fun_cap8", max_pending_candidates=8
+        )
+    }
+    assert capped == plain
+    assert any(s == "purchase" for _, s, _, _ in plain)
 
 
 @pytest.mark.parametrize("seed", [3, 23])
@@ -2241,3 +2324,227 @@ def test_kmv_stream_on_rocksdb(spark, tmp_path):
         spark.conf.set(key, prev)
     got = {(r.n_in_sketch, r.kth_hash, r.est_distinct) for r in rows}
     assert got == {(2, -1, 2), (3, -1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# countmin_stream (stateful frequency-sketch twin of
+# q240_countmin_calibration; r7 verdict item 8)
+# ---------------------------------------------------------------------------
+
+
+def _run_cm(spark, src, name, probes, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import countmin_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        countmin_stream(stream, probes, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def _cm_batch_estimates(rows, probes):
+    """Reference batch rebuild: the same matrix via the exported
+    bucket function, probed the same way."""
+    from target_hdfs_spark.streaming.stateful import (
+        CM_ROWS,
+        CM_WIDTH,
+        _cm_buckets,
+    )
+
+    matrices: dict[str, list[int]] = {}
+    for r in rows:
+        cells = matrices.setdefault(r["event_type"], [0] * (CM_ROWS * CM_WIDTH))
+        for i, bkt in enumerate(_cm_buckets(r["user_id"])):
+            cells[i * CM_WIDTH + bkt] += 1
+    out = {}
+    for etype, cells in matrices.items():
+        for u in probes:
+            bkts = _cm_buckets(u)
+            out[(etype, u)] = min(
+                cells[i * CM_WIDTH + bkts[i]] for i in range(CM_ROWS)
+            )
+    return {k: v for k, v in out.items() if v > 0}
+
+
+def test_cm_stream_counts_accumulate_across_batches(spark, tmp_path):
+    """user 1's estimate must accumulate across the state boundary
+    (2 views in batch 1, 1 more in batch 2 -> latest row 3); an
+    unprobed user emits nothing."""
+    src = tmp_path / "cmsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "view"}],
+    )
+    rows = _run_cm(spark, src, "cm_accum", probes=(1,))
+    ests = [r.est_c for r in rows if r.probe_user == 1]
+    assert ests == [2, 3]  # one changed-row per batch, accumulating
+    assert all(r.probe_user == 1 for r in rows)
+
+
+@pytest.mark.parametrize("seed", [17, 59])
+def test_cm_stream_equals_batch_rebuild_shuffled(spark, tmp_path, seed):
+    """Commutative-monoid parity: the log is SHUFFLED across two
+    batches; the latest estimate per (event_type, probe) — estimates
+    are monotone non-decreasing, so latest = max — must equal the
+    batch matrix rebuilt with the exported bucket function over the
+    same events."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase"]
+    probes = (3, 7, 11, 400)  # 400 never occurs -> no row
+    rows = [
+        {
+            "user_id": rng.randrange(40),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(300)
+    ]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    src = tmp_path / f"cmsrc2_{seed}"
+    _write(src / "a.jsonl", shuffled[:150])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", shuffled[150:])
+    got_rows = _run_cm(spark, src, f"cm_parity_{seed}", probes=probes)
+    got: dict = {}
+    for r in got_rows:
+        k = (r.event_type, r.probe_user)
+        got[k] = max(got.get(k, 0), r.est_c)
+    expected = _cm_batch_estimates(rows, probes)
+    assert got == expected
+    assert expected  # generator sanity
+    assert all(u != 400 for _, u in got)  # absent probe stayed silent
+
+
+def test_cm_stream_ttl_resets_counts(spark, tmp_path):
+    """TTL mode: an idle type's matrix evicts — the post-gap estimate
+    restarts from 1 instead of continuing the old count."""
+    src = tmp_path / "cmttl"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 9, "event_id": 3, "ts": "2026-08-13T10:30:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 9, "event_id": 4, "ts": "2026-08-13T10:31:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:00Z", "event_type": "view"}],
+    )
+    rows = _run_cm(spark, src, "cm_ttl", probes=(1,), ttl_ms=60_000)
+    views = [r.est_c for r in rows if r.event_type == "view"]
+    assert views == [2, 1]  # accumulation, then post-eviction restart
+    assert 3 not in views
+
+
+def test_cm_state_survives_query_restart(spark, tmp_path):
+    """Kill-resume: the matrix crosses a full query RESTART via the
+    checkpoint — the second run's estimate continues from 2 to 3."""
+    from target_hdfs_spark.streaming.stateful import countmin_stream
+
+    src, sink, ckpt = tmp_path / "cmsrc3", tmp_path / "cmsink", tmp_path / "cmckpt"
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            countmin_stream(stream, (1,))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    run_once()
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"}],
+    )
+    run_once()
+    got = sorted(r.est_c for r in spark.read.parquet(str(sink)).collect())
+    assert got == [2, 3]
+
+
+def test_cm_stream_on_rocksdb(spark, tmp_path):
+    """The 2048-cell array state roundtrips through the RocksDB
+    provider identically."""
+    src = tmp_path / "cmrocks"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"}],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = _run_cm(spark, src, "cm_rocks", probes=(1,))
+    finally:
+        spark.conf.set(key, prev)
+    assert sorted(r.est_c for r in rows) == [2, 3]
+
+
+def test_cm_stream_rejects_empty_probes():
+    import pyspark.sql  # noqa: F401
+
+    from target_hdfs_spark.streaming.stateful import countmin_stream
+
+    with pytest.raises(ValueError, match="probe"):
+        countmin_stream(None, ())
