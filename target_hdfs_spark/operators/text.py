@@ -1857,6 +1857,184 @@ def q237_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4n3: the full N-round BPE trainer loop (q200 is round 1's statistic,
+# q237 is one crank — this unrolls the trainer and emits the learned
+# merge TABLE, the artifact a tokenizer ships)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_ROUNDS = 8
+
+# Symbol-sequence rendering for exact merge application via plain SQL
+# replace: each symbol is wrapped in '|' boundary markers and symbols
+# are space-joined ('|t| |h| |e|'), so the merge pattern
+# '|a| |b|' -> '|ab|' can only match two complete adjacent symbols.
+# The naive unmarked rendering ('a b' -> 'ab') is correct ONLY while
+# every symbol is one character (q237's single crank): from round 2 a
+# pattern could match a multi-char symbol's suffix across a boundary
+# ('xa b' would merge under (a, b)). And a single-space delimiter
+# CANNOT be part of the pattern on both sides (' a b ' -> ' ab ')
+# because consecutive matches share the delimiter: 'a a a a' would
+# greedily merge only once. Boundary markers solve both exactly; the
+# corpus alphabet is space + [a-y] (verified), and words containing
+# the marker are excluded identically on both sides for portability.
+
+
+def _bpe_trainer_oracle(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled DuckDB oracle: one MATERIALIZED CTE chain per round
+    (the q236 lesson — inlined round CTEs re-evaluate exponentially),
+    each round = split -> pair count -> deterministic argmax
+    (freq DESC, a, b) -> merge application to the next vocab frame."""
+    parts = [
+        f"""
+    WITH wf AS MATERIALIZED (
+      SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({TOKENS_SQL.format(expr="text")}) AS tok
+        FROM documents
+      ) WHERE tok NOT LIKE '%|%' GROUP BY tok
+    ),
+    seq0 AS MATERIALIZED (
+      SELECT array_to_string(
+               list_transform(generate_series(1, length(w)),
+                              i -> '|' || substr(w, i, 1) || '|'),
+               ' ') AS seq,
+             freq
+      FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    y{r} AS MATERIALIZED (
+      SELECT string_split(seq, ' ') AS s, freq FROM seq{r - 1}
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT replace(s[i], '|', '') AS a,
+             replace(s[i + 1], '|', '') AS b, freq
+      FROM y{r}, unnest(generate_series(1, len(s) - 1)) AS t(i)
+      WHERE len(s) >= 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq
+      FROM p{r} GROUP BY a, b
+      ORDER BY SUM(freq) DESC, a, b LIMIT 1
+    ),
+    seq{r} AS MATERIALIZED (
+      SELECT replace(seq, '|' || a || '| |' || b || '|',
+                     '|' || a || b || '|') AS seq, freq
+      FROM seq{r - 1} CROSS JOIN m{r}
+    )"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS sym_a,"
+        f" b AS sym_b, pair_freq FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@query(
+    "q247_bpe_trainer",
+    oracle=_bpe_trainer_oracle(),
+    tags=("text", "tokenizer", "iterative"),
+)
+def q247_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE trainer loop, {_BPE_TRAIN_ROUNDS} merges unrolled:
+    per round, count adjacent symbol pairs over the vocab frame, take
+    the deterministic argmax (freq DESC, then pair — q200's tiebreak),
+    APPLY it to every word's symbol sequence, repeat — emitting the
+    learned merge table (merge_round, sym_a, sym_b, pair_freq), the
+    artifact a tokenizer actually ships (q200 pinned round 1's
+    statistic, q237 one application; this is the loop composed,
+    r7 verdict item 6).
+
+    Exact greedy-merge semantics at every round: symbols are rendered
+    with '|' boundary markers (see _bpe_trainer_oracle's comment — the
+    unmarked rendering is wrong once multi-char symbols exist, and
+    space-delimited patterns under-merge runs), and both engines'
+    replace scans left-to-right non-overlapping, which IS the
+    trainer's greedy rule.
+
+    Scale (q151's unrolled-iteration discipline): after ONE corpus
+    token count, every round runs on the |vocab|-bounded frequency
+    frame — pair explode (map-side), an |alphabet+r|²-bounded
+    aggregation with a 1-row argmax, and a map-side string pass with
+    the argmax broadcast. Each round's vocab frame is eagerly
+    localCheckpointed so the plan stays round-sized instead of
+    compounding {_BPE_TRAIN_ROUNDS} crossJoin+replace layers into one
+    exponential tree; 100 TB of text costs one token count plus
+    {_BPE_TRAIN_ROUNDS} vocab-sized passes.
+
+    Cites reference behavior: none (beyond-reference operator; the
+    reference has no tokenizer surface).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wf = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(tokens("text")).alias("w"))
+        .filter(~F.col("w").contains("|"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = wf.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(w)),"
+            " i -> concat('|', substr(w, i, 1), '|')), ' ')"
+        ).alias("seq"),
+        "freq",
+    ).localCheckpoint(eager=True)
+    merge_frames = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            seqs.select(F.split("seq", " ").alias("s"), "freq")
+            .filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct("
+                        "replace(element_at(s, i), '|', '') AS a,"
+                        " replace(element_at(s, i + 1), '|', '') AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("p.a", "p.b", "freq")
+        )
+        w_top = Window.orderBy(F.col("pair_freq").desc(), "a", "b")
+        m = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select("a", "b", "pair_freq")
+            .localCheckpoint(eager=True)  # feeds the output AND the merge
+        )
+        merge_frames.append(
+            m.select(
+                F.lit(r).cast("long").alias("merge_round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("pair_freq").cast("long").alias("pair_freq"),
+            )
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(m.select("a", "b")))
+            .select(
+                F.expr(
+                    "replace(seq, concat('|', a, '| |', b, '|'),"
+                    " concat('|', a, b, '|'))"
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_frames[0]
+    for mf in merge_frames[1:]:
+        out = out.unionByName(mf)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # L4n: multi-keyword scan (policy/PII-style literal matching, exact)
 # ---------------------------------------------------------------------------
 
