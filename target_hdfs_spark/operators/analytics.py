@@ -1118,7 +1118,9 @@ def q235_three_step_gapped_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: q162's posture — ONE user_id window Exchange, checkpointed
     alignment rows, map-side when-chains; the arm count is
-    sum_j C(j-1, k-2) (15 arms here), all evaluated in one projection.
+    sum over completion offsets j in [k-1, within-1] of C(j-1, k-2)
+    (k=3, within=6 here: C(1,1)+C(2,1)+C(3,1)+C(4,1) = 10 arms), all
+    evaluated in one projection.
     """
     from target_hdfs_spark.streaming.stateful import SEQ_PATTERNS
 

@@ -122,6 +122,7 @@ class SingerPipe:
         # skip counters, and the quarantine buffer for "dlq" mode
         self.invalid_counts: dict[str, int] = {}
         self._dlq: list[tuple[str, str, str]] = []
+        self._dlq_layout_checked = False
         # dry_run: full demux + validation + batching, NO writes —
         # the pre-flight a pipeline runs against a new tap before
         # letting it touch the destination. process_lines still
@@ -287,16 +288,48 @@ class SingerPipe:
         on every flush, and flush_all fires on every STATE — a chatty
         tap in dlq mode produced many driver-blocking jobs and tiny
         single-row files. partitionBy keeps the per-stream directory
-        layout (Hive-style) while issuing a single job per flush."""
+        layout (Hive-style) while issuing a single job per flush.
+
+        LAYOUT BREAK (ADVICE r7): r6 changed the layout from
+        _dlq/<stream> to Hive-partitioned _dlq/stream=<stream>.
+        Appending to a destination holding old-layout directories
+        would mix partitioned and non-partitioned data under one root
+        (old files lack the stream column), breaking
+        spark.read.parquet(_dlq) partition discovery — so the first
+        flush FAILS FAST when a legacy non-`stream=` subdirectory is
+        detected, naming the migration (mv _dlq/<s> _dlq/stream=<s>).
+        """
         if not self._dlq:
             return
         if self.dry_run:
             self._dlq.clear()
             return
+        base = f"{self.config.destination_path.rstrip('/')}/_dlq"
+        if not self._dlq_layout_checked:
+            from target_hdfs_spark.plans.compaction import _fs
+
+            fs, jpath, _ = _fs(self.spark, base)
+            if fs.exists(jpath):
+                legacy = [
+                    s.getPath().getName()
+                    for s in fs.listStatus(jpath)
+                    if s.isDirectory()
+                    and not s.getPath().getName().startswith("stream=")
+                    and not s.getPath().getName().startswith("_")
+                ]
+                if legacy:
+                    raise RuntimeError(
+                        f"legacy (pre-Hive-partitioned) DLQ layout detected "
+                        f"under {base}: {sorted(legacy)}; migrate each "
+                        "directory to the stream=<name> layout (e.g. "
+                        f"mv {base}/<s> {base}/stream=<s>) before appending "
+                        "— mixing layouts under one root breaks partition "
+                        "discovery for readers"
+                    )
+            self._dlq_layout_checked = True
         df = self.spark.createDataFrame(
             self._dlq, schema="stream string, record string, error string"
         )
-        base = f"{self.config.destination_path.rstrip('/')}/_dlq"
         df.coalesce(1).write.partitionBy("stream").mode("append").parquet(base)
         self._dlq.clear()
 

@@ -457,6 +457,38 @@ def test_on_invalid_dlq_quarantines_raw_records(spark, tmp_path):
     assert pipe.invalid_counts == {"s": 1}
 
 
+def test_dlq_fails_fast_on_legacy_layout(spark, tmp_path):
+    """ADVICE r7: r6's layout change (_dlq/<stream> ->
+    _dlq/stream=<stream>) must not silently mix layouts under one
+    root — the first flush against a destination holding a legacy
+    subdirectory raises with the migration path, and the valid-flow
+    write for the batch is unaffected."""
+    legacy = tmp_path / "_dlq" / "oldstream"
+    legacy.mkdir(parents=True)
+    (legacy / "part-000.parquet").write_bytes(b"")
+    config = TargetConfig(destination_path=str(tmp_path), on_invalid="dlq")
+    pipe = SingerPipe(spark, config)
+    with pytest.raises(RuntimeError, match="legacy.*stream=<s>"):
+        list(pipe.process_lines([
+            _schema_msg("s", {"id": {"type": "integer"}}),
+            _rec("s", id=7),
+            _rec("s", id="oops"),
+        ]))
+    # current-layout destinations (and _-prefixed bookkeeping dirs)
+    # are untouched by the check
+    import shutil
+
+    shutil.rmtree(tmp_path / "_dlq")
+    (tmp_path / "_dlq" / "stream=prior").mkdir(parents=True)
+    pipe2 = SingerPipe(spark, config)
+    list(pipe2.process_lines([
+        _schema_msg("s", {"id": {"type": "integer"}}),
+        _rec("s", id="oops2"),
+    ]))
+    assert pipe2.invalid_counts == {"s": 1}
+    assert (tmp_path / "_dlq" / "stream=s").is_dir()
+
+
 def test_on_invalid_dlq_one_write_many_streams(spark, tmp_path):
     """Two streams' quarantined rows land in their own partitions out
     of one partitionBy write; each keeps its own error text."""
