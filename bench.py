@@ -12,18 +12,17 @@ Methodology (stabilized for cross-machine comparability):
   is paid before any clock starts;
 - then POOLED timed passes of three runs per query with the best of
   ALL samples kept (steady-state: the number a warmed cluster would
-  see; minimum 2 passes = 6 samples/query since round 5, up from one
-  3-run pass in rounds 1-4) and the max-min spread reported per
+  see; FIXED 4 passes = 12 samples/query since round 8 — r5-r7 ran
+  a convergence-driven 2-4 and the r7 3-pass pool made three upticks
+  unresolvable against r6's 4-pass pool) and the max-min spread per
   query, so machine-condition noise is visible in the record instead
   of silently polluting the headline;
 - NOISE VALIDITY GATE: a loaded benchmark box shows up as uniformly
   inflated spreads (the round-4 incident: every query 1.2-1.6x slower
-  with 2-6x the usual spread, code unchanged). Two timed passes
-  always run with every sample pooled into the per-query best, and
-  further passes (up to MAX_PASSES) are CONVERGENCE-driven: as long
-  as the last pass improved the pooled best-total by more than
-  CONVERGE_TOL, the best-times haven't stabilized and another pass
-  runs. The `validity` object records passes taken, the per-pass
+  with 2-6x the usual spread, code unchanged). MIN_PASSES timed
+  passes always run with every sample pooled into the per-query best
+  (any passes beyond that, up to MAX_PASSES, would be
+  CONVERGENCE-driven). The `validity` object records passes taken, the per-pass
   median relative spread, and the best-total trajectory, and flags
   `noisy: true` when the final pass still showed high spread — so a
   number produced under residual noise is visibly marked instead of
@@ -97,6 +96,11 @@ def auto_headliners(specs) -> list[str]:
 # best-total is still improving by more than CONVERGE_TOL.
 NOISE_REL_SPREAD = 0.30
 CONVERGE_TOL = 0.03
+# r7 verdict item 5: the convergence early-exit stopped r7 at 3 passes
+# and made three per-query upticks unresolvable against r6's 4-pass
+# pool — passes are now FIXED at 4 so round-over-round deltas always
+# compare equal-sized best-of pools.
+MIN_PASSES = 4
 MAX_PASSES = 4
 RUNS_PER_PASS = 3
 
@@ -147,9 +151,9 @@ def main() -> None:
     best_total_trajectory = [round(sum(min(r) for r in samples.values()), 4)]
     passes = 1
     while passes < MAX_PASSES:
-        # always take a second pass; after that, continue only while
-        # pooling is still moving the best-total (not yet converged)
-        if passes >= 2:
+        # always take MIN_PASSES passes; beyond that, continue only
+        # while pooling is still moving the best-total (not converged)
+        if passes >= MIN_PASSES:
             prev, cur = best_total_trajectory[-2:]
             if prev - cur <= CONVERGE_TOL * prev:
                 break

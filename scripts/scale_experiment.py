@@ -122,6 +122,11 @@ QUERIES = (
     # CountMin build+probe (vocab-bounded after the token count)
     "q238_frequency_spectrum",
     "q240_countmin_calibration",
+    # round 8: the full N-round BPE trainer — after the one corpus
+    # token count every round is vocab-bounded, so the docs fan-out
+    # (which multiplies vocab too, via token suffixing) prices the
+    # per-round vocab passes
+    "q247_bpe_trainer",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -484,6 +489,11 @@ def main() -> None:
         EVENT_QUADRATIC_OUTPUT = keep(EVENT_QUADRATIC_OUTPUT)
         DOC_EXTRA_QUERIES = keep(DOC_EXTRA_QUERIES)
         DOC_EXPENSIVE_10X = keep(DOC_EXPENSIVE_10X)
+    # --expensive-full: lift DOC_EXPENSIVE_10X's 10x cap and attempt
+    # the full factor list (r8: the r7 array-verify rework changed the
+    # family's dominant term AFTER the 100x cap was recorded — this
+    # re-measures instead of trusting the stale CAP note)
+    expensive_cap = 10 if "--expensive-full" not in flags else max(factors)
     spark = get_spark(app_name="scale_experiment")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
@@ -491,7 +501,7 @@ def main() -> None:
         if "docs" in families:
             sf_dir = SRC if factor == 1 else build(spark, factor)
             _sweep(spark, specs, QUERIES, factor, sf_dir)
-            if factor <= 10:
+            if factor <= expensive_cap:
                 _sweep(spark, specs, DOC_EXPENSIVE_10X, factor, sf_dir)
         if "emb" in families:
             sf_dir = SRC if factor == 1 else build_embeddings(spark, factor)
