@@ -32,7 +32,9 @@ from target_hdfs_spark.session import get_spark
 
 def _ops():
     from target_hdfs_spark.streaming.stateful import (
+        bloom_filter_stream,
         clamped_balance_stream,
+        countmin_stream,
         ema_stream,
         funnel_stage_stream,
         gapped_pattern_stream,
@@ -53,6 +55,14 @@ def _ops():
         "ema_stream": ema_stream,
         "clamped_balance_stream": clamped_balance_stream,
         "kmv_distinct_stream": kmv_distinct_stream,
+        # fixed probe set: users 1-8 exist at every factor (the events
+        # fan-out strides user ids upward)
+        "countmin_stream": lambda s: countmin_stream(
+            s, tuple(range(1, 9))
+        ),
+        "bloom_filter_stream": lambda s: bloom_filter_stream(
+            s, tuple(range(1, 9))
+        ),
     }
 
 

@@ -5893,3 +5893,365 @@ def q246_kmv_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketches_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: CountMin inner product — join-size estimation from
+# two 4x512 integer sketches (q240's build, q209's question)
+# ---------------------------------------------------------------------------
+
+_CMJ_ROWS = 4
+_CMJ_WIDTH = 512
+
+
+def _cmj_coeffs():
+    from target_hdfs_spark.functions.hashing import hash_coeffs
+
+    return hash_coeffs(_CMJ_ROWS)
+
+
+def _cmj_bucket_sql(i: int) -> str:
+    from target_hdfs_spark.functions.hashing import MERSENNE_P
+
+    a, b = _cmj_coeffs()[i]
+    return f"(({a} * h + {b}) % {MERSENNE_P}) % {_CMJ_WIDTH}"
+
+
+def _cmj_oracle() -> str:
+    from target_hdfs_spark.functions.hashing import md5_hash32_sql
+
+    h = md5_hash32_sql("CAST(user_id AS VARCHAR)")
+    cell_parts = " UNION ALL ".join(
+        f"SELECT event_type, {i} AS r, {_cmj_bucket_sql(i)} AS bkt, c FROM uc"
+        for i in range(_CMJ_ROWS)
+    )
+    return f"""
+    WITH uc AS MATERIALIZED (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c,
+             {h} AS h
+      FROM events GROUP BY event_type, user_id
+    ),
+    cells AS MATERIALIZED (
+      SELECT event_type, r, bkt, CAST(SUM(c) AS BIGINT) AS cell
+      FROM ({cell_parts}) GROUP BY 1, 2, 3
+    ),
+    dots AS (
+      SELECT ca.event_type AS type_x, cb.event_type AS type_y, ca.r,
+             CAST(SUM(ca.cell * cb.cell) AS BIGINT) AS dot
+      FROM cells ca
+      JOIN cells cb ON ca.r = cb.r AND ca.bkt = cb.bkt
+                    AND ca.event_type < cb.event_type
+      GROUP BY 1, 2, 3
+    ),
+    est AS (
+      SELECT type_x, type_y, CAST(MIN(dot) AS BIGINT) AS est_join_rows
+      FROM dots GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT x.event_type AS type_x, y.event_type AS type_y,
+             CAST(SUM(x.c * y.c) AS BIGINT) AS exact_join_rows
+      FROM uc x JOIN uc y ON x.user_id = y.user_id
+                          AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_x, e.type_y,
+           CAST(COALESCE(x.exact_join_rows, 0) AS BIGINT) AS exact_join_rows,
+           e.est_join_rows,
+           CAST((e.est_join_rows - COALESCE(x.exact_join_rows, 0)) * 1000000
+                // greatest(COALESCE(x.exact_join_rows, 0), 1) AS BIGINT)
+             AS over_ppm
+    FROM est e LEFT JOIN ex x
+      ON x.type_x = e.type_x AND x.type_y = e.type_y
+    """
+
+
+@query(
+    "q249_countmin_join_estimate",
+    oracle=_cmj_oracle(),
+    tags=("sketch", "planner", "calibration", "observability"),
+)
+def q249_countmin_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from CountMin sketches: for every ordered
+    event-type pair, |A join B on user_id| estimated as the classic
+    sketch inner product — min over hash rows of sum_bkt
+    cellA[r][bkt] * cellB[r][bkt] — next to the exact answer
+    (sum over common users of cA(u) * cB(u)) and the one-sided
+    overestimate in ppm. This is how a planner prices an equi-join
+    WITHOUT touching the data twice: each side keeps a
+    {_CMJ_ROWS}x{_CMJ_WIDTH} integer matrix ({_CMJ_ROWS * _CMJ_WIDTH}
+    cells per stream, mergeable across partitions by addition), and
+    the estimate costs a {_CMJ_ROWS}x{_CMJ_WIDTH}-bounded join of two
+    sketches. q209 forecasts join sizes from exact per-key stats;
+    this does it from sketches a stream can maintain (the batch
+    calibration of countmin_stream's matrices), with the
+    never-underestimates guarantee value-checked per pair. Same
+    build as q240 (portable md5-32 base hash, minhash coefficient
+    family), so the sketches ARE the engine's production sketches.
+
+    Exactness: every cell, dot product, min, and the exact join size
+    are deterministic integers; one truncated ppm division
+    (greatest(exact, 1) guards empty intersections; est pairs missing
+    an exact row keep exact = 0 via the left join in BOTH engines).
+
+    Scale: one events pass collapses to the |types x users| count
+    frame (map-side combined); the sketch build is {_CMJ_ROWS}
+    map-side bucket passes over it onto |types| x {_CMJ_ROWS} x
+    {_CMJ_WIDTH} cells; dots join cells to cells (tiny); the exact
+    side — the expensive one, which exists here only as calibration —
+    is a user-keyed self-join of the count frame. At 100 TB you keep
+    the sketches and drop the exact side; nothing in the estimate
+    path scales with the corpus.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    from target_hdfs_spark.functions.hashing import MERSENNE_P, md5_hash32
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    uc = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "c",
+            F.col("user_id"),
+            md5_hash32(F.col("user_id").cast("string")).alias("h"),
+        )
+        .localCheckpoint()  # feeds the sketch build AND the exact side
+    )
+    cells = None
+    for i, (a, b) in enumerate(_cmj_coeffs()):
+        part = uc.groupBy(
+            "event_type",
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _CMJ_WIDTH)
+            .alias("bkt"),
+        ).agg(F.sum("c").alias("cell")).select(
+            "event_type", F.lit(i).alias("r"), "bkt", "cell"
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    ca = cells.select(
+        F.col("event_type").alias("type_x"), "r", "bkt",
+        F.col("cell").alias("cell_x"),
+    )
+    cb = cells.select(
+        F.col("event_type").alias("type_y"),
+        F.col("r").alias("_r"), F.col("bkt").alias("_bkt"),
+        F.col("cell").alias("cell_y"),
+    )
+    dots = (
+        ca.join(
+            cb,
+            (F.col("r") == F.col("_r"))
+            & (F.col("bkt") == F.col("_bkt"))
+            & (F.col("type_x") < F.col("type_y")),
+        )
+        .groupBy("type_x", "type_y", "r")
+        .agg(F.sum(F.col("cell_x") * F.col("cell_y")).alias("dot"))
+    )
+    est = dots.groupBy("type_x", "type_y").agg(
+        F.min("dot").cast("long").alias("est_join_rows")
+    )
+    ux = uc.select(
+        F.col("event_type").alias("type_x"), "user_id",
+        F.col("c").alias("cx"),
+    )
+    uy = uc.select(
+        F.col("event_type").alias("type_y"),
+        F.col("user_id").alias("_uid"),
+        F.col("c").alias("cy"),
+    )
+    exact = (
+        ux.join(
+            uy,
+            (F.col("user_id") == F.col("_uid"))
+            & (F.col("type_x") < F.col("type_y")),
+        )
+        .groupBy("type_x", "type_y")
+        .agg(F.sum(F.col("cx") * F.col("cy")).cast("long").alias("exact_join_rows"))
+    )
+    return est.join(exact, ["type_x", "type_y"], "left").select(
+        "type_x",
+        "type_y",
+        F.coalesce("exact_join_rows", F.lit(0)).cast("long").alias(
+            "exact_join_rows"
+        ),
+        "est_join_rows",
+        F.expr(
+            "(est_join_rows - coalesce(exact_join_rows, 0)) * 1000000"
+            " div greatest(coalesce(exact_join_rows, 0), 1)"
+        )
+        .cast("long")
+        .alias("over_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: Bloom filter membership — deterministic build + probe
+# + false-positive calibration (membership completes the trio next to
+# KMV/theta = distinct and CountMin = frequency)
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 4
+_BLOOM_M = 4096  # bit positions
+
+
+def _bloom_pos_sql(i: int) -> str:
+    from target_hdfs_spark.functions.hashing import MERSENNE_P, hash_coeffs
+
+    a, b = hash_coeffs(_BLOOM_K)[i]
+    return f"(({a} * h + {b}) % {MERSENNE_P}) % {_BLOOM_M}"
+
+
+def _bloom_oracle() -> str:
+    from target_hdfs_spark.functions.hashing import md5_hash32_sql
+
+    h = md5_hash32_sql("CAST(user_id AS VARCHAR)")
+    probe_parts = " UNION ALL ".join(
+        f"SELECT user_id, is_member, {_bloom_pos_sql(i)} AS pos FROM users"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH users AS MATERIALIZED (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS is_member,
+             {h} AS h
+      FROM events GROUP BY user_id
+    ),
+    probe AS MATERIALIZED ({probe_parts}),
+    pos_set AS MATERIALIZED (
+      SELECT DISTINCT pos FROM probe WHERE is_member = 1
+    ),
+    matched AS (
+      SELECT p.user_id, p.is_member,
+             CAST(COUNT(*) AS BIGINT) AS n_match
+      FROM probe p JOIN pos_set s ON s.pos = p.pos
+      GROUP BY 1, 2
+    ),
+    pos_users AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_positive,
+             CAST(SUM(is_member) AS BIGINT) AS n_true_positive
+      FROM matched WHERE n_match = {_BLOOM_K}
+    ),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(SUM(is_member) AS BIGINT) AS n_inserted
+      FROM users
+    ),
+    bits AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM pos_set)
+    SELECT t.n_inserted, b.bits_set, t.n_probes, p.n_positive,
+           p.n_true_positive,
+           p.n_positive - p.n_true_positive AS n_false_positive,
+           CAST((p.n_positive - p.n_true_positive) * 1000000
+                // greatest(t.n_probes - t.n_inserted, 1) AS BIGINT)
+             AS fp_ppm
+    FROM totals t CROSS JOIN bits b CROSS JOIN pos_users p
+    """
+
+
+@query(
+    "q250_bloom_calibration",
+    oracle=_bloom_oracle(),
+    tags=("sketch", "membership", "calibration", "observability"),
+)
+def q250_bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM FILTER membership, deterministic end-to-end: build a
+    {_BLOOM_K}-hash / {_BLOOM_M}-bit filter over purchasing users
+    (the filter is the DISTINCT set of bit positions — <= {_BLOOM_M}
+    rows, the relational rendering of the bit array), probe EVERY
+    user, and report the calibration row: inserted count, bits set,
+    positives, true positives, false positives, and the
+    false-positive rate over non-members in ppm. Completes the
+    deterministic sketch trio — KMV/theta answer distinct (q239/
+    q241/q246), CountMin answers frequency (q240/q249), Bloom answers
+    MEMBERSHIP — the filter a 100 TB pipeline ships to executors to
+    skip non-matching rows before a join (Spark's own runtime bloom
+    pushdown, made value-checkable: same portable md5-32 base hash and
+    coefficient family, so the DuckDB oracle rebuilds the identical
+    filter). No-false-negatives is checked BY VALUE:
+    n_true_positive = n_inserted in the emitted row.
+
+    Exactness: positions, matches, and counts are deterministic
+    integers; a probe is positive iff all {_BLOOM_K} of its position
+    rows (duplicates preserved — two hash functions may collide on a
+    position) find a set bit; one truncated ppm division
+    (greatest guards the all-members edge).
+
+    Scale: one events pass collapses to the |users| frame; probes are
+    {_BLOOM_K} map-side position expressions over it; the filter side
+    is <= {_BLOOM_M} distinct positions (broadcastable by
+    construction); the match join carries |users| x {_BLOOM_K} rows
+    into a user-keyed count. Nothing is corpus-quadratic; the filter
+    itself is O({_BLOOM_M}) regardless of corpus size — the point of
+    a Bloom filter.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    from target_hdfs_spark.functions.hashing import (
+        MERSENNE_P,
+        hash_coeffs,
+        md5_hash32,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("is_member")
+        )
+        .select(
+            "user_id",
+            "is_member",
+            md5_hash32(F.col("user_id").cast("string")).alias("h"),
+        )
+        .localCheckpoint()  # feeds probes, filter build, and totals
+    )
+    probe = None
+    for a, b in hash_coeffs(_BLOOM_K):
+        part = users.select(
+            "user_id",
+            "is_member",
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _BLOOM_M)
+            .alias("pos"),
+        )
+        probe = part if probe is None else probe.unionByName(part)
+    pos_set = (
+        probe.filter(F.col("is_member") == 1).select("pos").distinct()
+    )
+    matched = (
+        probe.join(F.broadcast(pos_set), "pos")
+        .groupBy("user_id", "is_member")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    pos_users = matched.filter(F.col("n_match") == _BLOOM_K).agg(
+        F.count(F.lit(1)).cast("long").alias("n_positive"),
+        F.sum("is_member").cast("long").alias("n_true_positive"),
+    )
+    totals = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("is_member").cast("long").alias("n_inserted"),
+    )
+    bits = pos_set.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    return (
+        totals.crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(pos_users))
+        .select(
+            "n_inserted",
+            "bits_set",
+            "n_probes",
+            "n_positive",
+            "n_true_positive",
+            (F.col("n_positive") - F.col("n_true_positive"))
+            .cast("long")
+            .alias("n_false_positive"),
+            F.expr(
+                "(n_positive - n_true_positive) * 1000000"
+                " div greatest(n_probes - n_inserted, 1)"
+            )
+            .cast("long")
+            .alias("fp_ppm"),
+        )
+    )

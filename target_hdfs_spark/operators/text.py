@@ -2035,6 +2035,182 @@ def q247_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4n4: BPE compression curve — the trainer's learning curve (what you
+# actually tune N on)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_compression_oracle(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    """q247's unrolled MATERIALIZED chain, read out as the per-round
+    corpus-weighted symbol count instead of the merge table."""
+    parts = [
+        f"""
+    WITH wf AS MATERIALIZED (
+      SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({TOKENS_SQL.format(expr="text")}) AS tok
+        FROM documents
+      ) WHERE tok NOT LIKE '%|%' GROUP BY tok
+    ),
+    seq0 AS MATERIALIZED (
+      SELECT array_to_string(
+               list_transform(generate_series(1, length(w)),
+                              i -> '|' || substr(w, i, 1) || '|'),
+               ' ') AS seq,
+             freq
+      FROM wf
+    ),
+    chars AS MATERIALIZED (
+      SELECT CAST(SUM(freq * length(w)) AS BIGINT) AS chars_total FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    y{r} AS MATERIALIZED (
+      SELECT string_split(seq, ' ') AS s, freq FROM seq{r - 1}
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT replace(s[i], '|', '') AS a,
+             replace(s[i + 1], '|', '') AS b, freq
+      FROM y{r}, unnest(generate_series(1, len(s) - 1)) AS t(i)
+      WHERE len(s) >= 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT a, b FROM p{r} GROUP BY a, b
+      ORDER BY SUM(freq) DESC, a, b LIMIT 1
+    ),
+    seq{r} AS MATERIALIZED (
+      SELECT replace(seq, '|' || a || '| |' || b || '|',
+                     '|' || a || b || '|') AS seq, freq
+      FROM seq{r - 1} CROSS JOIN m{r}
+    )"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS merge_round,
+           CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
+             AS symbols_total,
+           (SELECT chars_total FROM chars) AS chars_total,
+           CAST(SUM(freq * len(string_split(seq, ' '))) * 1000000
+                // (SELECT chars_total FROM chars) AS BIGINT)
+             AS compression_ppm
+    FROM seq{r}"""
+        for r in range(0, rounds + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@query(
+    "q248_bpe_compression",
+    oracle=_bpe_compression_oracle(),
+    tags=("text", "tokenizer", "iterative", "observability"),
+)
+def q248_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE COMPRESSION CURVE: the corpus-weighted total symbol count
+    after each of q247's {_BPE_TRAIN_ROUNDS} merge rounds (round 0 =
+    raw characters), with compression in ppm of the character
+    baseline — the tokenizer trainer's LEARNING CURVE, i.e. the
+    readout you actually choose the merge count N on (marginal
+    compression per merge flattens; train until it's not worth a
+    vocab slot). Composes q247's artifact into the decision metric
+    the way q203 turns dedup pairs into ROI.
+
+    Exactness: the merge chain is q247's verbatim (same argmax
+    tiebreak, same boundary-marker rendering), and the readout is an
+    integer weighted count per round; one truncated ppm division.
+
+    Scale: identical posture to q247 — one corpus token count, then
+    {_BPE_TRAIN_ROUNDS} vocab-bounded rounds over eagerly
+    checkpointed frames; the per-round readout is a single
+    sum(freq * size) aggregation on the frame the trainer already
+    materialized, so the curve costs {_BPE_TRAIN_ROUNDS + 1} scalar
+    aggregations over vocab-sized data.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wf = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(tokens("text")).alias("w"))
+        .filter(~F.col("w").contains("|"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # feeds seq0 AND the chars total
+    )
+    chars = wf.agg(
+        F.sum(F.col("freq") * F.length("w")).cast("long").alias("chars_total")
+    )
+    seqs = wf.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(w)),"
+            " i -> concat('|', substr(w, i, 1), '|')), ' ')"
+        ).alias("seq"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    def round_row(r: int, frame: DataFrame) -> DataFrame:
+        return (
+            frame.agg(
+                F.sum(F.col("freq") * F.size(F.split("seq", " ")))
+                .cast("long")
+                .alias("symbols_total")
+            )
+            .crossJoin(F.broadcast(chars))
+            .select(
+                F.lit(r).cast("long").alias("merge_round"),
+                "symbols_total",
+                "chars_total",
+                F.expr("symbols_total * 1000000 div chars_total")
+                .cast("long")
+                .alias("compression_ppm"),
+            )
+        )
+
+    rows = [round_row(0, seqs)]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            seqs.select(F.split("seq", " ").alias("s"), "freq")
+            .filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct("
+                        "replace(element_at(s, i), '|', '') AS a,"
+                        " replace(element_at(s, i + 1), '|', '') AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("p.a", "p.b", "freq")
+        )
+        w_top = Window.orderBy(F.col("_pf").desc(), "a", "b")
+        m = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("_pf"))
+            .withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(m))
+            .select(
+                F.expr(
+                    "replace(seq, concat('|', a, '| |', b, '|'),"
+                    " concat('|', a, b, '|'))"
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows.append(round_row(r, seqs))
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # L4n: multi-keyword scan (policy/PII-style literal matching, exact)
 # ---------------------------------------------------------------------------
 

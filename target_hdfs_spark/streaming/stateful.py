@@ -1725,6 +1725,151 @@ def countmin_stream(
     )
 
 
+BLOOM_K = 4
+BLOOM_M = 4096
+
+BLOOM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("probe_user", T.LongType()),
+        T.StructField("is_positive", T.BooleanType()),
+    ]
+)
+
+# the filter IS the state: the sorted distinct set-bit positions
+# (<= BLOOM_M int64s; typically far fewer)
+BLOOM_STATE_SCHEMA = T.StructType(
+    [T.StructField("pos", T.ArrayType(T.LongType()))]
+)
+BLOOM_STATE_TTL_SCHEMA = T.StructType(
+    [*BLOOM_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _bloom_positions(user_id: int) -> list[int]:
+    """q250_bloom_calibration's position function verbatim: BLOOM_K
+    (coefficient-family) hashes of the portable md5-32 base hash,
+    mod BLOOM_M — a batch rebuild is bit-identical."""
+    from target_hdfs_spark.functions.hashing import MERSENNE_P, hash_coeffs
+
+    h = _kmv_hash_py(user_id)
+    return [(a * h + b) % MERSENNE_P % BLOOM_M for a, b in hash_coeffs(BLOOM_K)]
+
+
+def _bloom_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    probe_users: tuple[int, ...],
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"event_type": [], "probe_user": [], "is_positive": []}
+    ).astype(
+        {"event_type": "object", "probe_user": "int64", "is_positive": "bool"}
+    )
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        pos = set(stored[0])
+        prev_last = stored[1] if ttl_ms is not None else 0
+    else:
+        pos, prev_last = set(), 0
+
+    def positive(user: int) -> bool:
+        return all(p in pos for p in _bloom_positions(user))
+
+    before = {u: positive(u) for u in probe_users}
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # set union is a semilattice: merge order cannot matter, so batch
+    # parity is unconditional for any arrival order (KMV's argument
+    # with union in place of bottom-k)
+    for u in whole["user_id"]:
+        pos.update(_bloom_positions(int(u)))
+    # membership is MONOTONE (bits only get set), so the only change
+    # a probe can report is negative -> positive
+    out = [
+        (key[0], u, True)
+        for u in probe_users
+        if positive(u) and not before[u]
+    ]
+    if ttl_ms is None:
+        state.update((sorted(pos),))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((sorted(pos), last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield (
+        pd.DataFrame(out, columns=[f.name for f in BLOOM_OUTPUT_SCHEMA.fields])
+        if out
+        else empty
+    )
+
+
+def bloom_filter_stream(
+    events: DataFrame,
+    probe_users: tuple[int, ...],
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming BLOOM membership filter per event type — the
+    membership twin completing the streaming sketch trio
+    (kmv_distinct_stream = distinct, countmin_stream = frequency,
+    this = membership). State IS the filter: the distinct set-bit
+    positions (<= {BLOOM_M} int64s, the relational bit array), built
+    with q250_bloom_calibration's exact position function, so a batch
+    rebuild verifies the stream value-exactly. Set union is a
+    semilattice, so the final filter equals the batch filter for ANY
+    arrival permutation and batch split — unconditional parity by
+    algebra, the family argument (min for KMV, + for CountMin, union
+    here).
+
+    Emission contract: membership is monotone (bits only get set), so
+    a probe emits exactly one row — (event_type, probe_user, true) in
+    the batch where it first turns positive; sink presence IS current
+    membership. Bloom semantics carry over: no false negatives
+    (an inserted probe always turns positive), false positives at the
+    calibrated q250 rate.
+
+    ``state_ttl_ms`` gives sliding-population semantics (an idle
+    type's filter evicts); ``None`` accumulates forever, bounded by
+    {BLOOM_M} positions regardless of stream length — the point of a
+    Bloom filter.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+    probes = tuple(int(u) for u in probe_users)
+    if not probes:
+        raise ValueError("bloom_filter_stream requires at least one probe user")
+
+    def fn(key, pdfs, state):
+        return _bloom_group(key, pdfs, state, probes, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = (
+            events,
+            BLOOM_STATE_SCHEMA,
+            GroupStateTimeout.NoTimeout,
+        )
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = (
+            BLOOM_STATE_TTL_SCHEMA,
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=BLOOM_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def kmv_distinct_stream(
     events: DataFrame,
     state_ttl_ms: int | None = None,

@@ -2548,3 +2548,220 @@ def test_cm_stream_rejects_empty_probes():
 
     with pytest.raises(ValueError, match="probe"):
         countmin_stream(None, ())
+
+
+# ---------------------------------------------------------------------------
+# bloom_filter_stream (membership twin of q250_bloom_calibration —
+# the third streaming sketch)
+# ---------------------------------------------------------------------------
+
+
+def _run_bloom(spark, src, name, probes, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import bloom_filter_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        bloom_filter_stream(stream, probes, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_bloom_stream_membership_transition_once(spark, tmp_path):
+    """An inserted probe emits exactly ONE positive row (monotone
+    membership), in the batch where it lands; re-inserting it emits
+    nothing; a never-inserted, non-colliding probe stays silent."""
+    src = tmp_path / "blsrc"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 5, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 5, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+            {"user_id": 6, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"},
+        ],
+    )
+    rows = _run_bloom(spark, src, "bl_once", probes=(5, 6, 700))
+    got = [(r.probe_user, r.is_positive) for r in rows]
+    from target_hdfs_spark.streaming.stateful import _bloom_positions
+
+    # probe 700 may legitimately collide into positives set by 5/6;
+    # assert silence only if its positions are not fully covered
+    covered = set()
+    for u in (5, 6):
+        covered.update(_bloom_positions(u))
+    collides = all(p in covered for p in _bloom_positions(700))
+    assert got.count((5, True)) == 1
+    assert got.count((6, True)) == 1
+    if not collides:
+        assert all(u != 700 for u, _ in got)
+
+
+@pytest.mark.parametrize("seed", [19, 73])
+def test_bloom_stream_equals_batch_rebuild_shuffled(spark, tmp_path, seed):
+    """Semilattice parity: shuffled two-batch log; a probe has a
+    positive row iff the batch-rebuilt filter (exported position
+    function over the same events) reports it positive."""
+    import random
+
+    from target_hdfs_spark.streaming.stateful import _bloom_positions
+
+    rng = random.Random(seed)
+    types = ["view", "click"]
+    probes = tuple(range(0, 60))
+    rows = [
+        {
+            "user_id": rng.randrange(30),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(200)
+    ]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    src = tmp_path / f"blsrc2_{seed}"
+    _write(src / "a.jsonl", shuffled[:100])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", shuffled[100:])
+    got_rows = _run_bloom(spark, src, f"bl_parity_{seed}", probes=probes)
+    got = {(r.event_type, r.probe_user) for r in got_rows}
+    assert all(r.is_positive for r in got_rows)
+    filters: dict = {}
+    for r in rows:
+        filters.setdefault(r["event_type"], set()).update(
+            _bloom_positions(r["user_id"])
+        )
+    expected = {
+        (etype, u)
+        for etype, pos in filters.items()
+        for u in probes
+        if all(p in pos for p in _bloom_positions(u))
+    }
+    assert got == expected
+    # no false negatives: every actually-inserted probed user is positive
+    inserted = {(r["event_type"], r["user_id"]) for r in rows if r["user_id"] in probes}
+    assert inserted <= got
+
+
+def test_bloom_stream_ttl_resets_filter(spark, tmp_path):
+    """TTL mode: an idle type's filter evicts — the probe re-emits a
+    positive transition after re-insertion (two rows total)."""
+    src = tmp_path / "blttl"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 9, "event_id": 2, "ts": "2026-08-13T10:30:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 9, "event_id": 3, "ts": "2026-08-13T10:31:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"user_id": 1, "event_id": 4, "ts": "2026-08-13T10:32:00Z", "event_type": "view"}],
+    )
+    rows = _run_bloom(spark, src, "bl_ttl", probes=(1,), ttl_ms=60_000)
+    views = [(r.event_type, r.is_positive) for r in rows if r.event_type == "view"]
+    assert views == [("view", True), ("view", True)]  # re-armed after eviction
+
+
+def test_bloom_state_survives_query_restart(spark, tmp_path):
+    """Kill-resume: positions persist across a checkpoint restart —
+    user 1's membership survives (no duplicate emission), user 2
+    transitions in run 2."""
+    from target_hdfs_spark.streaming.stateful import bloom_filter_stream
+
+    src, sink, ckpt = tmp_path / "blsrc3", tmp_path / "blsink", tmp_path / "blckpt"
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            bloom_filter_stream(stream, (1, 2))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"}],
+    )
+    run_once()
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"},
+        ],
+    )
+    run_once()
+    got = sorted(
+        (r.probe_user, r.is_positive)
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == [(1, True), (2, True)]
+
+
+def test_bloom_stream_on_rocksdb(spark, tmp_path):
+    """The positions-array state roundtrips through RocksDB."""
+    src = tmp_path / "blrocks"
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"}],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = _run_bloom(spark, src, "bl_rocks", probes=(1, 2))
+    finally:
+        spark.conf.set(key, prev)
+    assert sorted((r.probe_user, r.is_positive) for r in rows) == [
+        (1, True),
+        (2, True),
+    ]
+
+
+def test_bloom_stream_rejects_empty_probes():
+    import pyspark.sql  # noqa: F401
+
+    from target_hdfs_spark.streaming.stateful import bloom_filter_stream
+
+    with pytest.raises(ValueError, match="probe"):
+        bloom_filter_stream(None, ())
