@@ -52,6 +52,17 @@ WAIVERS: dict[str, str] = {
     " (q151 class); the one corpus stage is checkpointed before them",
     "q199_expected_steps_to_purchase": "4 unrolled Bellman updates + absorbed-state"
     " union per round, all on the S²-bounded matrix (q178 class)",
+    "q210_prefix_filter_join": "prefix join + array verify + the r8 in-plan"
+    " routing guard (2 scalar aggs over the prefix/sh frames): the guard's"
+    " exchanges price a 1-row decision, not data movement",
+    "q234_exact_threshold_curve": "q210's guarded pipeline + band rollup"
+    " (q210 class)",
+    "q249_countmin_join_estimate": "4 sketch-row build passes (each a"
+    " |types x 512|-bounded agg) + sketch-sized dot join + the exact"
+    " calibration self-join: sketch stages, not corpus stages",
+    "q251_sketch_merge_laws": "q249's build passes on both merged and direct"
+    " sides + sketch-sized symmetric-difference comparisons: every frame"
+    " after the one corpus pass is sketch-bounded",
 }
 
 

@@ -6018,16 +6018,20 @@ def q249_countmin_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds the sketch build AND the exact side
     )
-    cells = None
-    for i, (a, b) in enumerate(_cmj_coeffs()):
-        part = uc.groupBy(
-            "event_type",
-            ((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _CMJ_WIDTH)
-            .alias("bkt"),
-        ).agg(F.sum("c").alias("cell")).select(
-            "event_type", F.lit(i).alias("r"), "bkt", "cell"
-        )
-        cells = part if cells is None else cells.unionByName(part)
+    bkts = F.array(
+        *[
+            (F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _CMJ_WIDTH
+            for a, b in _cmj_coeffs()
+        ]
+    )
+    # ONE shuffle builds all rows: posexplode the per-row bucket array
+    # and aggregate on (type, r, bkt) — the union-of-row-passes shape
+    # costs one exchange per hash row for the same result
+    cells = (
+        uc.select("event_type", "c", F.posexplode(bkts).alias("r", "bkt"))
+        .groupBy("event_type", "r", "bkt")
+        .agg(F.sum("c").alias("cell"))
+    )
     ca = cells.select(
         F.col("event_type").alias("type_x"), "r", "bkt",
         F.col("cell").alias("cell_x"),
@@ -6253,5 +6257,210 @@ def q250_bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("fp_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: merge laws for CountMin and Bloom, value-checked as
+# theorems (q246 proved KMV's; this completes the trio — the property
+# that makes every sketch here distributable)
+# ---------------------------------------------------------------------------
+
+
+def _merge_laws_oracle() -> str:
+    from target_hdfs_spark.functions.hashing import md5_hash32_sql
+
+    h = md5_hash32_sql("CAST(user_id AS VARCHAR)")
+    cm_parts = " UNION ALL ".join(
+        f"SELECT event_type, {i} AS r, {_cmj_bucket_sql(i)} AS bkt, c FROM uc"
+        for i in range(_CMJ_ROWS)
+    )
+    bloom_parts = " UNION ALL ".join(
+        f"SELECT event_type, {_bloom_pos_sql(i)} AS pos FROM uc"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH uc AS MATERIALIZED (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c, {h} AS h
+      FROM events GROUP BY event_type, user_id
+    ),
+    cm_partials AS MATERIALIZED (
+      SELECT event_type, r, bkt, CAST(SUM(c) AS BIGINT) AS cell
+      FROM ({cm_parts}) GROUP BY 1, 2, 3
+    ),
+    cm_merged AS (
+      SELECT r, bkt, CAST(SUM(cell) AS BIGINT) AS cell
+      FROM cm_partials GROUP BY 1, 2
+    ),
+    cm_direct AS (
+      SELECT r, bkt, CAST(SUM(c) AS BIGINT) AS cell FROM (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS c, h
+        FROM uc GROUP BY user_id, h
+      ) g, (SELECT unnest(generate_series(0, {_CMJ_ROWS - 1})) AS r) x,
+      LATERAL (SELECT CASE x.r {" ".join(
+          f"WHEN {i} THEN {_cmj_bucket_sql(i).replace('h', 'g.h')}"
+          for i in range(_CMJ_ROWS))} END AS bkt)
+      GROUP BY 1, 2
+    ),
+    cm_diff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_diff FROM (
+        SELECT r, bkt, cell FROM cm_merged
+        EXCEPT SELECT r, bkt, cell FROM cm_direct
+        UNION ALL
+        (SELECT r, bkt, cell FROM cm_direct
+         EXCEPT SELECT r, bkt, cell FROM cm_merged)
+      )
+    ),
+    bl_partials AS MATERIALIZED (
+      SELECT DISTINCT event_type, pos FROM ({bloom_parts})
+    ),
+    bl_merged AS (SELECT DISTINCT pos FROM bl_partials),
+    bl_direct AS (
+      SELECT DISTINCT pos FROM ({bloom_parts.replace("event_type, ", "")})
+    ),
+    bl_diff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_diff FROM (
+        SELECT pos FROM bl_merged EXCEPT SELECT pos FROM bl_direct
+        UNION ALL
+        (SELECT pos FROM bl_direct EXCEPT SELECT pos FROM bl_merged)
+      )
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_partials,
+             CAST(SUM(cell) AS BIGINT) AS cm_total_mass
+      FROM cm_partials
+    ),
+    bl_stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS bloom_bits_set FROM bl_merged
+    )
+    SELECT s.n_partials, s.cm_total_mass, b.bloom_bits_set,
+           (c.n_diff = 0) AS cm_merge_matches,
+           (l.n_diff = 0) AS bloom_merge_matches
+    FROM stats s CROSS JOIN bl_stats b
+    CROSS JOIN cm_diff c CROSS JOIN bl_diff l
+    """
+
+
+@query(
+    "q251_sketch_merge_laws",
+    oracle=_merge_laws_oracle(),
+    tags=("sketch", "calibration", "observability"),
+)
+def q251_sketch_merge_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE LAWS for the other two sketch families, value-checked as
+    theorems (q246 proved KMV's bottom-k mergeability; this completes
+    the trio): per-event-type CountMin partials merged by CELL
+    ADDITION must equal the sketch built directly over the global
+    per-user counts (addition is associative/commutative), and
+    per-type Bloom partials merged by POSITION UNION must equal the
+    filter built directly over all users (union is a semilattice).
+    cm_merge_matches and bloom_merge_matches are asserted BY VALUE
+    against an oracle that replays both constructions independently —
+    the properties that let executors build partials and a driver (or
+    a later day's job) merge k integers instead of rescanning 100 TB,
+    and exactly the algebra the streaming twins' unconditional parity
+    rests on (countmin_stream, bloom_filter_stream).
+
+    Exactness: every cell, position, and symmetric-difference count is
+    a deterministic integer; the booleans ride the checked row.
+
+    Scale: one events pass to the |types x users| count frame; CM
+    partials are {_CMJ_ROWS} map-side bucket passes onto |types| x
+    {_CMJ_ROWS} x {_CMJ_WIDTH} cells; the direct side re-aggregates
+    users globally first (one more vocab... user-bounded pass); Bloom
+    sides are position projections with distincts on <= {_BLOOM_M}
+    rows. The comparison frames are sketch-sized, never corpus-sized.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    from target_hdfs_spark.functions.hashing import (
+        MERSENNE_P,
+        hash_coeffs,
+        md5_hash32,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    uc = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "user_id",
+            "c",
+            md5_hash32(F.col("user_id").cast("string")).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    cm_bkts = F.array(
+        *[
+            (F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _CMJ_WIDTH
+            for a, b in hash_coeffs(_CMJ_ROWS)
+        ]
+    )
+    cm_partials = (
+        uc.select("event_type", "c", F.posexplode(cm_bkts).alias("r", "bkt"))
+        .groupBy("event_type", "r", "bkt")
+        .agg(F.sum("c").alias("cell"))
+        .localCheckpoint()
+    )
+    cm_merged = cm_partials.groupBy("r", "bkt").agg(
+        F.sum("cell").alias("cell")
+    )
+    gu = uc.groupBy("user_id", "h").agg(F.sum("c").alias("c"))
+    cm_direct = (
+        gu.select("c", F.posexplode(cm_bkts).alias("r", "bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.sum("c").alias("cell"))
+    )
+    cm_diff = (
+        cm_merged.exceptAll(cm_direct)
+        .unionByName(cm_direct.exceptAll(cm_merged))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    bl_partials = None
+    for a, b in hash_coeffs(_BLOOM_K):
+        part = uc.select(
+            "event_type",
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _BLOOM_M)
+            .alias("pos"),
+        )
+        bl_partials = (
+            part if bl_partials is None else bl_partials.unionByName(part)
+        )
+    bl_partials = bl_partials.distinct().localCheckpoint()
+    bl_merged = bl_partials.select("pos").distinct()
+    # the THEOREM needs an independent construction on the direct
+    # side: rebuild from per-user hashes without the per-type stage
+    bl_direct = None
+    for a, b in hash_coeffs(_BLOOM_K):
+        part = gu.select(
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _BLOOM_M)
+            .alias("pos")
+        )
+        bl_direct = part if bl_direct is None else bl_direct.unionByName(part)
+    bl_direct = bl_direct.distinct()
+    bl_diff = (
+        bl_merged.exceptAll(bl_direct)
+        .unionByName(bl_direct.exceptAll(bl_merged))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    stats = cm_partials.agg(
+        F.count(F.lit(1)).cast("long").alias("n_partials"),
+        F.sum("cell").cast("long").alias("cm_total_mass"),
+    )
+    bl_stats = bl_merged.agg(
+        F.count(F.lit(1)).cast("long").alias("bloom_bits_set")
+    )
+    return (
+        stats.crossJoin(F.broadcast(bl_stats))
+        .crossJoin(F.broadcast(cm_diff))
+        .crossJoin(F.broadcast(bl_diff.withColumnRenamed("n_diff", "_bld")))
+        .select(
+            "n_partials",
+            "cm_total_mass",
+            "bloom_bits_set",
+            (F.col("n_diff") == 0).alias("cm_merge_matches"),
+            (F.col("_bld") == 0).alias("bloom_merge_matches"),
         )
     )

@@ -2393,11 +2393,8 @@ def prefix_filter_pairs(
             )
             .alias("_prefix_guard_ok")
         )
-        pref = (
-            pref.crossJoin(F.broadcast(ok))
-            .filter(F.col("_prefix_guard_ok"))
-            .drop("_prefix_guard_ok")
-        )
+    else:
+        ok = None
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
@@ -2431,6 +2428,16 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
+    if ok is not None:
+        # attach the 1-row guard ONCE above the self-join (attaching
+        # to `pref` would duplicate the guard subtree into both join
+        # sides); its stage races the join's shuffle stages under AQE
+        # and aborts the query in seconds when it fires
+        cand = (
+            cand.crossJoin(F.broadcast(ok))
+            .filter(F.col("_prefix_guard_ok"))
+            .drop("_prefix_guard_ok")
+        )
     sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("arr"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))

@@ -1054,10 +1054,21 @@ def test_q234_exact_curve_rides_prefix_join(spark):
     """The exact threshold curve is q210's posture at t=1/3 plus
     reductions: equi-keyed prefix join (no cartesian), one
     checkpointed tokenize pass, array_intersect verify; the banding
-    adds a tiny aggregation + window above it."""
+    adds a tiny aggregation + window above it. The ONLY nested-loop
+    join allowed is the r8 routing guard's 1-row scalar attach
+    (_prefix_guard_ok) — anything else would mean the prefix join
+    degenerated to all-pairs."""
     plan = plan_of(spark, "q234_exact_threshold_curve")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the routing guard contributes exactly two 1-row cross joins
+    # (scalar volume x scalar doc count, then the attach above the
+    # candidate join) — recognizable by the raise_error fingerprint;
+    # any OTHER nested-loop join means the prefix join degenerated
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "raise_error" in plan, (
+            "a nested-loop join other than the 1-row routing guard"
+        )
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") >= 1
     assert "array_intersect" in plan
 
