@@ -6464,3 +6464,173 @@ def q251_sketch_merge_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_bld") == 0).alias("bloom_merge_matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: KMV rolling rollup — per-day sketch partials merged
+# across a trailing window (the hypertable-rollup pattern: store tiny
+# partials, answer any window by merging, never rescan the corpus)
+# ---------------------------------------------------------------------------
+
+_ROLL_DAYS = 3  # trailing window width (d-2 .. d)
+
+
+def _kmv_roll_oracle() -> str:
+    from target_hdfs_spark.functions.hashing import md5_hash32_sql
+
+    h = md5_hash32_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH ue AS MATERIALIZED (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id,
+             {h} AS hv
+      FROM events
+    ),
+    days AS (SELECT DISTINCT event_type, day FROM ue),
+    win AS MATERIALIZED (
+      SELECT d.event_type, d.day, u.user_id, u.hv
+      FROM days d JOIN ue u
+        ON u.event_type = d.event_type
+       AND u.day BETWEEN d.day - {_ROLL_DAYS - 1} AND d.day
+    ),
+    dist AS (SELECT DISTINCT event_type, day, hv FROM win),
+    ranked AS (
+      SELECT event_type, day, hv,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY hv) AS rn
+      FROM dist
+    ),
+    sk AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+             MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT event_type, day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM win GROUP BY 1, 2
+    )
+    SELECT s.event_type, CAST(s.day AS VARCHAR) AS day,
+           x.exact_distinct,
+           CAST(COALESCE(s.kth, -1) AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN s.n_in_sketch = {_KMV_K}
+                     THEN ({_KMV_K} - 1) * {_KMV_DOMAIN}
+                          // greatest(s.kth, 1)
+                     ELSE s.n_in_sketch END AS BIGINT) AS est_distinct
+    FROM sk s JOIN ex x
+      ON x.event_type = s.event_type AND x.day = s.day
+    """
+
+
+@query(
+    "q252_kmv_rolling_rollup",
+    oracle=_kmv_roll_oracle(),
+    tags=("sketch", "rollup", "window", "calibration"),
+)
+def q252_kmv_rolling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV ROLLING ROLLUP — the hypertable pattern: per-(type, day)
+    KMV partials (k smallest hashes) merged across the trailing
+    {_ROLL_DAYS}-day window per day, so any "distinct users last N
+    days" readout is answered by merging |window| x k integers
+    instead of rescanning the raw events — the materialized-rollup
+    discipline a 100 TB time-series store lives by, applied to the
+    engine's deterministic sketch. The Spark plan IS the two-level
+    construction (per-day bottom-k first, then bottom-k of the pooled
+    partials); the oracle rebuilds each window's sketch DIRECTLY from
+    the events — their value-equality is q246's mergeability theorem
+    applied per window, checked on every (type, day) row, alongside
+    the exact rolling distinct for calibration.
+
+    Exactness: hashes, ranks, and the estimator are deterministic
+    integers (q239's estimator; kth_hash -1 while the window holds
+    fewer than k hashes, where the estimate is exact by
+    construction); the exact side counts DISTINCT user_id, not
+    hashes, so a 32-bit collision cannot contaminate the truth
+    column; day is emitted as its ISO string in both engines.
+
+    Scale: one events pass to the distinct (type, day, hash) frame;
+    per-day bottom-k via WindowGroupLimit (never sorts a day's users
+    in one task); the trailing-window join fans each day's <= k
+    partial rows to {_ROLL_DAYS} window anchors (a |days|-bounded
+    range join over k-bounded rows — partials, never raw events);
+    the second bottom-k runs on <= {_ROLL_DAYS}*k rows per group. The
+    exact side exists as calibration and is the only corpus-heavy
+    term; production keeps the partials and drops it.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    from target_hdfs_spark.functions.hashing import md5_hash32
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    ue = (
+        ev.select(
+            "event_type",
+            "day",
+            "user_id",
+            md5_hash32(F.col("user_id").cast("string")).alias("hv"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds partials AND the exact side
+    )
+    w_day = Window.partitionBy("event_type", "day").orderBy("hv")
+    daily = (
+        ue.select("event_type", "day", "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "day", "hv")
+    )
+    days = ue.select("event_type", "day").distinct()
+    anchors = days.select(
+        F.col("event_type").alias("_et"), F.col("day").alias("_anchor")
+    )
+    pooled = (
+        anchors.join(
+            daily,
+            (F.col("event_type") == F.col("_et"))
+            & (F.col("day") >= F.date_sub(F.col("_anchor"), _ROLL_DAYS - 1))
+            & (F.col("day") <= F.col("_anchor")),
+        )
+        .select(
+            "_et",
+            "_anchor",
+            "hv",
+        )
+        .distinct()
+    )
+    w_roll = Window.partitionBy("_et", "_anchor").orderBy("hv")
+    sk = (
+        pooled.withColumn("rn", F.row_number().over(w_roll))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("_et", "_anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_sketch"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("kth"),
+        )
+    )
+    exact = (
+        anchors.join(
+            ue,
+            (F.col("event_type") == F.col("_et"))
+            & (F.col("day") >= F.date_sub(F.col("_anchor"), _ROLL_DAYS - 1))
+            & (F.col("day") <= F.col("_anchor")),
+        )
+        .groupBy("_et", "_anchor")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return (
+        sk.join(exact, ["_et", "_anchor"])
+        .select(
+            F.col("_et").alias("event_type"),
+            F.date_format("_anchor", "yyyy-MM-dd").alias("day"),
+            "exact_distinct",
+            F.coalesce(F.col("kth"), F.lit(-1)).cast("long").alias("kth_hash"),
+            F.when(F.col("n_in_sketch") == _KMV_K,
+                   F.expr(f"({_KMV_K} - 1) * {_KMV_DOMAIN}"
+                          " div greatest(kth, 1)"))
+            .otherwise(F.col("n_in_sketch"))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
