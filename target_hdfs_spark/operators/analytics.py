@@ -6472,7 +6472,7 @@ def q251_sketch_merge_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partials, answer any window by merging, never rescan the corpus)
 # ---------------------------------------------------------------------------
 
-_ROLL_DAYS = 3  # trailing window width (d-2 .. d)
+_KMV_ROLL_DAYS = 3  # trailing window width (d-2 .. d)
 
 
 def _kmv_roll_oracle() -> str:
@@ -6490,7 +6490,7 @@ def _kmv_roll_oracle() -> str:
       SELECT d.event_type, d.day, u.user_id, u.hv
       FROM days d JOIN ue u
         ON u.event_type = d.event_type
-       AND u.day BETWEEN d.day - {_ROLL_DAYS - 1} AND d.day
+       AND u.day BETWEEN d.day - {_KMV_ROLL_DAYS - 1} AND d.day
     ),
     dist AS (SELECT DISTINCT event_type, day, hv FROM win),
     ranked AS (
@@ -6529,7 +6529,7 @@ def _kmv_roll_oracle() -> str:
 def q252_kmv_rolling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV ROLLING ROLLUP — the hypertable pattern: per-(type, day)
     KMV partials (k smallest hashes) merged across the trailing
-    {_ROLL_DAYS}-day window per day, so any "distinct users last N
+    {_KMV_ROLL_DAYS}-day window per day, so any "distinct users last N
     days" readout is answered by merging |window| x k integers
     instead of rescanning the raw events — the materialized-rollup
     discipline a 100 TB time-series store lives by, applied to the
@@ -6550,9 +6550,9 @@ def q252_kmv_rolling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one events pass to the distinct (type, day, hash) frame;
     per-day bottom-k via WindowGroupLimit (never sorts a day's users
     in one task); the trailing-window join fans each day's <= k
-    partial rows to {_ROLL_DAYS} window anchors (a |days|-bounded
+    partial rows to {_KMV_ROLL_DAYS} window anchors (a |days|-bounded
     range join over k-bounded rows — partials, never raw events);
-    the second bottom-k runs on <= {_ROLL_DAYS}*k rows per group. The
+    the second bottom-k runs on <= {_KMV_ROLL_DAYS}*k rows per group. The
     exact side exists as calibration and is the only corpus-heavy
     term; production keeps the partials and drops it.
 
@@ -6589,7 +6589,7 @@ def q252_kmv_rolling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchors.join(
             daily,
             (F.col("event_type") == F.col("_et"))
-            & (F.col("day") >= F.date_sub(F.col("_anchor"), _ROLL_DAYS - 1))
+            & (F.col("day") >= F.date_sub(F.col("_anchor"), _KMV_ROLL_DAYS - 1))
             & (F.col("day") <= F.col("_anchor")),
         )
         .select(
@@ -6613,7 +6613,7 @@ def q252_kmv_rolling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchors.join(
             ue,
             (F.col("event_type") == F.col("_et"))
-            & (F.col("day") >= F.date_sub(F.col("_anchor"), _ROLL_DAYS - 1))
+            & (F.col("day") >= F.date_sub(F.col("_anchor"), _KMV_ROLL_DAYS - 1))
             & (F.col("day") <= F.col("_anchor")),
         )
         .groupBy("_et", "_anchor")

@@ -202,6 +202,35 @@ def test_docs_list_every_registered_query():
         assert not phantom, f"{doc} mentions unregistered queries: {sorted(phantom)}"
 
 
+def test_no_duplicate_module_constants():
+    """A module-level constant defined twice silently SHADOWS the
+    first definition for every function that reads it at call time —
+    the r8 q252/q190 incident: appending `_ROLL_DAYS = 3` for a new
+    query flipped q190's rolling window from 7 to 3 days while its
+    registration-time oracle string kept 7. Ban duplicate uppercase
+    module-level assignments in the operator/streaming modules."""
+    import re
+    from collections import Counter
+    from glob import glob
+
+    pkg = os.path.join(REPO, "target_hdfs_spark")
+    offenders = {}
+    for path in sorted(
+        glob(os.path.join(pkg, "operators", "*.py"))
+        + glob(os.path.join(pkg, "streaming", "*.py"))
+        + glob(os.path.join(pkg, "functions", "*.py"))
+    ):
+        with open(path) as fh:
+            src = fh.read()
+        names = re.findall(r"^(_?[A-Z][A-Z0-9_]*) = ", src, re.M)
+        dups = sorted(n for n, c in Counter(names).items() if c > 1)
+        if dups:
+            offenders[os.path.relpath(path, REPO)] = dups
+    assert not offenders, (
+        f"duplicate module-level constants (shadowing hazard): {offenders}"
+    )
+
+
 def test_torn_ledger_never_breaks_import(tmp_path):
     """A half-written CORRECTNESS file (the driver may drop one
     mid-round) is skipped, not fatal."""
