@@ -2332,10 +2332,18 @@ def prefix_filter_pairs(
     document it raises a routing error naming q92_lsh_verified_pairs
     (raise_error in the broadcast guard subtree, mirroring q45's
     df-cap on the all-pairs axis), turning q243's advisory decision
-    into a load-bearing one. ``guard=False`` opts out for callers that
-    have already routed. Measured: sf0.1 corpus at t=1/3 sits far
-    under the cap; the synthetic tiny-vocabulary 100x sweep corpus
-    trips it in seconds instead of >25 min of join fan-out.
+    into a load-bearing one. The same guard row also enforces the
+    ARRAY WIDTH cap: the verify collects one shingle array per doc,
+    so a doc above {_POC_MAX_DOC_SHINGLES} distinct shingles fails
+    fast with the routing message before any array is built (the LSH
+    pipeline's pair_overlap_counts ROUTES such docs to a streaming
+    verify — the exact-prefix path deliberately fail-fasts instead:
+    routing machinery measured 3x slower at 10x/100x docs here, and
+    this path is for corpora the planner already priced as clean).
+    ``guard=False`` opts out for callers that have already routed.
+    Measured: sf0.1 corpus at t=1/3 sits far under both caps; the
+    synthetic tiny-vocabulary 100x sweep corpus trips the volume cap
+    in seconds instead of >25 min of join fan-out.
     """
     p, q = int(t_num), int(t_den)
     if not (0 < p <= q):
@@ -2369,8 +2377,32 @@ def prefix_filter_pairs(
         ndocs = sh.agg(
             F.greatest(F.countDistinct("doc_id"), F.lit(1)).alias("n_docs")
         )
-        ok = vol.crossJoin(ndocs).select(
+        # Max doc width rides the same prefix frame: the verify
+        # collects one array per doc, so a doc above the array cap
+        # must fail fast with the routing message BEFORE any array is
+        # built (the LSH pipeline's pair_overlap_counts routes such
+        # docs to a streaming verify; the exact-prefix path is for
+        # corpora the planner already priced as clean). n_sh is the
+        # doc's distinct-shingle count under the input contract and
+        # appears on every prefix row.
+        width = pref.agg(
+            F.coalesce(F.max("n_sh"), F.lit(0)).alias("max_n_sh")
+        )
+        ok = vol.crossJoin(ndocs).crossJoin(width).select(
             F.when(
+                F.col("max_n_sh") > _POC_MAX_DOC_SHINGLES,
+                F.raise_error(
+                    F.format_string(
+                        "prefix_filter_pairs: a document has %s distinct "
+                        f"shingles (array cap {_POC_MAX_DOC_SHINGLES}) — "
+                        "route this corpus via q92_lsh_verified_pairs, "
+                        "whose verify streams oversized docs instead of "
+                        "collecting them",
+                        F.col("max_n_sh"),
+                    )
+                ).cast("boolean"),
+            )
+            .when(
                 F.col("n_cand")
                 <= F.lit(_PREFIX_CAND_PER_DOC_MAX) * F.col("n_docs"),
                 F.lit(True),
@@ -2438,6 +2470,14 @@ def prefix_filter_pairs(
             .filter(F.col("_prefix_guard_ok"))
             .drop("_prefix_guard_ok")
         )
+    # inline collected-array verify: cand has exactly one consumer, so
+    # the single collect_list pass beats routing through
+    # pair_overlap_counts (measured 3x at 10x/100x docs: the shared
+    # core's sizes pass + candidate checkpoint + two-branch scan only
+    # pay off when pairs ARRIVE from an unbounded generator, the LSH
+    # family's shape). Width safety comes from the guard above
+    # instead: a doc over the array cap fails fast with the routing
+    # message before any array is built.
     sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("arr"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))

@@ -133,6 +133,22 @@ def test_prefix_filter_routing_guard_fires_on_adversarial_corpus(spark):
     assert prefix_filter_pairs(small, 1, 2, guard=False).count() == 40 * 39 // 2
 
 
+def test_prefix_filter_width_guard_fires_on_mega_doc(spark):
+    """The guard row also enforces the array-width cap: one doc above
+    the per-doc distinct-shingle bound fails fast with the routing
+    message BEFORE the verify collects any array (pair_overlap_counts
+    routes such docs; the exact-prefix path deliberately fail-fasts)."""
+    from target_hdfs_spark.operators.dedup import _POC_MAX_DOC_SHINGLES
+
+    rows = [(0, s) for s in range(_POC_MAX_DOC_SHINGLES + 1)] + [
+        (1, 0),
+        (1, 1),
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+    with pytest.raises(Exception, match="q92_lsh_verified_pairs"):
+        prefix_filter_pairs(sh, 1, 3).collect()
+
+
 def test_prefix_filter_guard_passes_empty_input(spark):
     """The guard's SUM over zero prefix rows is NULL — coalesce must
     keep an empty corpus on the pass branch, not raise."""
