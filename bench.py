@@ -27,8 +27,10 @@ Methodology (stabilized for cross-machine comparability):
   `noisy: true` when the final pass still showed high spread — so a
   number produced under residual noise is visibly marked instead of
   silently polluting round comparisons;
-- `queries_median` reports the per-query median sample alongside the
-  best, so best-vs-median divergence is itself a noise signal;
+- `queries_median` (in BENCH_LOCAL.json, the committed full record —
+  the stdout line stays under the driver's 2000-char tail capture)
+  reports the per-query median sample alongside the best, so
+  best-vs-median divergence is itself a noise signal;
 - `value` totals the full headline set; `r02_comparable_total`
   totals the 14-query subset benched in rounds 1-2 (q85 joined the
   headline set in round 3), so round-over-round comparison stays
@@ -176,30 +178,50 @@ def main() -> None:
         n: round(max(runs) - min(runs), 4) for n, runs in samples.items()
     }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "spread": spreads,
-                "validity": {
-                    "passes": passes,
-                    "runs_per_query": passes * RUNS_PER_PASS,
-                    "median_rel_spread_by_pass": spread_trajectory,
-                    "best_total_by_pass": best_total_trajectory,
-                    "noisy": spread_trajectory[-1] > NOISE_REL_SPREAD,
-                },
-                "auto_headliners": auto,
-                "r02_comparable_total": round(
-                    sum(t for n, t in timings.items() if n in _R02_SET), 4
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # The stdout line must fit the round driver's 2000-char tail
+    # capture or BENCH_r*.json records `parsed: null` (r8 verdict
+    # item 1: every round's primary perf artifact failed to
+    # machine-parse because queries_median + spread pushed the line
+    # past the window). The SLIM line carries the headline number and
+    # per-query bests; the FULL record — medians, spreads, validity
+    # trajectories — goes to the committed BENCH_LOCAL.json artifact.
+    validity = {
+        "passes": passes,
+        "runs_per_query": passes * RUNS_PER_PASS,
+        "median_rel_spread_by_pass": spread_trajectory,
+        "best_total_by_pass": best_total_trajectory,
+        "noisy": spread_trajectory[-1] > NOISE_REL_SPREAD,
+    }
+    slim = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "validity": validity,
+        "auto_headliners": auto,
+        "r02_comparable_total": round(
+            sum(t for n, t in timings.items() if n in _R02_SET), 4
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "full": "BENCH_LOCAL.json",
+    }
+    full = {**slim, "queries_median": medians, "spread": spreads}
+    del full["full"]
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+
+    line = json.dumps(slim)
+    if len(line) > 1900:  # stay inside the 2000-char tail window
+        for key in ("validity", "queries"):
+            slim[key] = f"see {local_path}"
+            line = json.dumps(slim)
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

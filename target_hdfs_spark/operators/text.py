@@ -1490,6 +1490,113 @@ def q166_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TOPK = 20
 
 
+# Shared BPE trainer kernels (r8 verdict item 4: the argmax/merge
+# block was pasted five times across q200/q237/q247/q248 — one copy
+# drifting would silently fork the trainer's tiebreak semantics, the
+# constant-shadowing failure class the q252 incident proved real).
+# Every kernel is plan-shaped, not just code-shaped: the argmax's
+# rn=1 compiles to WindowGroupLimit and the merge application
+# broadcasts the 1-row argmax (both plan-pinned by the BPE tests).
+
+
+def _bpe_char_pairs(wf: DataFrame) -> DataFrame:
+    """Adjacent CHARACTER pairs over a (w, freq) word-frequency frame
+    (rounds-one statistic: symbols are single characters)."""
+    return (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> struct(substr(w, i, 1) AS a,"
+                    " substr(w, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "freq")
+    )
+
+
+def _bpe_marked_pairs(seqs: DataFrame) -> DataFrame:
+    """Adjacent SYMBOL pairs over a (seq, freq) frame in the
+    boundary-marked rendering ('|t| |h| |e|'), markers stripped."""
+    return (
+        seqs.select(F.split("seq", " ").alias("s"), "freq")
+        .filter(F.size("s") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " i -> struct("
+                    "replace(element_at(s, i), '|', '') AS a,"
+                    " replace(element_at(s, i + 1), '|', '') AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "freq")
+    )
+
+
+def _bpe_argmax_merge(
+    pairs: DataFrame, keep_freq: bool = False, checkpoint: bool = False
+) -> DataFrame:
+    """THE trainer argmax: highest corpus-weighted pair frequency,
+    ties broken lexicographically on (a, b) — q200's pinned tiebreak,
+    identical in the generated oracle SQL. rn=1 over the global
+    window compiles to WindowGroupLimit (each task keeps its local
+    top row before the shuffle), and the input frame is
+    |alphabet+rounds|²-bounded, so the argmax never sorts more than
+    a vocab-of-symbols-squared frame."""
+    w_top = Window.orderBy(F.col("pair_freq").desc(), "a", "b")
+    m = (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("freq").alias("pair_freq"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(*(("a", "b", "pair_freq") if keep_freq else ("a", "b")))
+    )
+    # eager checkpoint when the 1-row argmax feeds BOTH an output
+    # frame and the merge pass (the unrolled trainers), so the plan
+    # stays round-sized instead of compounding
+    return m.localCheckpoint(eager=True) if checkpoint else m
+
+
+def _bpe_apply_marked_merge(seqs: DataFrame, m: DataFrame) -> DataFrame:
+    """Apply the 1-row argmax merge (a, b) -> ab to every
+    boundary-marked symbol sequence: plain SQL replace over the
+    '|a| |b|' pattern IS the greedy left-to-right non-overlapping
+    merge rule in both engines; the marker wrapping keeps the
+    pattern from matching inside multi-character symbols. The 1-row
+    merge frame broadcasts; the pass is map-side over vocab rows."""
+    return (
+        seqs.crossJoin(F.broadcast(m.select("a", "b")))
+        .select(
+            F.expr(
+                "replace(seq, concat('|', a, '| |', b, '|'),"
+                " concat('|', a, b, '|'))"
+            ).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bpe_rank_pairs(pairs: DataFrame, topk: int) -> DataFrame:
+    """Ranked merge-candidate table: pair_freq (corpus-weighted) and
+    n_word_types per pair, top `topk` under the argmax tiebreak."""
+    cnt = pairs.groupBy("a", "b").agg(
+        F.sum("freq").alias("pair_freq"),
+        F.count(F.lit(1)).alias("n_word_types"),
+    )
+    w_rank = Window.orderBy(F.col("pair_freq").desc(), "a", "b")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= topk)
+    )
+
+
 @query(
     "q200_bpe_merge_candidates",
     oracle=f"""
@@ -1552,29 +1659,7 @@ def q200_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    pairs = (
-        wf.filter(F.length("w") >= 2)
-        .select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(w) - 1),"
-                    " i -> struct(substr(w, i, 1) AS a,"
-                    " substr(w, i + 1, 1) AS b))"
-                )
-            ).alias("p"),
-        )
-        .select("p.a", "p.b", "freq")
-    )
-    cnt = pairs.groupBy("a", "b").agg(
-        F.sum("freq").alias("pair_freq"),
-        F.count(F.lit(1)).alias("n_word_types"),
-    )
-    w_rank = Window.orderBy(F.col("pair_freq").desc(), "a", "b")
-    return (
-        cnt.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rnk") <= _BPE_TOPK)
-    )
+    return _bpe_rank_pairs(_bpe_char_pairs(wf), _BPE_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -1800,28 +1885,7 @@ def q237_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .localCheckpoint()  # feeds the argmax AND the merge pass
     )
-    cpairs = (
-        wf.filter(F.length("w") >= 2)
-        .select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(w) - 1),"
-                    " i -> struct(substr(w, i, 1) AS a,"
-                    " substr(w, i + 1, 1) AS b))"
-                )
-            ).alias("p"),
-        )
-        .select("p.a", "p.b", "freq")
-    )
-    w_top = Window.orderBy(F.col("_pf").desc(), "a", "b")
-    top1 = (
-        cpairs.groupBy("a", "b")
-        .agg(F.sum("freq").alias("_pf"))
-        .withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") == 1)
-        .select("a", "b")
-    )
+    top1 = _bpe_argmax_merge(_bpe_char_pairs(wf))
     merged = wf.crossJoin(F.broadcast(top1)).select(
         F.expr(
             "replace(array_join(transform(sequence(1, length(w)),"
@@ -1830,6 +1894,9 @@ def q237_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq"),
         "freq",
     )
+    # the round-1 sequences are unmarked single-space joins (symbols
+    # are 1-2 chars and '|'-free here), so the plain element_at
+    # explode is correct; the output keeps q237's sym_a/sym_b names
     spairs = (
         merged.select(F.split("seq", " ").alias("s"), "freq")
         .filter(F.size("s") >= 2)
@@ -1838,21 +1905,19 @@ def q237_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(s) - 1),"
-                    " i -> struct(element_at(s, i) AS sym_a,"
-                    " element_at(s, i + 1) AS sym_b))"
+                    " i -> struct(element_at(s, i) AS a,"
+                    " element_at(s, i + 1) AS b))"
                 )
             ).alias("p"),
         )
-        .select("p.sym_a", "p.sym_b", "freq")
+        .select("p.a", "p.b", "freq")
     )
-    cnt = spairs.groupBy("sym_a", "sym_b").agg(
-        F.sum("freq").alias("pair_freq"),
-        F.count(F.lit(1)).alias("n_word_types"),
-    )
-    w_rank = Window.orderBy(F.col("pair_freq").desc(), "sym_a", "sym_b")
-    return (
-        cnt.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rnk") <= _BPE2_TOPK)
+    return _bpe_rank_pairs(spairs, _BPE2_TOPK).select(
+        F.col("a").alias("sym_a"),
+        F.col("b").alias("sym_b"),
+        "pair_freq",
+        "n_word_types",
+        "rnk",
     )
 
 
@@ -1984,30 +2049,10 @@ def q247_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     merge_frames = []
     for r in range(1, _BPE_TRAIN_ROUNDS + 1):
-        pairs = (
-            seqs.select(F.split("seq", " ").alias("s"), "freq")
-            .filter(F.size("s") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1),"
-                        " i -> struct("
-                        "replace(element_at(s, i), '|', '') AS a,"
-                        " replace(element_at(s, i + 1), '|', '') AS b))"
-                    )
-                ).alias("p"),
-            )
-            .select("p.a", "p.b", "freq")
-        )
-        w_top = Window.orderBy(F.col("pair_freq").desc(), "a", "b")
-        m = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("freq").alias("pair_freq"))
-            .withColumn("rn", F.row_number().over(w_top))
-            .filter(F.col("rn") == 1)
-            .select("a", "b", "pair_freq")
-            .localCheckpoint(eager=True)  # feeds the output AND the merge
+        # checkpointed argmax: the 1-row frame feeds the output AND
+        # the merge pass
+        m = _bpe_argmax_merge(
+            _bpe_marked_pairs(seqs), keep_freq=True, checkpoint=True
         )
         merge_frames.append(
             m.select(
@@ -2017,17 +2062,7 @@ def q247_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pair_freq").cast("long").alias("pair_freq"),
             )
         )
-        seqs = (
-            seqs.crossJoin(F.broadcast(m.select("a", "b")))
-            .select(
-                F.expr(
-                    "replace(seq, concat('|', a, '| |', b, '|'),"
-                    " concat('|', a, b, '|'))"
-                ).alias("seq"),
-                "freq",
-            )
-            .localCheckpoint(eager=True)
-        )
+        seqs = _bpe_apply_marked_merge(seqs, m)
     out = merge_frames[0]
     for mf in merge_frames[1:]:
         out = out.unionByName(mf)
@@ -2167,42 +2202,8 @@ def q248_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = [round_row(0, seqs)]
     for r in range(1, _BPE_TRAIN_ROUNDS + 1):
-        pairs = (
-            seqs.select(F.split("seq", " ").alias("s"), "freq")
-            .filter(F.size("s") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1),"
-                        " i -> struct("
-                        "replace(element_at(s, i), '|', '') AS a,"
-                        " replace(element_at(s, i + 1), '|', '') AS b))"
-                    )
-                ).alias("p"),
-            )
-            .select("p.a", "p.b", "freq")
-        )
-        w_top = Window.orderBy(F.col("_pf").desc(), "a", "b")
-        m = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("freq").alias("_pf"))
-            .withColumn("rn", F.row_number().over(w_top))
-            .filter(F.col("rn") == 1)
-            .select("a", "b")
-            .localCheckpoint(eager=True)
-        )
-        seqs = (
-            seqs.crossJoin(F.broadcast(m))
-            .select(
-                F.expr(
-                    "replace(seq, concat('|', a, '| |', b, '|'),"
-                    " concat('|', a, b, '|'))"
-                ).alias("seq"),
-                "freq",
-            )
-            .localCheckpoint(eager=True)
-        )
+        m = _bpe_argmax_merge(_bpe_marked_pairs(seqs), checkpoint=True)
+        seqs = _bpe_apply_marked_merge(seqs, m)
         rows.append(round_row(r, seqs))
     out = rows[0]
     for fr in rows[1:]:
