@@ -6634,3 +6634,518 @@ def q252_kmv_rolling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: deterministic mergeable QUANTILE sketch (r8 verdict
+# item 1 — the fourth and final sketch: KMV/theta answered distinct,
+# CountMin frequency, Bloom membership; this answers quantiles, the
+# sketch a corpus pipeline uses most, pricing length/score cutoffs
+# from mergeable state instead of exact per-group sorts)
+# ---------------------------------------------------------------------------
+
+# Fixed-boundary integer histogram: values are floored to integer
+# units, clamped to [0, _QSK_W * _QSK_NBKT), and counted into
+# fixed-width buckets. Bucket boundaries are CONSTANTS (never
+# data-dependent like KLL/t-digest centroids), so two engines — or
+# two executors — always build bit-identical cells, and merging is
+# CELL ADDITION (the CountMin monoid). Rank queries walk the
+# cumulative histogram; value error is bounded by the bucket width.
+_QSK_W = 32  # bucket width, integer price units
+_QSK_NBKT = 4096  # bucket-count cap -> domain [0, 131072)
+_QSK_PCTS = (25, 50, 75)  # readout percentiles (q99's surface)
+
+
+def _qsk_bucket_sql(expr: str, w: int, nbkt: int) -> str:
+    """DuckDB-side bucket: clamp floor(expr) into the fixed domain,
+    integer-divide by the width."""
+    return (
+        f"least(greatest(CAST(floor({expr}) AS BIGINT), 0),"
+        f" {w * nbkt - 1}) // {w}"
+    )
+
+
+def _qsk_bucket_expr(expr: str, w: int, nbkt: int):
+    """Spark-side bucket — the same clamp + integer division (`div`
+    is Spark SQL's integer division, `//` DuckDB's; both truncate)."""
+    return F.expr(
+        f"least(greatest(CAST(floor({expr}) AS BIGINT), 0),"
+        f" {w * nbkt - 1}) div {w}"
+    )
+
+
+def _qsk_rank_sql(p: int) -> str:
+    """ceil(n * p / 100) in pure integers — the rank both engines
+    walk to; n is the column holding the group row count."""
+    return f"(n * {p} + 99) // 100"
+
+
+def _qsk_estimates(
+    hist: DataFrame,
+    keys: list[str],
+    w: int,
+    pcts: tuple[int, ...],
+    with_counts: bool = False,
+) -> DataFrame:
+    """THE quantile readout (Spark side), shared by every quantile-
+    sketch query so the estimator can never fork: cumulative walk
+    over a (keys..., bkt, c) histogram frame, then per percentile the
+    midpoint of the first bucket covering rank ceil(n*p/100). Runs on
+    the histogram frame — sketch-sized, never row-sized."""
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        "bkt",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    aggs = []
+    if with_counts:
+        aggs += [
+            F.max("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        ]
+    for p in pcts:
+        aggs.append(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"),
+                        F.col("bkt"),
+                    )
+                )
+                * w
+                + w // 2
+            )
+            .cast("long")
+            .alias(f"est_p{p}")
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def _qsk_est_sql(
+    src: str,
+    keys: str,
+    w: int,
+    pcts: tuple[int, ...],
+    with_counts: bool = False,
+) -> str:
+    """The same readout for the DuckDB oracle, generated from the
+    same constants (`keys` is the comma-joined group columns)."""
+    count_cols = (
+        "CAST(MAX(n) AS BIGINT) AS n_rows,\n"
+        "         CAST(COUNT(*) AS BIGINT) AS n_buckets,\n         "
+        if with_counts
+        else ""
+    )
+    est_lines = ",\n         ".join(
+        f"CAST(MIN(CASE WHEN cum >= {_qsk_rank_sql(p)} THEN bkt END)"
+        f" * {w} + {w // 2} AS BIGINT) AS est_p{p}"
+        for p in pcts
+    )
+    return f"""
+      SELECT {keys},
+         {count_cols}{est_lines}
+      FROM (
+        SELECT {keys}, bkt,
+               CAST(SUM(c) OVER (PARTITION BY {keys}
+                                 ORDER BY bkt) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY {keys}) AS BIGINT) AS n
+        FROM {src}
+      ) GROUP BY {keys}"""
+
+
+def _qsk_calibration_oracle() -> str:
+    bkt = _qsk_bucket_sql("l_extendedprice", _QSK_W, _QSK_NBKT)
+    ex_lines = ",\n         ".join(
+        f"quantile_cont(l_extendedprice, {p / 100}) AS exact_p{p}"
+        for p in _QSK_PCTS
+    )
+    err_lines = ",\n       ".join(
+        f"CAST(floor(abs(CAST(e.est_p{p} AS DOUBLE) - x.exact_p{p})"
+        f" * 1000000 / x.exact_p{p}) AS BIGINT) AS err{p}_ppm"
+        for p in _QSK_PCTS
+    )
+    est_cols = ", ".join(f"e.est_p{p}" for p in _QSK_PCTS)
+    ex_cols = ", ".join(f"x.exact_p{p}" for p in _QSK_PCTS)
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag, {bkt} AS bkt FROM lineitem
+    ),
+    hist AS (
+      SELECT l_returnflag, bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2
+    ),
+    est AS (
+      {_qsk_est_sql("hist", "l_returnflag", _QSK_W, _QSK_PCTS, True)}
+    ),
+    ex AS (
+      SELECT l_returnflag,
+         {ex_lines}
+      FROM lineitem GROUP BY 1
+    )
+    SELECT e.l_returnflag, e.n_rows, e.n_buckets,
+       {est_cols},
+       {ex_cols},
+       {err_lines}
+    FROM est e JOIN ex x ON x.l_returnflag = e.l_returnflag
+    """
+
+
+@query(
+    "q253_quantile_sketch",
+    oracle=_qsk_calibration_oracle(),
+    tags=("sketch", "percentile", "calibration", "observability"),
+)
+def q253_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic FIXED-BOUNDARY QUANTILE sketch per group, with
+    its estimates judged against the exact interpolated percentiles —
+    the quantile member of the engine's sketch program (KMV/theta =
+    distinct, CountMin = frequency, Bloom = membership, this =
+    quantiles), retiring the family's last rows-only trade-off
+    (q20's percentile_approx KLL sketch has engine-specific
+    internals; this sketch's state is portable integer cells, so the
+    oracle rebuilds it bit-identically). Values are floored to
+    integer units, clamped into [0, {_QSK_W}*{_QSK_NBKT}), and
+    counted into width-{_QSK_W} buckets whose boundaries are
+    CONSTANTS — never data-dependent like KLL compactors or t-digest
+    centroids, which is what makes two executors' (or two engines')
+    partials bit-identical and merging plain cell addition. A rank
+    readout walks the cumulative histogram to the first bucket
+    covering ceil(n*p/100) and reports the bucket midpoint; value
+    error is bounded by the bucket width (err*_ppm pins the
+    calibration against q99's exact surface end-to-end).
+
+    Exactness: bucket assignment, counts, cumulative ranks, and
+    midpoints are deterministic integers in both engines; the exact
+    side is q99's pinned interpolated percentile; the ppm division is
+    the same IEEE double expression on both sides.
+
+    Scale: one pass to per-(group, bucket) counts with map-side
+    combine; the cumulative walk runs on the histogram frame (<=
+    {_QSK_NBKT} rows per group — sketch-sized, never row-sized), so
+    a 100 TB column costs one scan while the exact side's per-group
+    value materialization (the q99 trade) is the term this sketch
+    lets a production pipeline drop. At any scale the sketch is <=
+    {_QSK_NBKT} int64 cells per group.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    hist = li.groupBy(
+        "l_returnflag",
+        _qsk_bucket_expr("l_extendedprice", _QSK_W, _QSK_NBKT).alias("bkt"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    est = _qsk_estimates(
+        hist, ["l_returnflag"], _QSK_W, _QSK_PCTS, with_counts=True
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        *[
+            F.percentile("l_extendedprice", F.lit(p / 100)).alias(
+                f"exact_p{p}"
+            )
+            for p in _QSK_PCTS
+        ]
+    )
+    return est.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "n_buckets",
+        *[f"est_p{p}" for p in _QSK_PCTS],
+        *[f"exact_p{p}" for p in _QSK_PCTS],
+        *[
+            F.expr(
+                f"cast(floor(abs(cast(est_p{p} as double) - exact_p{p})"
+                f" * 1000000 / exact_p{p}) as bigint)"
+            ).alias(f"err{p}_ppm")
+            for p in _QSK_PCTS
+        ],
+    )
+
+
+def _qsk_merge_law_oracle() -> str:
+    bkt = _qsk_bucket_sql("l_extendedprice", _QSK_W, _QSK_NBKT)
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT l_returnflag, l_linestatus, {bkt} AS bkt FROM lineitem
+    ),
+    partials AS MATERIALIZED (
+      SELECT l_returnflag, l_linestatus, bkt,
+             CAST(COUNT(*) AS BIGINT) AS cell
+      FROM v GROUP BY 1, 2, 3
+    ),
+    merged AS MATERIALIZED (
+      SELECT l_returnflag, bkt, CAST(SUM(cell) AS BIGINT) AS c
+      FROM partials GROUP BY 1, 2
+    ),
+    direct AS MATERIALIZED (
+      SELECT l_returnflag, bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2
+    ),
+    hdiff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_diff FROM (
+        SELECT * FROM merged EXCEPT SELECT * FROM direct
+        UNION ALL
+        (SELECT * FROM direct EXCEPT SELECT * FROM merged)
+      )
+    ),
+    est_m AS ({_qsk_est_sql("merged", "l_returnflag", _QSK_W, (50,))}),
+    est_d AS ({_qsk_est_sql("direct", "l_returnflag", _QSK_W, (50,))}),
+    rdiff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_diff
+      FROM est_m m JOIN est_d d
+        ON d.l_returnflag = m.l_returnflag
+       AND d.est_p50 <> m.est_p50
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_partials,
+             CAST(SUM(cell) AS BIGINT) AS total_mass
+      FROM partials
+    )
+    SELECT s.n_partials, s.total_mass,
+           (h.n_diff = 0) AS hist_merge_matches,
+           (r.n_diff = 0) AS readout_matches
+    FROM stats s CROSS JOIN hdiff h CROSS JOIN rdiff r
+    """
+
+
+@query(
+    "q254_quantile_merge_law",
+    oracle=_qsk_merge_law_oracle(),
+    tags=("sketch", "percentile", "calibration", "observability"),
+)
+def q254_quantile_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE LAW for the quantile sketch, value-checked as a theorem
+    (the q251 pattern, completing the program: every sketch in the
+    engine ships its mergeability proof): per-(group, sub-partition)
+    histogram partials merged by CELL ADDITION must equal the
+    histogram built directly over the group — fixed boundaries make
+    the cells a commutative monoid under +, exactly CountMin's
+    algebra — AND the median readout from the merged sketch must
+    equal the readout from the direct build. This is the property
+    that lets 1000 executors (or 1000 days of stored partials) each
+    histogram their slice and a coordinator answer any quantile from
+    summed cells, never rescanning the corpus; it is also the algebra
+    the quantile_stream twin's unconditional batch parity rests on.
+
+    Exactness: every cell, symmetric-difference count, and midpoint
+    readout is a deterministic integer; the booleans ride the checked
+    row alongside partial-count and mass stats.
+
+    Scale: one pass to the per-(group, sub-partition, bucket) partial
+    frame (map-side combine); merged/direct/diff/readout all run on
+    histogram frames (<= groups x {_QSK_NBKT} cells — sketch-sized).
+    The direct side exists only as the theorem's independent
+    construction; production keeps the partials.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    v = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        _qsk_bucket_expr("l_extendedprice", _QSK_W, _QSK_NBKT).alias("bkt"),
+    )
+    partials = (
+        v.groupBy("l_returnflag", "l_linestatus", "bkt")
+        .agg(F.count(F.lit(1)).alias("cell"))
+        .localCheckpoint()  # feeds merged, stats
+    )
+    merged = partials.groupBy("l_returnflag", "bkt").agg(
+        F.sum("cell").alias("c")
+    )
+    direct = v.groupBy("l_returnflag", "bkt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hdiff = (
+        merged.exceptAll(direct)
+        .unionByName(direct.exceptAll(merged))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    est_m = _qsk_estimates(merged, ["l_returnflag"], _QSK_W, (50,))
+    est_d = _qsk_estimates(direct, ["l_returnflag"], _QSK_W, (50,)).select(
+        "l_returnflag", F.col("est_p50").alias("_d50")
+    )
+    rdiff = (
+        est_m.join(est_d, "l_returnflag")
+        .filter(F.col("est_p50") != F.col("_d50"))
+        .agg(F.count(F.lit(1)).alias("_rd"))
+    )
+    stats = partials.agg(
+        F.count(F.lit(1)).cast("long").alias("n_partials"),
+        F.sum("cell").cast("long").alias("total_mass"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(hdiff))
+        .crossJoin(F.broadcast(rdiff))
+        .select(
+            "n_partials",
+            "total_mass",
+            (F.col("n_diff") == 0).alias("hist_merge_matches"),
+            (F.col("_rd") == 0).alias("readout_matches"),
+        )
+    )
+
+
+# Events-domain instance of the quantile sketch: event values in
+# integer CENTS (floor(value*100)), width-64 buckets over [0, 65536).
+_QSK_EV_W = 64
+_QSK_EV_NBKT = 1024
+_QSK_ROLL_DAYS = 3  # trailing window width (d-2 .. d)
+
+
+def _qsk_roll_oracle() -> str:
+    bkt = _qsk_bucket_sql("value * 100", _QSK_EV_W, _QSK_EV_NBKT)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day, {bkt} AS bkt,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    daily AS MATERIALIZED (
+      SELECT event_type, day, bkt, CAST(COUNT(*) AS BIGINT) AS cell
+      FROM e GROUP BY 1, 2, 3
+    ),
+    days AS (SELECT DISTINCT event_type, day FROM e),
+    pooled AS MATERIALIZED (
+      SELECT d.event_type, d.day, x.bkt, CAST(SUM(x.cell) AS BIGINT) AS c
+      FROM days d JOIN daily x
+        ON x.event_type = d.event_type
+       AND x.day BETWEEN d.day - {_QSK_ROLL_DAYS - 1} AND d.day
+      GROUP BY 1, 2, 3
+    ),
+    est AS (
+      {_qsk_est_sql("pooled", "event_type, day", _QSK_EV_W, (50, 90), True)}
+    ),
+    ex AS (
+      SELECT d.event_type, d.day,
+             quantile_cont(e.cents, 0.5) AS exact_p50
+      FROM days d JOIN e
+        ON e.event_type = d.event_type
+       AND e.day BETWEEN d.day - {_QSK_ROLL_DAYS - 1} AND d.day
+      GROUP BY 1, 2
+    )
+    SELECT s.event_type, CAST(s.day AS VARCHAR) AS day,
+           s.n_rows, s.n_buckets, s.est_p50, s.est_p90, x.exact_p50,
+           CAST(floor(abs(CAST(s.est_p50 AS DOUBLE) - x.exact_p50)
+                * 1000000 / x.exact_p50) AS BIGINT) AS err50_ppm
+    FROM est s JOIN ex x
+      ON x.event_type = s.event_type AND x.day = s.day
+    """
+
+
+@query(
+    "q255_quantile_rolling_rollup",
+    oracle=_qsk_roll_oracle(),
+    tags=("sketch", "percentile", "rollup", "window", "calibration"),
+)
+def q255_quantile_rolling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE sketch ROLLING ROLLUP — q252's hypertable pattern on
+    the fourth sketch: per-(type, day) histogram partials (fixed
+    width-{_QSK_EV_W} buckets over integer cents) merged by cell
+    addition across the trailing {_QSK_ROLL_DAYS}-day window per day,
+    so any "p50/p90 value last N days" readout is answered from
+    |window| x <= {_QSK_EV_NBKT} stored integers instead of
+    re-sorting the raw events — the materialized-rollup discipline
+    applied to quantiles, which is exactly how a 100 TB corpus store
+    prices rolling length/score cutoffs. The Spark plan IS the
+    two-level construction (per-day partials, then window sums); the
+    oracle rebuilds each window's histogram DIRECTLY from the events,
+    so their value-equality is q254's merge law applied per window,
+    checked on every (type, day) row, with the exact interpolated
+    median alongside for calibration (err50_ppm).
+
+    Exactness: bucket assignment (same IEEE floor(value*100) in both
+    engines), cells, window sums, and midpoint readouts are
+    deterministic integers; the exact side rides q99's pinned
+    interpolation over identical cents; day is emitted as its ISO
+    string in both engines. The domain clamp saturates values beyond
+    {_QSK_EV_W * _QSK_EV_NBKT} cents into the top bucket (none at
+    these SFs; a production instance sizes the domain to the column).
+
+    Scale: one events pass to the per-(type, day, bucket) partials;
+    the trailing-window join fans each day's <= {_QSK_EV_NBKT}
+    partial rows to {_QSK_ROLL_DAYS} anchors (histogram rows, never
+    raw events); readouts run on window-summed histogram frames. The
+    exact side is the only corpus-heavy term and exists as
+    calibration; production keeps the partials and drops it.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        _qsk_bucket_expr("value * 100", _QSK_EV_W, _QSK_EV_NBKT).alias("bkt"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = (
+        ev.groupBy("event_type", "day", "bkt")
+        .agg(F.count(F.lit(1)).alias("cell"))
+        .localCheckpoint()  # the stored partials; feed pooled AND days
+    )
+    anchors = (
+        daily.select("event_type", "day")
+        .distinct()
+        .select(
+            F.col("event_type").alias("_et"), F.col("day").alias("_anchor")
+        )
+    )
+    pooled = (
+        anchors.join(
+            daily,
+            (F.col("event_type") == F.col("_et"))
+            & (
+                F.col("day")
+                >= F.date_sub(F.col("_anchor"), _QSK_ROLL_DAYS - 1)
+            )
+            & (F.col("day") <= F.col("_anchor")),
+        )
+        .groupBy("_et", "_anchor", "bkt")
+        .agg(F.sum("cell").alias("c"))
+        .select(
+            F.col("_et").alias("event_type"),
+            F.col("_anchor").alias("day"),
+            "bkt",
+            "c",
+        )
+    )
+    est = _qsk_estimates(
+        pooled, ["event_type", "day"], _QSK_EV_W, (50, 90), with_counts=True
+    )
+    exact = (
+        anchors.join(
+            ev,
+            (F.col("event_type") == F.col("_et"))
+            & (
+                F.col("day")
+                >= F.date_sub(F.col("_anchor"), _QSK_ROLL_DAYS - 1)
+            )
+            & (F.col("day") <= F.col("_anchor")),
+        )
+        .groupBy("_et", "_anchor")
+        .agg(F.percentile("cents", F.lit(0.5)).alias("exact_p50"))
+        .select(
+            F.col("_et").alias("event_type"),
+            F.col("_anchor").alias("day"),
+            "exact_p50",
+        )
+    )
+    return est.join(exact, ["event_type", "day"]).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_rows",
+        "n_buckets",
+        "est_p50",
+        "est_p90",
+        "exact_p50",
+        F.expr(
+            "cast(floor(abs(cast(est_p50 as double) - exact_p50)"
+            " * 1000000 / exact_p50) as bigint)"
+        ).alias("err50_ppm"),
+    )

@@ -1911,3 +1911,180 @@ def kmv_distinct_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile_stream (stateful quantile-sketch twin of
+# q253/q255's fixed-boundary histogram; r8 verdict item 1 — the
+# fourth and final streaming sketch)
+# ---------------------------------------------------------------------------
+
+# Must equal analytics._QSK_EV_W / _QSK_EV_NBKT (the batch events
+# instance) so a batch rebuild of the stream's state is bit-identical;
+# tests/test_stateful.py pins the cross-module equality AND the
+# bucket function against the oracle-side SQL formula.
+QSK_W = 64  # bucket width in integer cents
+QSK_NBKT = 1024  # dense cell count -> domain [0, 65536) cents
+
+QSK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("q_pct", T.LongType()),
+        T.StructField("est", T.LongType()),
+        T.StructField("n_obs", T.LongType()),
+    ]
+)
+
+# the sketch IS the state: the dense bucket-count array (8 KB/key,
+# flat forever) plus the observation count
+QSK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+QSK_STATE_TTL_SCHEMA = T.StructType(
+    [*QSK_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _qsk_bucket_py(value: float) -> int:
+    """q255's bucket function verbatim (floor(value*100) cents,
+    clamped into the fixed domain, integer-divided by the width) —
+    a batch rebuild of the histogram is bit-identical."""
+    cents = int(math.floor(value * 100))
+    return min(max(cents, 0), QSK_W * QSK_NBKT - 1) // QSK_W
+
+
+def _qsk_estimate_py(cells: list[int], n: int, q_pct: int) -> int | None:
+    """The shared readout convention: midpoint of the first bucket
+    whose cumulative count covers rank ceil(n*q/100)."""
+    if n <= 0:
+        return None
+    rank = (n * q_pct + 99) // 100
+    cum = 0
+    for b, c in enumerate(cells):
+        if c:
+            cum += c
+            if cum >= rank:
+                return b * QSK_W + QSK_W // 2
+    return None  # unreachable while sum(cells) == n
+
+
+def _qsk_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    probe_pcts: tuple[int, ...],
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"event_type": [], "q_pct": [], "est": [], "n_obs": []}
+    ).astype(
+        {
+            "event_type": "object",
+            "q_pct": "int64",
+            "est": "int64",
+            "n_obs": "int64",
+        }
+    )
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        cells = list(stored[0])
+        n = int(stored[1])
+        prev_last = stored[2] if ttl_ms is not None else 0
+    else:
+        cells, n, prev_last = [0] * QSK_NBKT, 0, 0
+
+    before = {q: _qsk_estimate_py(cells, n, q) for q in probe_pcts}
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # histogram cell addition is a commutative monoid (q254's merge
+    # law): merge order cannot matter, so batch parity is
+    # unconditional for any arrival order — CountMin's argument on
+    # the quantile sketch's cells
+    for v in whole["value"]:
+        cells[_qsk_bucket_py(float(v))] += 1
+    n += len(whole)
+    out = [
+        (key[0], q, _qsk_estimate_py(cells, n, q), n)
+        for q in probe_pcts
+        if _qsk_estimate_py(cells, n, q) != before[q]
+    ]
+    if ttl_ms is None:
+        state.update((cells, n))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((cells, n, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield (
+        pd.DataFrame(out, columns=[f.name for f in QSK_OUTPUT_SCHEMA.fields])
+        if out
+        else empty
+    )
+
+
+def quantile_stream(
+    events: DataFrame,
+    probe_pcts: tuple[int, ...] = (50, 90, 99),
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming QUANTILE sketch per event type — the fourth and
+    final streaming sketch (kmv_distinct_stream = distinct,
+    countmin_stream = frequency, bloom_filter_stream = membership,
+    this = quantiles: the rolling length/score cutoffs a corpus
+    pipeline prices continuously). State IS the sketch: the dense
+    {QSK_NBKT}-cell int64 histogram (8 KB/key, flat forever) built
+    with q255's exact bucket function over integer cents, so a batch
+    rebuild of the same cells verifies the stream's readout
+    value-exactly. Histogram cell addition is a commutative monoid —
+    q254's merge-law theorem — so the final sketch equals the batch
+    sketch for ANY arrival permutation and batch split: unconditional
+    parity by algebra, the family argument (min for KMV, + for
+    CountMin and for these cells, union for Bloom).
+
+    Emission contract: one row per probed percentile whose midpoint
+    estimate CHANGED this batch (estimates move both ways as the
+    distribution shifts, so rows carry the monotone n_obs —
+    sink row with max n_obs per (event_type, q_pct) = current
+    estimate). Probes are fixed percentiles (1..100) at query start.
+
+    ``state_ttl_ms`` gives sliding-population semantics (an idle
+    type's histogram evicts); ``None`` accumulates forever at
+    8 KB/key — the point of a sketch.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type, value).
+    """
+    probes = tuple(int(q) for q in probe_pcts)
+    if not probes:
+        raise ValueError("quantile_stream requires at least one probe percentile")
+    if any(q < 1 or q > 100 for q in probes):
+        raise ValueError("probe percentiles must be integers in 1..100")
+
+    def fn(key, pdfs, state):
+        return _qsk_group(key, pdfs, state, probes, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = (
+            events,
+            QSK_STATE_SCHEMA,
+            GroupStateTimeout.NoTimeout,
+        )
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = (
+            QSK_STATE_TTL_SCHEMA,
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=QSK_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

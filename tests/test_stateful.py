@@ -2765,3 +2765,286 @@ def test_bloom_stream_rejects_empty_probes():
 
     with pytest.raises(ValueError, match="probe"):
         bloom_filter_stream(None, ())
+
+
+# ---------------------------------------------------------------------------
+# quantile_stream (stateful quantile-sketch twin of q253/q255 — the
+# fourth streaming sketch; r8 verdict item 1)
+# ---------------------------------------------------------------------------
+
+QSK_SCHEMA = {
+    "properties": {
+        "user_id": {"type": "integer"},
+        "event_id": {"type": "integer"},
+        "ts": {"type": "string", "format": "date-time"},
+        "event_type": {"type": "string"},
+        "value": {"type": "number"},
+    }
+}
+
+
+def _run_qsk(spark, src, name, probes=(50,), ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import quantile_stream
+
+    schema = jsonschema_to_spark(QSK_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        quantile_stream(stream, probes, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def _qsk_batch_estimates(rows, probes):
+    """Reference batch rebuild: the same dense histogram via the
+    exported bucket function, read out the same way."""
+    from target_hdfs_spark.streaming.stateful import (
+        QSK_NBKT,
+        _qsk_bucket_py,
+        _qsk_estimate_py,
+    )
+
+    hists: dict[str, list[int]] = {}
+    counts: dict[str, int] = {}
+    for r in rows:
+        cells = hists.setdefault(r["event_type"], [0] * QSK_NBKT)
+        cells[_qsk_bucket_py(float(r["value"]))] += 1
+        counts[r["event_type"]] = counts.get(r["event_type"], 0) + 1
+    return {
+        (etype, q): _qsk_estimate_py(cells, counts[etype], q)
+        for etype, cells in hists.items()
+        for q in probes
+    }
+
+
+def test_qsk_stream_estimates_track_distribution_shift(spark, tmp_path):
+    """The median estimate must cross the state boundary: two low
+    values + one high in batch 1 (median bucket 96), two more highs
+    in batch 2 move the median to the high bucket (480) — an
+    estimate that did not change emits nothing."""
+    src = tmp_path / "qsksrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view", "value": 1.0},
+            {"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view", "value": 1.0},
+            {"user_id": 3, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view", "value": 5.0},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 4, "event_id": 4, "ts": "2026-08-13T10:00:03Z", "event_type": "view", "value": 5.0},
+            {"user_id": 5, "event_id": 5, "ts": "2026-08-13T10:00:04Z", "event_type": "view", "value": 5.0},
+        ],
+    )
+    rows = _run_qsk(spark, src, "qsk_shift", probes=(50,))
+    got = [(r.est, r.n_obs) for r in sorted(rows, key=lambda r: r.n_obs)]
+    # bucket(1.0) = floor(100)//64 = 1 -> midpoint 96;
+    # bucket(5.0) = floor(500)//64 = 7 -> midpoint 480
+    assert got == [(96, 3), (480, 5)]
+
+
+@pytest.mark.parametrize("seed", [17, 59])
+def test_qsk_stream_equals_batch_rebuild_shuffled(spark, tmp_path, seed):
+    """Commutative-monoid parity (q254's merge law, streamed): the
+    log is SHUFFLED across two batches; the latest estimate per
+    (event_type, q_pct) — rows carry monotone n_obs, so latest =
+    max n_obs — must equal the estimate read from the histogram
+    rebuilt with the exported bucket function over the same events."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase"]
+    probes = (50, 90, 99)
+    rows = [
+        {
+            "user_id": rng.randrange(40),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+            "value": round(rng.uniform(0.01, 490.0), 2),
+        }
+        for i in range(300)
+    ]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    src = tmp_path / f"qsksrc2_{seed}"
+    _write(src / "a.jsonl", shuffled[:150])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", shuffled[150:])
+    got_rows = _run_qsk(spark, src, f"qsk_parity_{seed}", probes=probes)
+    latest: dict = {}
+    for r in got_rows:
+        k = (r.event_type, r.q_pct)
+        if k not in latest or r.n_obs > latest[k][1]:
+            latest[k] = (r.est, r.n_obs)
+    got = {k: v[0] for k, v in latest.items()}
+    expected = _qsk_batch_estimates(rows, probes)
+    assert got == expected
+    assert len(expected) == len(types) * len(probes)  # generator sanity
+
+
+def test_qsk_stream_ttl_resets_histogram(spark, tmp_path):
+    """TTL mode: an idle type's histogram evicts — the post-gap
+    estimate reflects a fresh sketch (the high value alone moves the
+    median to 480; with the old low-value cells still in state the
+    median would stay 96 and emit nothing)."""
+    src = tmp_path / "qskttl"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view", "value": 1.0},
+            {"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view", "value": 1.0},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 9, "event_id": 3, "ts": "2026-08-13T10:30:00Z", "event_type": "click", "value": 2.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 9, "event_id": 4, "ts": "2026-08-13T10:31:00Z", "event_type": "click", "value": 2.0}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:00Z", "event_type": "view", "value": 5.0}],
+    )
+    rows = _run_qsk(spark, src, "qsk_ttl", probes=(50,), ttl_ms=60_000)
+    views = [r.est for r in rows if r.event_type == "view"]
+    assert views == [96, 480]  # low-median, then post-eviction fresh sketch
+
+
+def test_qsk_state_survives_query_restart(spark, tmp_path):
+    """Kill-resume: the histogram crosses a full query RESTART via
+    the checkpoint — the second run's median includes run 1's cells
+    (3 lows + 2 highs -> median stays low at n=5 would not emit; we
+    use 1 low + 2 highs so the median MOVES and proves the carry)."""
+    from target_hdfs_spark.streaming.stateful import quantile_stream
+
+    src, sink, ckpt = tmp_path / "qsksrc3", tmp_path / "qsksink", tmp_path / "qskckpt"
+    schema = jsonschema_to_spark(QSK_SCHEMA)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            quantile_stream(stream, (50,))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view", "value": 1.0},
+        ],
+    )
+    run_once()
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view", "value": 5.0},
+            {"user_id": 3, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view", "value": 5.0},
+        ],
+    )
+    run_once()
+    got = sorted(
+        (r.est, r.n_obs) for r in spark.read.parquet(str(sink)).collect()
+    )
+    # run 1: n=1, median 96; run 2: n=3, rank 2 -> cum hits the
+    # 5.0-bucket only if run 1's cell carried (1+2 cells), est 480
+    assert got == [(96, 1), (480, 3)]
+
+
+def test_qsk_stream_on_rocksdb(spark, tmp_path):
+    """The 1024-cell dense array state roundtrips through the
+    RocksDB provider identically."""
+    src = tmp_path / "qskrocks"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view", "value": 1.0},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view", "value": 5.0},
+            {"user_id": 3, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view", "value": 5.0},
+        ],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = _run_qsk(spark, src, "qsk_rocks", probes=(50,))
+    finally:
+        spark.conf.set(key, prev)
+    assert sorted((r.est, r.n_obs) for r in rows) == [(96, 1), (480, 3)]
+
+
+def test_qsk_stream_rejects_bad_probes():
+    import pyspark.sql  # noqa: F401
+
+    from target_hdfs_spark.streaming.stateful import quantile_stream
+
+    with pytest.raises(ValueError, match="probe"):
+        quantile_stream(None, ())
+    with pytest.raises(ValueError, match="1..100"):
+        quantile_stream(None, (0,))
+    with pytest.raises(ValueError, match="1..100"):
+        quantile_stream(None, (50, 101))
+
+
+def test_qsk_constants_and_bucket_match_batch_oracle():
+    """The stream's bucket function and constants must equal the
+    batch q255 instance AND the oracle-side SQL formula — the
+    cross-module consistency pin that keeps the twin's 'batch
+    rebuild verifies the stream' claim true (the q252
+    constant-shadowing class, preempted)."""
+    import duckdb
+
+    from target_hdfs_spark.operators.analytics import (
+        _QSK_EV_NBKT,
+        _QSK_EV_W,
+        _qsk_bucket_sql,
+    )
+    from target_hdfs_spark.streaming.stateful import (
+        QSK_NBKT,
+        QSK_W,
+        _qsk_bucket_py,
+    )
+
+    assert (QSK_W, QSK_NBKT) == (_QSK_EV_W, _QSK_EV_NBKT)
+    con = duckdb.connect()
+    expr = _qsk_bucket_sql("value * 100", QSK_W, QSK_NBKT)
+    for v in (0.0, 0.01, 0.29, 1.0, 123.45, 489.99, 655.35, 700.77, 1e6):
+        (sql_bkt,) = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST({v!r} AS DOUBLE) AS value)"
+        ).fetchone()
+        assert _qsk_bucket_py(v) == sql_bkt, v
