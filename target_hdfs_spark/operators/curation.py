@@ -1751,3 +1751,260 @@ def q223_quantile_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_le * 1000000 div n").cast("long").alias("ref_pct_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L6i: corpus mixing weights + deterministic temperature sampler
+# (r8 verdict item 2 — the pretraining-data mixing op: q126 realizes
+# fractional UPsampling toward the largest source; these compute the
+# normalized alpha-temperature WEIGHT TABLE itself and realize a
+# token-budget DOWNsampling plan from it)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA_NOTE = "alpha = 0.5 via IEEE sqrt (correctly rounded in both engines)"
+_MIX_FP = 1_000_000  # fixed-point scale (ppm)
+
+
+def _mix_weights_sql() -> str:
+    tok = TOKENS_SQL.format(expr="text")
+    return f"""
+    WITH sizes AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({tok})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    sc AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_FP})
+                  AS BIGINT) AS score_fp
+      FROM sizes
+    ),
+    tot AS (
+      SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM sc
+    )
+    SELECT s.lang, s.n_docs, s.n_tokens,
+           CAST(s.n_tokens * {_MIX_FP} // t.total_tokens AS BIGINT)
+             AS raw_share_ppm,
+           CAST(s.score_fp * {_MIX_FP} // t.total_score AS BIGINT)
+             AS weight_ppm,
+           CAST(t.total_tokens
+                * (s.score_fp * {_MIX_FP} // t.total_score)
+                // {_MIX_FP} AS BIGINT) AS exp_tokens
+    FROM sc s CROSS JOIN tot t
+    """
+
+
+@query(
+    "q256_corpus_mixing_weights",
+    oracle=_mix_weights_sql(),
+    tags=("curation", "mixture", "temperature", "observability"),
+)
+def q256_corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized ALPHA-TEMPERATURE MIXING WEIGHTS per language —
+    w_l = n_l^alpha / sum(n^alpha) over real token counts
+    ({_MIX_ALPHA_NOTE}) — the table a multilingual pretraining run is
+    configured from (the exponential-smoothing rebalance of
+    mBERT/XLM-R: tail languages upweighted relative to their raw
+    token share, head languages down). Emitted per language: doc and
+    token counts, the raw token share, the temperature weight (both
+    in ppm), and the expected token allocation if a corpus of the
+    same total size were resampled to the weights — the
+    "expected-tokens-per-source" readout a data planner prices.
+
+    Exactness — the fixed-point discipline: per-language scores are
+    floored to integer ppm IMMEDIATELY after the one correctly-
+    rounded double op (sqrt of an exact integer, times the exact
+    scale), so every cross-row aggregate (the normalization sums) is
+    integer addition — order-free, engine-free. No double is ever
+    summed across rows.
+
+    Scale: one corpus pass to per-language (docs, tokens) with
+    map-side combine; everything after runs on the |languages|-row
+    frame with the 1-row totals broadcast. At 100 TB the weight
+    table is still |languages| rows.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    sizes = (
+        fan_out(docs, "doc_id")
+        .select("lang", F.size(tokens("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    sc = sizes.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_FP)
+        .cast("long")
+        .alias("score_fp"),
+    )
+    tot = sc.agg(
+        F.sum("score_fp").cast("long").alias("total_score"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return sc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"n_tokens * {_MIX_FP} div total_tokens")
+        .cast("long")
+        .alias("raw_share_ppm"),
+        F.expr(f"score_fp * {_MIX_FP} div total_score")
+        .cast("long")
+        .alias("weight_ppm"),
+        F.expr(
+            f"total_tokens * (score_fp * {_MIX_FP} div total_score)"
+            f" div {_MIX_FP}"
+        )
+        .cast("long")
+        .alias("exp_tokens"),
+    )
+
+
+def _mix_sampler_sql() -> str:
+    u = md5_hash32_sql("'smp|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH sizes AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    sc AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MIX_FP})
+                  AS BIGINT) AS score_fp
+      FROM sizes
+    ),
+    tot AS (
+      SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
+             CAST(SUM(n_docs) AS BIGINT) AS total_docs
+      FROM sc
+    ),
+    plan AS (
+      SELECT s.lang, s.n_docs,
+             CAST(s.score_fp * {_MIX_FP} // t.total_score AS BIGINT)
+               AS weight_ppm,
+             CAST((t.total_docs // 2)
+                  * (s.score_fp * {_MIX_FP} // t.total_score)
+                  // {_MIX_FP} AS BIGINT) AS target_docs
+      FROM sc s CROSS JOIN tot t
+    ),
+    plan2 AS (
+      SELECT lang, n_docs, weight_ppm, target_docs,
+             least({_MIX_FP}, target_docs * {_MIX_FP} // n_docs)
+               AS accept_ppm
+      FROM plan
+    ),
+    realized AS (
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS realized_docs
+      FROM documents d JOIN plan2 p ON p.lang = d.lang
+      WHERE {u} % {_MIX_FP} < p.accept_ppm
+      GROUP BY d.lang
+    )
+    SELECT p.lang, p.n_docs, p.weight_ppm, p.target_docs,
+           CAST(p.accept_ppm AS BIGINT) AS accept_ppm,
+           CAST(COALESCE(r.realized_docs, 0) AS BIGINT) AS realized_docs
+    FROM plan2 p LEFT JOIN realized r ON r.lang = p.lang
+    """
+
+
+@query(
+    "q257_temperature_sampler",
+    oracle=_mix_sampler_sql(),
+    tags=("curation", "mixture", "temperature", "sampling"),
+)
+def q257_temperature_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HASH SAMPLER realizing an alpha-temperature
+    mixing plan ({_MIX_ALPHA_NOTE}, q256's fixed-point weight chain
+    over document counts): a half-corpus document budget is allocated
+    to languages by the temperature weights, each language's
+    allocation becomes a per-language acceptance threshold in ppm,
+    and a document survives iff its salted portable-md5 uniform falls
+    under its language's threshold — the q100/q104 hash-rule pattern
+    driving a mixture plan instead of a flat rate. Emitted per
+    language: population, weight, target, threshold, and the REALIZED
+    count under the rule — the readout that makes the sampler's
+    fidelity to the plan a measured, value-checked fact (tail
+    languages land near their upweighted targets, head languages are
+    cut; capped at the population when a target exceeds it).
+
+    Exactness: weights/targets/thresholds are the q256 integer
+    fixed-point chain; acceptance compares integer hash residues to
+    integer thresholds; realized counts are exact COUNTs of the
+    identical surviving set in both engines. Zero RNG in the lineage —
+    rerunning the sampler on a grown corpus keeps every prior
+    decision stable except where the plan itself moved.
+
+    Scale: one pass for per-language counts; the plan is a
+    |languages|-row broadcast; acceptance is a map-side hash compare
+    (no shuffle on the corpus); realized counts are one map-side
+    combined aggregation. The sampler never materializes candidate
+    lists — 100 TB in, filtered stream out.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sizes = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    sc = sizes.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _MIX_FP)
+        .cast("long")
+        .alias("score_fp"),
+    )
+    tot = sc.agg(
+        F.sum("score_fp").cast("long").alias("total_score"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    plan = (
+        sc.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr(f"score_fp * {_MIX_FP} div total_score")
+            .cast("long")
+            .alias("weight_ppm"),
+            F.expr(
+                f"(total_docs div 2)"
+                f" * (score_fp * {_MIX_FP} div total_score)"
+                f" div {_MIX_FP}"
+            )
+            .cast("long")
+            .alias("target_docs"),
+        )
+        .withColumn(
+            "accept_ppm",
+            F.expr(
+                f"least({_MIX_FP}, target_docs * {_MIX_FP} div n_docs)"
+            ).cast("long"),
+        )
+    )
+    u = md5_hash32(
+        F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))
+    )
+    realized = (
+        docs.join(F.broadcast(plan.select("lang", "accept_ppm")), "lang")
+        .filter((u % _MIX_FP) < F.col("accept_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("realized_docs"))
+    )
+    return plan.join(realized, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "weight_ppm",
+        "target_docs",
+        "accept_ppm",
+        F.coalesce(F.col("realized_docs"), F.lit(0))
+        .cast("long")
+        .alias("realized_docs"),
+    )
