@@ -2284,6 +2284,7 @@ def prefix_filter_pairs(
     t_num: int = _PPJ_T_NUM,
     t_den: int = _PPJ_T_DEN,
     guard: bool = True,
+    eager_guard: bool = False,
 ) -> DataFrame:
     """Exact Jaccard >= t_num/t_den pair join over (doc_id, shingle)
     element rows via prefix filtering — the reusable core behind q210.
@@ -2341,6 +2342,11 @@ def prefix_filter_pairs(
     routing machinery measured 3x slower at 10x/100x docs here, and
     this path is for corpora the planner already priced as clean).
     ``guard=False`` opts out for callers that have already routed.
+    ``eager_guard=True`` evaluates the guard driver-side BEFORE the
+    join plan is constructed — strict fail-fast ordering (the lazy
+    default attaches the guard in-plan, where its stage races the
+    join's shuffles under AQE and wins in practice but not by
+    guarantee) at the cost of one extra element-frame pass.
     Measured: sf0.1 corpus at t=1/3 sits far under both caps; the
     synthetic tiny-vocabulary 100x sweep corpus trips the volume cap
     in seconds instead of >25 min of join fan-out.
@@ -2427,6 +2433,17 @@ def prefix_filter_pairs(
         )
     else:
         ok = None
+    if ok is not None and eager_guard:
+        # STRICT fail-fast ordering: evaluate the 1-row guard frame as
+        # its own job BEFORE the join plan exists, so the routing
+        # error is guaranteed to precede any join shuffle or verify
+        # array materialization — not merely to win the stage race
+        # under AQE (the lazy default's documented best-effort). Costs
+        # one extra pass over the element frame; the guard subtree
+        # would be recomputed above the join anyway, so the total work
+        # is unchanged and only the overlap is given up.
+        ok.collect()  # raises the routing error here if the guard fires
+        ok = None  # already enforced; nothing to attach in-plan
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(

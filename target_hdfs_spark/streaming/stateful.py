@@ -1828,9 +1828,12 @@ def bloom_filter_stream(
     here).
 
     Emission contract: membership is monotone (bits only get set), so
-    a probe emits exactly one row — (event_type, probe_user, true) in
-    the batch where it first turns positive; sink presence IS current
-    membership. Bloom semantics carry over: no false negatives
+    per FILTER LIFETIME a probe emits exactly one row — (event_type,
+    probe_user, true) in the batch where it first turns positive; sink
+    presence IS current membership. With ``state_ttl_ms`` set the
+    filter can evict and a re-inserted probe re-emits on its next
+    positive transition (the TTL test pins the two-row re-arm), so
+    the single-emission contract holds only in no-TTL mode. Bloom semantics carry over: no false negatives
     (an inserted probe always turns positive), false positives at the
     calibrated q250 rate.
 

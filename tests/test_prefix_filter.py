@@ -252,3 +252,92 @@ def test_pair_overlap_counts_guard_survives_optimization(spark):
     assert "LeftAnti" in plan, "anti-join width guard was optimized away"
     assert "collect_set" in plan
     assert "Union" in plan, "streaming verify branch was optimized away"
+
+
+# ---------------------------------------------------------------------------
+# Guard BOUNDARY fuzz (r8 verdict item 6): corpora straddling each cap
+# by one unit — at the bound must pass and return exact results, one
+# past must fire the routing error — plus the strict-ordering
+# eager_guard mode on a 10x adversarial corpus, pinning that the
+# fail-fast precedes any join/verify materialization by construction,
+# not by winning the AQE stage race.
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_width_guard_boundary(spark):
+    """One doc with EXACTLY _POC_MAX_DOC_SHINGLES distinct shingles
+    sits AT the array cap: the guard must pass and the verify must
+    still produce the exact result; the +1 firing case is pinned by
+    test_prefix_filter_width_guard_fires_on_mega_doc."""
+    from target_hdfs_spark.operators.dedup import _POC_MAX_DOC_SHINGLES
+
+    cap = _POC_MAX_DOC_SHINGLES
+    # doc 0 at the cap; docs 1 and 2 are identical small docs whose
+    # shingles are a subset of doc 0's (jaccard(1,2)=1 passes t=1/3;
+    # jaccard(0,1)=2/cap fails) — the result must be exactly {(1,2)}
+    rows = (
+        [(0, s) for s in range(cap)]
+        + [(1, 0), (1, 1)]
+        + [(2, 0), (2, 1)]
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+    out = prefix_filter_pairs(sh, 1, 3).collect()
+    assert [(r.doc_a, r.doc_b, r.n_common) for r in out] == [(1, 2, 2)]
+
+
+def test_prefix_filter_volume_guard_boundary(spark, monkeypatch):
+    """Candidate volume exactly AT the per-doc bound passes; one more
+    document tips it over and fires. The cap is monkeypatched small so
+    the boundary is reachable at unit-test scale with EXACT arithmetic:
+    a D-doc boilerplate corpus sharing 4 shingles at t=1/3 keeps 3
+    prefix shingles of df=D, so n_cand = 3*C(D,2) and the bound is
+    cap*D — equal at D=9 for cap=12 (108 == 108), over at D=10
+    (135 > 120)."""
+    from target_hdfs_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_PREFIX_CAND_PER_DOC_MAX", 12)
+    at_bound = [(i, f"t{tok}") for i in range(9) for tok in range(4)]
+    sh = spark.createDataFrame(at_bound, "doc_id long, shingle string")
+    # every pair is identical -> all C(9,2) pairs at jaccard 1
+    assert prefix_filter_pairs(sh, 1, 3).count() == 9 * 8 // 2
+    over = [(i, f"t{tok}") for i in range(10) for tok in range(4)]
+    sh2 = spark.createDataFrame(over, "doc_id long, shingle string")
+    with pytest.raises(Exception, match="lsh-verify:q92"):
+        prefix_filter_pairs(sh2, 1, 3).collect()
+
+
+def test_prefix_filter_eager_guard_strict_ordering(spark):
+    """eager_guard=True evaluates the guard as its own driver-side job
+    BEFORE the join plan is constructed — on a 10x adversarial corpus
+    (30k boilerplate docs, ~45M would-be candidates) the routing error
+    must surface from the guard pass alone; the join/verify stages are
+    never submitted because the plan is never built. Also: on a clean
+    corpus the eager mode returns the identical exact result."""
+    rows = [(i, f"t{tok}") for i in range(30_000) for tok in range(4)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    with pytest.raises(Exception, match="lsh-verify:q92"):
+        prefix_filter_pairs(sh, 1, 3, eager_guard=True).collect()
+    clean = [(i, f"t{i}_{tok}") for i in range(50) for tok in range(4)] + [
+        (100, "t0_0"),
+        (100, "t0_1"),
+        (100, "t0_2"),
+        (100, "t0_3"),
+    ]
+    sh2 = spark.createDataFrame(clean, "doc_id long, shingle string")
+    out = prefix_filter_pairs(sh2, 1, 3, eager_guard=True).collect()
+    assert [(r.doc_a, r.doc_b, r.n_common) for r in out] == [(0, 100, 4)]
+
+
+def test_prefix_filter_eager_guard_mega_doc_fires_before_plan(spark):
+    """The width cap under eager_guard: the oversized doc fails in the
+    driver-side guard pass with the routing message (structural
+    before-any-array ordering)."""
+    from target_hdfs_spark.operators.dedup import _POC_MAX_DOC_SHINGLES
+
+    rows = [(0, s) for s in range(_POC_MAX_DOC_SHINGLES + 1)] + [
+        (1, 0),
+        (1, 1),
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+    with pytest.raises(Exception, match="q92_lsh_verified_pairs"):
+        prefix_filter_pairs(sh, 1, 3, eager_guard=True).collect()
