@@ -40,6 +40,7 @@ def _ops():
         gapped_pattern_stream,
         kmv_distinct_stream,
         multi_pattern_stream,
+        quantile_stream,
         scd2_interval_stream,
         time_weighted_stream,
         transition_stream,
@@ -63,6 +64,9 @@ def _ops():
         "bloom_filter_stream": lambda s: bloom_filter_stream(
             s, tuple(range(1, 9))
         ),
+        # fixed probe percentiles (state is the dense histogram —
+        # 8 KB/key regardless of stream length)
+        "quantile_stream": lambda s: quantile_stream(s, (50, 90, 99)),
     }
 
 
