@@ -129,10 +129,19 @@ QUERIES = (
     "q247_bpe_trainer",
     "q248_bpe_compression",
     # round 9: corpus mixing weights (one token-count pass ->
-    # |languages| frame) and the deterministic temperature sampler
-    # (broadcast plan + map-side hash filter)
+    # |languages| frame), the deterministic temperature sampler
+    # (broadcast plan + map-side hash filter), length-cutoff pricing
+    # (histogram pass + broadcast-filter pass), and epoch allocation
+    # (token-count pass -> |languages| frame)
     "q256_corpus_mixing_weights",
     "q257_temperature_sampler",
+    "q258_length_cutoff_pricing",
+    "q259_epoch_allocation",
+    # round 9: Bloom decontamination (gram pass + broadcast-bitset
+    # probe) and the weight-proportional interleave schedule
+    # (partitioned window + TakeOrderedAndProject prefix audit)
+    "q260_bloom_decontamination",
+    "q261_interleave_schedule",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",

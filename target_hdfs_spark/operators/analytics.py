@@ -7149,3 +7149,109 @@ def q255_quantile_rolling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 / exact_p50) as bigint)"
         ).alias("err50_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch, applied: corpus length-cutoff pricing (the use case
+# the sketch exists for — choose the cutoff from mergeable state,
+# price its impact exactly)
+# ---------------------------------------------------------------------------
+
+# Documents-domain instance: n_chars in width-16 buckets over
+# [0, 65536) characters.
+_QSK_DOC_W = 16
+_QSK_DOC_NBKT = 4096
+_QSK_DOC_PCTS = (10, 50, 95)
+
+
+def _length_cutoff_oracle() -> str:
+    bkt = _qsk_bucket_sql("n_chars", _QSK_DOC_W, _QSK_DOC_NBKT)
+    return f"""
+    WITH hist AS (
+      SELECT lang, {bkt} AS bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    est AS (
+      {_qsk_est_sql("hist", "lang", _QSK_DOC_W, _QSK_DOC_PCTS, True)}
+    ),
+    dropped AS (
+      SELECT d.lang,
+             CAST(COUNT(*) AS BIGINT) AS docs_dropped,
+             CAST(SUM(d.n_chars) AS BIGINT) AS chars_dropped
+      FROM documents d JOIN est e ON e.lang = d.lang
+      WHERE d.n_chars > e.est_p95
+      GROUP BY d.lang
+    )
+    SELECT e.lang, e.n_rows AS n_docs,
+           e.est_p10, e.est_p50, e.est_p95,
+           CAST(COALESCE(x.docs_dropped, 0) AS BIGINT) AS docs_dropped,
+           CAST(COALESCE(x.chars_dropped, 0) AS BIGINT) AS chars_dropped,
+           CAST(COALESCE(x.docs_dropped, 0) * 1000000 // e.n_rows
+                AS BIGINT) AS drop_ppm
+    FROM est e LEFT JOIN dropped x ON x.lang = e.lang
+    """
+
+
+@query(
+    "q258_length_cutoff_pricing",
+    oracle=_length_cutoff_oracle(),
+    tags=("sketch", "percentile", "curation", "observability"),
+)
+def q258_length_cutoff_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-CUTOFF PRICING from the quantile sketch — the operation
+    the sketch program exists for: per-language document-length
+    histograms (q253's fixed-boundary cells over n_chars) yield
+    p10/p50/p95 cutoff candidates WITHOUT sorting any documents, and
+    the chosen cutoff (p95 here) is then priced exactly — how many
+    documents and characters a "drop everything longer than p95"
+    curation rule would remove per language, in counts and ppm. At
+    100 TB this is the two-phase shape a corpus curator actually
+    runs: phase 1 merges stored histogram partials into cutoffs
+    (sketch-sized work), phase 2 is one map-side filter pass with the
+    |languages|-row cutoff table broadcast — this query is both
+    phases composed, value-checked end-to-end.
+
+    Exactness: cells, ranks, and midpoints are the shared
+    `_qsk_estimates` readout (deterministic integers); the pricing
+    side counts and sums integers over an identical surviving set in
+    both engines; one truncated ppm division.
+
+    Scale: one documents pass to the per-(lang, bucket) histogram
+    (map-side combine), readouts on <= {_QSK_DOC_NBKT} cells per
+    language, then one filter pass with the broadcast cutoffs. No
+    per-group value materialization anywhere — the term q99-style
+    exact percentiles would pay.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    hist = docs.groupBy(
+        "lang",
+        _qsk_bucket_expr("n_chars", _QSK_DOC_W, _QSK_DOC_NBKT).alias("bkt"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    est = _qsk_estimates(
+        hist, ["lang"], _QSK_DOC_W, _QSK_DOC_PCTS, with_counts=True
+    ).drop("n_buckets")
+    dropped = (
+        docs.join(F.broadcast(est.select("lang", "est_p95")), "lang")
+        .filter(F.col("n_chars") > F.col("est_p95"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_dropped"),
+            F.sum("n_chars").cast("long").alias("chars_dropped"),
+        )
+    )
+    return est.join(dropped, "lang", "left").select(
+        "lang",
+        F.col("n_rows").alias("n_docs"),
+        "est_p10",
+        "est_p50",
+        "est_p95",
+        F.coalesce("docs_dropped", F.lit(0)).cast("long").alias("docs_dropped"),
+        F.coalesce("chars_dropped", F.lit(0))
+        .cast("long")
+        .alias("chars_dropped"),
+        F.expr("coalesce(docs_dropped, 0) * 1000000 div n_rows")
+        .cast("long")
+        .alias("drop_ppm"),
+    )

@@ -2008,3 +2008,545 @@ def q257_temperature_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("realized_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6j: epoch allocation under a token budget (data-constrained mixing
+# — how many passes over each source a fixed compute budget buys,
+# with a repetition cap)
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 4  # token budget = 4x the corpus (compute-rich case)
+_EPOCH_CAP_MILLI = 4_000  # max 4.0 epochs per source (repetition cap)
+
+
+def _epoch_alloc_sql() -> str:
+    tok = TOKENS_SQL.format(expr="text")
+    return f"""
+    WITH sizes AS (
+      SELECT lang, CAST(SUM(len({tok})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    sc AS (
+      SELECT lang, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_FP})
+                  AS BIGINT) AS score_fp
+      FROM sizes
+    ),
+    tot AS (
+      SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM sc
+    ),
+    alloc AS (
+      SELECT s.lang, s.n_tokens,
+             CAST(s.score_fp * {_MIX_FP} // t.total_score AS BIGINT)
+               AS weight_ppm,
+             CAST((t.total_tokens * {_EPOCH_BUDGET_X})
+                  * (s.score_fp * {_MIX_FP} // t.total_score)
+                  // {_MIX_FP} AS BIGINT) AS alloc_tokens
+      FROM sc s CROSS JOIN tot t
+    ),
+    capped AS (
+      SELECT lang, n_tokens, weight_ppm, alloc_tokens,
+             least(alloc_tokens * 1000 // n_tokens,
+                   {_EPOCH_CAP_MILLI}) AS epochs_milli,
+             least(alloc_tokens,
+                   n_tokens * {_EPOCH_CAP_MILLI} // 1000) AS used_tokens
+      FROM alloc
+    ),
+    leftover AS (
+      SELECT CAST(SUM(alloc_tokens) - SUM(used_tokens) AS BIGINT)
+               AS leftover_tokens
+      FROM capped
+    )
+    SELECT c.lang, c.n_tokens, c.weight_ppm, c.alloc_tokens,
+           CAST(c.epochs_milli AS BIGINT) AS epochs_milli,
+           CAST(c.used_tokens AS BIGINT) AS used_tokens,
+           l.leftover_tokens
+    FROM capped c CROSS JOIN leftover l
+    """
+
+
+@query(
+    "q259_epoch_allocation",
+    oracle=_epoch_alloc_sql(),
+    tags=("curation", "mixture", "temperature", "observability"),
+)
+def q259_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH ALLOCATION under a token budget — the data-constrained
+    question a pretraining run answers after q256 sets the mixture:
+    with a compute budget of {_EPOCH_BUDGET_X}x the corpus in tokens,
+    allocated to languages by the alpha-temperature weights, how many
+    PASSES (epochs, in milli-epochs) over each language's data does
+    its allocation buy — capped at {_EPOCH_CAP_MILLI / 1000} epochs
+    (the diminishing-returns repetition bound), with the stranded
+    budget the cap leaves unspent reported as leftover_tokens (the
+    amount the planner reallocates or trades for fresh data). Tail
+    languages hit the cap (their upweighted allocation exceeds
+    {_EPOCH_CAP_MILLI / 1000} passes over their small corpora); the
+    head language absorbs its full allocation in ~one pass.
+
+    Exactness: q256's fixed-point weight chain (integer scores before
+    any cross-row sum), then pure integer multiply/divide/least for
+    allocations, epochs, caps, and the leftover sum.
+
+    Scale: one corpus token-count pass; every subsequent frame is
+    |languages| rows with 1-row totals broadcast. The plan a 100 TB
+    planner runs between the weight table and the dataloader config.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    sizes = (
+        fan_out(docs, "doc_id")
+        .select("lang", F.size(tokens("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    sc = sizes.select(
+        "lang",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_FP)
+        .cast("long")
+        .alias("score_fp"),
+    )
+    tot = sc.agg(
+        F.sum("score_fp").cast("long").alias("total_score"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    capped = (
+        sc.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            F.expr(f"score_fp * {_MIX_FP} div total_score")
+            .cast("long")
+            .alias("weight_ppm"),
+            F.expr(
+                f"(total_tokens * {_EPOCH_BUDGET_X})"
+                f" * (score_fp * {_MIX_FP} div total_score)"
+                f" div {_MIX_FP}"
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "weight_ppm",
+            "alloc_tokens",
+            F.expr(
+                f"least(alloc_tokens * 1000 div n_tokens,"
+                f" {_EPOCH_CAP_MILLI})"
+            )
+            .cast("long")
+            .alias("epochs_milli"),
+            F.expr(
+                f"least(alloc_tokens,"
+                f" n_tokens * {_EPOCH_CAP_MILLI} div 1000)"
+            )
+            .cast("long")
+            .alias("used_tokens"),
+        )
+        .localCheckpoint()  # feeds the rows AND the leftover sum
+    )
+    leftover = capped.agg(
+        (F.sum("alloc_tokens") - F.sum("used_tokens"))
+        .cast("long")
+        .alias("leftover_tokens")
+    )
+    return capped.crossJoin(F.broadcast(leftover))
+
+
+# ---------------------------------------------------------------------------
+# L6k: Bloom-filter decontamination (q101's question at the shape a
+# 100 TB pipeline actually runs: the eval set as a broadcast bitset,
+# probed map-side — no gram join)
+# ---------------------------------------------------------------------------
+
+_DECON_BLOOM_K = 4
+_DECON_BLOOM_M = 65536  # 64K positions (8 KB of bits) for the eval grams
+
+
+def _decon_bloom_oracle() -> str:
+    from target_hdfs_spark.functions.hashing import (
+        hash_coeffs,
+        md5_hash32_sql,
+    )
+
+    h = md5_hash32_sql("gram")
+    pos_parts = " UNION ALL ".join(
+        f"SELECT gram, ({a} * h + {b}) % 4294967311 % {_DECON_BLOOM_M} AS pos"
+        " FROM gh"
+        for a, b in hash_coeffs(_DECON_BLOOM_K)
+    )
+    return f"""
+    WITH grams AS MATERIALIZED (
+      SELECT doc_id, unnest({shingles_sql(_TOK, _NGRAM)}) AS gram
+      FROM documents
+    ),
+    gh AS MATERIALIZED (
+      SELECT DISTINCT gram, {h} AS h FROM grams
+    ),
+    gpos AS MATERIALIZED (
+      SELECT gram, list(pos) AS poss FROM ({pos_parts}) GROUP BY gram
+    ),
+    ev AS MATERIALIZED (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT unnest(poss) AS pos
+      FROM gpos JOIN ev USING (gram)
+    ),
+    tr_gram_hit AS (
+      SELECT g.doc_id, g.gram,
+             (SELECT COUNT(*) FROM unnest(p.poss) AS u(pos)
+              WHERE pos IN (SELECT pos FROM bits)) = {_DECON_BLOOM_K}
+               AS bloom_hit,
+             g.gram IN (SELECT gram FROM ev) AS exact_hit
+      FROM grams g JOIN gpos p USING (gram)
+      WHERE g.doc_id % {_EVAL_MOD} <> 0
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             MAX(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS fb,
+             MAX(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS fe
+      FROM tr_gram_hit GROUP BY doc_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_eval_grams,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(SUM(fe) AS BIGINT) AS n_flagged_exact,
+           CAST(SUM(fb) AS BIGINT) AS n_flagged_bloom,
+           (SUM(CASE WHEN fe = 1 AND fb = 0 THEN 1 ELSE 0 END) = 0)
+             AS no_false_negatives,
+           CAST(SUM(CASE WHEN fb = 1 AND fe = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive_docs,
+           CAST(SUM(CASE WHEN fb = 1 AND fe = 0 THEN 1 ELSE 0 END)
+                * 1000000 // greatest(COUNT(*) - SUM(fe), 1)
+                AS BIGINT) AS fp_doc_ppm
+    FROM per_doc
+    """
+
+
+@query(
+    "q260_bloom_decontamination",
+    oracle=_decon_bloom_oracle(),
+    tags=("curation", "sketch", "dedup", "calibration"),
+)
+def q260_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER DECONTAMINATION — q101's eval-overlap question at
+    the shape a 100 TB pipeline actually runs it: the benchmark
+    suite's n-grams become a deterministic {_DECON_BLOOM_K}-hash/
+    {_DECON_BLOOM_M}-bit Bloom filter (8 KB of bits, built once,
+    broadcast everywhere), and every training document is probed
+    MAP-SIDE — a doc is flagged iff ANY of its grams has all
+    {_DECON_BLOOM_K} positions set. No gram-keyed join touches the
+    training corpus; contaminated + falsely-flagged docs (the fp rate
+    says how few) go to the exact recheck. This query runs BOTH the
+    filter pass and q101's exact membership truth and emits the
+    calibration: no-false-negatives checked BY VALUE (Bloom can never
+    miss an inserted gram — the structural guarantee that makes the
+    cheap pass safe), false-positive docs counted and in ppm of the
+    clean population.
+
+    Exactness: the filter is the engine's deterministic Bloom (q250's
+    position machinery on the portable md5-32 gram hash), so both
+    engines build the identical bitset and flag the identical docs;
+    every output is an integer or a boolean riding the checked row.
+
+    Scale: eval side is benchmark-sized (fixed, tiny) -> the bitset
+    is {_DECON_BLOOM_M} positions regardless of corpus scale; the
+    training side is one map-side probe pass (broadcast join against
+    the distinct-positions frame stands in for the bitset lookup) +
+    one per-doc aggregate. The exact side exists as calibration
+    truth; production keeps the filter and the flagged subset.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    from target_hdfs_spark.functions.hashing import (
+        MERSENNE_P,
+        hash_coeffs,
+        md5_hash32,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        fan_out(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(shingles(tokens("text"), _NGRAM)).alias("gram"),
+        )
+        .localCheckpoint()  # feeds eval build, train probe, exact truth
+    )
+    h = md5_hash32(F.col("gram"))
+    coeffs = hash_coeffs(_DECON_BLOOM_K)
+
+    def pos_i(i: int):
+        a, b = coeffs[i]
+        return (F.lit(a) * h + F.lit(b)) % MERSENNE_P % _DECON_BLOOM_M
+
+    ev = (
+        grams.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    bits = (
+        ev.select(
+            F.explode(
+                F.array(*[pos_i(i) for i in range(_DECON_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .localCheckpoint()  # the filter: benchmark-sized, built once
+    )
+    # the probe is pure map work: positions RECOMPUTED per train gram
+    # (a hash of the row, never a vocab-keyed join) and each checked
+    # via its own broadcast hash lookup against the bitset — K
+    # BroadcastHashJoins, no shuffle touches the training corpus
+    # until the one per-doc aggregate
+    tr = grams.where(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id",
+        "gram",
+        *[pos_i(i).alias(f"p{i}") for i in range(_DECON_BLOOM_K)],
+    )
+    for i in range(_DECON_BLOOM_K):
+        marker = bits.select(
+            F.col("pos").alias(f"_pos{i}"), F.lit(1).alias(f"_b{i}")
+        )
+        tr = tr.join(
+            F.broadcast(marker), tr[f"p{i}"] == marker[f"_pos{i}"], "left"
+        )
+    fb_gram = F.when(
+        sum(F.col(f"_b{i}").isNotNull().cast("int") for i in range(_DECON_BLOOM_K))
+        == _DECON_BLOOM_K,
+        1,
+    ).otherwise(0)
+    evm = ev.select("gram", F.lit(1).alias("_e"))
+    per_doc = (
+        tr.join(F.broadcast(evm), "gram", "left")
+        .select(
+            "doc_id",
+            fb_gram.alias("fbg"),
+            F.coalesce("_e", F.lit(0)).alias("feg"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("fbg").alias("fb"), F.max("feg").alias("fe"))
+    )
+    n_ev = ev.agg(F.count(F.lit(1)).cast("long").alias("n_eval_grams"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    return (
+        per_doc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum("fe").cast("long").alias("n_flagged_exact"),
+            F.sum("fb").cast("long").alias("n_flagged_bloom"),
+            (
+                F.sum(
+                    F.when((F.col("fe") == 1) & (F.col("fb") == 0), 1).otherwise(0)
+                )
+                == 0
+            ).alias("no_false_negatives"),
+            F.sum(
+                F.when((F.col("fb") == 1) & (F.col("fe") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_positive_docs"),
+        )
+        .crossJoin(F.broadcast(n_ev))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_eval_grams",
+            "bits_set",
+            "n_train_docs",
+            "n_flagged_exact",
+            "n_flagged_bloom",
+            "no_false_negatives",
+            "n_false_positive_docs",
+            F.expr(
+                "n_false_positive_docs * 1000000"
+                " div greatest(n_train_docs - n_flagged_exact, 1)"
+            )
+            .cast("long")
+            .alias("fp_doc_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6l: weight-proportional interleave schedule (the dataloader ORDER
+# for a mixed corpus — deterministic, no global sort materialized)
+# ---------------------------------------------------------------------------
+
+_ILV_TOP = 200  # readout prefix: how many leading slots to audit
+_ILV_SCALE = 1_000_000_000  # slot-key scale (rank * scale / weight)
+
+
+def _interleave_oracle() -> str:
+    u = md5_hash32_sql("'smp|' || CAST(doc_id AS VARCHAR)")
+    o = md5_hash32_sql("'ord|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH sizes AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    sc AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MIX_FP})
+                  AS BIGINT) AS score_fp
+      FROM sizes
+    ),
+    tot AS (
+      SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
+             CAST(SUM(n_docs) AS BIGINT) AS total_docs
+      FROM sc
+    ),
+    plan AS (
+      SELECT s.lang, s.n_docs,
+             CAST(s.score_fp * {_MIX_FP} // t.total_score AS BIGINT)
+               AS weight_ppm,
+             least({_MIX_FP},
+                   CAST((t.total_docs // 2)
+                        * (s.score_fp * {_MIX_FP} // t.total_score)
+                        // {_MIX_FP} AS BIGINT)
+                   * {_MIX_FP} // s.n_docs) AS accept_ppm
+      FROM sc s CROSS JOIN tot t
+    ),
+    sampled AS (
+      SELECT d.doc_id, d.lang, p.weight_ppm, {o} AS ord_h
+      FROM documents d JOIN plan p ON p.lang = d.lang
+      WHERE {u} % {_MIX_FP} < p.accept_ppm
+    ),
+    ranked AS (
+      SELECT doc_id, lang, weight_ppm,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ord_h, doc_id) AS lang_rank
+      FROM sampled
+    ),
+    keyed AS (
+      SELECT doc_id, lang,
+             lang_rank * {_ILV_SCALE} // weight_ppm AS slot_key
+      FROM ranked
+    ),
+    head AS (
+      SELECT lang FROM keyed
+      ORDER BY slot_key, lang, doc_id LIMIT {_ILV_TOP}
+    ),
+    head_counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS top_slots
+      FROM head GROUP BY lang
+    ),
+    totals AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM sampled GROUP BY lang
+    )
+    SELECT t.lang, t.n_sampled,
+           CAST(COALESCE(h.top_slots, 0) AS BIGINT) AS top_slots,
+           CAST(COALESCE(h.top_slots, 0) * {_MIX_FP} // {_ILV_TOP}
+                AS BIGINT) AS top_share_ppm
+    FROM totals t LEFT JOIN head_counts h ON h.lang = t.lang
+    """
+
+
+@query(
+    "q261_interleave_schedule",
+    oracle=_interleave_oracle(),
+    tags=("curation", "mixture", "temperature", "window"),
+)
+def q261_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-PROPORTIONAL INTERLEAVE SCHEDULE — the deterministic
+    dataloader ORDER for the q257 temperature sample: each surviving
+    document gets a per-language shuffle rank (salted-hash order, the
+    deterministic shuffle) and a SLOT KEY = rank * {_ILV_SCALE} /
+    weight_ppm; streaming the corpus in slot-key order interleaves
+    languages in proportion to their mixture weights at every prefix
+    (the low-discrepancy schedule a curriculum wants — no long
+    single-language runs), without ever materializing a global dense
+    position: the key is computed map-side after a per-language
+    window, and any consumer range-partitions on it. The readout
+    audits the schedule's first {_ILV_TOP} slots: per-language counts
+    and share (ppm) — value-checked to track weight_ppm.
+
+    Exactness: sampling, ranks, and slot keys are the engine's
+    integer hash/fixed-point chains; the prefix audit is a
+    deterministic total order (slot_key, lang, doc_id); counts exact.
+
+    Scale: the per-language rank is a partitioned window (parallel
+    across languages; within a language the rank is the only
+    sequential term and rides Spark's window machinery); slot keys
+    are map-side arithmetic; the prefix audit compiles to
+    TakeOrderedAndProject (top-{_ILV_TOP}, never a full sort). At
+    100 TB the schedule is written range-partitioned by slot_key —
+    no stage here materializes a global order.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sizes = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    sc = sizes.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _MIX_FP)
+        .cast("long")
+        .alias("score_fp"),
+    )
+    tot = sc.agg(
+        F.sum("score_fp").cast("long").alias("total_score"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    plan = sc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"score_fp * {_MIX_FP} div total_score")
+        .cast("long")
+        .alias("weight_ppm"),
+        F.expr(
+            f"least({_MIX_FP},"
+            f" ((total_docs div 2)"
+            f"  * (score_fp * {_MIX_FP} div total_score)"
+            f"  div {_MIX_FP}) * {_MIX_FP} div n_docs)"
+        )
+        .cast("long")
+        .alias("accept_ppm"),
+    )
+    u = md5_hash32(F.concat(F.lit("smp|"), F.col("doc_id").cast("string")))
+    sampled = (
+        docs.join(F.broadcast(plan), "lang")
+        .filter((u % _MIX_FP) < F.col("accept_ppm"))
+        .select(
+            "doc_id",
+            "lang",
+            "weight_ppm",
+            md5_hash32(
+                F.concat(F.lit("ord|"), F.col("doc_id").cast("string"))
+            ).alias("ord_h"),
+        )
+        .localCheckpoint()  # feeds the schedule AND per-lang totals
+    )
+    w_lang = Window.partitionBy("lang").orderBy("ord_h", "doc_id")
+    keyed = sampled.withColumn(
+        "lang_rank", F.row_number().over(w_lang).cast("long")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"lang_rank * {_ILV_SCALE} div weight_ppm").alias("slot_key"),
+    )
+    head = keyed.orderBy("slot_key", "lang", "doc_id").limit(_ILV_TOP)
+    head_counts = head.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("top_slots")
+    )
+    totals = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+    return totals.join(head_counts, "lang", "left").select(
+        "lang",
+        "n_sampled",
+        F.coalesce("top_slots", F.lit(0)).cast("long").alias("top_slots"),
+        F.expr(f"coalesce(top_slots, 0) * {_MIX_FP} div {_ILV_TOP}")
+        .cast("long")
+        .alias("top_share_ppm"),
+    )

@@ -430,7 +430,8 @@ def transform_with_state_bucket_root_dedup(
             yield pd.DataFrame(out, columns=["doc_id", "root_id", "est_sim"])
 
         def close(self) -> None:
-            pass
+            """Interface hook; no resources to release (state lives
+            in the store, not the processor)."""
 
     # TTL state is only legal under a running time mode — Spark
     # rejects ttlDurationMs with TimeMode.None at query start
