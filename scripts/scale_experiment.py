@@ -142,6 +142,8 @@ QUERIES = (
     # (partitioned window + TakeOrderedAndProject prefix audit)
     "q260_bloom_decontamination",
     "q261_interleave_schedule",
+    # deterministic stratified reservoir (WindowGroupLimit bottom-k)
+    "q262_reservoir_sample",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",

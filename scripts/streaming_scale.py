@@ -41,6 +41,7 @@ def _ops():
         kmv_distinct_stream,
         multi_pattern_stream,
         quantile_stream,
+        reservoir_stream,
         scd2_interval_stream,
         time_weighted_stream,
         transition_stream,
@@ -67,6 +68,10 @@ def _ops():
         # fixed probe percentiles (state is the dense histogram —
         # 8 KB/key regardless of stream length)
         "quantile_stream": lambda s: quantile_stream(s, (50, 90, 99)),
+        # the sample IS the state (k (hash, id) pairs); emission rate
+        # decays as ~k/n — the sweep pins wall AND that output stays
+        # tiny at 100x
+        "reservoir_stream": reservoir_stream,
     }
 
 

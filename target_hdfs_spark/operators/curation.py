@@ -2553,3 +2553,79 @@ def q261_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6m/E23: deterministic stratified reservoir — exact-k uniform sample
+# per stratum via bottom-k of a salted hash (the mergeable sample:
+# bottom-k of a union is the union's bottom-k, so partials/streams
+# maintain it with O(k) state — the sampling twin of KMV)
+# ---------------------------------------------------------------------------
+
+_RSV_K = 8
+
+
+def _reservoir_oracle() -> str:
+    h = md5_hash32_sql("'rsv|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+      SELECT lang, doc_id, {h} AS hv FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, hv,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS sample_rank
+      FROM hashed
+    )
+    SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, hv
+    FROM ranked WHERE sample_rank <= {_RSV_K}
+    """
+
+
+@query(
+    "q262_reservoir_sample",
+    oracle=_reservoir_oracle(),
+    tags=("curation", "sampling", "window", "sketch"),
+)
+def q262_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED RESERVOIR — an exact-{_RSV_K} uniform
+    sample per language as the bottom-{_RSV_K} documents by salted
+    portable hash. The hash order is a uniform random permutation
+    (fixed by the salt, so bit-reproducible across engines, reruns,
+    partitionings, and corpus growth: a document only leaves the
+    sample when a smaller-hash newcomer displaces it — exactly the
+    reservoir property). What the rate rule (q104) cannot give —
+    EXACT k per stratum — and the weighted priority sample (q121)
+    does not: a uniform fixed-size reservoir that is MERGEABLE:
+    bottom-k of a union is the union's bottom-k (KMV's semilattice
+    on its own members), so executor partials, stored per-day
+    partials, or a stream's running state all maintain it with O(k)
+    integers — this is the batch twin of reservoir_stream.
+
+    Exactness: hashes are the portable md5-32; ranks carry the
+    (hv, doc_id) total order; output is the identical row set in
+    both engines.
+
+    Scale: rank <= k over the per-lang window compiles to
+    WindowGroupLimit — each scan task keeps its local bottom-k per
+    stratum BEFORE the shuffle, so the final per-group sort touches
+    tasks x k rows, never |corpus| (q239's plan shape, pinned there).
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    hashed = docs.select(
+        "lang",
+        "doc_id",
+        md5_hash32(
+            F.concat(F.lit("rsv|"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        hashed.withColumn(
+            "sample_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("sample_rank") <= _RSV_K)
+        .select("lang", "sample_rank", "doc_id", "hv")
+    )

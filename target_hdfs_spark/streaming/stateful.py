@@ -2091,3 +2091,159 @@ def quantile_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# reservoir_stream (stateful twin of q262_reservoir_sample — the
+# fourteenth twin: the SAMPLE is the state)
+# ---------------------------------------------------------------------------
+
+RSV_K = 8  # must equal curation._RSV_K (cross-module pin in tests)
+
+RSV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("sample_ids", T.StringType()),
+    ]
+)
+
+# the reservoir IS the state: the k smallest (hash, id) pairs plus
+# the stream length
+RSV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hv", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+RSV_STATE_TTL_SCHEMA = T.StructType(
+    [*RSV_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _rsv_hash_py(event_id: int) -> int:
+    """q262's salted hash verbatim — a batch rebuild of the sample is
+    bit-identical."""
+    import hashlib
+
+    return int(
+        hashlib.md5(f"rsv|{event_id}".encode()).hexdigest()[:8], 16
+    )
+
+
+def _rsv_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    k: int,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"event_type": [], "n_seen": [], "sample_ids": []}
+    ).astype(
+        {"event_type": "object", "n_seen": "int64", "sample_ids": "object"}
+    )
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        members = list(zip(stored[0], stored[1]))
+        n = int(stored[2])
+        prev_last = stored[3] if ttl_ms is not None else 0
+    else:
+        members, n, prev_last = [], 0, 0
+
+    before = list(members)
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # bottom-k of a union is the union's bottom-k (KMV's semilattice
+    # on the sample members themselves): merge order cannot matter,
+    # so the final sample equals the batch bottom-k for ANY arrival
+    # permutation and batch split
+    for e in whole["event_id"]:
+        members.append((_rsv_hash_py(int(e)), int(e)))
+    members = sorted(set(members))[:k]
+    n += len(whole)
+    if members != before:
+        out = pd.DataFrame(
+            [
+                (
+                    key[0],
+                    n,
+                    ",".join(str(eid) for _, eid in members),
+                )
+            ],
+            columns=[f.name for f in RSV_OUTPUT_SCHEMA.fields],
+        )
+    else:
+        out = empty
+    hv = [h for h, _ in members]
+    ids = [eid for _, eid in members]
+    if ttl_ms is None:
+        state.update((hv, ids, n))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((hv, ids, n, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield out
+
+
+def reservoir_stream(
+    events: DataFrame,
+    k: int = RSV_K,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming DETERMINISTIC RESERVOIR per event type — an exact-k
+    uniform sample of an unbounded stream maintained with O(k) state:
+    the k smallest (salted-hash, id) pairs, q262's rule verbatim, so
+    a batch rebuild over the same events is bit-identical. The sample
+    IS the state, and bottom-k of a union is a semilattice (KMV's
+    algebra applied to the members instead of the estimator), so the
+    final sample equals batch q262's for ANY arrival permutation and
+    batch split — unconditional parity, the family argument. This is
+    what rand()-reservoir algorithms (Vitter's R) give you with RNG
+    and ordering sensitivity, made deterministic, mergeable, and
+    restart-safe for free.
+
+    Emission contract: one row per batch in which the sample CHANGED
+    — (event_type, n_seen, comma-joined sample ids); rows carry the
+    monotone n_seen, so sink row with max n_seen per type = current
+    sample. A batch that displaces nothing emits nothing (the
+    expected case once n >> k: displacement probability is ~k/n).
+
+    ``state_ttl_ms`` gives sliding-population semantics (an idle
+    type's sample evicts); ``None`` maintains the all-time sample at
+    2k int64s per key forever.
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+    kk = int(k)
+    if kk < 1:
+        raise ValueError("reservoir_stream requires k >= 1")
+
+    def fn(key, pdfs, state):
+        return _rsv_group(key, pdfs, state, kk, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = (
+            events,
+            RSV_STATE_SCHEMA,
+            GroupStateTimeout.NoTimeout,
+        )
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = (
+            RSV_STATE_TTL_SCHEMA,
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=RSV_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

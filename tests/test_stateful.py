@@ -3048,3 +3048,257 @@ def test_qsk_constants_and_bucket_match_batch_oracle():
             f"SELECT {expr} FROM (SELECT CAST({v!r} AS DOUBLE) AS value)"
         ).fetchone()
         assert _qsk_bucket_py(v) == sql_bkt, v
+
+
+# ---------------------------------------------------------------------------
+# reservoir_stream (deterministic bottom-k sample twin of
+# q262_reservoir_sample — the fourteenth twin)
+# ---------------------------------------------------------------------------
+
+
+def _run_rsv(spark, src, name, k=8, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import reservoir_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        reservoir_stream(stream, k, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def _rsv_batch_sample(rows, k=8):
+    from target_hdfs_spark.streaming.stateful import _rsv_hash_py
+
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["event_type"], []).append(
+            (_rsv_hash_py(r["event_id"]), r["event_id"])
+        )
+    return {
+        t: ",".join(str(e) for _, e in sorted(set(m))[:k])
+        for t, m in out.items()
+    }
+
+
+def test_rsv_stream_sample_evolves_across_batches(spark, tmp_path):
+    """With k=2, batch 2's smaller-hash newcomer must displace a
+    member across the state boundary; a batch that displaces nothing
+    emits nothing."""
+    from target_hdfs_spark.streaming.stateful import _rsv_hash_py
+
+    ids = list(range(1, 9))
+    by_hash = sorted(ids, key=lambda e: (_rsv_hash_py(e), e))
+    smallest_two, biggest = by_hash[:2], by_hash[-1]
+    first_batch = [e for e in ids if e not in smallest_two]
+    src = tmp_path / "rsvsrc"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": e, "ts": f"2026-08-13T10:00:{i:02d}Z", "event_type": "view"}
+            for i, e in enumerate(first_batch)
+        ],
+    )
+    time.sleep(1.1)
+    # the two global-smallest hashes arrive late and take the sample
+    _write(
+        src / "f2.jsonl",
+        [
+            {"user_id": 1, "event_id": e, "ts": f"2026-08-13T10:01:{i:02d}Z", "event_type": "view"}
+            for i, e in enumerate(smallest_two)
+        ],
+    )
+    time.sleep(1.1)
+    # a displacement-free batch (the biggest hash again, as a new
+    # duplicate id set member it IS already present -> no change)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 1, "event_id": biggest, "ts": "2026-08-13T10:02:00Z", "event_type": "view"}],
+    )
+    rows = sorted(_run_rsv(spark, src, "rsv_evolve", k=2), key=lambda r: r.n_seen)
+    assert len(rows) == 2  # batch 3 changed nothing -> silent
+    assert rows[1].sample_ids == ",".join(
+        str(e) for e in sorted(smallest_two, key=lambda e: (_rsv_hash_py(e), e))
+    )
+    # n_seen stamps the batch of the LAST CHANGE (batch 2, all 8 ids);
+    # the silent batch 3 advances state.n but emits no row
+    assert rows[1].n_seen == len(ids)
+
+
+@pytest.mark.parametrize("seed", [17, 59])
+def test_rsv_stream_equals_batch_rebuild_shuffled(spark, tmp_path, seed):
+    """Bottom-k-union semilattice parity: the log is SHUFFLED across
+    two batches; the latest sample per type (rows carry monotone
+    n_seen) must equal the batch bottom-k over the same events."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase"]
+    rows = [
+        {
+            "user_id": rng.randrange(40),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(types),
+        }
+        for i in range(300)
+    ]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    src = tmp_path / f"rsvsrc2_{seed}"
+    _write(src / "a.jsonl", shuffled[:150])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", shuffled[150:])
+    got_rows = _run_rsv(spark, src, f"rsv_parity_{seed}")
+    latest: dict = {}
+    for r in got_rows:
+        if r.event_type not in latest or r.n_seen > latest[r.event_type][1]:
+            latest[r.event_type] = (r.sample_ids, r.n_seen)
+    got = {t: v[0] for t, v in latest.items()}
+    assert got == _rsv_batch_sample(rows)
+    counts = {t: sum(1 for r in rows if r["event_type"] == t) for t in types}
+    assert {t: latest[t][1] for t in types} == counts
+
+
+def test_rsv_stream_ttl_resets_sample(spark, tmp_path):
+    """TTL mode: an idle type's reservoir evicts — the post-gap
+    sample contains only the new event."""
+    src = tmp_path / "rsvttl"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 9, "event_id": 3, "ts": "2026-08-13T10:30:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 9, "event_id": 4, "ts": "2026-08-13T10:31:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:00Z", "event_type": "view"}],
+    )
+    from target_hdfs_spark.streaming.stateful import _rsv_hash_py
+
+    rows = [r for r in _run_rsv(spark, src, "rsv_ttl", ttl_ms=60_000) if r.event_type == "view"]
+    first = ",".join(
+        str(e) for e in sorted((1, 2), key=lambda e: (_rsv_hash_py(e), e))
+    )
+    # pre-gap sample of both events, then post-eviction the fresh
+    # reservoir holds only event 5 with n restarted at 1
+    assert {(r.sample_ids, r.n_seen) for r in rows} == {(first, 2), ("5", 1)}
+
+
+def test_rsv_state_survives_query_restart(spark, tmp_path):
+    """Kill-resume: the reservoir crosses a full query RESTART via
+    the checkpoint — run 2's sample still contains run 1's member
+    with the smaller hash."""
+    from target_hdfs_spark.streaming.stateful import (
+        _rsv_hash_py,
+        reservoir_stream,
+    )
+
+    src, sink, ckpt = tmp_path / "rsvsrc3", tmp_path / "rsvsink", tmp_path / "rsvckpt"
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            reservoir_stream(stream, 1)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    a, b = sorted((101, 202), key=lambda e: (_rsv_hash_py(e), e))
+    _write(
+        src / "f1.jsonl",
+        [{"user_id": 1, "event_id": a, "ts": "2026-08-13T10:00:00Z", "event_type": "view"}],
+    )
+    run_once()
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": b, "ts": "2026-08-13T10:00:01Z", "event_type": "view"}],
+    )
+    run_once()
+    got = spark.read.parquet(str(sink)).collect()
+    # k=1: the smaller-hash member a holds the sample through the
+    # restart; batch 2 (bigger hash) displaces nothing and emits
+    # nothing — exactly one row total, written in run 1
+    assert [(r.sample_ids, r.n_seen) for r in got] == [(str(a), 1)]
+
+
+def test_rsv_stream_on_rocksdb(spark, tmp_path):
+    """The paired-array state roundtrips through the RocksDB
+    provider identically."""
+    src = tmp_path / "rsvrocks"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": i, "ts": f"2026-08-13T10:00:{i:02d}Z", "event_type": "view"}
+            for i in range(1, 5)
+        ],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = _run_rsv(spark, src, "rsv_rocks", k=2)
+    finally:
+        spark.conf.set(key, prev)
+    expected = _rsv_batch_sample(
+        [{"event_type": "view", "event_id": i} for i in range(1, 5)], k=2
+    )
+    assert [r.sample_ids for r in rows] == [expected["view"]]
+
+
+def test_rsv_stream_rejects_bad_k():
+    import pyspark.sql  # noqa: F401
+
+    from target_hdfs_spark.streaming.stateful import reservoir_stream
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        reservoir_stream(None, 0)
+
+
+def test_rsv_constants_and_hash_match_batch():
+    """Cross-module pin: the stream's k equals the batch query's, and
+    the Python hash equals the engine's portable md5-32 on the same
+    salted key (the q252 shadowing class, preempted)."""
+    import hashlib
+
+    from target_hdfs_spark.operators.curation import _RSV_K
+    from target_hdfs_spark.streaming.stateful import RSV_K, _rsv_hash_py
+
+    assert RSV_K == _RSV_K
+    for e in (0, 1, 5, 123456789):
+        expected = int(hashlib.md5(f"rsv|{e}".encode()).hexdigest()[:8], 16)
+        assert _rsv_hash_py(e) == expected
