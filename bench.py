@@ -216,7 +216,12 @@ def main() -> None:
 
     line = json.dumps(slim)
     if len(line) > 1900:  # stay inside the 2000-char tail window
-        for key in ("validity", "queries"):
+        # degrade in recoverability order: per-query timings and the
+        # auto-headliner list live in BENCH_LOCAL.json anyway, but
+        # validity carries the noisy flag — the marker the protocol
+        # exists to keep in the driver-parsed record — so it is
+        # sacrificed LAST
+        for key in ("queries", "auto_headliners", "validity"):
             slim[key] = f"see {local_path}"
             line = json.dumps(slim)
             if len(line) <= 1900:

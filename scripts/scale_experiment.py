@@ -614,8 +614,15 @@ SKETCH_EXACT_SIDES = {
 }
 
 
-def _sweep_exact_sides(spark, factor: int, sf_dir: str) -> None:
+def _sweep_exact_sides(
+    spark, factor: int, sf_dir: str, name_filter: list[str] | None = None
+) -> None:
+    """Time the standalone exact-side rebuilds; with a --queries
+    filter, only the exact sides whose name matches run (a targeted
+    `--queries=q255` re-sweep must not drag q249's self-join along)."""
     for name, fn in SKETCH_EXACT_SIDES.items():
+        if name_filter and not any(p in name for p in name_filter):
+            continue
         fn(spark, sf_dir).count()  # warm
         best, rows = 1e9, 0
         for _ in range(2):
@@ -709,10 +716,7 @@ def main() -> None:
         if "events" in families:
             sf_dir = SRC if factor == 1 else build_events(spark, factor)
             _sweep(spark, specs, EVENT_QUERIES, factor, sf_dir)
-            if not name_filter or any(
-                p in n for p in name_filter for n in SKETCH_EXACT_SIDES
-            ):
-                _sweep_exact_sides(spark, factor, sf_dir)
+            _sweep_exact_sides(spark, factor, sf_dir, name_filter)
             if factor <= 10:
                 _sweep(spark, specs, EVENT_QUADRATIC_OUTPUT, factor, sf_dir)
             # the snapshot diff is documents-based; reuse the docs

@@ -1765,10 +1765,49 @@ _MIX_ALPHA_NOTE = "alpha = 0.5 via IEEE sqrt (correctly rounded in both engines)
 _MIX_FP = 1_000_000  # fixed-point scale (ppm)
 
 
-def _mix_weights_sql() -> str:
+# THE shared mixing chains — one Spark helper + one SQL generator per
+# size base, used by every mixing query (q256/q259 on token counts,
+# q257/q261 on doc counts), so the fixed-point convention cannot fork
+# across queries (the BPE five-paste lesson, preempted here: q261's
+# "orders the q257 sample" claim is true BY CONSTRUCTION because both
+# read the identical plan frame).
+
+
+def _mix_token_scores(spark: SparkSession, sf_dir: str):
+    """(sc, tot): per-language token sizes with the alpha=0.5
+    fixed-point score (floored to ppm per language BEFORE any
+    cross-row sum), and the 1-row integer totals."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    sizes = (
+        fan_out(docs, "doc_id")
+        .select("lang", F.size(tokens("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    sc = sizes.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_FP)
+        .cast("long")
+        .alias("score_fp"),
+    )
+    tot = sc.agg(
+        F.sum("score_fp").cast("long").alias("total_score"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return sc, tot
+
+
+def _mix_token_sc_sql() -> str:
+    """The same token-size chain as SQL CTEs (sizes, sc, tot)."""
     tok = TOKENS_SQL.format(expr="text")
-    return f"""
-    WITH sizes AS (
+    return f"""sizes AS (
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(len({tok})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang
@@ -1783,7 +1822,92 @@ def _mix_weights_sql() -> str:
       SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       FROM sc
+    )"""
+
+
+def _mix_doc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE doc-budget mixing plan (lang, n_docs, weight_ppm,
+    target_docs, accept_ppm): alpha=0.5 fixed-point weights over doc
+    counts, a half-corpus budget allocated by weight, thresholds in
+    ppm capped at the population. q257 realizes it; q261 orders it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sizes = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+    sc = sizes.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _MIX_FP)
+        .cast("long")
+        .alias("score_fp"),
+    )
+    tot = sc.agg(
+        F.sum("score_fp").cast("long").alias("total_score"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    return (
+        sc.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr(f"score_fp * {_MIX_FP} div total_score")
+            .cast("long")
+            .alias("weight_ppm"),
+            F.expr(
+                f"(total_docs div 2)"
+                f" * (score_fp * {_MIX_FP} div total_score)"
+                f" div {_MIX_FP}"
+            )
+            .cast("long")
+            .alias("target_docs"),
+        )
+        .withColumn(
+            "accept_ppm",
+            F.expr(
+                f"least({_MIX_FP}, target_docs * {_MIX_FP} div n_docs)"
+            ).cast("long"),
+        )
+    )
+
+
+def _mix_doc_plan_sql() -> str:
+    """The identical plan as SQL CTEs (sizes, sc, tot, plan, plan2 —
+    plan2 carries accept_ppm)."""
+    return f"""sizes AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    sc AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MIX_FP})
+                  AS BIGINT) AS score_fp
+      FROM sizes
+    ),
+    tot AS (
+      SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
+             CAST(SUM(n_docs) AS BIGINT) AS total_docs
+      FROM sc
+    ),
+    plan AS (
+      SELECT s.lang, s.n_docs,
+             CAST(s.score_fp * {_MIX_FP} // t.total_score AS BIGINT)
+               AS weight_ppm,
+             CAST((t.total_docs // 2)
+                  * (s.score_fp * {_MIX_FP} // t.total_score)
+                  // {_MIX_FP} AS BIGINT) AS target_docs
+      FROM sc s CROSS JOIN tot t
+    ),
+    plan2 AS (
+      SELECT lang, n_docs, weight_ppm, target_docs,
+             least({_MIX_FP}, target_docs * {_MIX_FP} // n_docs)
+               AS accept_ppm
+      FROM plan
+    )"""
+
+
+def _mix_weights_sql() -> str:
+    return f"""
+    WITH {_mix_token_sc_sql()}
     SELECT s.lang, s.n_docs, s.n_tokens,
            CAST(s.n_tokens * {_MIX_FP} // t.total_tokens AS BIGINT)
              AS raw_share_ppm,
@@ -1827,30 +1951,7 @@ def q256_corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cites reference behavior: none (beyond-reference operator).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
-    sizes = (
-        fan_out(docs, "doc_id")
-        .select("lang", F.size(tokens("text")).alias("nt"))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("nt").cast("long").alias("n_tokens"),
-        )
-    )
-    sc = sizes.select(
-        "lang",
-        "n_docs",
-        "n_tokens",
-        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_FP)
-        .cast("long")
-        .alias("score_fp"),
-    )
-    tot = sc.agg(
-        F.sum("score_fp").cast("long").alias("total_score"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-    )
+    sc, tot = _mix_token_scores(spark, sf_dir)
     return sc.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_docs",
@@ -1873,36 +1974,7 @@ def q256_corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mix_sampler_sql() -> str:
     u = md5_hash32_sql("'smp|' || CAST(doc_id AS VARCHAR)")
     return f"""
-    WITH sizes AS (
-      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY lang
-    ),
-    sc AS (
-      SELECT lang, n_docs,
-             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MIX_FP})
-                  AS BIGINT) AS score_fp
-      FROM sizes
-    ),
-    tot AS (
-      SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
-             CAST(SUM(n_docs) AS BIGINT) AS total_docs
-      FROM sc
-    ),
-    plan AS (
-      SELECT s.lang, s.n_docs,
-             CAST(s.score_fp * {_MIX_FP} // t.total_score AS BIGINT)
-               AS weight_ppm,
-             CAST((t.total_docs // 2)
-                  * (s.score_fp * {_MIX_FP} // t.total_score)
-                  // {_MIX_FP} AS BIGINT) AS target_docs
-      FROM sc s CROSS JOIN tot t
-    ),
-    plan2 AS (
-      SELECT lang, n_docs, weight_ppm, target_docs,
-             least({_MIX_FP}, target_docs * {_MIX_FP} // n_docs)
-               AS accept_ppm
-      FROM plan
-    ),
+    WITH {_mix_doc_plan_sql()},
     realized AS (
       SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS realized_docs
       FROM documents d JOIN plan2 p ON p.lang = d.lang
@@ -1952,43 +2024,7 @@ def q257_temperature_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cites reference behavior: none (beyond-reference operator).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    sizes = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    sc = sizes.select(
-        "lang",
-        "n_docs",
-        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _MIX_FP)
-        .cast("long")
-        .alias("score_fp"),
-    )
-    tot = sc.agg(
-        F.sum("score_fp").cast("long").alias("total_score"),
-        F.sum("n_docs").cast("long").alias("total_docs"),
-    )
-    plan = (
-        sc.crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            "n_docs",
-            F.expr(f"score_fp * {_MIX_FP} div total_score")
-            .cast("long")
-            .alias("weight_ppm"),
-            F.expr(
-                f"(total_docs div 2)"
-                f" * (score_fp * {_MIX_FP} div total_score)"
-                f" div {_MIX_FP}"
-            )
-            .cast("long")
-            .alias("target_docs"),
-        )
-        .withColumn(
-            "accept_ppm",
-            F.expr(
-                f"least({_MIX_FP}, target_docs * {_MIX_FP} div n_docs)"
-            ).cast("long"),
-        )
-    )
+    plan = _mix_doc_plan(spark, sf_dir)
     u = md5_hash32(
         F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))
     )
@@ -2021,23 +2057,8 @@ _EPOCH_CAP_MILLI = 4_000  # max 4.0 epochs per source (repetition cap)
 
 
 def _epoch_alloc_sql() -> str:
-    tok = TOKENS_SQL.format(expr="text")
     return f"""
-    WITH sizes AS (
-      SELECT lang, CAST(SUM(len({tok})) AS BIGINT) AS n_tokens
-      FROM documents GROUP BY lang
-    ),
-    sc AS (
-      SELECT lang, n_tokens,
-             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_FP})
-                  AS BIGINT) AS score_fp
-      FROM sizes
-    ),
-    tot AS (
-      SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
-             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-      FROM sc
-    ),
+    WITH {_mix_token_sc_sql()},
     alloc AS (
       SELECT s.lang, s.n_tokens,
              CAST(s.score_fp * {_MIX_FP} // t.total_score AS BIGINT)
@@ -2097,26 +2118,7 @@ def q259_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cites reference behavior: none (beyond-reference operator).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
-    sizes = (
-        fan_out(docs, "doc_id")
-        .select("lang", F.size(tokens("text")).alias("nt"))
-        .groupBy("lang")
-        .agg(F.sum("nt").cast("long").alias("n_tokens"))
-    )
-    sc = sizes.select(
-        "lang",
-        "n_tokens",
-        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_FP)
-        .cast("long")
-        .alias("score_fp"),
-    )
-    tot = sc.agg(
-        F.sum("score_fp").cast("long").alias("total_score"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-    )
+    sc, tot = _mix_token_scores(spark, sf_dir)
     capped = (
         sc.crossJoin(F.broadcast(tot))
         .select(
@@ -2391,35 +2393,10 @@ def _interleave_oracle() -> str:
     u = md5_hash32_sql("'smp|' || CAST(doc_id AS VARCHAR)")
     o = md5_hash32_sql("'ord|' || CAST(doc_id AS VARCHAR)")
     return f"""
-    WITH sizes AS (
-      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY lang
-    ),
-    sc AS (
-      SELECT lang, n_docs,
-             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MIX_FP})
-                  AS BIGINT) AS score_fp
-      FROM sizes
-    ),
-    tot AS (
-      SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
-             CAST(SUM(n_docs) AS BIGINT) AS total_docs
-      FROM sc
-    ),
-    plan AS (
-      SELECT s.lang, s.n_docs,
-             CAST(s.score_fp * {_MIX_FP} // t.total_score AS BIGINT)
-               AS weight_ppm,
-             least({_MIX_FP},
-                   CAST((t.total_docs // 2)
-                        * (s.score_fp * {_MIX_FP} // t.total_score)
-                        // {_MIX_FP} AS BIGINT)
-                   * {_MIX_FP} // s.n_docs) AS accept_ppm
-      FROM sc s CROSS JOIN tot t
-    ),
+    WITH {_mix_doc_plan_sql()},
     sampled AS (
       SELECT d.doc_id, d.lang, p.weight_ppm, {o} AS ord_h
-      FROM documents d JOIN plan p ON p.lang = d.lang
+      FROM documents d JOIN plan2 p ON p.lang = d.lang
       WHERE {u} % {_MIX_FP} < p.accept_ppm
     ),
     ranked AS (
@@ -2430,7 +2407,8 @@ def _interleave_oracle() -> str:
     ),
     keyed AS (
       SELECT doc_id, lang,
-             lang_rank * {_ILV_SCALE} // weight_ppm AS slot_key
+             lang_rank * {_ILV_SCALE} // greatest(weight_ppm, 1)
+               AS slot_key
       FROM ranked
     ),
     head AS (
@@ -2487,34 +2465,8 @@ def q261_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cites reference behavior: none (beyond-reference operator).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    sizes = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    sc = sizes.select(
-        "lang",
-        "n_docs",
-        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _MIX_FP)
-        .cast("long")
-        .alias("score_fp"),
-    )
-    tot = sc.agg(
-        F.sum("score_fp").cast("long").alias("total_score"),
-        F.sum("n_docs").cast("long").alias("total_docs"),
-    )
-    plan = sc.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_docs",
-        F.expr(f"score_fp * {_MIX_FP} div total_score")
-        .cast("long")
-        .alias("weight_ppm"),
-        F.expr(
-            f"least({_MIX_FP},"
-            f" ((total_docs div 2)"
-            f"  * (score_fp * {_MIX_FP} div total_score)"
-            f"  div {_MIX_FP}) * {_MIX_FP} div n_docs)"
-        )
-        .cast("long")
-        .alias("accept_ppm"),
+    plan = _mix_doc_plan(spark, sf_dir).select(
+        "lang", "weight_ppm", "accept_ppm"
     )
     u = md5_hash32(F.concat(F.lit("smp|"), F.col("doc_id").cast("string")))
     sampled = (
@@ -2531,12 +2483,18 @@ def q261_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # feeds the schedule AND per-lang totals
     )
     w_lang = Window.partitionBy("lang").orderBy("ord_h", "doc_id")
+    # greatest(w, 1): a stratum whose sqrt-score share floors below
+    # 1 ppm (possible at extreme skew — ~100 languages of 1e8 docs)
+    # must schedule at the sparsest rate, not raise DIVIDE_BY_ZERO
+    # under ANSI mode
     keyed = sampled.withColumn(
         "lang_rank", F.row_number().over(w_lang).cast("long")
     ).select(
         "doc_id",
         "lang",
-        F.expr(f"lang_rank * {_ILV_SCALE} div weight_ppm").alias("slot_key"),
+        F.expr(
+            f"lang_rank * {_ILV_SCALE} div greatest(weight_ppm, 1)"
+        ).alias("slot_key"),
     )
     head = keyed.orderBy("slot_key", "lang", "doc_id").limit(_ILV_TOP)
     head_counts = head.groupBy("lang").agg(

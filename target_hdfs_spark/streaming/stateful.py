@@ -18,6 +18,7 @@ sessionized feature extraction, fraud scoring, and drift detection at
 
 from __future__ import annotations
 
+import hashlib
 import math
 from collections.abc import Iterable
 
@@ -1518,8 +1519,6 @@ def _kmv_hash_py(user_id: int) -> int:
     computed Python-side: first 8 hex chars of md5(str(user_id)) —
     CAST(bigint AS STRING) is plain decimal digits in both engines,
     so this matches md5_hash32(CAST(user_id AS STRING)) bit-exactly."""
-    import hashlib
-
     return int(hashlib.md5(str(int(user_id)).encode()).hexdigest()[:8], 16)
 
 
@@ -2012,10 +2011,9 @@ def _qsk_group(
     for v in whole["value"]:
         cells[_qsk_bucket_py(float(v))] += 1
     n += len(whole)
+    after = {q: _qsk_estimate_py(cells, n, q) for q in probe_pcts}
     out = [
-        (key[0], q, _qsk_estimate_py(cells, n, q), n)
-        for q in probe_pcts
-        if _qsk_estimate_py(cells, n, q) != before[q]
+        (key[0], q, after[q], n) for q in probe_pcts if after[q] != before[q]
     ]
     if ttl_ms is None:
         state.update((cells, n))
@@ -2125,8 +2123,6 @@ RSV_STATE_TTL_SCHEMA = T.StructType(
 def _rsv_hash_py(event_id: int) -> int:
     """q262's salted hash verbatim — a batch rebuild of the sample is
     bit-identical."""
-    import hashlib
-
     return int(
         hashlib.md5(f"rsv|{event_id}".encode()).hexdigest()[:8], 16
     )

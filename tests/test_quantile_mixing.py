@@ -166,3 +166,35 @@ def test_sampler_realized_counts_match_python_reimpl(spark, tmp_path):
             if lg == lang and _md5_32(f"smp|{d}") % 1_000_000 < accept
         )
         assert got[lang] == (target, accept, realized), lang
+
+
+def test_interleave_orders_exactly_the_sampler_set(spark, tmp_path):
+    """q261's docstring claim — it schedules THE q257 sample — pinned
+    as a cross-query fact: per-language n_sampled in the schedule
+    equals realized_docs in the sampler, on the same corpus (both now
+    read the one shared _mix_doc_plan, so this guards the seam)."""
+    from target_hdfs_spark.operators.curation import (
+        q257_temperature_sampler,
+        q261_interleave_schedule,
+    )
+
+    rows = []
+    did = 0
+    for lang, ndocs in (("aa", 60), ("bb", 17), ("cc", 6)):
+        for _ in range(ndocs):
+            rows.append((did, lang, "t", 0, "s"))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long, source string"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+    realized = {
+        r["lang"]: r["realized_docs"]
+        for r in q257_temperature_sampler(spark, sf).collect()
+    }
+    sampled = {
+        r["lang"]: r["n_sampled"]
+        for r in q261_interleave_schedule(spark, sf).collect()
+    }
+    assert sampled == realized and sum(realized.values()) > 0
