@@ -295,6 +295,9 @@ EVENT_QUERIES = (
     "q227_interarrival_burstiness",
     # Spearman: reduce-to-users then two segmented ranks
     "q228_spearman_activity_value",
+    # round 9: mixture drift monitor (per-(day, type) counts + day
+    # window on the count frame + |types| broadcast target)
+    "q263_mixture_drift_monitor",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

@@ -1773,6 +1773,21 @@ _MIX_FP = 1_000_000  # fixed-point scale (ppm)
 # read the identical plan frame).
 
 
+def _mix_score_col(n_col: str):
+    """The alpha=0.5 fixed-point score column: floor(sqrt(n) * 1e6),
+    the ONE place the formula lives on the Spark side."""
+    return (
+        F.floor(F.sqrt(F.col(n_col).cast("double")) * _MIX_FP)
+        .cast("long")
+        .alias("score_fp")
+    )
+
+
+def _mix_score_sql(expr: str) -> str:
+    """The same score for the oracles."""
+    return f"CAST(floor(sqrt(CAST({expr} AS DOUBLE)) * {_MIX_FP}) AS BIGINT)"
+
+
 def _mix_token_scores(spark: SparkSession, sf_dir: str):
     """(sc, tot): per-language token sizes with the alpha=0.5
     fixed-point score (floored to ppm per language BEFORE any
@@ -1789,14 +1804,7 @@ def _mix_token_scores(spark: SparkSession, sf_dir: str):
             F.sum("nt").cast("long").alias("n_tokens"),
         )
     )
-    sc = sizes.select(
-        "lang",
-        "n_docs",
-        "n_tokens",
-        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_FP)
-        .cast("long")
-        .alias("score_fp"),
-    )
+    sc = sizes.select("lang", "n_docs", "n_tokens", _mix_score_col("n_tokens"))
     tot = sc.agg(
         F.sum("score_fp").cast("long").alias("total_score"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -1814,8 +1822,7 @@ def _mix_token_sc_sql() -> str:
     ),
     sc AS (
       SELECT lang, n_docs, n_tokens,
-             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_FP})
-                  AS BIGINT) AS score_fp
+             {_mix_score_sql("n_tokens")} AS score_fp
       FROM sizes
     ),
     tot AS (
@@ -1834,13 +1841,7 @@ def _mix_doc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    sc = sizes.select(
-        "lang",
-        "n_docs",
-        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _MIX_FP)
-        .cast("long")
-        .alias("score_fp"),
-    )
+    sc = sizes.select("lang", "n_docs", _mix_score_col("n_docs"))
     tot = sc.agg(
         F.sum("score_fp").cast("long").alias("total_score"),
         F.sum("n_docs").cast("long").alias("total_docs"),
@@ -1879,8 +1880,7 @@ def _mix_doc_plan_sql() -> str:
     ),
     sc AS (
       SELECT lang, n_docs,
-             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MIX_FP})
-                  AS BIGINT) AS score_fp
+             {_mix_score_sql("n_docs")} AS score_fp
       FROM sizes
     ),
     tot AS (
@@ -2586,4 +2586,132 @@ def q262_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= _RSV_K)
         .select("lang", "sample_rank", "doc_id", "hv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6n: mixture drift monitor — the observability member closing the
+# mixing program's loop (plan q256 -> realize q257 -> order q261 ->
+# budget q259 -> MONITOR)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ALERT_PPM = 100_000  # alert when a day's share is >10pp off target
+
+
+def _mix_drift_oracle() -> str:
+    return f"""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_all
+      FROM events GROUP BY event_type
+    ),
+    sc AS (
+      SELECT event_type, n_all,
+             {_mix_score_sql("n_all")} AS score_fp
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score FROM sc),
+    target AS (
+      SELECT s.event_type,
+             CAST(s.score_fp * {_MIX_FP} // t.total_score AS BIGINT)
+               AS target_ppm
+      FROM sc s CROSS JOIN tot t
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT day, event_type, n_events,
+             CAST(n_events * {_MIX_FP}
+                  // SUM(n_events) OVER (PARTITION BY day)
+                  AS BIGINT) AS share_ppm
+      FROM daily
+    )
+    SELECT CAST(s.day AS VARCHAR) AS day, s.event_type, s.n_events,
+           s.share_ppm, g.target_ppm,
+           CAST(abs(s.share_ppm - g.target_ppm) AS BIGINT) AS drift_ppm,
+           (abs(s.share_ppm - g.target_ppm) > {_DRIFT_ALERT_PPM})
+             AS alert
+    FROM shares s JOIN target g ON g.event_type = s.event_type
+    """
+
+
+@query(
+    "q263_mixture_drift_monitor",
+    oracle=_mix_drift_oracle(),
+    tags=("curation", "mixture", "temperature", "observability", "window"),
+)
+def q263_mixture_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE DRIFT MONITOR — the observability member closing the
+    mixing program's loop (q256 plans the weights, q257 realizes
+    them, q261 orders the stream, q259 budgets epochs; this WATCHES
+    the realized mix): each day's per-source share of arriving data
+    (event types stand in for ingest sources) is compared against the
+    configured alpha-temperature target, with the absolute drift in
+    ppm and an alert when a day's share is more than
+    {_DRIFT_ALERT_PPM // 10_000} percentage points off target — the
+    dashboard row a pipeline operator pages on when an upstream
+    source silently floods or dries up relative to the mixture the
+    run was configured for.
+
+    Exactness: the target rides the shared `_mix_score_col` chain
+    (integer ppm before any cross-row sum); daily shares are integer
+    divisions of exact counts over the per-day window total; drift
+    and the alert boolean are pure integer comparisons; day is the
+    ISO string in both engines.
+
+    Scale: one events pass to per-(day, type) counts with map-side
+    combine; the day-total window runs on the |days x types| count
+    frame (never raw events); the target is a |types|-row broadcast.
+    The frame a 100 TB/day pipeline materializes per day is |types|
+    rows — storable partials, mergeable by addition like every count
+    here.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all")
+    )
+    sc = counts.select("event_type", "n_all", _mix_score_col("n_all"))
+    tot = sc.agg(F.sum("score_fp").cast("long").alias("total_score"))
+    target = sc.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.expr(f"score_fp * {_MIX_FP} div total_score")
+        .cast("long")
+        .alias("target_ppm"),
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w_day = Window.partitionBy("day")
+    shares = daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.expr(f"n_events * {_MIX_FP}")
+        .cast("long")
+        .alias("_scaled"),
+        F.sum("n_events").over(w_day).alias("_day_total"),
+    ).select(
+        "day",
+        "event_type",
+        "n_events",
+        F.expr("_scaled div _day_total").cast("long").alias("share_ppm"),
+    )
+    return shares.join(F.broadcast(target), "event_type").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "share_ppm",
+        "target_ppm",
+        F.expr("abs(share_ppm - target_ppm)")
+        .cast("long")
+        .alias("drift_ppm"),
+        (F.expr("abs(share_ppm - target_ppm)") > _DRIFT_ALERT_PPM).alias(
+            "alert"
+        ),
     )
