@@ -1236,3 +1236,70 @@ def test_q232_sensitivity_rides_q92_pipeline(spark):
     plan = plan_of(spark, "q232_threshold_sensitivity")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: quantile sketch family, mixing program, Bloom
+# decontamination, reservoir
+# ---------------------------------------------------------------------------
+
+
+def test_q253_histogram_map_side_combined(spark):
+    """The sketch build is one scan into a map-side-combined
+    per-(group, bucket) count; no cartesian, no global sort."""
+    plan = plan_of(spark, "q253_quantile_sketch")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q260_probe_is_broadcast_only_until_per_doc_agg(spark):
+    """The decontamination probe must be K+1 broadcast hash lookups
+    (4 bit positions + the exact-truth marker) with EXACTLY ONE
+    shuffle in the whole corpus path — the per-doc aggregate. A
+    second hashpartitioning exchange would mean a gram-keyed join
+    crept back onto the training corpus."""
+    plan = plan_of(spark, "q260_bloom_decontamination")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q261_prefix_audit_is_topk_not_global_sort(spark):
+    """The schedule's head audit compiles to TakeOrderedAndProject
+    (per-partition heaps); a global sort would materialize the order
+    the operator exists to avoid."""
+    plan = plan_of(spark, "q261_interleave_schedule")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q262_reservoir_uses_window_group_limit(spark):
+    """Bottom-k per stratum must be WindowGroupLimit twice (partial
+    before the shuffle, final after) and the salted hash computed at
+    ONE site — the q239 plan shape."""
+    plan = plan_of(spark, "q262_reservoir_sample")
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("md5") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q263_drift_monitor_broadcasts_target(spark):
+    """The |types|-row target attaches by broadcast; daily counts are
+    map-side combined; nothing range-partitions."""
+    plan = plan_of(spark, "q263_mixture_drift_monitor")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q257_sampler_hash_single_site_and_broadcast_plan(spark):
+    """The sampler's accept filter hashes each doc at ONE site and
+    the mixing plan attaches by broadcast — the corpus side is one
+    map-side pass into the realized-count aggregate."""
+    plan = plan_of(spark, "q257_temperature_sampler")
+    assert plan.count("md5") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
