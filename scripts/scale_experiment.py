@@ -143,7 +143,9 @@ QUERIES = (
     "q260_bloom_decontamination",
     "q261_interleave_schedule",
     # deterministic stratified reservoir (WindowGroupLimit bottom-k)
+    # and its merge-law theorem (partials are k-bounded)
     "q262_reservoir_sample",
+    "q264_reservoir_merge_law",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",

@@ -2715,3 +2715,126 @@ def q263_mixture_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alert"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6m companion: reservoir MERGE LAW — the theorem every sketch in the
+# engine ships (KMV q246, CountMin/Bloom q251, quantile q254): two
+# partial reservoirs merged by bottom-k-of-union must equal the
+# reservoir built directly over all documents
+# ---------------------------------------------------------------------------
+
+
+def _reservoir_merge_oracle() -> str:
+    h = md5_hash32_sql("'rsv|' || CAST(doc_id AS VARCHAR)")
+    bk = """
+      SELECT lang, doc_id, hv FROM (
+        SELECT lang, doc_id, hv,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY hv, doc_id) AS rn
+        FROM {src}
+      ) WHERE rn <= {k}"""
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT lang, doc_id, {h} AS hv FROM documents
+    ),
+    part_a AS ({bk.format(src="hashed WHERE doc_id % 3 <> 0", k=_RSV_K)}),
+    part_b AS ({bk.format(src="hashed WHERE doc_id % 3 = 0", k=_RSV_K)}),
+    pooled AS (SELECT * FROM part_a UNION ALL SELECT * FROM part_b),
+    merged AS ({bk.format(src="pooled", k=_RSV_K)}),
+    direct AS ({bk.format(src="hashed", k=_RSV_K)}),
+    diff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_diff FROM (
+        SELECT * FROM merged EXCEPT SELECT * FROM direct
+        UNION ALL
+        (SELECT * FROM direct EXCEPT SELECT * FROM merged)
+      )
+    ),
+    stats AS (
+      SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(*) AS BIGINT) AS sample_rows
+      FROM merged
+    ),
+    pstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_partial_rows FROM pooled
+    )
+    SELECT s.n_langs, s.sample_rows, p.n_partial_rows,
+           (d.n_diff = 0) AS merge_matches
+    FROM stats s CROSS JOIN pstats p CROSS JOIN diff d
+    """
+
+
+@query(
+    "q264_reservoir_merge_law",
+    oracle=_reservoir_merge_oracle(),
+    tags=("curation", "sampling", "sketch", "calibration"),
+)
+def q264_reservoir_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE LAW for the stratified reservoir, value-checked as a
+    theorem (completing the family discipline: KMV proved q246,
+    CountMin/Bloom q251, quantile q254 — every sketch in the engine
+    ships its mergeability proof): per-language bottom-{_RSV_K}
+    partials built over two disjoint corpus slices, merged by
+    bottom-{_RSV_K} of their union, must equal the reservoir built
+    directly over all documents — bottom-k of a union is the union's
+    bottom-k (a semilattice on the member set). This is both the
+    incremental-maintenance contract (yesterday's stored sample +
+    today's documents = today's full-rebuild sample, without
+    rescanning yesterday) and the algebra reservoir_stream's
+    unconditional batch parity rests on.
+
+    Exactness: hashes and ranks are the shared q262 rule; the
+    symmetric-difference count and the boolean ride the checked row
+    beside partial/merged row stats.
+
+    Scale: each partial is the q262 WindowGroupLimit shape over its
+    slice; the merge runs on <= 2k rows per language (partials, never
+    documents); the direct side exists as the theorem's independent
+    construction — production keeps the partials.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    hashed = docs.select(
+        "lang",
+        "doc_id",
+        md5_hash32(
+            F.concat(F.lit("rsv|"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    ).localCheckpoint()  # feeds both partials AND the direct side
+
+    def bottom_k(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RSV_K)
+            .select("lang", "doc_id", "hv")
+        )
+
+    part_a = bottom_k(hashed.filter(F.col("doc_id") % 3 != 0))
+    part_b = bottom_k(hashed.filter(F.col("doc_id") % 3 == 0))
+    pooled = part_a.unionByName(part_b).localCheckpoint()
+    merged = bottom_k(pooled)
+    direct = bottom_k(hashed)
+    diff = (
+        merged.exceptAll(direct)
+        .unionByName(direct.exceptAll(merged))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    stats = merged.agg(
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count(F.lit(1)).cast("long").alias("sample_rows"),
+    )
+    pstats = pooled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_partial_rows")
+    )
+    return (
+        stats.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "n_langs",
+            "sample_rows",
+            "n_partial_rows",
+            (F.col("n_diff") == 0).alias("merge_matches"),
+        )
+    )
