@@ -7255,3 +7255,273 @@ def q258_length_cutoff_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drop_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: range-partition planner — the quantile histogram
+# drives the physical plan (balanced range boundaries for a
+# distributed sort / range-partitioned write, computed from mergeable
+# sketch state instead of Spark's private sampling pass)
+# ---------------------------------------------------------------------------
+
+_RPP_PARTS = 8  # target partition count for the planned range shuffle
+
+
+def _rpp_oracle() -> str:
+    bkt = _qsk_bucket_sql("l_extendedprice", _QSK_W, _QSK_NBKT)
+    return f"""
+    WITH v AS (SELECT {bkt} AS bkt FROM lineitem),
+    hist AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1
+    ),
+    walk AS (
+      SELECT bkt, c,
+             CAST(SUM(c) OVER (ORDER BY bkt) - c AS BIGINT) AS cum_before,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM hist
+    ),
+    assigned AS (
+      SELECT bkt, c, n,
+             least({_RPP_PARTS - 1}, cum_before * {_RPP_PARTS} // n)
+               AS partition_id
+      FROM walk
+    )
+    SELECT partition_id,
+           CAST(MIN(bkt) AS BIGINT) AS lo_bkt,
+           CAST(MAX(bkt) AS BIGINT) AS hi_bkt,
+           CAST(MIN(bkt) * {_QSK_W} AS BIGINT) AS lo_value,
+           CAST(SUM(c) AS BIGINT) AS part_rows,
+           CAST(MAX(n) // {_RPP_PARTS} AS BIGINT) AS ideal_rows,
+           CAST((SUM(c) - MAX(n) // {_RPP_PARTS}) * 1000000
+                // (MAX(n) // {_RPP_PARTS}) AS BIGINT) AS skew_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM assigned GROUP BY 1
+    """
+
+
+@query(
+    "q266_range_partition_planner",
+    oracle=_rpp_oracle(),
+    tags=("sketch", "planner", "percentile", "observability"),
+)
+def q266_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-PARTITION PLANNER — the quantile sketch driving a
+    physical-plan decision: {_RPP_PARTS} balanced range boundaries
+    for a range shuffle (global sort, range-partitioned write,
+    z-order bin) computed from the q253 fixed-boundary histogram.
+    Each histogram bucket lands in partition
+    least(P-1, cum_before * P / n) — the equi-depth cut — and the
+    output prices the plan: realized rows per partition vs the ideal
+    n/P, skew in ppm, bucket span per partition. This is what Spark's
+    RangePartitioner does with a private per-run sample, done instead
+    from DETERMINISTIC, MERGEABLE sketch state: 1000 executors
+    histogram their slices (cell addition, q254's law), the planner
+    walks <= {_QSK_NBKT} integers, and the boundaries are
+    bit-reproducible across runs — so a nightly re-sort reuses
+    yesterday's boundaries and bucketed outputs stay stable.
+
+    Exactness: bucket function and walk are pure integer arithmetic
+    (q253's convention); realized per-partition counts are exact
+    because assignment is bucket-granular by construction.
+
+    Scale: one corpus pass builds the histogram (map-side combine to
+    <= {_QSK_NBKT} cells); everything after — walk, assignment,
+    pricing — runs on the sketch frame. The planned boundaries then
+    feed repartitionByRange, NOT a second sampling scan. The
+    single-partition window here orders the histogram frame
+    (<= {_QSK_NBKT} rows), never the corpus.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _qsk_bucket_expr("l_extendedprice", _QSK_W, _QSK_NBKT).alias("bkt")
+    )
+    hist = li.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    walk = hist.select(
+        "bkt",
+        "c",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    assigned = walk.select(
+        "bkt",
+        "c",
+        "n",
+        F.least(
+            F.lit(_RPP_PARTS - 1),
+            F.expr(f"cum_before * {_RPP_PARTS} div n"),
+        ).alias("partition_id"),
+    )
+    ideal = F.expr(f"max(n) div {_RPP_PARTS}")
+    return assigned.groupBy("partition_id").agg(
+        F.min("bkt").cast("long").alias("lo_bkt"),
+        F.max("bkt").cast("long").alias("hi_bkt"),
+        (F.min("bkt") * _QSK_W).cast("long").alias("lo_value"),
+        F.sum("c").cast("long").alias("part_rows"),
+        ideal.cast("long").alias("ideal_rows"),
+        F.expr(
+            f"(sum(c) - max(n) div {_RPP_PARTS}) * 1000000"
+            f" div (max(n) div {_RPP_PARTS})"
+        )
+        .cast("long")
+        .alias("skew_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: salt-factor planner — CountMin frequency estimates
+# drive the skew-join salting decision (q34 executes salted plans;
+# this PRICES them from sketch state, with the never-under-salted
+# guarantee inherited from CountMin's one-sided error)
+# ---------------------------------------------------------------------------
+
+_SSP_CAP = 16  # target rows per salted task-key unit
+_SSP_MAXSALT = 32  # clamp: a key never fans wider than this
+_SSP_TOPN = 20  # report the N heaviest keys
+
+
+def _ssp_oracle() -> str:
+    from target_hdfs_spark.functions.hashing import md5_hash32_sql
+
+    h = md5_hash32_sql("CAST(user_id AS VARCHAR)")
+    cell_parts = " UNION ALL ".join(
+        f"SELECT {i} AS r, {_cmj_bucket_sql(i)} AS bkt, c FROM uc"
+        for i in range(_CMJ_ROWS)
+    )
+    probe_parts = " UNION ALL ".join(
+        f"SELECT user_id, c, {i} AS r, {_cmj_bucket_sql(i)} AS bkt FROM uc"
+        for i in range(_CMJ_ROWS)
+    )
+    return f"""
+    WITH uc AS MATERIALIZED (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c, {h} AS h
+      FROM events GROUP BY 1
+    ),
+    cells AS MATERIALIZED (
+      SELECT r, bkt, CAST(SUM(c) AS BIGINT) AS cell
+      FROM ({cell_parts}) GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.user_id, CAST(MAX(p.c) AS BIGINT) AS exact_rows,
+             CAST(MIN(ce.cell) AS BIGINT) AS est_rows
+      FROM ({probe_parts}) p
+      JOIN cells ce ON ce.r = p.r AND ce.bkt = p.bkt
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY exact_rows DESC, user_id)
+               AS heavy_rank
+      FROM est
+    )
+    SELECT user_id, CAST(heavy_rank AS BIGINT) AS heavy_rank,
+           exact_rows, est_rows,
+           CAST(least({_SSP_MAXSALT},
+                (exact_rows + {_SSP_CAP - 1}) // {_SSP_CAP}) AS BIGINT)
+             AS salt_exact,
+           CAST(least({_SSP_MAXSALT},
+                (est_rows + {_SSP_CAP - 1}) // {_SSP_CAP}) AS BIGINT)
+             AS salt_est,
+           (est_rows >= exact_rows) AS never_under,
+           CAST((est_rows - exact_rows) * 1000000 // exact_rows AS BIGINT)
+             AS over_ppm
+    FROM ranked WHERE heavy_rank <= {_SSP_TOPN}
+    """
+
+
+@query(
+    "q267_salt_factor_planner",
+    oracle=_ssp_oracle(),
+    tags=("sketch", "planner", "skew", "observability"),
+)
+def q267_salt_factor_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALT-FACTOR PLANNER — CountMin driving the skew-join decision:
+    for the {_SSP_TOPN} heaviest join keys (users), the per-key row
+    count is estimated from the {_CMJ_ROWS}x{_CMJ_WIDTH} production
+    sketch (q240/q249's build — the matrix countmin_stream maintains)
+    and turned into the salt factor a skewed equi-join would fan that
+    key across: ceil(est / {_SSP_CAP}) clamped to {_SSP_MAXSALT}.
+    q34 EXECUTES salted plans with factors from exact counts; at
+    100 TB the planner cannot afford the exact pass, so it prices
+    salting from sketch state — and CountMin's one-sided error means
+    the plan NEVER UNDER-SALTS (est >= exact, so salt_est >=
+    salt_exact: over-estimation wastes a little fan-out; under-
+    estimation would leave a straggler task). Both the guarantee and
+    the realized over-estimate (ppm) ride the row, value-checked
+    next to the exact-count salt the planner would have picked with
+    perfect information.
+
+    Exactness: cells, probes, mins, ceilings, clamps, ranks — all
+    deterministic integers on both engines (portable md5-32 base
+    hash, shared coefficient family).
+
+    Scale: one events pass collapses to the |users| count frame
+    (map-side combined); the sketch build and the probe are each one
+    posexplode pass over that frame onto {_CMJ_ROWS}x{_CMJ_WIDTH}
+    cells; the heavy-rank window prunes to top-{_SSP_TOPN} per task
+    before the single-partition sort sees anything (WindowGroupLimit
+    on a |users|-sized frame). The exact side exists only as
+    calibration — production keeps the sketch and drops it.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    from target_hdfs_spark.functions.hashing import MERSENNE_P, md5_hash32
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    uc = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "user_id",
+            "c",
+            md5_hash32(F.col("user_id").cast("string")).alias("h"),
+        )
+        .localCheckpoint()  # feeds the sketch build AND the probe side
+    )
+    bkts = F.array(
+        *[
+            (F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P % _CMJ_WIDTH
+            for a, b in _cmj_coeffs()
+        ]
+    )
+    cells = (
+        uc.select("c", F.posexplode(bkts).alias("r", "bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.sum("c").alias("cell"))
+    )
+    probes = uc.select("user_id", "c", F.posexplode(bkts).alias("r", "bkt"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bkt"])
+        .groupBy("user_id")
+        .agg(
+            F.max("c").cast("long").alias("exact_rows"),
+            F.min("cell").cast("long").alias("est_rows"),
+        )
+    )
+    w = Window.orderBy(F.col("exact_rows").desc(), "user_id")
+    ranked = est.withColumn(
+        "heavy_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("heavy_rank") <= _SSP_TOPN)
+    salt = (
+        lambda col: F.least(
+            F.lit(_SSP_MAXSALT),
+            F.expr(f"({col} + {_SSP_CAP - 1}) div {_SSP_CAP}"),
+        )
+        .cast("long")
+    )
+    return ranked.select(
+        "user_id",
+        "heavy_rank",
+        "exact_rows",
+        "est_rows",
+        salt("exact_rows").alias("salt_exact"),
+        salt("est_rows").alias("salt_est"),
+        (F.col("est_rows") >= F.col("exact_rows")).alias("never_under"),
+        F.expr("(est_rows - exact_rows) * 1000000 div exact_rows")
+        .cast("long")
+        .alias("over_ppm"),
+    )

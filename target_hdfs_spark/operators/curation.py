@@ -2838,3 +2838,165 @@ def q264_reservoir_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_diff") == 0).alias("merge_matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L6o: dataset card — the per-source datasheet a corpus release ships,
+# composing the engine's primitives (exact-dup hashing, portable
+# tokenization, the quantile-sketch readout) into one observable row
+# per source
+# ---------------------------------------------------------------------------
+
+_CARD_PCTS = (50, 95)
+
+
+def _dataset_card_oracle() -> str:
+    from target_hdfs_spark.operators.analytics import (
+        _QSK_DOC_NBKT,
+        _QSK_DOC_W,
+        _qsk_bucket_sql,
+        _qsk_est_sql,
+    )
+
+    tok = TOKENS_SQL.format(expr="text")
+    bkt = _qsk_bucket_sql("n_chars", _QSK_DOC_W, _QSK_DOC_NBKT)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT source, lang, n_chars,
+             CAST(len({tok}) AS BIGINT) AS n_toks,
+             {md5_hash32_sql('text')} AS th,
+             {bkt} AS bkt
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS dup_docs
+      FROM base GROUP BY 1
+    ),
+    lc AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT source, lang AS top_lang, c
+      FROM lc
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, lang) = 1
+    ),
+    hist AS (
+      SELECT source, bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    est AS (
+      {_qsk_est_sql("hist", "source", _QSK_DOC_W, _CARD_PCTS)}
+    )
+    SELECT a.source, a.n_docs, a.total_chars, a.total_tokens, a.n_langs,
+           t.top_lang,
+           CAST(t.c * 1000000 // a.n_docs AS BIGINT) AS top_lang_share_ppm,
+           a.dup_docs,
+           CAST(a.dup_docs * 1000000 // a.n_docs AS BIGINT) AS dup_ppm,
+           e.est_p50 AS est_p50_chars,
+           e.est_p95 AS est_p95_chars
+    FROM agg a
+    JOIN top t ON t.source = a.source
+    JOIN est e ON e.source = a.source
+    """
+
+
+@query(
+    "q268_dataset_card",
+    oracle=_dataset_card_oracle(),
+    tags=("curation", "observability", "profile", "sketch"),
+)
+def q268_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the per-source datasheet a corpus release ships
+    (Gebru et al.'s "Datasheets for Datasets", the table on every
+    HuggingFace dataset page), composed from the engine's own
+    primitives so the numbers are the PIPELINE's numbers: document /
+    character / whitespace-token totals (q50's tokenizer), language
+    spread with the dominant language's share (ppm), the exact-dup
+    overhead the release still carries (q41's content hash — docs
+    minus distinct hashes, in ppm), and p50/p95 document length from
+    the quantile sketch (q253's cells — no document is ever sorted).
+    One row per source: what a consumer reads before training on it,
+    and what a curator diffs release-over-release.
+
+    Exactness: counts, sums, distinct counts, integer-ppm divisions,
+    and the shared `_qsk_estimates` readout — all deterministic
+    integers; the dominant language tie-breaks alphabetically.
+
+    Scale: ONE documents pass computes hash + token count + bucket
+    scan-side, then three map-side-combined aggregations over it
+    (per-source, per-(source, lang), per-(source, bucket)) — each
+    collapses to frames bounded by |sources| x |langs| / sketch
+    cells; the joins that assemble the card run on those tiny frames.
+    At 100 TB every term is a partial a shard can precompute and
+    merge (counts add, hashes union-count, histogram cells add).
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    from target_hdfs_spark.operators.analytics import (
+        _QSK_DOC_NBKT,
+        _QSK_DOC_W,
+        _qsk_bucket_expr,
+        _qsk_estimates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", "text"
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        md5_hash32(F.col("text")).alias("th"),
+        _qsk_bucket_expr("n_chars", _QSK_DOC_W, _QSK_DOC_NBKT).alias("bkt"),
+    ).localCheckpoint()  # one corpus pass feeds all three rollups
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        (F.count(F.lit(1)) - F.count_distinct("th"))
+        .cast("long")
+        .alias("dup_docs"),
+    )
+    lc = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_top = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    top = (
+        lc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "c")
+    )
+    hist = base.groupBy("source", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    est = _qsk_estimates(hist, ["source"], _QSK_DOC_W, _CARD_PCTS)
+    return (
+        agg.join(top.withColumnRenamed("c", "top_c"), "source")
+        .join(est, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "top_lang",
+            F.expr("top_c * 1000000 div n_docs")
+            .cast("long")
+            .alias("top_lang_share_ppm"),
+            "dup_docs",
+            F.expr("dup_docs * 1000000 div n_docs")
+            .cast("long")
+            .alias("dup_ppm"),
+            F.col("est_p50").alias("est_p50_chars"),
+            F.col("est_p95").alias("est_p95_chars"),
+        )
+    )

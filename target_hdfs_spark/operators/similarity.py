@@ -1916,3 +1916,165 @@ def q215_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (abs_err * 1000000) div _denom END"
         ).alias("rel_err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L3j: margin-based bitext mining (Artetxe & Schwenk ratio margin —
+# the CCMatrix/LASER parallel-corpus miner, on the SRP-LSH candidate
+# path so the pair generator is bucketed, never all-pairs)
+# ---------------------------------------------------------------------------
+
+_BTX_TOPK = 4  # neighborhood size for the margin denominator
+_BTX_MARGIN = 1.05  # mined when margin >= this ratio
+
+
+def _btx_mean_topk_sql(part: str, alias: str) -> str:
+    """Mean of the top-{_BTX_TOPK} candidate cosines for one anchor
+    side, folded in rank order so the double sum is order-stable
+    (list(... ORDER BY rn) pins the fold order; both engines add the
+    same doubles in the same sequence)."""
+    return f"""
+      SELECT {part} AS anchor,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(cos_sim ORDER BY {part.replace('_id', '_rn')})),
+                         (a, x) -> a + x)
+               / COUNT(*) AS {alias},
+             CAST(COUNT(*) AS BIGINT) AS n_{alias}
+      FROM ranked WHERE {part.replace('_id', '_rn')} <= {_BTX_TOPK}
+      GROUP BY 1"""
+
+
+@query(
+    "q265_margin_bitext_mining",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+      FROM embeddings
+    ),
+    x AS (SELECT vec_id AS x_id, v AS xv, bucket FROM emb WHERE vec_id % 2 = 0),
+    y AS (SELECT vec_id AS y_id, v AS yv, bucket FROM emb WHERE vec_id % 2 = 1),
+    cand AS (
+      SELECT x.x_id, y.y_id, {_cos_sql('x.xv', 'y.yv')} AS cos_sim
+      FROM x JOIN y ON y.bucket = x.bucket
+    ),
+    ranked AS (
+      SELECT x_id, y_id, cos_sim,
+             row_number() OVER (PARTITION BY x_id
+                                ORDER BY cos_sim DESC, y_id) AS x_rn,
+             row_number() OVER (PARTITION BY y_id
+                                ORDER BY cos_sim DESC, x_id) AS y_rn
+      FROM cand
+    ),
+    mx AS ({_btx_mean_topk_sql('x_id', 'mean_x')}),
+    my AS ({_btx_mean_topk_sql('y_id', 'mean_y')})
+    SELECT r.x_id, r.y_id, r.cos_sim,
+           r.cos_sim / ((mx.mean_x + my.mean_y) / 2) AS margin,
+           mx.n_mean_x AS n_topk_x, my.n_mean_y AS n_topk_y,
+           (r.cos_sim / ((mx.mean_x + my.mean_y) / 2) >= {_BTX_MARGIN})
+             AS mined
+    FROM ranked r
+    JOIN mx ON mx.anchor = r.x_id
+    JOIN my ON my.anchor = r.y_id
+    WHERE r.x_rn = 1 AND r.y_rn = 1
+    """,
+    tags=("similarity", "mining", "lsh", "margin", "bitext"),
+)
+def q265_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-BASED BITEXT MINING (Artetxe & Schwenk's ratio margin,
+    the CCMatrix/LASER parallel-corpus miner): the corpus is split
+    into two sides standing in for source/target languages (even/odd
+    vec_id); candidates are pairs sharing an SRP-LSH bucket (q47's
+    8-plane key — the pair generator is an equi-join, never
+    all-pairs); each candidate's cosine is normalized by the mean of
+    its two anchors' top-{_BTX_TOPK} neighborhoods
+    (margin = cos / ((mean_x + mean_y) / 2)), and a pair is MINED
+    when it is mutual-best (x's rank-1 y AND y's rank-1 x) with
+    margin >= {_BTX_MARGIN} — the rule that separates true
+    translations from hubs (vectors cosine-close to everything score
+    margin ~1 and are rejected even when mutual-best).
+
+    Exactness: cosines are order-stable sequential folds (q46's
+    convention); the top-k means fold in rank order so both engines
+    add the same doubles in the same sequence; ranks tie-break on id.
+
+    Scale: the candidate join is an equi-join on the bucket key
+    (planes grow ~log2(n), q47's knob); both rank windows compile to
+    WindowGroupLimit-able rank<=k / rank=1 filters over the candidate
+    frame; the means are k-element folds per anchor; the mutual join
+    runs on two rank-1 frames — nothing after candidate generation is
+    corpus-sized. At 100 TB the same plan mines per bucket-shard with
+    multiple hash tables for recall.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    emb = _load_vectors(spark, sf_dir)
+    emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
+    x = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("v").alias("xv"),
+        F.col("bucket").alias("bx"),
+    )
+    y = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("v").alias("yv"),
+        F.col("bucket").alias("by"),
+    )
+    cand = x.join(y, F.col("by") == F.col("bx")).select(
+        "x_id", "y_id", cosine(F.col("xv"), F.col("yv")).alias("cos_sim")
+    )
+    w_x = Window.partitionBy("x_id").orderBy(F.col("cos_sim").desc(), "y_id")
+    w_y = Window.partitionBy("y_id").orderBy(F.col("cos_sim").desc(), "x_id")
+    ranked = cand.select(
+        "x_id",
+        "y_id",
+        "cos_sim",
+        F.row_number().over(w_x).alias("x_rn"),
+        F.row_number().over(w_y).alias("y_rn"),
+    ).localCheckpoint()  # feeds mx, my AND the mutual frame — one
+    # evaluation of the fold-heavy candidate cosines, not three
+
+    def mean_topk(anchor: str, rn: str, alias: str) -> DataFrame:
+        # fold in rank order: the double sum is order-stable, mirroring
+        # the oracle's list(cos ORDER BY rn) fold
+        return (
+            ranked.filter(F.col(rn) <= _BTX_TOPK)
+            .groupBy(F.col(anchor).alias("anchor"))
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(rn).alias("rn"), "cos_sim"))
+                ).alias("topk"),
+            )
+            .select(
+                "anchor",
+                (
+                    F.aggregate(
+                        F.col("topk"),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["cos_sim"],
+                    )
+                    / F.size("topk")
+                ).alias(alias),
+                F.size("topk").cast("long").alias(f"n_{alias}"),
+            )
+        )
+
+    mx = mean_topk("x_id", "x_rn", "mean_x")
+    my = mean_topk("y_id", "y_rn", "mean_y")
+    mutual = ranked.filter((F.col("x_rn") == 1) & (F.col("y_rn") == 1))
+    out = (
+        mutual.join(mx, mx["anchor"] == mutual["x_id"])
+        .drop("anchor")
+        .join(my, my["anchor"] == F.col("y_id"))
+        .drop("anchor")
+    )
+    margin = F.col("cos_sim") / ((F.col("mean_x") + F.col("mean_y")) / 2)
+    return out.select(
+        "x_id",
+        "y_id",
+        "cos_sim",
+        margin.alias("margin"),
+        F.col("n_mean_x").alias("n_topk_x"),
+        F.col("n_mean_y").alias("n_topk_y"),
+        (margin >= _BTX_MARGIN).alias("mined"),
+    )

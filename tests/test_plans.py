@@ -1303,3 +1303,47 @@ def test_q257_sampler_hash_single_site_and_broadcast_plan(spark):
     assert plan.count("md5") == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q265_bitext_candidates_equi_join_never_allpairs(spark):
+    """The bitext miner's pair generator must be an equi-join on the
+    LSH bucket key — CartesianProduct/BNLJ anywhere is the O(n^2)
+    fallback the margin pipeline exists to avoid. Post-checkpoint the
+    assembly runs on anchor-keyed frames (SMJ is the at-scale shape)."""
+    plan = plan_of(spark, "q265_margin_bitext_mining")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_q266_range_planner_is_one_corpus_pass(spark):
+    """The histogram must map-side combine (partial_count) into one
+    exchange; the walk's single-partition window runs on the sketch
+    frame only; nothing range-partitions (the planner PLANS the range
+    shuffle, it must not pay one)."""
+    plan = plan_of(spark, "q266_range_partition_planner")
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q267_salt_planner_broadcasts_cells(spark):
+    """The 4x512 cell frame attaches to the probe side by broadcast;
+    no range partitioning; the probe groupBy is the only wide
+    exchange after the checkpointed count frame."""
+    plan = plan_of(spark, "q267_salt_factor_planner")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q268_dataset_card_rollups_combine_map_side(spark):
+    """All three rollups over the checkpointed base must map-side
+    combine; the dominant-language rank=1 compiles to WindowGroupLimit
+    (partial + final); card assembly joins broadcast tiny frames."""
+    plan = plan_of(spark, "q268_dataset_card")
+    assert "partial_count" in plan
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange rangepartitioning" not in plan
