@@ -48,6 +48,9 @@ WAIVERS: dict[str, str] = {
     "q71_ann_recall": "IVF search + brute-force ground truth + recall join",
     "q109_bloom_join_reduction": "filter-build agg + probe + exact verify comparison",
     "q116_incremental_dedup": "exact anti-join + LSH probe + representative election",
+    "q271_release_funnel": "5-stage release composition (dedup + decon probe +"
+    " sketch cutoff + mixing sample + funnel rollup): q92 class, each stage"
+    " individually shuffle-minimal with checkpointed stage frames",
     "q178_markov_stationary": "3 unrolled power iterations over the S²-bounded matrix"
     " (q151 class); the one corpus stage is checkpointed before them",
     "q199_expected_steps_to_purchase": "4 unrolled Bellman updates + absorbed-state"

@@ -146,6 +146,15 @@ QUERIES = (
     # and its merge-law theorem (partials are k-bounded)
     "q262_reservoir_sample",
     "q264_reservoir_merge_law",
+    # round 9 continuation: dataset card — ONE checkpointed corpus
+    # pass (hash + tokens + bucket) feeding three map-side-combined
+    # rollups; everything after is |sources|-bounded
+    "q268_dataset_card",
+    # round 9 continuation: contamination spans (broadcast eval grams
+    # + one posexplode pass; windows on hit rows only) and the span
+    # surgery (token rebuild on the flagged sliver only)
+    "q269_contamination_spans",
+    "q270_span_surgery",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",
@@ -179,6 +188,10 @@ NEARDUP_QUERIES = (
     "q48_embedding_neardup_pairs",
     "q130_semantic_dedup",
     "q132_neardup_triangles",
+    # round 9 continuation: margin bitext mining — candidate volume is
+    # quadratic in bucket occupancy like the rest of this family, so
+    # it sweeps under the same SRP-planes growth schedule
+    "q265_margin_bitext_mining",
 )
 # fixed-dimension join sweep (round-4 verdict item 4): fan ONLY the
 # fact tables (orders, lineitem) by K with key-shifted orderkeys and
@@ -223,6 +236,10 @@ FACT_QUERIES = (
     # its merge-law theorem (both lineitem-keyed)
     "q253_quantile_sketch",
     "q254_quantile_merge_law",
+    # round 9 continuation: range-partition planner — the histogram
+    # pass is the only corpus term; walk/assignment/pricing run on
+    # <= 4096 cells
+    "q266_range_partition_planner",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same
@@ -300,6 +317,9 @@ EVENT_QUERIES = (
     # round 9: mixture drift monitor (per-(day, type) counts + day
     # window on the count frame + |types| broadcast target)
     "q263_mixture_drift_monitor",
+    # round 9 continuation: salt-factor planner — count-frame pass,
+    # posexplode sketch build + broadcast probe, top-N heavy-rank
+    "q267_salt_factor_planner",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

@@ -3000,3 +3000,564 @@ def q268_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_p95").alias("est_p95_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L6p: contamination SPAN extraction + surgery — q101/q260 flag
+# documents; q269 reports WHERE the contamination sits and q270 CUTS
+# it out (the GPT-3/PaLM decontamination appendix shape: remove the
+# overlapping spans plus a margin, keep the clean remainder). One
+# shared pipeline (Spark helper + SQL CTE chain) feeds both queries
+# so the span rule cannot fork.
+# ---------------------------------------------------------------------------
+
+_SPAN_MARGIN = 1  # tokens removed on each side of a contaminated span
+
+
+def _contam_spans_cte() -> str:
+    """The shared WITH-chain from documents to the merged span frame
+    (island-merge of eval-overlapping gram positions), used verbatim
+    by both the q269 and q270 oracles."""
+    return f"""
+    g AS MATERIALIZED (
+      SELECT doc_id, tk, len(tk) AS n_toks,
+             {shingles_sql('tk', _NGRAM)} AS grams
+      FROM (SELECT doc_id, {_TOK} AS tk FROM documents)
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(grams) AS gram
+      FROM g WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    tp AS (
+      SELECT doc_id, n_toks, grams,
+             unnest(generate_series(1, len(grams))) AS i
+      FROM g WHERE doc_id % {_EVAL_MOD} <> 0
+    ),
+    hits AS (
+      SELECT t.doc_id, t.n_toks, t.i - 1 AS pos,
+             least({_NGRAM}, t.n_toks) AS width
+      FROM tp t JOIN ev ON ev.gram = t.grams[t.i]
+    ),
+    flagged AS (
+      SELECT doc_id, n_toks, pos, width,
+             CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > width THEN 1 ELSE 0 END
+               AS new_island
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, n_toks, pos, width,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, island_id,
+             CAST(MAX(n_toks) AS BIGINT) AS doc_tokens,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + MAX(width) - 1 AS BIGINT) AS span_end,
+             CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+      FROM isl GROUP BY 1, 2
+    )"""
+
+
+def _contam_span_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared Spark pipeline: returns (g, spans) where g carries
+    every document's token array and spans the merged contamination
+    intervals — the single implementation behind q269 and q270."""
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    g = docs.select("doc_id", tokens("text").alias("tk")).select(
+        "doc_id",
+        "tk",
+        F.size("tk").alias("n_toks"),
+        shingles(F.col("tk"), _NGRAM).alias("grams"),
+    )
+    ev = (
+        g.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .localCheckpoint()  # benchmark-sized
+    )
+    tp = g.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", "n_toks", F.posexplode("grams").alias("pos", "gram")
+    )
+    hits = tp.join(F.broadcast(ev), "gram").select(
+        "doc_id",
+        "n_toks",
+        "pos",
+        F.least(F.lit(_NGRAM), F.col("n_toks")).alias("width"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") - F.lag("pos").over(w_doc) > F.col("width")),
+            1,
+        ).otherwise(0),
+    ).withColumn("island_id", F.sum("new_island").over(w_doc))
+    spans = isl.groupBy("doc_id", "island_id").agg(
+        F.max("n_toks").cast("long").alias("doc_tokens"),
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.max("width") - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_hit_grams"),
+    )
+    return g, spans
+
+
+@query(
+    "q269_contamination_spans",
+    oracle=f"""
+    WITH {_contam_spans_cte()}
+    SELECT doc_id, CAST(island_id AS BIGINT) AS span_id,
+           span_start, span_end,
+           span_end - span_start + 1 AS span_tokens,
+           n_hit_grams, doc_tokens,
+           CAST(COUNT(*) OVER d AS BIGINT) AS doc_spans,
+           CAST(SUM(span_end - span_start + 1) OVER d AS BIGINT)
+             AS contam_tokens,
+           CAST(SUM(span_end - span_start + 1) OVER d * 1000000
+                // doc_tokens AS BIGINT) AS contam_ppm
+    FROM spans WINDOW d AS (PARTITION BY doc_id)
+    """,
+    tags=("curation", "dedup", "decontamination", "window", "spans"),
+)
+def q269_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAMINATION SPAN EXTRACTION — q101 answers WHICH training
+    documents share an n-gram with the benchmark suite and q260 makes
+    that probe cheap; this answers WHERE: the exact token spans the
+    eval overlap covers, produced by the island-merge the GPT-3/PaLM
+    decontamination appendices describe. Every eval-matching gram
+    contributes its {_NGRAM}-token interval; intervals that overlap
+    or touch (next_pos <= pos + width) merge into one span (lag +
+    cumulative island id — the gap-and-island shape on HIT
+    positions); each span reports start/end/width and hit count, each
+    document its span count and contaminated-token total in ppm of
+    its length. q270 applies the surgery these spans prescribe.
+
+    Exactness: positions, widths, island ids, and ppm divisions are
+    pure integers; the whole-doc-shingle case (docs shorter than
+    {_NGRAM} tokens) is handled by width = least({_NGRAM}, n_tokens)
+    in both engines.
+
+    Scale: the eval side is benchmark-sized -> its distinct gram
+    frame BROADCASTS; the training corpus takes ONE posexplode pass
+    probed map-side (no gram-keyed shuffle of the corpus, q260's
+    posture); the island windows run on HIT rows only — contamination
+    is rare by construction, so the per-doc windows see a frame many
+    orders smaller than the corpus, and the one doc-keyed Exchange is
+    shared by the windows and the span aggregate. Composition: run
+    q260's Bloom pass first, THEN this span pass on the flagged
+    subset only.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    _, spans = _contam_span_frames(spark, sf_dir)
+    w_d = Window.partitionBy("doc_id")
+    span_tokens = F.col("span_end") - F.col("span_start") + 1
+    return spans.select(
+        "doc_id",
+        F.col("island_id").cast("long").alias("span_id"),
+        "span_start",
+        "span_end",
+        span_tokens.cast("long").alias("span_tokens"),
+        "n_hit_grams",
+        "doc_tokens",
+        F.count(F.lit(1)).over(w_d).cast("long").alias("doc_spans"),
+        F.sum(span_tokens).over(w_d).cast("long").alias("contam_tokens"),
+        F.expr(
+            "sum(span_end - span_start + 1)"
+            " over (partition by doc_id) * 1000000 div doc_tokens"
+        )
+        .cast("long")
+        .alias("contam_ppm"),
+    )
+
+
+@query(
+    "q270_span_surgery",
+    oracle=f"""
+    WITH {_contam_spans_cte()},
+    cov AS (
+      SELECT DISTINCT doc_id,
+             unnest(generate_series(
+               greatest(0, span_start - {_SPAN_MARGIN}),
+               least(doc_tokens - 1, span_end + {_SPAN_MARGIN}))) AS pos
+      FROM spans
+    ),
+    cdocs AS (SELECT DISTINCT doc_id FROM spans),
+    tokp AS (
+      SELECT g.doc_id, g.n_toks,
+             unnest(generate_series(1, len(g.tk))) AS i, g.tk
+      FROM g JOIN cdocs USING (doc_id)
+    ),
+    marked AS (
+      SELECT t.doc_id, t.n_toks, t.i - 1 AS pos, t.tk[t.i] AS tok,
+             cov.pos AS cut
+      FROM tokp t
+      LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.i - 1
+    )
+    SELECT doc_id,
+           CAST(MAX(n_toks) AS BIGINT) AS doc_tokens,
+           CAST(COUNT(cut) AS BIGINT) AS removed_tokens,
+           CAST(COUNT(*) - COUNT(cut) AS BIGINT) AS kept_tokens,
+           CAST((COUNT(*) - COUNT(cut)) * 1000000 // COUNT(*) AS BIGINT)
+             AS kept_ppm,
+           coalesce(string_agg(CASE WHEN cut IS NULL THEN tok END,
+                               ' ' ORDER BY pos), '') AS cleaned_text
+    FROM marked GROUP BY doc_id
+    """,
+    tags=("curation", "dedup", "decontamination", "transform", "spans"),
+)
+def q270_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN SURGERY — applying q269's prescription: for every
+    contaminated training document, cut the contaminated spans plus a
+    {_SPAN_MARGIN}-token margin on each side (clamped to the document)
+    and emit the CLEANED text with its before/after accounting
+    (removed/kept token counts, kept share in ppm). This is the step
+    production decontamination actually ships — q101 would discard
+    the whole document; at 100 TB you keep the clean remainder of a
+    book that quotes one benchmark item. Fully-covered documents
+    survive as empty-text rows (kept_ppm 0), so the output is the
+    complete surgical manifest.
+
+    Exactness: coverage positions are exact integer ranges (margins
+    clamp identically in both engines; overlapping margins dedup via
+    DISTINCT); the rebuilt text is the kept tokens joined in position
+    order — order-stable string aggregation on both sides.
+
+    Scale: spans and the contaminated-doc id set are rare-event-sized
+    -> both BROADCAST; the token rebuild touches ONLY contaminated
+    documents (semi-join before the posexplode), so the expensive
+    per-token pass runs on the flagged sliver, never the corpus; the
+    rebuild aggregate is one doc-keyed Exchange of that sliver.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    g, spans = _contam_span_frames(spark, sf_dir)
+    cov = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("span_start") - _SPAN_MARGIN),
+                    F.least(
+                        F.col("doc_tokens") - 1,
+                        F.col("span_end") + _SPAN_MARGIN,
+                    ),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .localCheckpoint()  # rare-event-sized; feeds the cut marker
+    )
+    cdocs = cov.select("doc_id").distinct()
+    tokp = g.join(F.broadcast(cdocs), "doc_id").select(
+        "doc_id", "n_toks", F.posexplode("tk").alias("pos", "tok")
+    )
+    marked = tokp.join(
+        F.broadcast(cov.withColumn("cut", F.lit(1))), ["doc_id", "pos"], "left"
+    )
+    kept = F.count(F.lit(1)) - F.count("cut")
+    return marked.groupBy("doc_id").agg(
+        F.max("n_toks").cast("long").alias("doc_tokens"),
+        F.count("cut").cast("long").alias("removed_tokens"),
+        kept.cast("long").alias("kept_tokens"),
+        F.expr(
+            "(count(1) - count(cut)) * 1000000 div count(1)"
+        )
+        .cast("long")
+        .alias("kept_ppm"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                "tok",
+                                F.coalesce("cut", F.lit(0)).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"] == 0,
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6q: release funnel — the round-9 programs composed into ONE
+# declarative release build: dedup -> decontamination -> sketch-priced
+# length gate -> temperature sample, with per-stage accounting
+# ---------------------------------------------------------------------------
+
+
+def _release_funnel_oracle() -> str:
+    from target_hdfs_spark.operators.analytics import (
+        _QSK_DOC_NBKT,
+        _QSK_DOC_W,
+        _qsk_bucket_sql,
+        _qsk_est_sql,
+    )
+
+    bkt = _qsk_bucket_sql("n_chars", _QSK_DOC_W, _QSK_DOC_NBKT)
+    u = md5_hash32_sql("'smp|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars, text, {_TOK} AS tk FROM documents
+    ),
+    train AS (
+      SELECT doc_id, lang, n_chars, text, tk FROM base
+      WHERE doc_id % {_EVAL_MOD} <> 0
+    ),
+    ded AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars, tk FROM train
+      QUALIFY row_number() OVER (PARTITION BY text, lang
+                                 ORDER BY doc_id) = 1
+    ),
+    ev AS (
+      SELECT DISTINCT unnest({shingles_sql('tk', _NGRAM)}) AS gram
+      FROM base WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    contam AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, unnest({shingles_sql('tk', _NGRAM)}) AS gram
+            FROM ded) d
+      JOIN ev ON ev.gram = d.gram
+    ),
+    dec AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars FROM ded
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    hist AS (
+      SELECT lang, {bkt} AS bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dec GROUP BY 1, 2
+    ),
+    cut AS (
+      {_qsk_est_sql("hist", "lang", _QSK_DOC_W, (95,))}
+    ),
+    len_ok AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM dec d JOIN cut ON cut.lang = d.lang
+      WHERE d.n_chars <= cut.est_p95
+    ),
+    sizes AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM len_ok GROUP BY lang
+    ),
+    sc AS (
+      SELECT lang, n_docs, {_mix_score_sql("n_docs")} AS score_fp
+      FROM sizes
+    ),
+    tot AS (
+      SELECT CAST(SUM(score_fp) AS BIGINT) AS total_score,
+             CAST(SUM(n_docs) AS BIGINT) AS total_docs
+      FROM sc
+    ),
+    plan2 AS (
+      SELECT lang, n_docs,
+             least({_MIX_FP},
+               CAST((t.total_docs // 2)
+                    * (score_fp * {_MIX_FP} // t.total_score)
+                    // {_MIX_FP} AS BIGINT)
+               * {_MIX_FP} // n_docs) AS accept_ppm,
+             CAST((t.total_docs // 2)
+                  * (score_fp * {_MIX_FP} // t.total_score)
+                  // {_MIX_FP} AS BIGINT) AS target_docs
+      FROM sc CROSS JOIN tot t
+    ),
+    fin AS (
+      SELECT l.doc_id, l.lang, l.n_chars
+      FROM len_ok l JOIN plan2 p ON p.lang = l.lang
+      WHERE ({u}) % {_MIX_FP} < p.accept_ppm
+    ),
+    st0 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train
+            FROM train GROUP BY 1),
+    st1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_after_dedup
+            FROM ded GROUP BY 1),
+    st2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_after_decon
+            FROM dec GROUP BY 1),
+    st3 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_after_length
+            FROM len_ok GROUP BY 1),
+    st4 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_final,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_final
+            FROM fin GROUP BY 1)
+    SELECT s0.lang, s0.n_train,
+           COALESCE(s1.n_after_dedup, 0) AS n_after_dedup,
+           COALESCE(s2.n_after_decon, 0) AS n_after_decon,
+           COALESCE(s3.n_after_length, 0) AS n_after_length,
+           COALESCE(p.target_docs, 0) AS target_docs,
+           COALESCE(s4.n_final, 0) AS n_final,
+           COALESCE(s4.chars_final, 0) AS chars_final,
+           CAST(COALESCE(s4.n_final, 0) * 1000000 // s0.n_train
+                AS BIGINT) AS retained_ppm
+    FROM st0 s0
+    LEFT JOIN st1 s1 ON s1.lang = s0.lang
+    LEFT JOIN st2 s2 ON s2.lang = s0.lang
+    LEFT JOIN st3 s3 ON s3.lang = s0.lang
+    LEFT JOIN plan2 p ON p.lang = s0.lang
+    LEFT JOIN st4 s4 ON s4.lang = s0.lang
+    """
+
+
+@query(
+    "q271_release_funnel",
+    oracle=_release_funnel_oracle(),
+    tags=("curation", "mixture", "decontamination", "sketch", "funnel"),
+)
+def q271_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELEASE FUNNEL — the round-9 programs composed into one
+    declarative corpus-release build with per-stage accounting (the
+    manifest a data team publishes with every release): training
+    slice -> exact dedup (q40's deterministic survivor) ->
+    decontamination (q101's eval-gram rule, broadcast probe) ->
+    length gate at the per-language p95 priced from the quantile
+    sketch (q258's two-phase shape: cells -> cutoff -> one filter
+    pass) -> alpha-temperature downsample to a half-corpus budget
+    (q256/q257's fixed-point weight chain and hash rule). One row per
+    language: the population entering, survivors after each stage,
+    the mixing target, the final doc/char counts, and end-to-end
+    retention in ppm. q98 is the CLEANING composition (quality gates
+    + near-dup clusters); this is the RELEASE-BUDGETING composition —
+    stage boundaries (dedup-before-decon, cutoffs-from-survivors,
+    weights-from-gated-population) are exactly where composition bugs
+    hide, and the whole chain is value-checked.
+
+    Exactness: every stage is integer/string arithmetic on
+    deterministic rules already proven alone (q40/q101/q253/q256/
+    q257); the composition inherits exactness stage by stage.
+
+    Scale: dedup is the one (text, lang)-keyed corpus shuffle
+    (hash-groupBy dedup, the cheapest exact rule); the eval gram set
+    broadcasts; histogram cells and the mixing plan are sketch-/
+    |languages|-sized; the final sample is a map-side hash compare.
+    Stage frames checkpoint where reused so no stage re-scans the
+    corpus. Multi-stage composition: exchange count grows with stage
+    count, each stage individually shuffle-minimal (PLAN_AUDIT
+    waiver, q92 class).
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    from target_hdfs_spark.operators.analytics import (
+        _QSK_DOC_NBKT,
+        _QSK_DOC_W,
+        _qsk_bucket_expr,
+        _qsk_estimates,
+    )
+
+    base = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", "text"
+        ),
+        "doc_id",
+    ).select(
+        "doc_id", "lang", "n_chars", "text", tokens("text").alias("tk")
+    )
+    train = base.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    w_ded = Window.partitionBy("text", "lang").orderBy("doc_id")
+    ded = (
+        train.withColumn("rn", F.row_number().over(w_ded))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "tk")
+        .localCheckpoint()  # feeds decon probe, counts, and onward
+    )
+    ev = (
+        base.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode(shingles(F.col("tk"), _NGRAM)).alias("gram"))
+        .distinct()
+        .localCheckpoint()  # benchmark-sized
+    )
+    contam = (
+        ded.select(
+            "doc_id", F.explode(shingles(F.col("tk"), _NGRAM)).alias("gram")
+        )
+        .join(F.broadcast(ev), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    dec = ded.join(contam, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    ).localCheckpoint()
+    hist = dec.groupBy(
+        "lang", _qsk_bucket_expr("n_chars", _QSK_DOC_W, _QSK_DOC_NBKT).alias("bkt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cut = _qsk_estimates(hist, ["lang"], _QSK_DOC_W, (95,))
+    len_ok = dec.join(F.broadcast(cut), "lang").filter(
+        F.col("n_chars") <= F.col("est_p95")
+    ).select("doc_id", "lang", "n_chars").localCheckpoint()
+    sizes = len_ok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    sc = sizes.select("lang", "n_docs", _mix_score_col("n_docs"))
+    tot = sc.agg(
+        F.sum("score_fp").cast("long").alias("total_score"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    plan2 = (
+        sc.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr(
+                f"(total_docs div 2)"
+                f" * (score_fp * {_MIX_FP} div total_score)"
+                f" div {_MIX_FP}"
+            )
+            .cast("long")
+            .alias("target_docs"),
+        )
+        .withColumn(
+            "accept_ppm",
+            F.expr(
+                f"least({_MIX_FP}, target_docs * {_MIX_FP} div n_docs)"
+            ).cast("long"),
+        )
+    )
+    u = md5_hash32(F.concat(F.lit("smp|"), F.col("doc_id").cast("string")))
+    fin = (
+        len_ok.join(F.broadcast(plan2.select("lang", "accept_ppm")), "lang")
+        .filter((u % _MIX_FP) < F.col("accept_ppm"))
+    )
+
+    def stage_counts(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias(alias)
+        )
+
+    st0 = stage_counts(train, "n_train")
+    st1 = stage_counts(ded, "n_after_dedup")
+    st2 = stage_counts(dec, "n_after_decon")
+    st3 = stage_counts(len_ok, "n_after_length")
+    st4 = fin.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.sum("n_chars").cast("long").alias("chars_final"),
+    )
+    out = (
+        st0.join(F.broadcast(st1), "lang", "left")
+        .join(F.broadcast(st2), "lang", "left")
+        .join(F.broadcast(st3), "lang", "left")
+        .join(F.broadcast(plan2.select("lang", "target_docs")), "lang", "left")
+        .join(F.broadcast(st4), "lang", "left")
+    )
+    return out.select(
+        "lang",
+        "n_train",
+        F.coalesce("n_after_dedup", F.lit(0)).cast("long").alias("n_after_dedup"),
+        F.coalesce("n_after_decon", F.lit(0)).cast("long").alias("n_after_decon"),
+        F.coalesce("n_after_length", F.lit(0)).cast("long").alias("n_after_length"),
+        F.coalesce("target_docs", F.lit(0)).cast("long").alias("target_docs"),
+        F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+        F.coalesce("chars_final", F.lit(0)).cast("long").alias("chars_final"),
+        F.expr("coalesce(n_final, 0) * 1000000 div n_train")
+        .cast("long")
+        .alias("retained_ppm"),
+    )

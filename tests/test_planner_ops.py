@@ -74,3 +74,67 @@ def test_dataset_card_shares_and_quantiles_are_consistent(spark):
         assert r["n_langs"] <= r["n_docs"]
         assert r["est_p50_chars"] <= r["est_p95_chars"]
         assert r["total_tokens"] <= r["total_chars"]
+
+
+def test_contamination_spans_are_disjoint_and_ordered(spark):
+    from collections import defaultdict
+
+    rows = SPECS["q269_contamination_spans"].fn(spark, SF_DIR).collect()
+    assert rows, "no contamination found (eval slice should collide)"
+    per_doc = defaultdict(list)
+    for r in rows:
+        assert r["doc_id"] % 97 != 0  # never flags eval docs
+        assert 0 <= r["span_start"] <= r["span_end"] < r["doc_tokens"]
+        assert r["span_tokens"] >= 1 and r["n_hit_grams"] >= 1
+        assert 0 < r["contam_ppm"] <= 1_000_000
+        per_doc[r["doc_id"]].append(r)
+    for doc, spans in per_doc.items():
+        spans.sort(key=lambda r: r["span_start"])
+        assert [r["span_id"] for r in spans] == list(
+            range(1, len(spans) + 1)
+        )
+        assert spans[0]["doc_spans"] == len(spans)
+        # merged islands are separated by MORE than a gram width —
+        # adjacent/overlapping intervals would have been one island
+        for a, b in zip(spans, spans[1:]):
+            assert b["span_start"] > a["span_end"] + 1
+        assert spans[0]["contam_tokens"] == sum(
+            r["span_tokens"] for r in spans
+        )
+
+
+def test_span_surgery_accounting_matches_spans(spark):
+    spans = SPECS["q269_contamination_spans"].fn(spark, SF_DIR).collect()
+    surgery = {
+        r["doc_id"]: r
+        for r in SPECS["q270_span_surgery"].fn(spark, SF_DIR).collect()
+    }
+    # every contaminated doc gets exactly one surgical row
+    assert set(surgery) == {r["doc_id"] for r in spans}
+    for r in surgery.values():
+        assert r["removed_tokens"] + r["kept_tokens"] == r["doc_tokens"]
+        assert r["removed_tokens"] >= 1  # flagged docs always lose tokens
+        n_out = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        assert n_out == r["kept_tokens"]  # text matches the accounting
+        assert 0 <= r["kept_ppm"] < 1_000_000
+
+
+def test_release_funnel_is_monotone_and_budgeted(spark):
+    rows = SPECS["q271_release_funnel"].fn(spark, SF_DIR).collect()
+    assert rows, "release funnel returned no languages"
+    total_final = sum(r["n_final"] for r in rows)
+    total_train = sum(r["n_train"] for r in rows)
+    for r in rows:
+        # each stage can only shrink the population
+        assert (
+            r["n_train"]
+            >= r["n_after_dedup"]
+            >= r["n_after_decon"]
+            >= r["n_after_length"]
+            >= r["n_final"]
+        )
+        assert r["n_final"] >= 0 and r["chars_final"] >= 0
+        assert 0 <= r["retained_ppm"] <= 1_000_000
+    # the half-corpus budget binds globally (allocation never exceeds
+    # half the gated population by construction)
+    assert total_final <= total_train // 2 + len(rows)

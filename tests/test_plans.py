@@ -1347,3 +1347,25 @@ def test_q268_dataset_card_rollups_combine_map_side(spark):
     assert plan.count("WindowGroupLimit") == 2
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q269_span_probe_is_broadcast_map_side(spark):
+    """Eval grams broadcast; the corpus takes one posexplode pass with
+    no gram-keyed shuffle; the doc-keyed Exchange is shared by the
+    island windows and the span aggregate."""
+    plan = plan_of(spark, "q269_contamination_spans")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q270_surgery_rebuild_touches_flagged_sliver_only(spark):
+    """Both the contaminated-doc id set and the coverage positions
+    attach by broadcast BEFORE the per-token rebuild, so the expensive
+    pass runs on the flagged sliver, never the corpus."""
+    plan = plan_of(spark, "q270_span_surgery")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
