@@ -155,6 +155,10 @@ QUERIES = (
     # surgery (token rebuild on the flagged sliver only)
     "q269_contamination_spans",
     "q270_span_surgery",
+    # round 9 continuation: the 5-stage release funnel composition
+    # (dedup shuffle + broadcast decon probe + sketch cutoff +
+    # broadcast sampler + funnel rollup)
+    "q271_release_funnel",
 )
 EMB_QUERIES = (
     "q63_ann_ivf",

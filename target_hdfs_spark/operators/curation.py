@@ -2173,6 +2173,81 @@ _DECON_BLOOM_K = 4
 _DECON_BLOOM_M = 65536  # 64K positions (8 KB of bits) for the eval grams
 
 
+def decon_doc_grams(df: DataFrame) -> DataFrame:
+    """(doc_id, gram) frame of a document set — the shared gram rule
+    behind q260 and the streaming decontamination gate (same
+    tokenizer, same {w}-gram shingles).""".format(w=_NGRAM)
+    return fan_out(df, "doc_id").select(
+        "doc_id",
+        F.explode(shingles(tokens("text"), _NGRAM)).alias("gram"),
+    )
+
+
+def decon_gram_positions(gram_col) -> list:
+    """The K Bloom positions of one gram — THE position formula
+    (portable md5-32 base hash, minhash coefficient family), shared by
+    q260's batch calibration and streaming/decon.py so the filters are
+    bit-identical."""
+    from target_hdfs_spark.functions.hashing import (
+        MERSENNE_P,
+        hash_coeffs,
+        md5_hash32,
+    )
+
+    h = md5_hash32(gram_col)
+    return [
+        (F.lit(a) * h + F.lit(b)) % MERSENNE_P % _DECON_BLOOM_M
+        for a, b in hash_coeffs(_DECON_BLOOM_K)
+    ]
+
+
+def decon_bits_frame(eval_docs: DataFrame) -> DataFrame:
+    """The deterministic Bloom bitset of an eval-document set as a
+    distinct-positions frame (benchmark-sized; broadcast at probe
+    sites)."""
+    return (
+        decon_doc_grams(eval_docs)
+        .select(
+            F.explode(
+                F.array(*decon_gram_positions(F.col("gram")))
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def decon_probe_flags(train_docs: DataFrame, bits: DataFrame) -> DataFrame:
+    """(doc_id, bloom_flagged) for every training document: positions
+    recomputed map-side per gram, each checked via its own broadcast
+    lookup against the bitset — K BroadcastHashJoins, no shuffle on
+    the probed corpus until the per-doc aggregate (q260's posture, as
+    a reusable stage for the streaming gate)."""
+    pos = decon_gram_positions(F.col("gram"))
+    tr = decon_doc_grams(train_docs).select(
+        "doc_id", *[pos[i].alias(f"p{i}") for i in range(_DECON_BLOOM_K)]
+    )
+    for i in range(_DECON_BLOOM_K):
+        marker = bits.select(
+            F.col("pos").alias(f"_pos{i}"), F.lit(1).alias(f"_b{i}")
+        )
+        tr = tr.join(
+            F.broadcast(marker), tr[f"p{i}"] == marker[f"_pos{i}"], "left"
+        )
+    fb_gram = F.when(
+        sum(
+            F.col(f"_b{i}").isNotNull().cast("int")
+            for i in range(_DECON_BLOOM_K)
+        )
+        == _DECON_BLOOM_K,
+        1,
+    ).otherwise(0)
+    return (
+        tr.select("doc_id", fb_gram.alias("fbg"))
+        .groupBy("doc_id")
+        .agg((F.max("fbg") == 1).alias("bloom_flagged"))
+    )
+
+
 def _decon_bloom_oracle() -> str:
     from target_hdfs_spark.functions.hashing import (
         hash_coeffs,
@@ -2269,26 +2344,11 @@ def q260_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cites reference behavior: none (beyond-reference operator).
     """
-    from target_hdfs_spark.functions.hashing import (
-        MERSENNE_P,
-        hash_coeffs,
-        md5_hash32,
-    )
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def grams_of(df: DataFrame) -> DataFrame:
-        return fan_out(df, "doc_id").select(
-            "doc_id",
-            F.explode(shingles(tokens("text"), _NGRAM)).alias("gram"),
-        )
-
-    h = md5_hash32(F.col("gram"))
-    coeffs = hash_coeffs(_DECON_BLOOM_K)
+    grams_of = decon_doc_grams
 
     def pos_i(i: int):
-        a, b = coeffs[i]
-        return (F.lit(a) * h + F.lit(b)) % MERSENNE_P % _DECON_BLOOM_M
+        return decon_gram_positions(F.col("gram"))[i]
 
     # eval side from its own ~1% scan (production shape: the benchmark
     # suite is a separate tiny table) — the training corpus is never

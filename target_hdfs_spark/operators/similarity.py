@@ -1926,6 +1926,17 @@ def q215_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BTX_TOPK = 4  # neighborhood size for the margin denominator
 _BTX_MARGIN = 1.05  # mined when margin >= this ratio
+# Per-bucket candidate-volume cap: a bucket contributes candidates
+# only while |x| * |y| stays under this bound. Hot buckets are hub
+# regions — exactly the pairs the margin rule rejects (margin ~1), so
+# excluding them changes recall only where the miner would decline to
+# mine anyway; production grows planes ~log2(n) and multi-tables for
+# recall. This is the family's hot-bucket discipline (q43's star-link,
+# q45's df cap) applied to the bitext join: candidate volume is
+# bounded BY CONSTRUCTION, so one clustered region can never turn the
+# bucket join into a straggler task (observed: a 100x sweep straggler
+# before this cap existed).
+_BTX_BUCKET_CAP = 4096
 
 
 def _btx_mean_topk_sql(part: str, alias: str) -> str:
@@ -1954,9 +1965,17 @@ def _btx_mean_topk_sql(part: str, alias: str) -> str:
     ),
     x AS (SELECT vec_id AS x_id, v AS xv, bucket FROM emb WHERE vec_id % 2 = 0),
     y AS (SELECT vec_id AS y_id, v AS yv, bucket FROM emb WHERE vec_id % 2 = 1),
+    good AS (
+      SELECT ox.bucket
+      FROM (SELECT bucket, COUNT(*) AS nx FROM x GROUP BY 1) ox
+      JOIN (SELECT bucket, COUNT(*) AS ny FROM y GROUP BY 1) oy
+        ON oy.bucket = ox.bucket
+      WHERE ox.nx * oy.ny <= {_BTX_BUCKET_CAP}
+    ),
     cand AS (
       SELECT x.x_id, y.y_id, {_cos_sql('x.xv', 'y.yv')} AS cos_sim
-      FROM x JOIN y ON y.bucket = x.bucket
+      FROM x JOIN good g ON g.bucket = x.bucket
+      JOIN y ON y.bucket = x.bucket
     ),
     ranked AS (
       SELECT x_id, y_id, cos_sim,
@@ -2020,8 +2039,24 @@ def q265_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("yv"),
         F.col("bucket").alias("by"),
     )
-    cand = x.join(y, F.col("by") == F.col("bx")).select(
-        "x_id", "y_id", cosine(F.col("xv"), F.col("yv")).alias("cos_sim")
+    occ_x = x.groupBy(F.col("bx").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("nx")
+    )
+    occ_y = y.groupBy(F.col("by").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("ny")
+    )
+    good = (
+        occ_x.join(occ_y, "bucket")
+        .filter(F.col("nx") * F.col("ny") <= _BTX_BUCKET_CAP)
+        .select("bucket")
+    )
+    cand = (
+        x.join(F.broadcast(good), F.col("bx") == F.col("bucket"))
+        .drop("bucket")
+        .join(y, F.col("by") == F.col("bx"))
+        .select(
+            "x_id", "y_id", cosine(F.col("xv"), F.col("yv")).alias("cos_sim")
+        )
     )
     w_x = Window.partitionBy("x_id").orderBy(F.col("cos_sim").desc(), "y_id")
     w_y = Window.partitionBy("y_id").orderBy(F.col("cos_sim").desc(), "x_id")

@@ -138,3 +138,15 @@ def test_release_funnel_is_monotone_and_budgeted(spark):
     # the half-corpus budget binds globally (allocation never exceeds
     # half the gated population by construction)
     assert total_final <= total_train // 2 + len(rows)
+
+
+def test_bitext_bucket_cap_is_live_at_call_time(spark, monkeypatch):
+    """The hot-bucket candidate cap must participate in the PLAN at
+    call time (not be baked at registration): with the cap forced to
+    0 every bucket is excluded and the miner returns no pairs."""
+    from target_hdfs_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "_BTX_BUCKET_CAP", 0)
+    assert (
+        SPECS["q265_margin_bitext_mining"].fn(spark, SF_DIR).count() == 0
+    )
