@@ -192,6 +192,9 @@ NEARDUP_QUERIES = (
     "q48_embedding_neardup_pairs",
     "q130_semantic_dedup",
     "q132_neardup_triangles",
+    # round 9 continuation: the precision curve rides q265's capped
+    # pipeline (same plane-growth schedule)
+    "q272_mining_precision_curve",
     # round 9 continuation: margin bitext mining — candidate volume is
     # quadratic in bucket occupancy like the rest of this family, so
     # it sweeps under the same SRP-planes growth schedule

@@ -162,3 +162,26 @@ def q140_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade-off for quoted free text at 100 TB.
     """
     return _roundtrip(spark, sf_dir, "csv", **CSV_LOSSLESS_OPTIONS)
+
+
+@query(
+    "q273_orc_roundtrip",
+    oracle=_FINGERPRINT_ORACLE,
+    tags=("source", "sink", "format", "ingest"),
+)
+def q273_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC → documents: the reference's write surface
+    advertises ORC beside parquet (R12 — `plans/writer.py` carries the
+    same capability), and a lake migration regularly has to move a
+    corpus BETWEEN columnar formats; this proves the Spark ORC
+    source/sink pair is content-lossless under the same fingerprint
+    contract as the text formats (q139/q140). Unlike the text paths
+    there are no quoting/escaping traps — the check guards type
+    mapping (BIGINT/STRING roundtrip through the ORC writer's own
+    schema) and codec integrity.
+
+    Scale: ORC stripes are splittable, so both directions scan with
+    full parallelism at 100 TB; the default zlib codec keeps the
+    interchange compact.
+    """
+    return _roundtrip(spark, sf_dir, "orc")

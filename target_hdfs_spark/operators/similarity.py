@@ -1955,11 +1955,13 @@ def _btx_mean_topk_sql(part: str, alias: str) -> str:
       GROUP BY 1"""
 
 
-@query(
-    "q265_margin_bitext_mining",
-    oracle=f"""
-    WITH emb AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+def _btx_cte() -> str:
+    """The shared WITH-chain from embeddings to the mutual-best margin
+    frame (bucket split, occupancy cap, candidate cosines, two rank
+    directions, top-k means) — used verbatim by the q265 and q272
+    oracles so the mining rule cannot fork."""
+    return f"""emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
       FROM embeddings
     ),
@@ -1986,47 +1988,23 @@ def _btx_mean_topk_sql(part: str, alias: str) -> str:
       FROM cand
     ),
     mx AS ({_btx_mean_topk_sql('x_id', 'mean_x')}),
-    my AS ({_btx_mean_topk_sql('y_id', 'mean_y')})
-    SELECT r.x_id, r.y_id, r.cos_sim,
-           r.cos_sim / ((mx.mean_x + my.mean_y) / 2) AS margin,
-           mx.n_mean_x AS n_topk_x, my.n_mean_y AS n_topk_y,
-           (r.cos_sim / ((mx.mean_x + my.mean_y) / 2) >= {_BTX_MARGIN})
-             AS mined
-    FROM ranked r
-    JOIN mx ON mx.anchor = r.x_id
-    JOIN my ON my.anchor = r.y_id
-    WHERE r.x_rn = 1 AND r.y_rn = 1
-    """,
-    tags=("similarity", "mining", "lsh", "margin", "bitext"),
-)
-def q265_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MARGIN-BASED BITEXT MINING (Artetxe & Schwenk's ratio margin,
-    the CCMatrix/LASER parallel-corpus miner): the corpus is split
-    into two sides standing in for source/target languages (even/odd
-    vec_id); candidates are pairs sharing an SRP-LSH bucket (q47's
-    8-plane key — the pair generator is an equi-join, never
-    all-pairs); each candidate's cosine is normalized by the mean of
-    its two anchors' top-{_BTX_TOPK} neighborhoods
-    (margin = cos / ((mean_x + mean_y) / 2)), and a pair is MINED
-    when it is mutual-best (x's rank-1 y AND y's rank-1 x) with
-    margin >= {_BTX_MARGIN} — the rule that separates true
-    translations from hubs (vectors cosine-close to everything score
-    margin ~1 and are rejected even when mutual-best).
+    my AS ({_btx_mean_topk_sql('y_id', 'mean_y')}),
+    mutual AS (
+      SELECT r.x_id, r.y_id, r.cos_sim,
+             r.cos_sim / ((mx.mean_x + my.mean_y) / 2) AS margin,
+             mx.n_mean_x AS n_topk_x, my.n_mean_y AS n_topk_y
+      FROM ranked r
+      JOIN mx ON mx.anchor = r.x_id
+      JOIN my ON my.anchor = r.y_id
+      WHERE r.x_rn = 1 AND r.y_rn = 1
+    )"""
 
-    Exactness: cosines are order-stable sequential folds (q46's
-    convention); the top-k means fold in rank order so both engines
-    add the same doubles in the same sequence; ranks tie-break on id.
 
-    Scale: the candidate join is an equi-join on the bucket key
-    (planes grow ~log2(n), q47's knob); both rank windows compile to
-    WindowGroupLimit-able rank<=k / rank=1 filters over the candidate
-    frame; the means are k-element folds per anchor; the mutual join
-    runs on two rank-1 frames — nothing after candidate generation is
-    corpus-sized. At 100 TB the same plan mines per bucket-shard with
-    multiple hash tables for recall.
-
-    Cites reference behavior: none (beyond-reference operator).
-    """
+def _btx_mutual_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Spark pipeline to the mutual-best margin frame
+    (x_id, y_id, cos_sim, margin, n_topk_x, n_topk_y) — the single
+    implementation behind q265 (mining) and q272 (precision
+    calibration)."""
     emb = _load_vectors(spark, sf_dir)
     emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
     x = emb.filter(F.col("vec_id") % 2 == 0).select(
@@ -2111,5 +2089,157 @@ def q265_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin"),
         F.col("n_mean_x").alias("n_topk_x"),
         F.col("n_mean_y").alias("n_topk_y"),
-        (margin >= _BTX_MARGIN).alias("mined"),
+    )
+
+
+@query(
+    "q265_margin_bitext_mining",
+    oracle=f"""
+    WITH {_btx_cte()}
+    SELECT x_id, y_id, cos_sim, margin, n_topk_x, n_topk_y,
+           (margin >= {_BTX_MARGIN}) AS mined
+    FROM mutual
+    """,
+    tags=("similarity", "mining", "lsh", "margin", "bitext"),
+)
+def q265_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-BASED BITEXT MINING (Artetxe & Schwenk's ratio margin,
+    the CCMatrix/LASER parallel-corpus miner): the corpus is split
+    into two sides standing in for source/target languages (even/odd
+    vec_id); candidates are pairs sharing an SRP-LSH bucket (q47's
+    8-plane key — the pair generator is an equi-join, never
+    all-pairs); each candidate's cosine is normalized by the mean of
+    its two anchors' top-{_BTX_TOPK} neighborhoods
+    (margin = cos / ((mean_x + mean_y) / 2)), and a pair is MINED
+    when it is mutual-best (x's rank-1 y AND y's rank-1 x) with
+    margin >= {_BTX_MARGIN} — the rule that separates true
+    translations from hubs (vectors cosine-close to everything score
+    margin ~1 and are rejected even when mutual-best).
+
+    Exactness: cosines are order-stable sequential folds (q46's
+    convention); the top-k means fold in rank order so both engines
+    add the same doubles in the same sequence; ranks tie-break on id.
+
+    Scale: the candidate join is an equi-join on the bucket key
+    (planes grow ~log2(n), q47's knob); both rank windows compile to
+    WindowGroupLimit-able rank<=k / rank=1 filters over the candidate
+    frame; the means are k-element folds per anchor; the mutual join
+    runs on two rank-1 frames — nothing after candidate generation is
+    corpus-sized. At 100 TB the same plan mines per bucket-shard with
+    multiple hash tables for recall.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    mutual = _btx_mutual_frame(spark, sf_dir)
+    return mutual.select(
+        "x_id",
+        "y_id",
+        "cos_sim",
+        "margin",
+        "n_topk_x",
+        "n_topk_y",
+        (F.col("margin") >= _BTX_MARGIN).alias("mined"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3k: mining precision calibration — the evaluative member of the
+# mining program (q71's recall-measurement pattern applied to q265)
+# ---------------------------------------------------------------------------
+
+_BTX_THRESHOLDS = (100, 102, 105, 110)  # margin thresholds, in centi-units
+
+
+@query(
+    "q272_mining_precision_curve",
+    oracle=f"""
+    WITH {_btx_cte()},
+    labeled AS (
+      SELECT m.margin,
+             (ex.label = ey.label) AS agree
+      FROM mutual m
+      JOIN emb ex ON ex.vec_id = m.x_id
+      JOIN emb ey ON ey.vec_id = m.y_id
+    ),
+    th AS (SELECT CAST(unnest(ARRAY{list(_BTX_THRESHOLDS)}) AS BIGINT)
+               AS threshold_centi)
+    SELECT t.threshold_centi,
+           CAST(COUNT(CASE WHEN l.margin * 100 >= t.threshold_centi
+                           THEN 1 END) AS BIGINT) AS n_mined,
+           CAST(COUNT(CASE WHEN l.margin * 100 >= t.threshold_centi
+                            AND l.agree THEN 1 END) AS BIGINT)
+             AS n_label_agree,
+           CAST(COUNT(CASE WHEN l.margin * 100 >= t.threshold_centi
+                            AND l.agree THEN 1 END) * 1000000
+                // greatest(COUNT(CASE WHEN l.margin * 100
+                                       >= t.threshold_centi
+                                  THEN 1 END), 1) AS BIGINT)
+             AS precision_ppm
+    FROM th t CROSS JOIN labeled l
+    GROUP BY 1
+    """,
+    tags=("similarity", "mining", "calibration", "observability"),
+)
+def q272_mining_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINING PRECISION CURVE — the q71 discipline (measure the
+    approximation, don't assume it) applied to the bitext miner: the
+    mutual-best margin frame is labeled with each side's cluster id
+    (the corpus's ground-truth grouping), and for each candidate
+    margin threshold the curve reports pairs mined, label-agreeing
+    pairs, and precision in ppm — the table a pipeline operator reads
+    to SET q265's threshold instead of inheriting a paper's constant.
+    Higher thresholds trade volume for precision; the curve makes the
+    trade a measured fact on THIS corpus.
+
+    Exactness: margins are the shared `_btx_mutual_frame` doubles
+    (order-stable folds); threshold comparison happens in centi-units
+    against exact integers; counts and ppm divisions are integers.
+
+    Scale: rides the capped candidate pipeline (bucket equi-join,
+    never all-pairs); the label joins attach to the mutual frame
+    (rank-1-sized, far below corpus scale); the curve aggregate is a
+    {len(_BTX_THRESHOLDS)}-row broadcast cross join over that frame.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    mutual = _btx_mutual_frame(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    labeled = (
+        mutual.join(
+            labels.select(
+                F.col("vec_id").alias("x_id"), F.col("label").alias("lx")
+            ),
+            "x_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("y_id"), F.col("label").alias("ly")
+            ),
+            "y_id",
+        )
+        .select("margin", (F.col("lx") == F.col("ly")).alias("agree"))
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _BTX_THRESHOLDS], "threshold_centi long"
+    )
+    mined = F.col("margin") * 100 >= F.col("threshold_centi")
+    return (
+        labeled.crossJoin(F.broadcast(th))
+        .groupBy("threshold_centi")
+        .agg(
+            F.count(F.when(mined, 1)).cast("long").alias("n_mined"),
+            F.count(F.when(mined & F.col("agree"), 1))
+            .cast("long")
+            .alias("n_label_agree"),
+            F.expr(
+                "count(case when margin * 100 >= threshold_centi"
+                " and agree then 1 end) * 1000000"
+                " div greatest(count(case when margin * 100"
+                " >= threshold_centi then 1 end), 1)"
+            )
+            .cast("long")
+            .alias("precision_ppm"),
+        )
     )

@@ -1369,3 +1369,13 @@ def test_q270_surgery_rebuild_touches_flagged_sliver_only(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q272_curve_rides_capped_pipeline_no_cartesian(spark):
+    """The precision curve must ride the capped candidate pipeline:
+    no CartesianProduct anywhere (the threshold cross join is a 4-row
+    broadcast, which compiles to BroadcastNestedLoopJoin, fine); the
+    label joins attach to the rank-1-sized mutual frame."""
+    plan = plan_of(spark, "q272_mining_precision_curve")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
