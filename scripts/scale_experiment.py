@@ -155,6 +155,9 @@ QUERIES = (
     # surgery (token rebuild on the flagged sliver only)
     "q269_contamination_spans",
     "q270_span_surgery",
+    # round 9 continuation: boilerplate pricing (one checkpointed
+    # tokenization pass -> segment df agg + broadcast totals)
+    "q274_boilerplate_pricing",
     # round 9 continuation: the 5-stage release funnel composition
     # (dedup shuffle + broadcast decon probe + sketch cutoff +
     # broadcast sampler + funnel rollup)
@@ -245,8 +248,9 @@ FACT_QUERIES = (
     "q254_quantile_merge_law",
     # round 9 continuation: range-partition planner — the histogram
     # pass is the only corpus term; walk/assignment/pricing run on
-    # <= 4096 cells
+    # <= 4096 cells — and the drift audit that closes its lifecycle
     "q266_range_partition_planner",
+    "q275_layout_drift_audit",
 )
 # event-log shapes (round-5 verdict item 7): fan events by K with
 # user_id/event_id shifted per copy — K times the users over the same

@@ -7525,3 +7525,167 @@ def q267_salt_factor_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("over_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: layout drift audit — the range-layout lifecycle
+# monitor (plan q266 -> write plans/range_layout.py -> prune -> WATCH:
+# when has the corpus drifted enough that yesterday's cuts skew
+# today's layout and a re-cut pays?)
+# ---------------------------------------------------------------------------
+
+_LDA_CUTOFF = "1996-01-01"  # "yesterday's plan" = cuts from this slice
+_LDA_RECUT_PPM = 200_000  # re-cut a range when |skew| exceeds 20%
+
+
+def _layout_drift_oracle() -> str:
+    bkt = _qsk_bucket_sql("l_extendedprice", _QSK_W, _QSK_NBKT)
+    p = _RPP_PARTS
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT {bkt} AS bkt, l_shipdate FROM lineitem
+    ),
+    old_hist AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM v
+      WHERE l_shipdate < TIMESTAMP '{_LDA_CUTOFF}' GROUP BY 1
+    ),
+    old_walk AS (
+      SELECT bkt,
+             least({p - 1},
+                   (SUM(c) OVER (ORDER BY bkt) - c) * {p}
+                   // SUM(c) OVER ()) AS pid
+      FROM old_hist
+    ),
+    cuts AS (
+      SELECT bkt AS cut_bkt FROM (
+        SELECT bkt, pid, lag(pid) OVER (ORDER BY bkt) AS prev_pid
+        FROM old_walk
+      ) WHERE prev_pid IS NOT NULL AND pid <> prev_pid
+    ),
+    full_hist AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1
+    ),
+    assigned AS (
+      SELECT h.bkt, h.c, CAST(COUNT(cut_bkt) AS BIGINT) AS range_id
+      FROM full_hist h LEFT JOIN cuts ON cuts.cut_bkt <= h.bkt
+      GROUP BY h.bkt, h.c
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_full FROM full_hist)
+    SELECT a.range_id,
+           CAST(SUM(a.c) AS BIGINT) AS part_rows,
+           CAST(MAX(t.n_full) // {p} AS BIGINT) AS ideal_rows,
+           CAST((SUM(a.c) - MAX(t.n_full) // {p}) * 1000000
+                // (MAX(t.n_full) // {p}) AS BIGINT) AS skew_ppm,
+           (abs((SUM(a.c) - MAX(t.n_full) // {p}) * 1000000
+                // (MAX(t.n_full) // {p})) > {_LDA_RECUT_PPM})
+             AS recut_needed
+    FROM assigned a CROSS JOIN tot t
+    GROUP BY a.range_id
+    """
+
+
+@query(
+    "q275_layout_drift_audit",
+    oracle=_layout_drift_oracle(),
+    tags=("sketch", "planner", "percentile", "observability", "drift"),
+)
+def q275_layout_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAYOUT DRIFT AUDIT — the range-layout lifecycle's monitor:
+    yesterday's equi-depth cuts (planned from the pre-{_LDA_CUTOFF}
+    slice via q266's walk) applied to TODAY's full corpus, with each
+    range's realized rows vs the ideal n/{_RPP_PARTS}, skew in ppm,
+    and a re-cut alert when a range is more than
+    {_LDA_RECUT_PPM // 10_000}% off — the dashboard that tells the
+    pipeline when the stable layout (plans/range_layout.py keeps
+    boundaries fixed precisely so re-runs don't reshuffle) has
+    drifted enough that the stability is costing more than a re-cut
+    would. Closing the loop: q266 plans, range_layout writes and
+    prunes, THIS watches.
+
+    Exactness: both walks, the cut extraction (pid change points),
+    the LEFT-JOIN-count assignment, and the skew arithmetic are pure
+    integers in both engines.
+
+    Scale: ONE corpus pass builds the bucket/date frame; both
+    histograms, the walk, the cut frame, and the assignment run on
+    <= {_QSK_NBKT} cells (the cuts frame is <= {_RPP_PARTS - 1} rows
+    and broadcast); nothing after the scan is corpus-sized. In
+    production the two histograms come from stored daily partials
+    (q254's merge law) — no scan at all.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    v = load_table(spark, sf_dir, "lineitem").select(
+        _qsk_bucket_expr("l_extendedprice", _QSK_W, _QSK_NBKT).alias("bkt"),
+        "l_shipdate",
+    )
+    # ONE fused aggregation builds BOTH histograms (conditional count
+    # for the pre-cutoff slice beside the full count) — one corpus
+    # pass, one map-side-combined exchange, and the result frame is
+    # <= _QSK_NBKT rows, so no checkpoint of corpus-sized data is
+    # ever materialized (a localCheckpoint here cost 16x at the 100x
+    # sweep: writing the bucket/date frame dominated the histograms)
+    hist2 = v.groupBy("bkt").agg(
+        F.count(
+            F.when(
+                F.col("l_shipdate") < F.lit(_LDA_CUTOFF).cast("timestamp"), 1
+            )
+        )
+        .cast("long")
+        .alias("c_old"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    ).localCheckpoint()  # sketch-sized; feeds the walk AND the audit
+    old_hist = hist2.filter(F.col("c_old") > 0).select(
+        "bkt", F.col("c_old").alias("c")
+    )
+    w_cum = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    old_walk = old_hist.select(
+        "bkt",
+        F.least(
+            F.lit(_RPP_PARTS - 1),
+            F.expr(
+                f"(sum(c) over (order by bkt"
+                f" rows between unbounded preceding and current row) - c)"
+                f" * {_RPP_PARTS}"
+            )
+            / F.sum("c").over(w_all),
+        )
+        .cast("long")
+        .alias("pid"),
+    )
+    w_lag = Window.orderBy("bkt")
+    cuts = (
+        old_walk.withColumn("prev_pid", F.lag("pid").over(w_lag))
+        .filter(
+            F.col("prev_pid").isNotNull()
+            & (F.col("pid") != F.col("prev_pid"))
+        )
+        .select(F.col("bkt").alias("cut_bkt"))
+    )
+    full_hist = hist2.select("bkt", "c")
+    assigned = (
+        full_hist.join(
+            F.broadcast(cuts), F.col("cut_bkt") <= F.col("bkt"), "left"
+        )
+        .groupBy("bkt", "c")
+        .agg(F.count("cut_bkt").cast("long").alias("range_id"))
+    )
+    tot = full_hist.agg(F.sum("c").cast("long").alias("n_full"))
+    ideal = F.expr(f"max(n_full) div {_RPP_PARTS}")
+    skew = F.expr(
+        f"(sum(c) - max(n_full) div {_RPP_PARTS}) * 1000000"
+        f" div (max(n_full) div {_RPP_PARTS})"
+    )
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("range_id")
+        .agg(
+            F.sum("c").cast("long").alias("part_rows"),
+            ideal.cast("long").alias("ideal_rows"),
+            skew.cast("long").alias("skew_ppm"),
+            (F.abs(skew) > _LDA_RECUT_PPM).alias("recut_needed"),
+        )
+    )

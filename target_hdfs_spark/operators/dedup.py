@@ -3176,3 +3176,153 @@ def q243_dedup_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("strategy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L2k: boilerplate segment pricing — the RefinedWeb/C4 in-source
+# template rule: a segment repeated across MANY of a source's
+# documents is boilerplate (nav bars, footers, license headers) and
+# ALL its occurrences go, including the first — the complement of
+# q128's keep-first segment dedup, which is about repeated CONTENT
+# ---------------------------------------------------------------------------
+
+_BLP_MIN_DOCS = 3  # a segment must appear in >= this many docs ...
+_BLP_PCT = 5  # ... covering >= this % of the source's documents
+
+
+def _boilerplate_oracle() -> str:
+    tok = TOKENS_SQL.format(expr="text")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, {tok} AS ts FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, source, len(ts) AS n_toks,
+             unnest({_seg_arr_sql()}) AS seg
+      FROM t
+    ),
+    src AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(len({tok})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    seg_df AS (
+      SELECT source, seg,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS occurrences,
+             CAST(SUM(len({TOKENS_SQL.format(expr='seg')})) AS BIGINT)
+               AS seg_tokens
+      FROM segs GROUP BY 1, 2
+    ),
+    boiler AS (
+      SELECT d.source, d.seg, d.df, d.occurrences, d.seg_tokens
+      FROM seg_df d JOIN src s ON s.source = d.source
+      WHERE d.df >= {_BLP_MIN_DOCS}
+        AND d.df * 100 >= s.n_docs * {_BLP_PCT}
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           CAST(COALESCE(COUNT(b.seg), 0) AS BIGINT)
+             AS n_boiler_segments,
+           CAST(COALESCE(SUM(b.occurrences), 0) AS BIGINT)
+             AS n_occurrences,
+           CAST(COALESCE(SUM(b.seg_tokens), 0) AS BIGINT)
+             AS tokens_removable,
+           CAST(COALESCE(SUM(b.seg_tokens), 0) * 1000000 // s.n_tokens
+                AS BIGINT) AS removable_ppm
+    FROM src s LEFT JOIN boiler b ON b.source = s.source
+    GROUP BY s.source, s.n_docs, s.n_tokens
+    """
+
+
+@query(
+    "q274_boilerplate_pricing",
+    oracle=_boilerplate_oracle(),
+    tags=("dedup", "curation", "text", "boilerplate", "observability"),
+)
+def q274_boilerplate_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE SEGMENT PRICING — the RefinedWeb/C4 in-source
+    template rule, priced per source: a {SEG_TOKENS}-token segment
+    that appears in >= {_BLP_MIN_DOCS} documents AND >= {_BLP_PCT}%
+    of its source's documents is boilerplate (nav bars, footers,
+    license headers — the furniture a domain stamps on every page),
+    and a removal pass would drop ALL its occurrences, including the
+    first. This is the complement of q128 (keep-first segment dedup
+    targets repeated CONTENT; the in-source document-frequency rule
+    targets TEMPLATES — the first occurrence of a footer is as
+    worthless as the thousandth). Output per source: the boilerplate
+    vocabulary size, occurrence and token totals the rule removes,
+    and the removable share of the source's tokens in ppm — the
+    number a curator reads before enabling the pass.
+
+    Exactness: segments, document frequencies, occurrence counts,
+    token sums, and the threshold comparison (df * 100 >= n_docs *
+    {_BLP_PCT}) are pure integers/strings in both engines.
+
+    Scale: one explode + ONE (source, segment)-keyed map-side-
+    combined aggregation (the segment rides the shuffle as q128
+    argues — it IS the data); source totals broadcast onto the
+    segment-df frame; the priced rollup is |sources|-sized. A removal
+    pass would then be one broadcast-semi-join filter over the
+    corpus with the boilerplate vocabulary (benchmark q270's
+    flagged-sliver posture).
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    t = docs.select(
+        "doc_id", "source", tokens("text").alias("ts")
+    ).localCheckpoint()  # one tokenization pass feeds segs AND src
+    ts = F.col("ts")
+    n_segs = F.greatest(
+        F.ceil(F.size(ts) / F.lit(float(SEG_TOKENS))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    segs = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ts, i * SEG_TOKENS + 1, SEG_TOKENS)
+                ),
+            )
+        ).alias("seg"),
+    )
+    src = t.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum(F.size("ts")).cast("long").alias("n_tokens"),
+    )
+    seg_df = segs.groupBy("source", "seg").agg(
+        F.count_distinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("occurrences"),
+        F.sum(F.size(tokens(F.col("seg")))).cast("long").alias("seg_tokens"),
+    )
+    boiler = seg_df.join(F.broadcast(src), "source").filter(
+        (F.col("df") >= _BLP_MIN_DOCS)
+        & (F.col("df") * 100 >= F.col("n_docs") * _BLP_PCT)
+    )
+    priced = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_boiler_segments"),
+        F.sum("occurrences").cast("long").alias("n_occurrences"),
+        F.sum("seg_tokens").cast("long").alias("tokens_removable"),
+    )
+    return src.join(priced, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("n_boiler_segments", F.lit(0))
+        .cast("long")
+        .alias("n_boiler_segments"),
+        F.coalesce("n_occurrences", F.lit(0))
+        .cast("long")
+        .alias("n_occurrences"),
+        F.coalesce("tokens_removable", F.lit(0))
+        .cast("long")
+        .alias("tokens_removable"),
+        F.expr("coalesce(tokens_removable, 0) * 1000000 div n_tokens")
+        .cast("long")
+        .alias("removable_ppm"),
+    )

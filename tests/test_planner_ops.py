@@ -150,3 +150,28 @@ def test_bitext_bucket_cap_is_live_at_call_time(spark, monkeypatch):
     assert (
         SPECS["q265_margin_bitext_mining"].fn(spark, SF_DIR).count() == 0
     )
+
+
+def test_boilerplate_rule_thresholds(spark):
+    rows = SPECS["q274_boilerplate_pricing"].fn(spark, SF_DIR).collect()
+    assert rows, "no sources priced"
+    for r in rows:
+        assert 0 <= r["removable_ppm"] < 1_000_000
+        assert r["tokens_removable"] <= r["n_tokens"]
+        # the df rule implies occurrences >= segments * min_docs
+        if r["n_boiler_segments"]:
+            assert r["n_occurrences"] >= 3 * r["n_boiler_segments"]
+
+
+def test_layout_drift_ranges_partition_the_corpus(spark):
+    import duckdb
+
+    rows = SPECS["q275_layout_drift_audit"].fn(spark, SF_DIR).collect()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert sum(r["part_rows"] for r in rows) == n
+    ids = sorted(r["range_id"] for r in rows)
+    assert ids == list(range(len(ids))) and len(ids) <= 8
+    for r in rows:
+        assert r["recut_needed"] == (abs(r["skew_ppm"]) > 200_000)
