@@ -331,6 +331,9 @@ EVENT_QUERIES = (
     # round 9 continuation: salt-factor planner — count-frame pass,
     # posexplode sketch build + broadcast probe, top-N heavy-rank
     "q267_salt_factor_planner",
+    # round 9 continuation: the MG merge bound (fifth sketch member;
+    # slice count frames collapse map-side, summaries are <= 16 rows)
+    "q276_mg_merge_bound",
 )
 # (q194 is in EVENT_QUADRATIC_OUTPUT — 10x cap, see note there)
 # The binned overlap join sweeps only to 10x: the events fan-out holds

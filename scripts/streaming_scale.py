@@ -39,6 +39,7 @@ def _ops():
         funnel_stage_stream,
         gapped_pattern_stream,
         kmv_distinct_stream,
+        mg_heavy_hitters_stream,
         multi_pattern_stream,
         quantile_stream,
         reservoir_stream,
@@ -72,6 +73,10 @@ def _ops():
         # decays as ~k/n — the sweep pins wall AND that output stays
         # tiny at 100x
         "reservoir_stream": reservoir_stream,
+        # the summary IS the state (<= 16 counters + offset); the
+        # fifth sketch twin — emission decays once the heavy set
+        # stabilizes
+        "mg_heavy_hitters_stream": mg_heavy_hitters_stream,
     }
 
 

@@ -7689,3 +7689,226 @@ def q275_layout_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(skew) > _LDA_RECUT_PPM).alias("recut_needed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: Misra-Gries heavy-hitter summaries — the FIFTH
+# member (distinct = KMV, frequency = CountMin, membership = Bloom,
+# quantiles = histogram, frequency-TOP-K = MG), whose merge law is
+# deliberately DIFFERENT in kind: MG is not homomorphic (merged
+# summaries need not equal direct builds), it is mergeable with a
+# ONE-SIDED BOUNDED undercount (Agarwal et al., "Mergeability of
+# Summaries") — and that bound is what gets checked BY VALUE
+# ---------------------------------------------------------------------------
+
+_MG_K = 16  # counters kept per summary
+
+
+def _mg_summary_sql(pred: str, name: str) -> str:
+    """The order-independent offset form of a Misra-Gries summary
+    over the events slice matching `pred`: t = the (k+1)-th largest
+    frequency (tie-broken by user_id; 0 when fewer than k+1 items),
+    counters = freq - t where positive. Deterministic in both
+    engines."""
+    return f"""
+    freq_{name} AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE {pred} GROUP BY 1
+    ),
+    t_{name} AS (
+      SELECT COALESCE(
+        (SELECT c FROM freq_{name}
+         ORDER BY c DESC, user_id LIMIT 1 OFFSET {_MG_K}), 0) AS t
+    ),
+    mg_{name} AS (
+      SELECT f.user_id, f.c - t.t AS cnt
+      FROM freq_{name} f CROSS JOIN t_{name} t
+      WHERE f.c - t.t > 0
+    )"""
+
+
+def _mg_merge_oracle() -> str:
+    return f"""
+    WITH {_mg_summary_sql("event_id % 2 = 0", "a")},
+    {_mg_summary_sql("event_id % 2 = 1", "b")},
+    comb AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS cnt
+      FROM mg_a a FULL OUTER JOIN mg_b b ON b.user_id = a.user_id
+    ),
+    t_m AS (
+      SELECT COALESCE(
+        (SELECT cnt FROM comb
+         ORDER BY cnt DESC, user_id LIMIT 1 OFFSET {_MG_K}), 0) AS t
+    ),
+    merged AS (
+      SELECT c.user_id, c.cnt - t.t AS cnt
+      FROM comb c CROSS JOIN t_m t
+      WHERE c.cnt - t.t > 0
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_c
+      FROM events GROUP BY 1
+    ),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    offsets AS (
+      SELECT ta.t AS t_a, tb.t AS t_b, tm.t AS t_merge,
+             ta.t + tb.t + tm.t AS offset_sum
+      FROM t_a ta CROSS JOIN t_b tb CROSS JOIN t_m tm
+    ),
+    keys AS (
+      SELECT user_id FROM merged
+      UNION
+      SELECT e.user_id FROM exact e CROSS JOIN n_tot n
+      WHERE e.exact_c * {_MG_K + 1} > n.n
+    )
+    SELECT k.user_id,
+           CAST(COALESCE(m.cnt, 0) AS BIGINT) AS mg_count,
+           e.exact_c,
+           CAST(e.exact_c - COALESCE(m.cnt, 0) AS BIGINT) AS undercount,
+           (m.user_id IS NOT NULL) AS in_merged,
+           (e.exact_c * {_MG_K + 1} > n.n) AS is_true_heavy,
+           o.t_a, o.t_b, o.t_merge,
+           (e.exact_c - COALESCE(m.cnt, 0) <= o.offset_sum)
+             AS item_bound_ok,
+           (o.offset_sum * {_MG_K + 1} <= n.n) AS global_bound_ok
+    FROM keys k
+    JOIN exact e ON e.user_id = k.user_id
+    LEFT JOIN merged m ON m.user_id = k.user_id
+    CROSS JOIN n_tot n CROSS JOIN offsets o
+    """
+
+
+@query(
+    "q276_mg_merge_bound",
+    oracle=_mg_merge_oracle(),
+    tags=("sketch", "heavy-hitters", "calibration", "observability"),
+)
+def q276_mg_merge_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISRA-GRIES MERGE BOUND — the fifth sketch member's merge law,
+    checked in its own (different) kind: KMV/CountMin/Bloom/histogram
+    merges are HOMOMORPHIC (merged ≡ direct, q246/q251/q254), but a
+    merged MG summary need not equal a direct build — what Agarwal et
+    al. prove is a ONE-SIDED BOUNDED UNDERCOUNT, and that is what
+    this query checks BY VALUE: two disjoint event slices are
+    summarized in the order-independent offset form (counters =
+    freq - t, t = the (k+1)-th largest frequency), merged by counter
+    addition + re-trim, and every surviving counter rides a row with
+    its exact count, its undercount, the per-item theorem
+    (undercount <= t_a + t_b + t_merge) and the global theorem
+    ((t_a + t_b + t_merge) * (k+1) <= n) — plus the completeness
+    guarantee that makes q146's two-phase pattern safe: every TRUE
+    heavy hitter (exact count > n/(k+1)) appears in the merged
+    summary (`in_merged` on `is_true_heavy` rows).
+
+    Exactness: frequencies, offsets, trims, and bounds are pure
+    integers with (count desc, user_id) tie-breaks in both engines.
+
+    Scale: each slice collapses to its count frame map-side; the
+    offset is a rank-(k+1) probe (WindowGroupLimit shape); summaries
+    are <= {_MG_K} rows, so the merge, re-trim, and every check run
+    on sketch-sized frames. The exact side is calibration-only —
+    production merges the {_MG_K}-counter summaries and drops it.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    # ONE map-side-combined aggregation builds BOTH slice count
+    # frames AND the exact side (conditional counts per user) — the
+    # fused-histogram lesson from q275; the collapsed frame
+    # checkpoints (compact, |users| rows) and feeds every rank probe
+    # and check without rescanning events
+    freq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_id") % 2 == 0, 1))
+            .cast("long")
+            .alias("c_a"),
+            F.count(F.when(F.col("event_id") % 2 == 1, 1))
+            .cast("long")
+            .alias("c_b"),
+            F.count(F.lit(1)).cast("long").alias("exact_c"),
+        )
+        .localCheckpoint()
+    )
+
+    def offset_of(col: str):
+        """(k+1)-th largest value of `col` (tie-break user_id) as a
+        1-row broadcastable frame — the rank probe compiles to
+        WindowGroupLimit over the collapsed frame."""
+        w = Window.orderBy(F.col(col).desc(), "user_id")
+        return (
+            freq.filter(F.col(col) > 0)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == _MG_K + 1)
+            .agg(
+                F.coalesce(F.max(col), F.lit(0)).cast("long").alias(f"t_{col}")
+            )
+        )
+
+    t_a, t_b = offset_of("c_a"), offset_of("c_b")
+    with_cnts = (
+        freq.crossJoin(F.broadcast(t_a))
+        .crossJoin(F.broadcast(t_b))
+        .select(
+            "user_id",
+            "exact_c",
+            "t_c_a",
+            "t_c_b",
+            (
+                F.greatest(F.col("c_a") - F.col("t_c_a"), F.lit(0))
+                + F.greatest(F.col("c_b") - F.col("t_c_b"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cnt"),
+        )
+    )
+    w_m = Window.orderBy(F.col("cnt").desc(), "user_id")
+    t_m = (
+        with_cnts.filter(F.col("cnt") > 0)
+        .withColumn("rn", F.row_number().over(w_m))
+        .filter(F.col("rn") == _MG_K + 1)
+        .agg(F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("t_merge"))
+    )
+    n_tot = freq.agg(F.sum("exact_c").cast("long").alias("n"))
+    full = (
+        with_cnts.crossJoin(F.broadcast(t_m))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "user_id",
+            "exact_c",
+            F.col("t_c_a").alias("t_a"),
+            F.col("t_c_b").alias("t_b"),
+            "t_merge",
+            "n",
+            F.greatest(F.col("cnt") - F.col("t_merge"), F.lit(0))
+            .cast("long")
+            .alias("mcnt"),
+        )
+    )
+    return (
+        full.filter(
+            (F.col("mcnt") > 0) | (F.col("exact_c") * (_MG_K + 1) > F.col("n"))
+        )
+        .select(
+            "user_id",
+            F.col("mcnt").alias("mg_count"),
+            "exact_c",
+            (F.col("exact_c") - F.col("mcnt")).cast("long").alias("undercount"),
+            (F.col("mcnt") > 0).alias("in_merged"),
+            (F.col("exact_c") * (_MG_K + 1) > F.col("n")).alias(
+                "is_true_heavy"
+            ),
+            "t_a",
+            "t_b",
+            "t_merge",
+            (
+                F.col("exact_c") - F.col("mcnt")
+                <= F.col("t_a") + F.col("t_b") + F.col("t_merge")
+            ).alias("item_bound_ok"),
+            (
+                (F.col("t_a") + F.col("t_b") + F.col("t_merge")) * (_MG_K + 1)
+                <= F.col("n")
+            ).alias("global_bound_ok"),
+        )
+    )

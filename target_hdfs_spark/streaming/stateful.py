@@ -2243,3 +2243,160 @@ def reservoir_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+MG_K = 16
+
+MG_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# the summary IS the state: <= MG_K (user, counter) pairs plus the
+# cumulative subtracted offset (every counter's worst-case
+# undercount) and the observed event count
+MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+        T.StructField("offset", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+MG_STATE_TTL_SCHEMA = T.StructType(
+    [*MG_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _mg_trim(counters: dict[int, int]) -> tuple[dict[int, int], int]:
+    """The Agarwal et al. merge trim (q146's rule, q276's offset
+    form): subtract the (MG_K+1)-th largest counter (tie-break by
+    user id — deterministic) from all, drop the non-positive. Returns
+    (trimmed counters, subtracted offset)."""
+    if len(counters) <= MG_K:
+        return counters, 0
+    ordered = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = ordered[MG_K][1]
+    trimmed = {u: c - t for u, c in counters.items() if c - t > 0}
+    return trimmed, t
+
+
+def _mg_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    cols = [f.name for f in MG_OUTPUT_SCHEMA.fields]
+    empty = pd.DataFrame({c: [] for c in cols}).astype(
+        {
+            "event_type": "object",
+            "user_id": "int64",
+            "mg_count": "int64",
+            "offset": "int64",
+            "n_events": "int64",
+        }
+    )
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        counters = dict(zip(stored[0], stored[1]))
+        offset = int(stored[2])
+        n_events = int(stored[3])
+        prev_last = stored[4] if ttl_ms is not None else 0
+    else:
+        counters, offset, n_events, prev_last = {}, 0, 0, 0
+
+    before = dict(counters)
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # batch-at-a-time like q146: the batch's EXACT value_counts (a
+    # zero-offset summary) merges by counter addition, then one trim
+    # restores the k-bound. Within a batch the result is order-free
+    # (value_counts is exact); across batch splits MG is NOT
+    # homomorphic — the contract is q276's bounded undercount
+    # (undercount <= offset <= n/(k+1)), which holds for EVERY split.
+    for u, c in whole["user_id"].value_counts().items():
+        counters[int(u)] = counters.get(int(u), 0) + int(c)
+    counters, t = _mg_trim(counters)
+    offset += t
+    n_events += len(whole)
+    changed = [
+        (key[0], u, c, offset, n_events)
+        for u, c in sorted(counters.items())
+        if before.get(u) != c
+    ]
+    dropped = [
+        (key[0], u, 0, offset, n_events)
+        for u in sorted(before)
+        if u not in counters
+    ]
+    out = changed + dropped
+    users = sorted(counters)
+    cnts = [counters[u] for u in users]
+    if ttl_ms is None:
+        state.update((users, cnts, offset, n_events))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((users, cnts, offset, n_events, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield pd.DataFrame(out, columns=cols) if out else empty
+
+
+def mg_heavy_hitters_stream(
+    events: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming MISRA-GRIES heavy-hitter summary per event type —
+    the FIFTH streaming sketch twin (distinct = kmv_distinct_stream,
+    frequency = countmin_stream, membership = bloom_filter_stream,
+    quantiles = quantile_stream, frequency-top-k = THIS), and the one
+    whose contract is deliberately different in kind: MG is mergeable
+    but NOT homomorphic, so the twin does not promise bit-parity with
+    a batch rebuild under arbitrary re-batching — it promises q276's
+    theorem, which no split can break: every tracked counter
+    undercounts its exact frequency by at most the emitted ``offset``,
+    ``offset * (k+1) <= n_events``, and every TRUE heavy hitter
+    (exact count > n/(k+1)) is tracked. Within a batch the update IS
+    order-free (exact value_counts + one Agarwal trim — q146's
+    batch-at-a-time rule), and a single-batch stream reproduces the
+    q276 offset form bit-exactly (test-pinned).
+
+    State: <= {MG_K} (user, counter) pairs + the cumulative offset —
+    a few hundred bytes per key, flat forever. Emission: counters
+    that changed this batch (plus 0-rows for trimmed-away users);
+    sink latest-per-(event_type, user) = the current summary.
+
+    ``state_ttl_ms`` evicts idle types (sliding-population mode).
+
+    `events` must be a streaming DataFrame with columns
+    (user_id, event_id, ts, event_type).
+    """
+
+    def fn(key, pdfs, state):
+        return _mg_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = (
+            events,
+            MG_STATE_SCHEMA,
+            GroupStateTimeout.NoTimeout,
+        )
+    else:
+        src = events.withWatermark("ts", watermark_delay)
+        schema, timeout = MG_STATE_TTL_SCHEMA, GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -1379,3 +1379,19 @@ def test_q272_curve_rides_capped_pipeline_no_cartesian(spark):
     plan = plan_of(spark, "q272_mining_precision_curve")
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q276_fused_frame_single_visible_exchange(spark):
+    """Everything derives from ONE fused per-user count frame (the
+    checkpointed conditional-count aggregation): the post-checkpoint
+    plan carries a single exchange (the final filter/select path),
+    rank-(k+1) offset probes, and no cartesian (1-row offset frames
+    attach by broadcast NLJ, the accepted scalar-attach class)."""
+    plan = plan_of(spark, "q276_mg_merge_bound")
+    assert (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange SinglePartition")
+        <= 2
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -3302,3 +3302,262 @@ def test_rsv_constants_and_hash_match_batch():
     for e in (0, 1, 5, 123456789):
         expected = int(hashlib.md5(f"rsv|{e}".encode()).hexdigest()[:8], 16)
         assert _rsv_hash_py(e) == expected
+
+
+# ---------------------------------------------------------------------------
+# mg_heavy_hitters_stream (fifth streaming sketch twin — the
+# frequency-top-k member; contract = q276's bounded undercount, NOT
+# bit-parity under re-batching, which MG's algebra cannot give)
+# ---------------------------------------------------------------------------
+
+
+def _run_mg(spark, src, name, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import mg_heavy_hitters_stream
+
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        mg_heavy_hitters_stream(stream, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def _mg_latest(rows):
+    """latest summary per (event_type, user) from the append log,
+    plus the final (offset, n_events) per type."""
+    latest, meta, seen = {}, {}, {}
+    for i, r in enumerate(rows):
+        latest[(r.event_type, r.user_id)] = (i, r.mg_count)
+        m = meta.get(r.event_type, (-1, 0, 0))
+        if r.n_events >= m[1]:
+            meta[r.event_type] = (i, r.n_events, r.offset)
+    summary = {
+        k: c for k, (_, c) in latest.items() if c > 0
+    }
+    return summary, {t: (n, off) for t, (_, n, off) in meta.items()}
+
+
+def _mg_offset_form(counts: dict, k: int = 16):
+    """q276's order-independent offset form over exact counts."""
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = ordered[k][1] if len(ordered) > k else 0
+    return {u: c - t for u, c in counts.items() if c - t > 0}, t
+
+
+def test_mg_stream_single_batch_equals_offset_form(spark, tmp_path):
+    """A one-batch stream must reproduce q276's batch offset form
+    BIT-EXACTLY (exact value_counts + one Agarwal trim = freq - t)."""
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        {
+            "user_id": rng.randrange(30) if i % 3 else rng.randrange(4),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": "view",
+        }
+        for i in range(240)
+    ]
+    src = tmp_path / "mg1"
+    _write(src / "a.jsonl", rows)
+    got_rows = _run_mg(spark, src, "mg_one")
+    summary, meta = _mg_latest(got_rows)
+    counts: dict = {}
+    for r in rows:
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+    expected, t = _mg_offset_form(counts)
+    assert {u: c for (_, u), c in summary.items()} == expected
+    assert meta["view"] == (240, t)
+
+
+@pytest.mark.parametrize("seed", [5, 71])
+def test_mg_stream_bound_and_heavy_completeness_any_split(
+    spark, tmp_path, seed
+):
+    """q276's theorem across a 3-batch shuffled split: every tracked
+    counter undercounts by at most the emitted offset,
+    offset * (k+1) <= n, and every TRUE heavy hitter is tracked."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        {
+            # a skewed population: users 0..3 are heavy
+            "user_id": rng.randrange(4) if i % 2 else rng.randrange(60),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": rng.choice(["view", "click"]),
+        }
+        for i in range(600)
+    ]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    src = tmp_path / f"mgb_{seed}"
+    _write(src / "a.jsonl", shuffled[:200])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", shuffled[200:400])
+    time.sleep(1.1)
+    _write(src / "c.jsonl", shuffled[400:])
+    got_rows = _run_mg(spark, src, f"mg_bound_{seed}")
+    summary, meta = _mg_latest(got_rows)
+    exact: dict = {}
+    for r in rows:
+        k = (r["event_type"], r["user_id"])
+        exact[k] = exact.get(k, 0) + 1
+    for etype, (n, off) in meta.items():
+        assert off * 17 <= n  # global bound
+        for (t, u), c in exact.items():
+            if t != etype:
+                continue
+            mg = summary.get((t, u), 0)
+            assert c - mg <= off  # per-item bound
+            if c * 17 > n:  # true heavy hitter must be tracked
+                assert (t, u) in summary
+
+
+def test_mg_stream_within_batch_shuffle_is_bit_identical(spark, tmp_path):
+    """Shuffling rows WITHIN each batch cannot change anything (the
+    batch update is exact value_counts, not a sequential decrement):
+    two runs with intra-batch permutations yield identical logs."""
+    import random
+
+    rng = random.Random(97)
+    rows = [
+        {
+            "user_id": rng.randrange(25),
+            "event_id": i,
+            "ts": f"2026-08-13T10:{i // 60:02d}:{i % 60:02d}Z",
+            "event_type": "view",
+        }
+        for i in range(300)
+    ]
+    outs = []
+    for run in range(2):
+        batches = [rows[:150][:], rows[150:][:]]
+        for b in batches:
+            rng.shuffle(b)
+        src = tmp_path / f"mgs_{run}"
+        _write(src / "a.jsonl", batches[0])
+        time.sleep(1.1)
+        _write(src / "b.jsonl", batches[1])
+        got = _run_mg(spark, src, f"mg_shuf_{run}")
+        outs.append(
+            sorted(
+                (r.event_type, r.user_id, r.mg_count, r.offset, r.n_events)
+                for r in got
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_mg_stream_ttl_evicts_idle_type(spark, tmp_path):
+    src = tmp_path / "mgttl"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 9, "event_id": 3, "ts": "2026-08-13T10:30:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"user_id": 9, "event_id": 4, "ts": "2026-08-13T10:31:00Z", "event_type": "click"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"user_id": 1, "event_id": 5, "ts": "2026-08-13T10:32:00Z", "event_type": "view"}],
+    )
+    rows = _run_mg(spark, src, "mg_ttl", ttl_ms=60_000)
+    views = [r.mg_count for r in rows if r.event_type == "view"]
+    assert views == [2, 1]  # accumulate, evict on the gap, restart
+
+
+def test_mg_state_survives_query_restart(spark, tmp_path):
+    """Kill-resume: the counter set crosses a full query RESTART via
+    the checkpoint — the second run continues from 2 to 3."""
+    from target_hdfs_spark.streaming.stateful import mg_heavy_hitters_stream
+
+    src, sink, ckpt = (
+        tmp_path / "mgr_src",
+        tmp_path / "mgr_sink",
+        tmp_path / "mgr_ckpt",
+    )
+    schema = jsonschema_to_spark(PAT_SCHEMA)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            mg_heavy_hitters_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    run_once()
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"}],
+    )
+    run_once()
+    got = sorted(r.mg_count for r in spark.read.parquet(str(sink)).collect())
+    assert got == [2, 3]
+
+
+def test_mg_state_roundtrips_rocksdb(spark, tmp_path):
+    src = tmp_path / "mg_rocks"
+    _write(
+        src / "f1.jsonl",
+        [
+            {"user_id": 1, "event_id": 1, "ts": "2026-08-13T10:00:00Z", "event_type": "view"},
+            {"user_id": 2, "event_id": 2, "ts": "2026-08-13T10:00:01Z", "event_type": "view"},
+        ],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"user_id": 1, "event_id": 3, "ts": "2026-08-13T10:00:02Z", "event_type": "view"}],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = _run_mg(spark, src, "mg_rocksq")
+    finally:
+        spark.conf.set(key, prev)
+    got = {(r.user_id, r.mg_count) for r in rows}
+    assert got == {(1, 1), (2, 1), (1, 2)}
