@@ -131,3 +131,35 @@ def test_reader_prunes_directories_and_stays_exact(spark, tmp_path):
     assert "range_id" in plan
     n_ranges = got.select("range_id").distinct().count()
     assert n_ranges <= 3  # the band plus at most one edge range
+
+
+def test_pruned_reader_is_exact_for_any_band(spark, tmp_path):
+    """Exactness of the pruned read for bands in every alignment
+    class: cut-aligned, mid-range, cross-range, whole-domain, and
+    degenerate (lo == hi)."""
+    from target_hdfs_spark.plans.range_layout import read_range_pruned
+
+    df = _lineitem(spark)
+    path = str(tmp_path / "band_ds")
+    cuts = write_range_partitioned(df, "l_extendedprice", path, PARTS)
+    bands = [
+        (float(cuts[0]), float(cuts[1])),          # cut-aligned both ends
+        (float(cuts[1]) + 0.5, float(cuts[2]) - 0.5),  # inside one range
+        (float(cuts[0]) - 10.0, float(cuts[-1]) + 10.0),  # cross-all
+        (None, float(cuts[3])),                    # open lower
+        (float(cuts[3]), None),                    # open upper
+        (float(cuts[2]), float(cuts[2])),          # degenerate point
+    ]
+    for lo, hi in bands:
+        got = read_range_pruned(
+            spark, path, "l_extendedprice", cuts, lo=lo, hi=hi
+        )
+        exp = df
+        if lo is not None:
+            exp = exp.filter(F.col("l_extendedprice") >= lo)
+        if hi is not None:
+            exp = exp.filter(F.col("l_extendedprice") <= hi)
+        assert got.count() == exp.count(), (lo, hi)
+        g = got.agg(F.sum("l_orderkey")).first()[0] or 0
+        e = exp.agg(F.sum("l_orderkey")).first()[0] or 0
+        assert g == e, (lo, hi)
