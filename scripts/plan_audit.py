@@ -48,6 +48,9 @@ WAIVERS: dict[str, str] = {
     "q71_ann_recall": "IVF search + brute-force ground truth + recall join",
     "q109_bloom_join_reduction": "filter-build agg + probe + exact verify comparison",
     "q116_incremental_dedup": "exact anti-join + LSH probe + representative election",
+    "q277_bucket_cap_recall": "TWO full mining chains by design (uncapped vs"
+    " audit-capped) + symmetric-difference join: the audit exists to compare"
+    " them; each chain is the q265 pipeline, individually shuffle-minimal",
     "q271_release_funnel": "5-stage release composition (dedup + decon probe +"
     " sketch cutoff + mixing sample + funnel rollup): q92 class, each stage"
     " individually shuffle-minimal with checkpointed stage frames",

@@ -196,7 +196,9 @@ NEARDUP_QUERIES = (
     "q130_semantic_dedup",
     "q132_neardup_triangles",
     # round 9 continuation: the precision curve rides q265's capped
-    # pipeline (same plane-growth schedule)
+    # pipeline (same plane-growth schedule); the cap recall audit is
+    # calibration-shaped (it deliberately includes an uncapped chain)
+    # and sweeps to 10x only via the plane schedule
     "q272_mining_precision_curve",
     # round 9 continuation: margin bitext mining — candidate volume is
     # quadratic in bucket occupancy like the rest of this family, so

@@ -1939,7 +1939,7 @@ _BTX_MARGIN = 1.05  # mined when margin >= this ratio
 _BTX_BUCKET_CAP = 4096
 
 
-def _btx_mean_topk_sql(part: str, alias: str) -> str:
+def _btx_mean_topk_sql(part: str, alias: str, ranked: str = "ranked") -> str:
     """Mean of the top-{_BTX_TOPK} candidate cosines for one anchor
     side, folded in rank order so the double sum is order-stable
     (list(... ORDER BY rn) pins the fold order; both engines add the
@@ -1951,60 +1951,74 @@ def _btx_mean_topk_sql(part: str, alias: str) -> str:
                          (a, x) -> a + x)
                / COUNT(*) AS {alias},
              CAST(COUNT(*) AS BIGINT) AS n_{alias}
-      FROM ranked WHERE {part.replace('_id', '_rn')} <= {_BTX_TOPK}
+      FROM {ranked} WHERE {part.replace('_id', '_rn')} <= {_BTX_TOPK}
       GROUP BY 1"""
 
 
-def _btx_cte() -> str:
+def _btx_cte(cap: int | None = None, suffix: str = "") -> str:
     """The shared WITH-chain from embeddings to the mutual-best margin
     frame (bucket split, occupancy cap, candidate cosines, two rank
-    directions, top-k means) — used verbatim by the q265 and q272
-    oracles so the mining rule cannot fork."""
-    return f"""emb AS (
+    directions, top-k means) — used verbatim by the q265, q272, and
+    q277 oracles so the mining rule cannot fork. `cap` overrides the
+    production bucket cap (q277's audit variants); `suffix` renames
+    every CTE so two chains can coexist in one query."""
+    cap = _BTX_BUCKET_CAP if cap is None else cap
+    x = f"x{suffix}"
+    y = f"y{suffix}"
+    g = f"good{suffix}"
+    c = f"cand{suffix}"
+    r = f"ranked{suffix}"
+    return f"""emb{suffix} AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
       FROM embeddings
     ),
-    x AS (SELECT vec_id AS x_id, v AS xv, bucket FROM emb WHERE vec_id % 2 = 0),
-    y AS (SELECT vec_id AS y_id, v AS yv, bucket FROM emb WHERE vec_id % 2 = 1),
-    good AS (
+    {x} AS (SELECT vec_id AS x_id, v AS xv, bucket FROM emb{suffix}
+            WHERE vec_id % 2 = 0),
+    {y} AS (SELECT vec_id AS y_id, v AS yv, bucket FROM emb{suffix}
+            WHERE vec_id % 2 = 1),
+    {g} AS (
       SELECT ox.bucket
-      FROM (SELECT bucket, COUNT(*) AS nx FROM x GROUP BY 1) ox
-      JOIN (SELECT bucket, COUNT(*) AS ny FROM y GROUP BY 1) oy
+      FROM (SELECT bucket, COUNT(*) AS nx FROM {x} GROUP BY 1) ox
+      JOIN (SELECT bucket, COUNT(*) AS ny FROM {y} GROUP BY 1) oy
         ON oy.bucket = ox.bucket
-      WHERE ox.nx * oy.ny <= {_BTX_BUCKET_CAP}
+      WHERE ox.nx * oy.ny <= {cap}
     ),
-    cand AS (
-      SELECT x.x_id, y.y_id, {_cos_sql('x.xv', 'y.yv')} AS cos_sim
-      FROM x JOIN good g ON g.bucket = x.bucket
-      JOIN y ON y.bucket = x.bucket
+    {c} AS (
+      SELECT {x}.x_id, {y}.y_id, {_cos_sql(f'{x}.xv', f'{y}.yv')} AS cos_sim
+      FROM {x} JOIN {g} gg ON gg.bucket = {x}.bucket
+      JOIN {y} ON {y}.bucket = {x}.bucket
     ),
-    ranked AS (
+    {r} AS (
       SELECT x_id, y_id, cos_sim,
              row_number() OVER (PARTITION BY x_id
                                 ORDER BY cos_sim DESC, y_id) AS x_rn,
              row_number() OVER (PARTITION BY y_id
                                 ORDER BY cos_sim DESC, x_id) AS y_rn
-      FROM cand
+      FROM {c}
     ),
-    mx AS ({_btx_mean_topk_sql('x_id', 'mean_x')}),
-    my AS ({_btx_mean_topk_sql('y_id', 'mean_y')}),
-    mutual AS (
+    mx{suffix} AS ({_btx_mean_topk_sql('x_id', 'mean_x', r)}),
+    my{suffix} AS ({_btx_mean_topk_sql('y_id', 'mean_y', r)}),
+    mutual{suffix} AS (
       SELECT r.x_id, r.y_id, r.cos_sim,
              r.cos_sim / ((mx.mean_x + my.mean_y) / 2) AS margin,
              mx.n_mean_x AS n_topk_x, my.n_mean_y AS n_topk_y
-      FROM ranked r
-      JOIN mx ON mx.anchor = r.x_id
-      JOIN my ON my.anchor = r.y_id
+      FROM {r} r
+      JOIN mx{suffix} mx ON mx.anchor = r.x_id
+      JOIN my{suffix} my ON my.anchor = r.y_id
       WHERE r.x_rn = 1 AND r.y_rn = 1
     )"""
 
 
-def _btx_mutual_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _btx_mutual_frame(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """The shared Spark pipeline to the mutual-best margin frame
     (x_id, y_id, cos_sim, margin, n_topk_x, n_topk_y) — the single
-    implementation behind q265 (mining) and q272 (precision
-    calibration)."""
+    implementation behind q265 (mining), q272 (precision
+    calibration), and q277 (cap recall audit; `cap` overrides the
+    production bucket cap)."""
+    cap = _BTX_BUCKET_CAP if cap is None else cap
     emb = _load_vectors(spark, sf_dir)
     emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
     x = emb.filter(F.col("vec_id") % 2 == 0).select(
@@ -2025,7 +2039,7 @@ def _btx_mutual_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     good = (
         occ_x.join(occ_y, "bucket")
-        .filter(F.col("nx") * F.col("ny") <= _BTX_BUCKET_CAP)
+        .filter(F.col("nx") * F.col("ny") <= cap)
         .select("bucket")
     )
     cand = (
@@ -2242,4 +2256,122 @@ def q272_mining_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("precision_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3l: bucket-cap recall audit — pricing the hot-bucket cap (the
+# q71/q272 measure-don't-assume discipline applied to the cap itself)
+# ---------------------------------------------------------------------------
+
+_BTX_AUDIT_CAP = 64  # deliberately tight so the audit observes drops
+_BTX_UNCAPPED = 1 << 60
+
+
+@query(
+    "q277_bucket_cap_recall",
+    oracle=f"""
+    WITH {_btx_cte(cap=_BTX_UNCAPPED, suffix="_u")},
+    {_btx_cte(cap=_BTX_AUDIT_CAP, suffix="_c")},
+    delta AS (
+      SELECT COALESCE(u.x_id, c.x_id) AS x_id,
+             COALESCE(u.y_id, c.y_id) AS y_id,
+             COALESCE(u.cos_sim, c.cos_sim) AS cos_sim,
+             COALESCE(u.margin, c.margin) AS margin,
+             CASE WHEN c.x_id IS NULL THEN 'dropped'
+                  ELSE 'appeared' END AS direction
+      FROM mutual_u u
+      FULL OUTER JOIN mutual_c c
+        ON c.x_id = u.x_id AND c.y_id = u.y_id
+      WHERE u.x_id IS NULL OR c.x_id IS NULL
+    )
+    SELECT x_id, y_id, cos_sim, margin, direction,
+           (margin >= {_BTX_MARGIN}) AS would_mine,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_delta,
+           CAST(COUNT(CASE WHEN margin >= {_BTX_MARGIN}
+                            AND direction = 'dropped' THEN 1 END)
+                OVER () AS BIGINT) AS n_mined_dropped
+    FROM delta
+    """,
+    tags=("similarity", "mining", "calibration", "observability", "lsh"),
+)
+def q277_bucket_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-CAP RECALL AUDIT — pricing q265's hot-bucket cap
+    instead of asserting it: the mutual-best margin frame is built
+    twice, uncapped and under a deliberately TIGHT audit cap
+    ({_BTX_AUDIT_CAP} vs the production {_BTX_BUCKET_CAP} — tight so
+    the audit actually observes drops at calibration scale), and the
+    SYMMETRIC DIFFERENCE rides the rows: pairs the cap dropped, pairs
+    that newly appeared (excluding a bucket re-ranks its anchors'
+    best matches), each with its margin and whether the mining
+    threshold would have taken it. The measurement CUT AGAINST the
+    easy story: on this clustered corpus every pair the tight cap
+    dropped would have been mined (n_mined_dropped == n_delta at
+    sf0.01) — organic cluster buckets hold TRUE pairs, not just
+    hubs. The documented takeaway is therefore sharper: the cap is
+    safe only ABOVE organic bucket occupancy, which is exactly what
+    the plane-growth schedule maintains (~log2(n) planes keep
+    occupancy flat while the cap catches adversarial/hub buckets
+    that grow faster) — and this audit is the preflight that checks
+    a cap/planes setting against a corpus sample before a production
+    run. q71's discipline (IVF recall) and q272's (threshold
+    precision) applied to the third knob the miner has.
+
+    Exactness: both chains are the one shared pipeline at different
+    cap constants; the difference join, direction labels, and the
+    window counts are deterministic.
+
+    Scale: the audit is calibration-shaped — the uncapped chain is
+    affordable only at calibration SF (that is WHY production needs
+    the cap); at 100 TB you audit on a sampled shard. Both chains
+    stay bucketed equi-joins; the difference runs on two rank-1
+    frames.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    u = _btx_mutual_frame(spark, sf_dir, cap=_BTX_UNCAPPED).select(
+        "x_id", "y_id", "cos_sim", "margin"
+    )
+    c = _btx_mutual_frame(spark, sf_dir, cap=_BTX_AUDIT_CAP).select(
+        F.col("x_id").alias("cx"),
+        F.col("y_id").alias("cy"),
+        F.col("cos_sim").alias("ccos"),
+        F.col("margin").alias("cmargin"),
+    )
+    delta = (
+        u.join(
+            c,
+            (F.col("cx") == F.col("x_id")) & (F.col("cy") == F.col("y_id")),
+            "full_outer",
+        )
+        .filter(F.col("x_id").isNull() | F.col("cx").isNull())
+        .select(
+            F.coalesce("x_id", "cx").alias("x_id"),
+            F.coalesce("y_id", "cy").alias("y_id"),
+            F.coalesce("cos_sim", "ccos").alias("cos_sim"),
+            F.coalesce("margin", "cmargin").alias("margin"),
+            F.when(F.col("cx").isNull(), "dropped")
+            .otherwise("appeared")
+            .alias("direction"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return delta.select(
+        "x_id",
+        "y_id",
+        "cos_sim",
+        "margin",
+        "direction",
+        (F.col("margin") >= _BTX_MARGIN).alias("would_mine"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_delta"),
+        F.count(
+            F.when(
+                (F.col("margin") >= _BTX_MARGIN)
+                & (F.col("direction") == "dropped"),
+                1,
+            )
+        )
+        .over(w_all)
+        .cast("long")
+        .alias("n_mined_dropped"),
     )

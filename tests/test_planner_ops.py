@@ -175,3 +175,18 @@ def test_layout_drift_ranges_partition_the_corpus(spark):
     assert ids == list(range(len(ids))) and len(ids) <= 8
     for r in rows:
         assert r["recut_needed"] == (abs(r["skew_ppm"]) > 200_000)
+
+
+def test_cap_recall_audit_accounting(spark):
+    rows = SPECS["q277_bucket_cap_recall"].fn(spark, SF_DIR).collect()
+    if not rows:
+        return  # a corpus where the audit cap never binds is legal
+    n_delta = rows[0]["n_delta"]
+    n_mined_dropped = rows[0]["n_mined_dropped"]
+    assert len(rows) == n_delta
+    assert all(r["n_delta"] == n_delta for r in rows)
+    assert n_mined_dropped <= n_delta
+    assert n_mined_dropped == sum(
+        1 for r in rows if r["would_mine"] and r["direction"] == "dropped"
+    )
+    assert all(r["direction"] in ("dropped", "appeared") for r in rows)

@@ -1395,3 +1395,11 @@ def test_q276_fused_frame_single_visible_exchange(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q277_two_chains_no_cartesian(spark):
+    """Both mining chains stay bucketed equi-joins (no cartesian, no
+    range partitioning) even though the audit runs two of them."""
+    plan = plan_of(spark, "q277_bucket_cap_recall")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -163,3 +163,46 @@ def test_pruned_reader_is_exact_for_any_band(spark, tmp_path):
         g = got.agg(F.sum("l_orderkey")).first()[0] or 0
         e = exp.agg(F.sum("l_orderkey")).first()[0] or 0
         assert g == e, (lo, hi)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=300
+    ),
+    parts=st.integers(min_value=1, max_value=12),
+)
+def test_boundary_planner_invariants_any_distribution(spark, vals, parts):
+    """For ANY integer distribution (uniform, constant, heavy-tailed,
+    few-distinct) and any partition count: cuts are strictly
+    ascending bucket-aligned values, at most parts-1 of them, every
+    row lands in a valid range, ranges are contiguous from 0, and no
+    range exceeds the equi-depth ceiling of ideal + the heaviest
+    single bucket (the cut is bucket-granular, so one hot bucket is
+    the irreducible skew floor)."""
+    from collections import Counter
+
+    from target_hdfs_spark.plans.range_layout import (
+        assign_range_id,
+        plan_range_boundaries,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    cuts = plan_range_boundaries(df, "v", parts, width=16, nbkt=512)
+    assert len(cuts) <= parts - 1
+    assert cuts == sorted(set(cuts))
+    assert all(c % 16 == 0 for c in cuts)
+    assigned = [
+        r["range_id"]
+        for r in assign_range_id(df, "v", cuts, width=16, nbkt=512).collect()
+    ]
+    occupied = sorted(set(assigned))
+    assert occupied[0] == 0 and occupied[-1] == len(cuts)
+    assert occupied == list(range(len(cuts) + 1))  # no empty range
+    n = len(vals)
+    bucket_mass = Counter(min(max(v, 0), 16 * 512 - 1) // 16 for v in vals)
+    ceiling = n // parts + max(bucket_mass.values())
+    assert max(Counter(assigned).values()) <= ceiling
