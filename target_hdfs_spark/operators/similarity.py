@@ -2010,17 +2010,46 @@ def _btx_cte(cap: int | None = None, suffix: str = "") -> str:
     )"""
 
 
+_BTX_SHARD_SALT = "btxa|"
+
+
+def _btx_emb(
+    spark: SparkSession, sf_dir: str, sample_ppm: int | None = None
+) -> DataFrame:
+    """Bucketed embedding corpus for the bitext-mining family, with an
+    optional deterministic salted-hash shard (`sample_ppm` in parts
+    per million of vec_ids kept — the q100/q104 hash-rule sampler, so
+    a sharded audit is rerun-stable and engine-portable)."""
+    from target_hdfs_spark.functions.hashing import md5_hash32
+
+    emb = _load_vectors(spark, sf_dir)
+    if sample_ppm is not None:
+        emb = emb.filter(
+            md5_hash32(
+                F.concat(
+                    F.lit(_BTX_SHARD_SALT), F.col("vec_id").cast("string")
+                )
+            )
+            % 1_000_000
+            < int(sample_ppm)
+        )
+    return emb.withColumn("bucket", lsh_bucket(F.col("v")))
+
+
 def _btx_mutual_frame(
-    spark: SparkSession, sf_dir: str, cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None = None,
+    sample_ppm: int | None = None,
 ) -> DataFrame:
     """The shared Spark pipeline to the mutual-best margin frame
     (x_id, y_id, cos_sim, margin, n_topk_x, n_topk_y) — the single
     implementation behind q265 (mining), q272 (precision
     calibration), and q277 (cap recall audit; `cap` overrides the
-    production bucket cap)."""
+    production bucket cap, `sample_ppm` shards the corpus by salted
+    hash for budgeted audits)."""
     cap = _BTX_BUCKET_CAP if cap is None else cap
-    emb = _load_vectors(spark, sf_dir)
-    emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
+    emb = _btx_emb(spark, sf_dir, sample_ppm)
     x = emb.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("x_id"),
         F.col("v").alias("xv"),
@@ -2266,6 +2295,114 @@ def q272_mining_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BTX_AUDIT_CAP = 64  # deliberately tight so the audit observes drops
 _BTX_UNCAPPED = 1 << 60
+# Preflight budget for the UNCAPPED chain's total candidate volume
+# (sum over buckets of |x|*|y|). The uncapped side is the whole point
+# of the audit — and the one join in this family with no constructive
+# bound — so it gets the family's preflight discipline instead: the
+# volume is priced from bucket occupancies BEFORE either chain's plan
+# exists, and an over-budget corpus fails fast with the sharding
+# remediation rather than launching a join that may never finish
+# (observed pre-cap at the 100x sweep). 5M candidates is ~100x the
+# sf0.1 corpus's uncapped volume (45k) and completes in seconds.
+_BTX_AUDIT_BUDGET = 5_000_000
+
+
+def bucket_cap_recall_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_ppm: int | None = None,
+    budget: int = _BTX_AUDIT_BUDGET,
+) -> DataFrame:
+    """q277's engine with the family's preflight guard: price the
+    uncapped chain's candidate volume (one cheap aggregation over the
+    two bucket-occupancy frames — the corpus is scanned once, the agg
+    is bucket-count-sized) EAGERLY, before either mining chain's plan
+    is constructed, and refuse to launch an over-budget audit. The
+    remediation is constructive: volume scales ~quadratically in the
+    shard fraction f (each bucket's |x| and |y| scale by f), so the
+    error suggests sample_ppm ~ 1e6 * sqrt(budget/volume), and passing
+    `sample_ppm` runs the SAME audit on a deterministic salted-hash
+    shard of vec_ids — the "audit on a sampled shard at 100 TB" path,
+    now enforced rather than advisory (r9 verdict item 1)."""
+    emb = _btx_emb(spark, sf_dir, sample_ppm)
+    occ = (
+        emb.groupBy(
+            "bucket", (F.col("vec_id") % 2 == 0).alias("is_x")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_x"), F.col("n"))).alias("nx"),
+            F.sum(F.when(~F.col("is_x"), F.col("n"))).alias("ny"),
+        )
+        .select((F.col("nx") * F.col("ny")).alias("vol"))
+    )
+    row = occ.agg(
+        F.coalesce(F.sum("vol"), F.lit(0)).alias("total"),
+        F.coalesce(F.max("vol"), F.lit(0)).alias("worst"),
+    ).collect()[0]
+    total, worst = int(row["total"]), int(row["worst"])
+    if total > budget:
+        frac = (budget / total) ** 0.5
+        base = sample_ppm if sample_ppm is not None else 1_000_000
+        suggest = max(1, int(base * frac))
+        raise RuntimeError(
+            f"bucket_cap_recall_audit: uncapped candidate volume "
+            f"{total} (worst bucket {worst}) exceeds the audit budget "
+            f"{budget} — the uncapped chain would straggle or never "
+            f"finish on this corpus. Audit on a sampled shard instead: "
+            f"pass sample_ppm={suggest} (volume scales ~quadratically "
+            f"in the shard fraction), or raise budget= if the cluster "
+            f"can afford the priced volume."
+        )
+    u = _btx_mutual_frame(
+        spark, sf_dir, cap=_BTX_UNCAPPED, sample_ppm=sample_ppm
+    ).select("x_id", "y_id", "cos_sim", "margin")
+    c = _btx_mutual_frame(
+        spark, sf_dir, cap=_BTX_AUDIT_CAP, sample_ppm=sample_ppm
+    ).select(
+        F.col("x_id").alias("cx"),
+        F.col("y_id").alias("cy"),
+        F.col("cos_sim").alias("ccos"),
+        F.col("margin").alias("cmargin"),
+    )
+    delta = (
+        u.join(
+            c,
+            (F.col("cx") == F.col("x_id")) & (F.col("cy") == F.col("y_id")),
+            "full_outer",
+        )
+        .filter(F.col("x_id").isNull() | F.col("cx").isNull())
+        .select(
+            F.coalesce("x_id", "cx").alias("x_id"),
+            F.coalesce("y_id", "cy").alias("y_id"),
+            F.coalesce("cos_sim", "ccos").alias("cos_sim"),
+            F.coalesce("margin", "cmargin").alias("margin"),
+            F.when(F.col("cx").isNull(), "dropped")
+            .otherwise("appeared")
+            .alias("direction"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return delta.select(
+        "x_id",
+        "y_id",
+        "cos_sim",
+        "margin",
+        "direction",
+        (F.col("margin") >= _BTX_MARGIN).alias("would_mine"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_delta"),
+        F.count(
+            F.when(
+                (F.col("margin") >= _BTX_MARGIN)
+                & (F.col("direction") == "dropped"),
+                1,
+            )
+        )
+        .over(w_all)
+        .cast("long")
+        .alias("n_mined_dropped"),
+    )
 
 
 @query(
@@ -2323,55 +2460,16 @@ def q277_bucket_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the audit is calibration-shaped — the uncapped chain is
     affordable only at calibration SF (that is WHY production needs
-    the cap); at 100 TB you audit on a sampled shard. Both chains
-    stay bucketed equi-joins; the difference runs on two rank-1
-    frames.
+    the cap); at 100 TB you audit on a sampled shard, and that rule
+    is ENFORCED: `bucket_cap_recall_audit` prices the uncapped
+    chain's total candidate volume from the bucket occupancies
+    EAGERLY (driver-side, before either chain's plan exists — the
+    eager_guard discipline) and fails fast with a concrete
+    `sample_ppm` remediation when the volume exceeds
+    {_BTX_AUDIT_BUDGET}; the salted-hash shard then runs the same
+    audit at affordable volume. Both chains stay bucketed equi-joins;
+    the difference runs on two rank-1 frames.
 
     Cites reference behavior: none (beyond-reference operator).
     """
-    u = _btx_mutual_frame(spark, sf_dir, cap=_BTX_UNCAPPED).select(
-        "x_id", "y_id", "cos_sim", "margin"
-    )
-    c = _btx_mutual_frame(spark, sf_dir, cap=_BTX_AUDIT_CAP).select(
-        F.col("x_id").alias("cx"),
-        F.col("y_id").alias("cy"),
-        F.col("cos_sim").alias("ccos"),
-        F.col("margin").alias("cmargin"),
-    )
-    delta = (
-        u.join(
-            c,
-            (F.col("cx") == F.col("x_id")) & (F.col("cy") == F.col("y_id")),
-            "full_outer",
-        )
-        .filter(F.col("x_id").isNull() | F.col("cx").isNull())
-        .select(
-            F.coalesce("x_id", "cx").alias("x_id"),
-            F.coalesce("y_id", "cy").alias("y_id"),
-            F.coalesce("cos_sim", "ccos").alias("cos_sim"),
-            F.coalesce("margin", "cmargin").alias("margin"),
-            F.when(F.col("cx").isNull(), "dropped")
-            .otherwise("appeared")
-            .alias("direction"),
-        )
-    )
-    w_all = Window.partitionBy()
-    return delta.select(
-        "x_id",
-        "y_id",
-        "cos_sim",
-        "margin",
-        "direction",
-        (F.col("margin") >= _BTX_MARGIN).alias("would_mine"),
-        F.count(F.lit(1)).over(w_all).cast("long").alias("n_delta"),
-        F.count(
-            F.when(
-                (F.col("margin") >= _BTX_MARGIN)
-                & (F.col("direction") == "dropped"),
-                1,
-            )
-        )
-        .over(w_all)
-        .cast("long")
-        .alias("n_mined_dropped"),
-    )
+    return bucket_cap_recall_audit(spark, sf_dir)

@@ -190,3 +190,84 @@ def test_cap_recall_audit_accounting(spark):
         1 for r in rows if r["would_mine"] and r["direction"] == "dropped"
     )
     assert all(r["direction"] in ("dropped", "appeared") for r in rows)
+
+
+def _write_hub_embeddings(spark, path: str, n: int) -> None:
+    """A synthetic hub corpus: every vector identical, so ALL vectors
+    share one SRP bucket and the uncapped audit chain's candidate
+    volume is (n/2)^2 — the shape whose pre-cap 100x sweep never
+    finished. Written as an embeddings.parquet the loaders accept."""
+    from pyspark.sql import functions as F
+
+    from target_hdfs_spark.operators.similarity import EMB_DIM
+
+    vec = F.array(*[F.lit(1.0).cast("float") for _ in range(EMB_DIM)])
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 4).cast("int").alias("label"),
+            vec.alias("embedding"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/embeddings.parquet")
+    )
+
+
+def test_cap_recall_audit_guard_fires_on_hub_corpus(spark, tmp_path):
+    """VERDICT r9 item 1: the uncapped audit chain is guarded. On a
+    10x-scale hub corpus (20k identical vectors -> one bucket ->
+    10k * 10k = 1e8 candidate volume, 20x over budget) the preflight
+    must fail fast — BEFORE any join runs — with the sharding
+    remediation, and the suggested sample_ppm must itself be
+    affordable (volume scales quadratically in the shard fraction)."""
+    import re
+
+    import pytest
+
+    from target_hdfs_spark.operators.similarity import (
+        _BTX_AUDIT_BUDGET,
+        bucket_cap_recall_audit,
+    )
+
+    _write_hub_embeddings(spark, str(tmp_path), 20_000)
+    with pytest.raises(RuntimeError, match="sample_ppm=") as exc:
+        bucket_cap_recall_audit(spark, str(tmp_path))
+    suggest = int(re.search(r"sample_ppm=(\d+)", str(exc.value)).group(1))
+    # quadratic scaling: the suggested shard's expected volume fits
+    expected_vol = (20_000 * suggest / 2_000_000) ** 2
+    assert expected_vol <= _BTX_AUDIT_BUDGET * 1.1
+
+
+def test_cap_recall_audit_completes_on_sampled_shard(spark, tmp_path):
+    """The remediation path works: the SAME hub corpus audits fine on
+    a salted-hash shard, the guard pricing the SHARDED volume."""
+    from target_hdfs_spark.operators.similarity import (
+        bucket_cap_recall_audit,
+    )
+
+    _write_hub_embeddings(spark, str(tmp_path), 20_000)
+    rows = bucket_cap_recall_audit(
+        spark, str(tmp_path), sample_ppm=10_000
+    ).collect()
+    # identical vectors: dropping the (over-cap) single bucket under
+    # the tight audit cap drops EVERY mutual-best pair -> the delta is
+    # all 'dropped' and internally consistent
+    assert all(r["direction"] == "dropped" for r in rows)
+    if rows:
+        assert rows[0]["n_delta"] == len(rows)
+
+
+def test_cap_recall_audit_guard_budget_is_live(spark):
+    """The budget participates at call time: forcing it to 0 trips the
+    guard even on the tiny gate corpus, and the message prices the
+    actual volume."""
+    import pytest
+
+    from target_hdfs_spark.operators.similarity import (
+        bucket_cap_recall_audit,
+    )
+
+    with pytest.raises(RuntimeError, match="exceeds the audit budget"):
+        bucket_cap_recall_audit(spark, SF_DIR, budget=0)
