@@ -159,9 +159,23 @@ class TargetConfig:
             on_invalid=str(raw.get("on_invalid_record", "fail")),
         )
 
+    def sink_stream_name(self, stream_name: str) -> str:
+        """Resolve the stream's SINK name through the stream map's
+        `__alias__` key (singer-sdk stream-map aliasing — a Meltano
+        `stream_maps: {orders: {__alias__: orders_v2}}` routes orders
+        records to root/orders_v2). State/buffering stay keyed by the
+        ORIGINAL stream id; only the write path is renamed."""
+        smap = self.stream_maps.get(stream_name) or {}
+        alias = smap.get("__alias__")
+        return str(alias) if alias else stream_name
+
     def stream_path(self, stream_name: str) -> str:
-        """Per-stream directory (reference: target_hdfs/sinks.py:27-29)."""
-        return f"{self.destination_path.rstrip('/')}/{stream_name}"
+        """Per-stream directory (reference: target_hdfs/sinks.py:27-29),
+        routed through `__alias__` when the stream map renames the sink."""
+        return (
+            f"{self.destination_path.rstrip('/')}/"
+            f"{self.sink_stream_name(stream_name)}"
+        )
 
 
 def _parse_kv(raw: str | dict | None) -> dict[str, str]:

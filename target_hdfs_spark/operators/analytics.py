@@ -7638,10 +7638,10 @@ def q275_layout_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_hist = hist2.filter(F.col("c_old") > 0).select(
         "bkt", F.col("c_old").alias("c")
     )
-    w_cum = Window.orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
+    # pure-integer walk (q266's pattern): `div` against the window
+    # total keeps both engines in int64 — a double quotient truncated
+    # by cast could diverge from integer floor division once the
+    # per-histogram sums approach 2^53
     old_walk = old_hist.select(
         "bkt",
         F.least(
@@ -7649,9 +7649,8 @@ def q275_layout_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"(sum(c) over (order by bkt"
                 f" rows between unbounded preceding and current row) - c)"
-                f" * {_RPP_PARTS}"
-            )
-            / F.sum("c").over(w_all),
+                f" * {_RPP_PARTS} div sum(c) over ()"
+            ),
         )
         .cast("long")
         .alias("pid"),

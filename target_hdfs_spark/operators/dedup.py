@@ -1026,8 +1026,8 @@ def q92_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous pair-keyed aggregation never materializes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sig)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
     sh = (
         docs.select("doc_id", tokens("text").alias("_toks"))
         .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
@@ -1526,8 +1526,8 @@ def q120_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-explosion).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sig)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
     sh = (
         docs.select("doc_id", tokens("text").alias("_toks"))
         .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
@@ -2599,7 +2599,9 @@ def q214_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs).localCheckpoint()  # feeds LSH + both sides
-    pairs = lsh_candidate_pairs(sig)
+    # eager: the verify references pairs on three branches and the
+    # estimate join on a fourth (q275's collapsed-frame rule)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
     from target_hdfs_spark.sources.readers import fan_out
 
     sh = (
@@ -2708,8 +2710,8 @@ def q219_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hot buckets star-linked upstream, so degree is bounded).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sig)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
     sym = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionAll(
@@ -2804,8 +2806,8 @@ def q232_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame and a window over it.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sig)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
     from target_hdfs_spark.sources.readers import fan_out
 
     sh = (
@@ -3026,8 +3028,8 @@ def q242_cross_source_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an aggregation onto the |sources|² grid.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sig)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
     sh = (
         docs.select("doc_id", tokens("text").alias("_toks"))
         .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
@@ -3227,7 +3229,9 @@ def _boilerplate_oracle() -> str:
              AS n_occurrences,
            CAST(COALESCE(SUM(b.seg_tokens), 0) AS BIGINT)
              AS tokens_removable,
-           CAST(COALESCE(SUM(b.seg_tokens), 0) * 1000000 // s.n_tokens
+           CAST(CASE WHEN s.n_tokens = 0 THEN 0
+                     ELSE COALESCE(SUM(b.seg_tokens), 0) * 1000000
+                          // s.n_tokens END
                 AS BIGINT) AS removable_ppm
     FROM src s LEFT JOIN boiler b ON b.source = s.source
     GROUP BY s.source, s.n_docs, s.n_tokens
@@ -3322,7 +3326,13 @@ def q274_boilerplate_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("tokens_removable", F.lit(0))
         .cast("long")
         .alias("tokens_removable"),
-        F.expr("coalesce(tokens_removable, 0) * 1000000 div n_tokens")
+        # zero guard (q215's pattern, mirrored in the oracle): an
+        # all-empty-tokenization source must read 0, not NULL in one
+        # engine and a division error in the other
+        F.expr(
+            "case when n_tokens = 0 then 0"
+            " else coalesce(tokens_removable, 0) * 1000000 div n_tokens end"
+        )
         .cast("long")
         .alias("removable_ppm"),
     )

@@ -142,11 +142,11 @@ def read_range_pruned(
     first = 0
     last = len(bounds)  # range ids run 0..len(bounds)
     if lo is not None:
+        # the range below a cut b <= lo holds values < b <= lo only,
+        # so this is already the tight lower range id — including for
+        # cut-aligned predicates (values == lo live in the range ABOVE
+        # the cut)
         first = sum(1 for b in bounds if b <= lo)
-        # a cut exactly at lo still holds values == lo in the range
-        # ABOVE it, but floor-clamped values equal to the cut sit in
-        # that upper range; the range below can hold values < lo only
-        first = max(0, first - 1) if first > 0 and bounds[first - 1] == lo else first
     if hi is not None:
         last = sum(1 for b in bounds if b <= hi)
     df = spark.read.option("basePath", path).format(fmt).load(path)

@@ -119,7 +119,17 @@ def stream_drift_monitor(
                 sess.createDataFrame([counts]).coalesce(1).write.mode(
                     "overwrite"
                 ).parquet(base_path)
-            baseline_cache.append(sess.read.parquet(base_path).collect()[0])
+            base_rows = sess.read.parquet(base_path).limit(2).collect()
+            if len(base_rows) != 1:
+                # class_counts writes exactly one row; anything else is
+                # a corrupted/foreign baseline dir — scoring against it
+                # would produce silently wrong chi2 readings forever
+                raise RuntimeError(
+                    f"drift baseline at {base_path} must hold exactly "
+                    f"one class_counts row, found {len(base_rows)} — "
+                    "delete the directory to re-baseline"
+                )
+            baseline_cache.append(base_rows[0])
         baseline = baseline_cache[0]
         chi2 = chi2_against(baseline, counts)
         reading = sess.createDataFrame(

@@ -115,11 +115,20 @@ def with_record_metadata(df: DataFrame) -> DataFrame:
     return df
 
 
+#: stream-map keys that configure the map itself rather than naming a
+#: record column: `__filter__` (row predicate), `__alias__` (rename
+#: the stream's sink — resolved by TargetConfig.sink_stream_name, not
+#: here: aliasing routes the WRITE, it never reshapes the record).
+_STREAM_MAP_META_KEYS = frozenset({"__filter__", "__alias__"})
+
+
 def apply_stream_map(df: DataFrame, stream_map: dict) -> DataFrame:
     """Config-driven per-stream reshaping (Meltano `stream_maps`
     capability, meltano.yml:18): SQL-expression columns, column drops
-    (value None), and a row filter under the `__filter__` key. All
-    expressions are Spark SQL strings -> fully Catalyst-optimizable.
+    (value None), a row filter under the `__filter__` key, and a sink
+    rename under `__alias__` (a no-op here — the pipe's path routing
+    consumes it). All expressions are Spark SQL strings -> fully
+    Catalyst-optimizable.
 
     Evaluation order matches stream-map semantics (expressions see the
     original record): computed columns first, then the row filter,
@@ -129,7 +138,7 @@ def apply_stream_map(df: DataFrame, stream_map: dict) -> DataFrame:
     mapped = {
         name: F.expr(str(expr))
         for name, expr in stream_map.items()
-        if name != "__filter__" and expr is not None
+        if name not in _STREAM_MAP_META_KEYS and expr is not None
     }
     if mapped:
         # ONE withColumns call: every expression resolves against the
@@ -140,7 +149,11 @@ def apply_stream_map(df: DataFrame, stream_map: dict) -> DataFrame:
     flt = stream_map.get("__filter__")
     if flt:
         df = df.filter(F.expr(flt))
-    drops = [k for k, v in stream_map.items() if v is None and k != "__filter__"]
+    drops = [
+        k
+        for k, v in stream_map.items()
+        if v is None and k not in _STREAM_MAP_META_KEYS
+    ]
     if drops:
         df = df.drop(*drops)
     return df

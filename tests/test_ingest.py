@@ -606,3 +606,30 @@ def test_dry_run_cli_routes_state_to_stderr(spark, tmp_path, monkeypatch, capsys
     assert '{"bookmark":42}' in err  # checkpoint still visible
     assert '"dry_run": true' in err  # summary on stderr
     assert not (tmp_path / "out").exists()
+
+
+def test_stream_map_alias_routes_sink(spark, tmp_path):
+    """singer-sdk `__alias__` parity (r9 verdict item 4): a stream map
+    renaming `orders -> orders_v2` routes records to root/orders_v2,
+    the original stream dir is never created, record-shaping keys in
+    the same map still apply, and STATE passes through keyed by the
+    ORIGINAL stream id."""
+    config = TargetConfig(
+        destination_path=str(tmp_path),
+        stream_maps={"orders": {"__alias__": "orders_v2", "id2": "id * 10"}},
+    )
+    pipe = SingerPipe(spark, config)
+    state = json.dumps(
+        {"type": "STATE", "value": {"bookmarks": {"orders": {"id": 2}}}}
+    )
+    out = list(pipe.process_lines([
+        _schema_msg("orders", {"id": {"type": "integer"}}),
+        _rec("orders", id=1),
+        _rec("orders", id=2),
+        state,
+    ]))
+    rows = spark.read.parquet(str(tmp_path / "orders_v2")).collect()
+    assert {r.id for r in rows} == {1, 2}
+    assert {r.id2 for r in rows} == {10, 20}
+    assert not (tmp_path / "orders").exists()
+    assert out and json.loads(out[-1])["bookmarks"]["orders"]["id"] == 2

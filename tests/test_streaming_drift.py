@@ -115,3 +115,29 @@ def test_latest_readings_gates_on_success_marker(spark, tmp_path):
     (partial / "part-00000.parquet").write_bytes(b"\x00\x01 not parquet")
     after = {tuple(r) for r in latest_readings(spark, str(sink)).collect()}
     assert after == committed
+
+
+def test_drift_malformed_baseline_fails_typed(spark, tmp_path):
+    """A baseline dir holding anything but exactly one class_counts
+    row (corrupted / foreign content) must fail with the typed
+    re-baseline message, never score against an arbitrary row."""
+    import pytest
+
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    # plant a two-row "baseline" with a _SUCCESS marker so the
+    # completeness gate accepts it and the shape check is what fires
+    base_df = spark.createDataFrame(BASELINE_MIX, SCHEMA)
+    counts = class_counts(base_df).collect()[0]
+    spark.createDataFrame([counts, counts]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(sink / "baseline"))
+    _write(src / "a.jsonl", BASELINE_MIX)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_drift_monitor(spark, stream, str(sink), str(ckpt))
+    with pytest.raises(Exception, match="exactly one class_counts row"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
