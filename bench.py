@@ -78,9 +78,20 @@ HEADLINE = [
 _R02_SET = set(HEADLINE) - {"q85_dedup_clusters"}
 
 
+def family(spec) -> str:
+    """A query's operator family = its first registry tag (the tag
+    convention leads with the family: 'dedup', 'similarity', ...)."""
+    return spec.tags[0] if spec.tags else "misc"
+
+
 def auto_headliners(specs) -> list[str]:
-    """The N slowest registered queries from the last full sim that
-    are not already headliners (empty if no sim record exists)."""
+    """The slowest registered queries from the last full sim that are
+    not already headliners — capped at ONE per operator family (r9
+    verdict item 7: three same-family pairs-pipeline queries joined at
+    once and the headline over-weighted one shared term). The
+    slowest-per-family query still always surfaces, so the
+    'slowest queries can't hide' invariant is unchanged; what's gone
+    is double-counting one family's shared stage three times."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SIM_TIMINGS.json")
     try:
         with open(path) as fh:
@@ -88,9 +99,19 @@ def auto_headliners(specs) -> list[str]:
     except (OSError, KeyError, ValueError):
         return []
     ranked = sorted(times, key=times.get, reverse=True)
-    return [n for n in ranked if n in specs and n not in HEADLINE][
-        :N_AUTO_HEADLINERS
-    ]
+    picked: list[str] = []
+    seen_fams: set[str] = set()
+    for n in ranked:
+        if n not in specs or n in HEADLINE:
+            continue
+        fam = family(specs[n])
+        if fam in seen_fams:
+            continue
+        picked.append(n)
+        seen_fams.add(fam)
+        if len(picked) >= N_AUTO_HEADLINERS:
+            break
+    return picked
 
 
 # Validity gate: high per-pass median relative spread marks box noise
@@ -178,6 +199,34 @@ def main() -> None:
         n: round(max(runs) - min(runs), 4) for n, runs in samples.items()
     }
 
+    # DuckDB twin, back-to-back on the same box (r9 verdict item 3):
+    # the box's absolute wall drifts ~2x across hours, so the
+    # drift-invariant headline is the RATIO spark/duckdb over the
+    # subset both engines can run (headliners with an oracle), with
+    # both absolute totals kept as secondary evidence.
+    from tests.oracle_compare import duckdb_conn
+
+    comparable = [n for n in names if specs[n].oracle is not None]
+    con = duckdb_conn(sf_dir)
+    duck: dict[str, float] = {}
+    for n in comparable:
+        con.execute(specs[n].oracle).fetchall()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(specs[n].oracle).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck[n] = round(best, 4)
+    spark_comp = round(sum(timings[n] for n in comparable), 4)
+    duck_comp = round(sum(duck.values()), 4)
+    ratio = round(spark_comp / duck_comp, 4) if duck_comp > 0 else None
+
+    # per-family subtotals: the headline readable per operator family
+    fam_totals: dict[str, float] = {}
+    for n in names:
+        fam = family(specs[n])
+        fam_totals[fam] = round(fam_totals.get(fam, 0.0) + timings[n], 4)
+
     # The stdout line must fit the round driver's 2000-char tail
     # capture or BENCH_r*.json records `parsed: null` (r8 verdict
     # item 1: every round's primary perf artifact failed to
@@ -202,10 +251,19 @@ def main() -> None:
         "r02_comparable_total": round(
             sum(t for n, t in timings.items() if n in _R02_SET), 4
         ),
+        "spark_comparable_total": spark_comp,
+        "duckdb_comparable_total": duck_comp,
+        "ratio": ratio,
+        "family_subtotals": fam_totals,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "full": "BENCH_LOCAL.json",
     }
-    full = {**slim, "queries_median": medians, "spread": spreads}
+    full = {
+        **slim,
+        "queries_median": medians,
+        "spread": spreads,
+        "duckdb_queries": duck,
+    }
     del full["full"]
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
@@ -221,7 +279,12 @@ def main() -> None:
         # validity carries the noisy flag — the marker the protocol
         # exists to keep in the driver-parsed record — so it is
         # sacrificed LAST
-        for key in ("queries", "auto_headliners", "validity"):
+        for key in (
+            "queries",
+            "family_subtotals",
+            "auto_headliners",
+            "validity",
+        ):
             slim[key] = f"see {local_path}"
             line = json.dumps(slim)
             if len(line) <= 1900:
