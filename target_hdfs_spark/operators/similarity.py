@@ -2343,7 +2343,11 @@ def bucket_cap_recall_audit(
     ).collect()[0]
     total, worst = int(row["total"]), int(row["worst"])
     if total > budget:
-        frac = (budget / total) ** 0.5
+        # suggestion targets HALF the budget: volume scales
+        # quadratically in the shard fraction, so an exact-budget
+        # suggestion lands on the boundary and integer rounding can
+        # re-trip the guard on the re-run
+        frac = (budget / (2 * total)) ** 0.5
         base = sample_ppm if sample_ppm is not None else 1_000_000
         suggest = max(1, int(base * frac))
         raise RuntimeError(
