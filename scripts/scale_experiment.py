@@ -146,6 +146,12 @@ QUERIES = (
     # and its merge-law theorem (partials are k-bounded)
     "q262_reservoir_sample",
     "q264_reservoir_merge_law",
+    # round 10: packing / training-order family — one distributed
+    # prefix-sum pass each (bucket window + broadcast offsets); q278
+    # additionally explodes ~tokens/ctx (doc, chunk) rows
+    "q278_sequence_packing",
+    "q279_packing_ctx_curve",
+    "q280_shuffle_uniformity",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

@@ -1,0 +1,412 @@
+"""Training-sequence packing and training-order audits (SURVEY.md
+§2B L6-adjacent: the step between a curated corpus and a training
+run): concat-and-chunk sequence packing — every LLM pipeline's final
+transform — plus the shuffle-uniformity dashboard that checks the
+training ORDER the packing consumed.
+
+The shared engine is a DISTRIBUTED PREFIX SUM over a deterministic
+training order (salted-hash order — the industry-standard "global
+shuffle" that needs no RNG): a global `SUM() OVER (ORDER BY ...)`
+would funnel the whole corpus through ONE window task, so the Spark
+side computes it as hash-range buckets (the bucket id is a monotone
+function of the order key, so bucket-local order + bucket offsets IS
+the global order): a partitioned window inside each bucket plus a
+64-row bucket-offset frame broadcast back. Exactly the textbook
+two-pass parallel scan, and exactly equal to the oracle's
+single-window cumsum because every quantity is an integer.
+
+Scale: the prefix sum is the only corpus-sized stage and it is fully
+parallel (one shuffle to bucket, one bucket-local window); everything
+downstream is chunk-count-sized (linear in tokens/ctx) or
+|sources| x |windows|-sized. At 100 TB the bucket count grows with
+the cluster (any power of two works — the math never changes).
+
+Cites reference behavior: none (beyond-reference operators; the
+reference ingests records, it does not prepare training sequences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.functions.hashing import md5_hash32, md5_hash32_sql
+from target_hdfs_spark.functions.textfuncs import TOKENS_SQL
+from target_hdfs_spark.functions.textfuncs import tokens
+from target_hdfs_spark.registry import query
+from target_hdfs_spark.sources.readers import fan_out, load_table
+
+_PK_SALT = "pack|"  # order-key salt: the training-order hash rule
+_PK_BUCKETS = 64  # prefix-sum fan-out (any power of two; grows with cluster)
+_PK_BKT_W = (1 << 32) // _PK_BUCKETS  # md5_hash32 < 2^32 -> bucket 0..63
+_PK_CTX = 2048  # training context length (tokens) for q278
+_PK_CTXS = (512, 2048, 8192)  # q279's sensitivity grid
+_SHUF_WINDOWS = 16  # q280: equal token-mass slices of the training order
+
+_ORD_SQL = md5_hash32_sql("'pack|' || CAST(doc_id AS VARCHAR)")
+
+
+def packed_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_toks, ord_h, cum_before, total_toks) for
+    every non-empty document, where cum_before is the EXACT number of
+    tokens preceding the document in the deterministic training order
+    (ord_h, doc_id) — computed as a distributed prefix sum, never a
+    single global window task.
+
+    The bucket id `ord_h div {_PK_BKT_W}` is monotone in ord_h, so
+    concatenating buckets in id order reproduces the global order:
+    cum_before = (tokens in earlier buckets) + (tokens earlier within
+    this bucket). The offset frame is {_PK_BUCKETS} rows — metadata
+    scale — and broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        fan_out(docs.select("doc_id", "source", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens("text")).cast("long").alias("n_toks"),
+            md5_hash32(
+                F.concat(F.lit(_PK_SALT), F.col("doc_id").cast("string"))
+            ).alias("ord_h"),
+        )
+        .filter(F.col("n_toks") > 0)
+        .withColumn("bkt", F.expr(f"ord_h div {_PK_BKT_W}"))
+    )
+    w_in = Window.partitionBy("bkt").orderBy("ord_h", "doc_id")
+    within = base.withColumn(
+        "cum_in", F.sum("n_toks").over(w_in) - F.col("n_toks")
+    )
+    btot = base.groupBy("bkt").agg(F.sum("n_toks").alias("btoks"))
+    w_off = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    offsets = btot.select(
+        "bkt",
+        F.coalesce(F.sum("btoks").over(w_off), F.lit(0)).alias("boff"),
+        F.sum("btoks").over(w_all).alias("total_toks"),
+    )
+    return within.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "ord_h",
+        (F.col("boff") + F.col("cum_in")).alias("cum_before"),
+        "total_toks",
+    )
+
+
+# the oracle twin of packed_token_frame: DuckDB affords the single
+# global window, so the cumsum is stated directly — which is the whole
+# point of the check (the bucketed two-pass scan must equal it bit for
+# bit on integers)
+_PACK_CUM_SQL = f"""t AS (
+      SELECT doc_id, source,
+             CAST(len({TOKENS_SQL.format(expr="text")}) AS BIGINT)
+               AS n_toks,
+             {_ORD_SQL} AS ord_h
+      FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE n_toks > 0),
+    c AS (
+      SELECT doc_id, source, n_toks, ord_h,
+             SUM(n_toks) OVER (ORDER BY ord_h, doc_id) - n_toks
+               AS cum_before,
+             SUM(n_toks) OVER () AS total_toks
+      FROM nz
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# L6p: concat-and-chunk sequence packing — the docs-per-chunk profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q278_sequence_packing",
+    oracle=f"""
+    WITH {_PACK_CUM_SQL},
+    spans AS (
+      SELECT CAST(cum_before // {_PK_CTX} AS BIGINT) AS fc,
+             CAST((cum_before + n_toks - 1) // {_PK_CTX} AS BIGINT) AS lc
+      FROM c
+    ),
+    pairs AS (
+      SELECT unnest(generate_series(fc, lc)) AS chunk_id FROM spans
+    ),
+    perch AS (
+      SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS docs_in_chunk
+      FROM pairs GROUP BY 1
+    )
+    SELECT docs_in_chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+             AS chunks_ppm
+    FROM perch GROUP BY 1
+    """,
+    tags=("packing", "curation", "llm", "prefix-sum"),
+)
+def q278_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING (concat-and-chunk, the GPT-style final
+    transform): documents are concatenated in the deterministic
+    salted-hash training order and split into fixed {_PK_CTX}-token
+    contexts; the profile reports how many documents each chunk
+    touches (docs_in_chunk histogram) — the attention-mask /
+    cross-contamination readout a training team checks before a run
+    (a heavy docs-per-chunk tail means many attention boundaries or
+    much cross-document leakage, and argues for a longer context or
+    document-aware packing).
+
+    Exactness: the distributed prefix sum (bucket-local window +
+    broadcast bucket offsets) equals the oracle's global window
+    cumsum exactly — integers, same (ord_h, doc_id) order; chunk
+    spans are integer floor divisions; every chunk 0..ceil(n/ctx)-1
+    holds >= 1 document by construction, so SUM(n_chunks) is the
+    total chunk count in both engines.
+
+    Scale: one bucketing shuffle + bucket-local window over the
+    corpus; the explode emits one row per (doc, chunk) touched —
+    ~tokens/ctx + docs rows, linear; the histogram is a
+    few-row aggregate. No global-order single task anywhere.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    f = packed_token_frame(spark, sf_dir)
+    spans = f.select(
+        F.expr(f"cum_before div {_PK_CTX}").alias("fc"),
+        F.expr(f"(cum_before + n_toks - 1) div {_PK_CTX}").alias("lc"),
+    )
+    pairs = spans.select(
+        F.explode(F.sequence("fc", "lc")).alias("chunk_id")
+    )
+    perch = pairs.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_in_chunk")
+    )
+    w_all = Window.partitionBy()
+    return (
+        perch.groupBy("docs_in_chunk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+        .select(
+            "docs_in_chunk",
+            "n_chunks",
+            F.expr("n_chunks * 1000000 div sum(n_chunks) over ()")
+            .cast("long")
+            .alias("chunks_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6q: context-length sensitivity — the packing knob table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q279_packing_ctx_curve",
+    oracle=f"""
+    WITH {_PACK_CUM_SQL},
+    ctxs AS (
+      SELECT CAST(unnest(ARRAY{list(_PK_CTXS)}) AS BIGINT) AS ctx
+    )
+    SELECT x.ctx,
+           CAST((MAX(c.total_toks) + x.ctx - 1) // x.ctx AS BIGINT)
+             AS n_chunks,
+           CAST(COUNT(CASE WHEN c.cum_before // x.ctx
+                            <> (c.cum_before + c.n_toks - 1) // x.ctx
+                           THEN 1 END) AS BIGINT) AS n_cross_docs,
+           CAST(COUNT(CASE WHEN c.cum_before // x.ctx
+                            <> (c.cum_before + c.n_toks - 1) // x.ctx
+                           THEN 1 END) * 1000000
+                // COUNT(*) AS BIGINT) AS cross_docs_ppm,
+           CAST((MAX(c.total_toks) + x.ctx - 1) // x.ctx * x.ctx
+                - MAX(c.total_toks) AS BIGINT) AS tail_padding_tokens,
+           CAST(((MAX(c.total_toks) + x.ctx - 1) // x.ctx * x.ctx
+                 - MAX(c.total_toks)) * 1000000
+                // ((MAX(c.total_toks) + x.ctx - 1) // x.ctx * x.ctx)
+             AS BIGINT) AS padding_ppm
+    FROM c CROSS JOIN ctxs x
+    GROUP BY x.ctx
+    """,
+    tags=("packing", "curation", "llm", "observability"),
+)
+def q279_packing_ctx_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING CONTEXT-LENGTH CURVE — the knob table behind q278's
+    fixed {_PK_CTX}: for each candidate context length
+    {list(_PK_CTXS)}, the chunk count, how many documents straddle a
+    chunk boundary (cross_docs — each straddle is either a truncation
+    or an attention-mask seam), the tail padding the last chunk wastes,
+    and both as ppm — so choosing a training context length against
+    THIS corpus is a measured trade (longer contexts cut boundary
+    crossings but pay activation memory; the table prices one side).
+
+    Exactness: rides the same prefix-sum frame as q278 (integers,
+    identical order); per-ctx arithmetic is integer floor division on
+    both sides; the 3-row ctx grid is a broadcast cross join.
+
+    Scale: ONE prefix-sum pass feeds all {len(_PK_CTXS)} context
+    lengths (the spans are arithmetic per document, no re-explosion);
+    output is |ctxs| rows.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    f = packed_token_frame(spark, sf_dir)
+    ctxs = spark.createDataFrame([(c,) for c in _PK_CTXS], "ctx long")
+    crossed = F.expr("cum_before div ctx") != F.expr(
+        "(cum_before + n_toks - 1) div ctx"
+    )
+    n_chunks = F.expr("(max(total_toks) + ctx - 1) div ctx")
+    padding = F.expr(
+        "(max(total_toks) + ctx - 1) div ctx * ctx - max(total_toks)"
+    )
+    return (
+        f.crossJoin(F.broadcast(ctxs))
+        .groupBy("ctx")
+        .agg(
+            n_chunks.cast("long").alias("n_chunks"),
+            F.count(F.when(crossed, 1)).cast("long").alias("n_cross_docs"),
+            F.expr(
+                "count(case when cum_before div ctx <>"
+                " (cum_before + n_toks - 1) div ctx then 1 end)"
+                " * 1000000 div count(1)"
+            )
+            .cast("long")
+            .alias("cross_docs_ppm"),
+            padding.cast("long").alias("tail_padding_tokens"),
+            F.expr(
+                "((max(total_toks) + ctx - 1) div ctx * ctx"
+                " - max(total_toks)) * 1000000"
+                " div ((max(total_toks) + ctx - 1) div ctx * ctx)"
+            )
+            .cast("long")
+            .alias("padding_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6r: shuffle-uniformity audit — is the training ORDER well mixed?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q280_shuffle_uniformity",
+    oracle=f"""
+    WITH {_PACK_CUM_SQL},
+    placed AS (
+      SELECT source,
+             least({_SHUF_WINDOWS - 1},
+                   cum_before * {_SHUF_WINDOWS} // total_toks) AS win,
+             n_toks
+      FROM c
+    ),
+    grid AS (
+      SELECT s.source, w.win
+      FROM (SELECT DISTINCT source FROM placed) s
+      CROSS JOIN (SELECT unnest(generate_series(0,
+                         {_SHUF_WINDOWS - 1})) AS win) w
+    ),
+    cell AS (
+      SELECT g.source, g.win,
+             COALESCE(SUM(p.n_toks), 0) AS toks
+      FROM grid g
+      LEFT JOIN placed p ON p.source = g.source AND p.win = g.win
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT source, win,
+             toks * 1000000 // SUM(toks) OVER (PARTITION BY win)
+               AS win_share_ppm,
+             SUM(toks) OVER (PARTITION BY source) * 1000000
+               // SUM(toks) OVER () AS global_share_ppm
+      FROM cell
+    ),
+    devs AS (
+      SELECT source, win, global_share_ppm,
+             abs(win_share_ppm - global_share_ppm) AS abs_dev,
+             MAX(abs(win_share_ppm - global_share_ppm))
+               OVER (PARTITION BY source) AS max_dev
+      FROM shares
+    )
+    SELECT source,
+           CAST(MAX(global_share_ppm) AS BIGINT) AS global_share_ppm,
+           CAST(MAX(max_dev) AS BIGINT) AS max_abs_dev_ppm,
+           CAST(MIN(CASE WHEN abs_dev = max_dev THEN win END) AS BIGINT)
+             AS worst_window
+    FROM devs
+    GROUP BY source
+    """,
+    tags=("packing", "curation", "observability", "shuffle"),
+)
+def q280_shuffle_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-UNIFORMITY AUDIT — checks the training order itself:
+    the salted-hash order is sliced into {_SHUF_WINDOWS} equal
+    token-mass windows, and each source's within-window token share
+    is compared to its global share; the dashboard reports, per
+    source, the worst absolute deviation (ppm) and the window where
+    it happens. A well-shuffled order keeps every deviation small and
+    unstructured; a drifting curriculum (one source concentrated
+    early/late) shows up as a large deviation in an edge window —
+    BEFORE the loss curve pays for it. The full source x window grid
+    is materialized so a source ABSENT from a window reads as its
+    full negative deviation, not as a missing row.
+
+    Exactness: window placement, shares and deviations are integer
+    floor arithmetic on the shared prefix-sum frame; the worst window
+    tie-breaks to the smallest window id in both engines.
+
+    Scale: the audit aggregates the corpus once into a
+    |sources| x {_SHUF_WINDOWS} cell grid — everything after the
+    prefix sum is metadata-sized.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    f = packed_token_frame(spark, sf_dir)
+    placed = f.select(
+        "source",
+        F.least(
+            F.lit(_SHUF_WINDOWS - 1),
+            F.expr(f"cum_before * {_SHUF_WINDOWS} div total_toks"),
+        ).alias("win"),
+        "n_toks",
+    )
+    sources = placed.select("source").distinct()
+    wins = spark.createDataFrame(
+        [(w,) for w in range(_SHUF_WINDOWS)], "win long"
+    )
+    grid = sources.crossJoin(F.broadcast(wins))
+    cell = (
+        grid.join(placed, ["source", "win"], "left")
+        .groupBy("source", "win")
+        .agg(F.coalesce(F.sum("n_toks"), F.lit(0)).alias("toks"))
+    )
+    w_win = Window.partitionBy("win")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    shares = cell.select(
+        "source",
+        "win",
+        F.expr("toks * 1000000").alias("_t6"),
+        F.sum("toks").over(w_win).alias("_wt"),
+        (F.sum("toks").over(w_src) * 1000000).alias("_s6"),
+        F.sum("toks").over(w_all).alias("_tt"),
+    ).select(
+        "source",
+        "win",
+        F.expr("_t6 div _wt").alias("win_share_ppm"),
+        F.expr("_s6 div _tt").alias("global_share_ppm"),
+    )
+    devs = shares.select(
+        "source",
+        "win",
+        "global_share_ppm",
+        F.abs(F.col("win_share_ppm") - F.col("global_share_ppm")).alias(
+            "abs_dev"
+        ),
+    ).withColumn("max_dev", F.max("abs_dev").over(w_src))
+    return devs.groupBy("source").agg(
+        F.max("global_share_ppm").cast("long").alias("global_share_ppm"),
+        F.max("max_dev").cast("long").alias("max_abs_dev_ppm"),
+        F.min(F.when(F.col("abs_dev") == F.col("max_dev"), F.col("win")))
+        .cast("long")
+        .alias("worst_window"),
+    )

@@ -117,6 +117,7 @@ def _import_operator_modules() -> None:
         formats,
         linkage,
         multimodal,
+        packing,
         relational,
         similarity,
         skew,

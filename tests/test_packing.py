@@ -1,0 +1,90 @@
+"""Invariant tests for the packing/training-order operators (q278-
+q280): the distributed prefix sum must equal a naive global cumsum,
+and the packing arithmetic must conserve tokens and chunks — the
+guarantees oracle equality on one corpus cannot state by itself."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.operators.packing import (
+    _PK_CTX,
+    _SHUF_WINDOWS,
+    packed_token_frame,
+)
+from target_hdfs_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+SPECS = all_queries()
+
+
+def test_prefix_sum_equals_global_window(spark):
+    """The bucketed two-pass scan IS the global cumsum: compare
+    against a single-window cumsum over the same order (affordable at
+    test SF; the production path never builds the single window)."""
+    f = packed_token_frame(spark, SF_DIR)
+    w = Window.orderBy("ord_h", "doc_id")
+    naive = f.select(
+        "doc_id",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("naive_cum"),
+    )
+    joined = f.join(naive, "doc_id")
+    assert joined.filter(F.col("cum_before") != F.col("naive_cum")).count() == 0
+
+
+def test_prefix_sum_conserves_tokens(spark):
+    f = packed_token_frame(spark, SF_DIR).collect()
+    total = f[0]["total_toks"]
+    assert all(r["total_toks"] == total for r in f)
+    assert sum(r["n_toks"] for r in f) == total
+    # the order is gapless: ends of documents tile [0, total)
+    assert max(r["cum_before"] + r["n_toks"] for r in f) == total
+    assert min(r["cum_before"] for r in f) == 0
+    ends = sorted(r["cum_before"] + r["n_toks"] for r in f)
+    starts = sorted(r["cum_before"] for r in f)
+    assert starts == [0] + ends[:-1]
+
+
+def test_packing_conserves_chunks(spark):
+    f = packed_token_frame(spark, SF_DIR).collect()
+    total = f[0]["total_toks"]
+    n_chunks_expected = (total + _PK_CTX - 1) // _PK_CTX
+    rows = SPECS["q278_sequence_packing"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_chunks"] for r in rows) == n_chunks_expected
+    # (doc, chunk) incidences counted from the histogram equal the
+    # per-doc span sum
+    spans = sum(
+        (r["cum_before"] + r["n_toks"] - 1) // _PK_CTX
+        - r["cum_before"] // _PK_CTX
+        + 1
+        for r in f
+    )
+    assert sum(r["docs_in_chunk"] * r["n_chunks"] for r in rows) == spans
+    assert all(r["docs_in_chunk"] >= 1 for r in rows)
+
+
+def test_ctx_curve_arithmetic(spark):
+    rows = SPECS["q279_packing_ctx_curve"].fn(spark, SF_DIR).collect()
+    assert {r["ctx"] for r in rows} == {512, 2048, 8192}
+    for r in rows:
+        assert 0 <= r["tail_padding_tokens"] < r["ctx"]
+        assert r["n_chunks"] * r["ctx"] >= r["tail_padding_tokens"]
+        assert 0 <= r["cross_docs_ppm"] <= 1_000_000
+        assert 0 <= r["padding_ppm"] < 1_000_000
+    # longer contexts monotonically reduce chunk count
+    by_ctx = {r["ctx"]: r["n_chunks"] for r in rows}
+    assert by_ctx[512] >= by_ctx[2048] >= by_ctx[8192]
+
+
+def test_shuffle_uniformity_grid_complete(spark):
+    rows = SPECS["q280_shuffle_uniformity"].fn(spark, SF_DIR).collect()
+    assert rows, "no sources audited"
+    for r in rows:
+        assert 0 <= r["worst_window"] < _SHUF_WINDOWS
+        assert r["max_abs_dev_ppm"] >= 0
+        assert 0 <= r["global_share_ppm"] <= 1_000_000
+    # integer floor shares: the global shares sum to 1e6 minus at
+    # most one ulp per source
+    tot = sum(r["global_share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= tot <= 1_000_000
