@@ -41,6 +41,7 @@ def _ops():
         kmv_distinct_stream,
         mg_heavy_hitters_stream,
         multi_pattern_stream,
+        pack_offset_stream,
         quantile_stream,
         reservoir_stream,
         scd2_interval_stream,
@@ -77,6 +78,8 @@ def _ops():
         # fifth sketch twin — emission decays once the heavy set
         # stabilizes
         "mg_heavy_hitters_stream": mg_heavy_hitters_stream,
+        # docs-driven (see DOCS_OPS): online per-bucket packing offsets
+        "pack_offset_stream": pack_offset_stream,
     }
 
 
@@ -93,6 +96,56 @@ def drive(spark, events_path: str, op_name: str, op, n_batches_hint: int) -> dic
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
     name = f"sweep_{op_name}_{abs(hash(events_path)) % 10_000}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        t0 = time.perf_counter()
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(3600)
+        wall = time.perf_counter() - t0
+        progress = sorted(q.recentProgress, key=lambda p: p["batchId"])
+        state_rows = [
+            op_row["numRowsTotal"]
+            for p in progress
+            for op_row in (p.get("stateOperators") or [])
+        ]
+        in_rows = sum(p["numInputRows"] for p in progress)
+    out_rows = spark.sql(f"select count(*) n from {name}").collect()[0]["n"]
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    return {
+        "op": op_name,
+        "wall_s": round(wall, 2),
+        "input_rows": in_rows,
+        "output_rows": out_rows,
+        "rows_per_s": int(in_rows / wall) if wall > 0 else 0,
+        "final_state_rows": state_rows[-1] if state_rows else 0,
+        "max_state_rows": max(state_rows) if state_rows else 0,
+    }
+
+
+# operators that consume a DOCUMENTS stream (doc_id, text) rather than
+# the events stream; driven from the scale corpus documents.parquet
+DOCS_OPS = ("pack_offset_stream",)
+
+
+def drive_docs(spark, docs_path: str, op_name: str, op, n_batches_hint: int) -> dict:
+    """Like drive(), over the documents parquet (doc_id, text)."""
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("maxFilesPerTrigger", max(1, 32 // n_batches_hint))
+        .parquet(docs_path)
+        .select("doc_id", "text")
+    )
+    name = f"sweep_{op_name}_{abs(hash(docs_path)) % 10_000}"
     with tempfile.TemporaryDirectory() as ckpt:
         t0 = time.perf_counter()
         q = (
@@ -144,10 +197,16 @@ def main() -> None:
         # proper micros timestamps (the raw sf0.1 file is
         # TIMESTAMP(NANOS), which a schema-pinned readStream rejects)
         events_path = f"{se.build_events(spark, factor)}/events.parquet"
+        docs_path = None
         for op_name, op in _ops().items():
             if pats and not any(p in op_name for p in pats):
                 continue
-            row = drive(spark, events_path, op_name, op, n_batches_hint=4)
+            if op_name in DOCS_OPS:
+                if docs_path is None:
+                    docs_path = f"{se.build(spark, factor)}/documents.parquet"
+                row = drive_docs(spark, docs_path, op_name, op, n_batches_hint=4)
+            else:
+                row = drive(spark, events_path, op_name, op, n_batches_hint=4)
             print(f"factor={factor:>3} {row}", flush=True)
 
 

@@ -2400,3 +2400,153 @@ def mg_heavy_hitters_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Online packing offsets (stateful twin of operators/packing.py's
+# packed_token_frame — the streaming half of the two-pass prefix sum)
+# ---------------------------------------------------------------------------
+
+PACK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bkt", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_toks", T.LongType()),
+        T.StructField("cum_in_before", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+    ]
+)
+
+# running (tokens_so_far, docs_so_far): 16 bytes per bucket, flat
+# forever — the batch scan's bucket-local window folded online
+PACK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("toks", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+    ]
+)
+PACK_STATE_TTL_SCHEMA = T.StructType(
+    [*PACK_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _pack_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    cols = ["bkt", "doc_id", "n_toks", "cum_in_before", "n_docs"]
+    empty = pd.DataFrame({c: [] for c in cols}).astype("int64")
+    if state.hasTimedOut:
+        # an idle bucket's running offset evicts; a post-gap return
+        # starts a fresh segment (exposure-window semantics)
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        toks, n_docs = int(stored[0]), int(stored[1])
+        prev_last = int(stored[2]) if ttl_ms is not None else 0
+    else:
+        toks, n_docs, prev_last = 0, 0, 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # the batch training order within the bucket
+    whole = whole.sort_values(["ord_h", "doc_id"])
+    out_doc, out_toks, out_cum, out_nd = [], [], [], []
+    for doc_id, n in zip(
+        whole["doc_id"].astype("int64"), whole["n_toks"].astype("int64")
+    ):
+        out_doc.append(int(doc_id))
+        out_toks.append(int(n))
+        out_cum.append(toks)
+        toks += int(n)
+        n_docs += 1
+        out_nd.append(n_docs)
+    if ttl_ms is None:
+        state.update((toks, n_docs))
+    else:
+        last_ms = max(prev_last, int(whole["ts"].max().value // 1_000_000))
+        state.update((toks, n_docs, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    if out_doc:
+        yield pd.DataFrame(
+            {
+                "bkt": [int(key[0])] * len(out_doc),
+                "doc_id": out_doc,
+                "n_toks": out_toks,
+                "cum_in_before": out_cum,
+                "n_docs": out_nd,
+            }
+        ).astype("int64")
+    else:
+        yield empty
+
+
+def pack_offset_stream(
+    docs: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Online packing offsets (stateful twin of packing.py's
+    `packed_token_frame`): each arriving document is assigned its
+    within-bucket token offset IMMEDIATELY — 16 bytes of state per
+    hash bucket carry (tokens_so_far, docs_so_far) across
+    micro-batches, so the batch scan's bucket-local window never
+    rematerializes. Combining a snapshot's per-bucket totals into
+    global offsets is the SAME 64-row broadcast merge the batch
+    second pass runs — the streaming and batch halves share one
+    algebra, like the sketch twins.
+
+    The bucket key, order hash and tokenizer are the BATCH
+    expressions imported from operators/packing.py (structural pin —
+    the twin cannot fork from its batch instance). Parity is scoped
+    to in-order logs like the other order-sensitive twins
+    (ema/balance): on a log delivered in (ord_h, doc_id) order the
+    latest per-doc rows equal the batch frame's (bkt, cum_in) exactly.
+
+    ``state_ttl_ms``: an idle bucket evicts once the watermark passes
+    last arrival + TTL; a later return starts a fresh packing segment.
+
+    `docs` must be a streaming DataFrame with columns
+    (doc_id, text) — plus `ts` when ``state_ttl_ms`` is set (the
+    eviction clock is event time).
+    """
+    from pyspark.sql import functions as F
+
+    from target_hdfs_spark.functions.hashing import md5_hash32
+    from target_hdfs_spark.functions.textfuncs import tokens
+    from target_hdfs_spark.operators.packing import _PK_BKT_W, _PK_SALT
+
+    base_cols = ["doc_id"] + (["ts"] if state_ttl_ms is not None else [])
+    prepared = docs.select(
+        *base_cols,
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+        md5_hash32(
+            F.concat(F.lit(_PK_SALT), F.col("doc_id").cast("string"))
+        ).alias("ord_h"),
+    ).filter(F.col("n_toks") > 0)
+    prepared = prepared.withColumn("bkt", F.expr(f"ord_h div {_PK_BKT_W}"))
+
+    def fn(key, pdfs, state):
+        return _pack_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = (
+            prepared,
+            PACK_STATE_SCHEMA,
+            GroupStateTimeout.NoTimeout,
+        )
+    else:
+        src = prepared.withWatermark("ts", watermark_delay)
+        schema, timeout = (
+            PACK_STATE_TTL_SCHEMA,
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    return src.groupBy("bkt").applyInPandasWithState(
+        fn,
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -3561,3 +3561,236 @@ def test_mg_state_roundtrips_rocksdb(spark, tmp_path):
         spark.conf.set(key, prev)
     got = {(r.user_id, r.mg_count) for r in rows}
     assert got == {(1, 1), (2, 1), (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# pack_offset_stream (stateful twin of packing.py's packed_token_frame)
+# ---------------------------------------------------------------------------
+
+PACK_SCHEMA_JSON = {
+    "properties": {
+        "doc_id": {"type": "integer"},
+        "ts": {"type": "string", "format": "date-time"},
+        "text": {"type": "string"},
+    }
+}
+
+
+def _pack_ord(doc_id: int) -> int:
+    """Python twin of the engine's salted order hash (first 8 md5 hex
+    chars as int) — used only to construct test corpora."""
+    import hashlib
+
+    return int(hashlib.md5(f"pack|{doc_id}".encode()).hexdigest()[:8], 16)
+
+
+def _pack_bkt(doc_id: int) -> int:
+    from target_hdfs_spark.operators.packing import _PK_BKT_W
+
+    return _pack_ord(doc_id) // _PK_BKT_W
+
+
+def _same_bucket_ids(n: int = 2, start: int = 0) -> list[int]:
+    """The first n doc ids >= start sharing doc-id start's bucket."""
+    want = _pack_bkt(start)
+    out, i = [], start
+    while len(out) < n:
+        if _pack_bkt(i) == want:
+            out.append(i)
+        i += 1
+    return out
+
+
+def _run_pack(spark, src, name, ttl_ms=None):
+    from target_hdfs_spark.streaming.stateful import pack_offset_stream
+
+    schema = jsonschema_to_spark(PACK_SCHEMA_JSON)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        pack_offset_stream(stream, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_pack_offsets_straddle_batches(spark, tmp_path):
+    """The running offset must act on cross-batch state: a batch-2
+    document in the same bucket starts where batch 1's tokens ended."""
+    a, b = _same_bucket_ids(2)
+    src = tmp_path / "packsrc"
+    _write(
+        src / "f1.jsonl",
+        [{"doc_id": a, "ts": "2026-08-13T10:00:00Z", "text": "w1 w2 w3"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"doc_id": b, "ts": "2026-08-13T10:00:30Z", "text": "x1 x2"}],
+    )
+    rows = {r.doc_id: r for r in _run_pack(spark, src, "pack_straddle")}
+    assert rows[a].cum_in_before == 0 and rows[a].n_toks == 3
+    assert rows[b].cum_in_before == 3 and rows[b].n_toks == 2
+    assert rows[b].n_docs == 2 and rows[a].bkt == rows[b].bkt
+
+
+def test_pack_stream_plus_offset_merge_equals_batch_frame(spark, tmp_path):
+    """The twin's algebra: stream per-bucket offsets + the batch
+    64-row offset merge == packed_token_frame's global cum_before,
+    doc for doc, on an in-order log (the scoping every
+    order-sensitive twin documents)."""
+    from target_hdfs_spark.operators.packing import packed_token_frame
+
+    docs = [
+        {
+            "doc_id": i,
+            "ts": "2026-08-13T10:00:00Z",
+            "text": " ".join(f"t{i}_{j}" for j in range((i * 7) % 11 + 1)),
+            "source": "s",
+        }
+        for i in range(60)
+    ]
+    ordered = sorted(docs, key=lambda d: (_pack_ord(d["doc_id"]), d["doc_id"]))
+    src = tmp_path / "packparity"
+    _write(src / "a.jsonl", [{k: d[k] for k in ("doc_id", "ts", "text")} for d in ordered[:30]])
+    time.sleep(1.1)
+    _write(src / "b.jsonl", [{k: d[k] for k in ("doc_id", "ts", "text")} for d in ordered[30:]])
+    got = _run_pack(spark, src, "pack_parity")
+    # latest row per doc (append mode emits once per doc here)
+    latest = {r.doc_id: r for r in got}
+    # the batch second pass: bucket totals -> cumulative offsets
+    btot = {}
+    for r in latest.values():
+        btot[r.bkt] = btot.get(r.bkt, 0) + r.n_toks
+    off, acc = {}, 0
+    for bkt in sorted(btot):
+        off[bkt] = acc
+        acc += btot[bkt]
+    # batch frame over the same corpus written as a documents table
+    spark.createDataFrame(
+        [(d["doc_id"], d["text"], "en", d["source"], len(d["text"])) for d in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    batch = {
+        r.doc_id: r.cum_before
+        for r in packed_token_frame(spark, str(tmp_path)).collect()
+    }
+    assert set(latest) == set(batch)
+    for doc_id, r in latest.items():
+        assert off[r.bkt] + r.cum_in_before == batch[doc_id], doc_id
+
+
+def test_pack_stream_ttl_starts_fresh_segment(spark, tmp_path):
+    """An idle bucket evicts after TTL: the post-gap document packs
+    from offset 0 (a fresh segment), not from the stale total. Two
+    other-bucket batches advance the watermark and let the keyed
+    timeout FIRE before the bucket's post-gap document arrives (the
+    ema_ttl choreography)."""
+    a, b = _same_bucket_ids(2)
+    other = [
+        i
+        for i in range(200)
+        if _pack_bkt(i) != _pack_bkt(a)
+    ][:2]
+    src = tmp_path / "packttl"
+    _write(
+        src / "f1.jsonl",
+        [{"doc_id": a, "ts": "2026-08-13T10:00:00Z", "text": "w1 w2 w3 w4"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"doc_id": other[0], "ts": "2026-08-13T12:00:00Z", "text": "y1"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f3.jsonl",
+        [{"doc_id": other[1], "ts": "2026-08-13T12:01:00Z", "text": "y2"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f4.jsonl",
+        [{"doc_id": b, "ts": "2026-08-13T12:30:00Z", "text": "x1"}],
+    )
+    rows = {
+        r.doc_id: r
+        for r in _run_pack(spark, src, "pack_ttl", ttl_ms=60_000)
+        if r.doc_id is not None
+    }
+    assert rows[a].cum_in_before == 0
+    assert rows[b].cum_in_before == 0 and rows[b].n_docs == 1
+
+
+def test_pack_stream_kill_resume(spark, tmp_path):
+    """State survives a full stop/start through the checkpoint."""
+    a, b = _same_bucket_ids(2)
+    src = tmp_path / "packkr_src"
+    sink = tmp_path / "packkr_sink"
+    ckpt = tmp_path / "packkr_ckpt"
+    schema = jsonschema_to_spark(PACK_SCHEMA_JSON)
+
+    def run_once():
+        from target_hdfs_spark.streaming.stateful import pack_offset_stream
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            pack_offset_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        src / "f1.jsonl",
+        [{"doc_id": a, "ts": "2026-08-13T10:00:00Z", "text": "w1 w2 w3 w4 w5"}],
+    )
+    run_once()
+    _write(
+        src / "f2.jsonl",
+        [{"doc_id": b, "ts": "2026-08-13T10:00:30Z", "text": "x1 x2"}],
+    )
+    run_once()
+    rows = {r.doc_id: r for r in spark.read.parquet(str(sink)).collect()}
+    assert rows[a].cum_in_before == 0
+    assert rows[b].cum_in_before == 5 and rows[b].n_docs == 2
+
+
+def test_pack_stream_on_rocksdb(spark, tmp_path):
+    """The 16-byte state roundtrips through RocksDB identically."""
+    a, b = _same_bucket_ids(2)
+    src = tmp_path / "packrocks"
+    _write(
+        src / "f1.jsonl",
+        [{"doc_id": a, "ts": "2026-08-13T10:00:00Z", "text": "w1 w2"}],
+    )
+    time.sleep(1.1)
+    _write(
+        src / "f2.jsonl",
+        [{"doc_id": b, "ts": "2026-08-13T10:00:30Z", "text": "x1 x2 x3"}],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = {r.doc_id: r for r in _run_pack(spark, src, "pack_rocks")}
+    finally:
+        spark.conf.set(key, prev)
+    assert rows[a].cum_in_before == 0 and rows[b].cum_in_before == 2
