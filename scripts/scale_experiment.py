@@ -152,6 +152,10 @@ QUERIES = (
     "q278_sequence_packing",
     "q279_packing_ctx_curve",
     "q280_shuffle_uniformity",
+    # round 10: ExactSubstr census + surgery (one posexplode pass +
+    # map-side gram census; islands on hit rows only)
+    "q281_repeated_substring_pricing",
+    "q282_substring_surgery_pricing",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

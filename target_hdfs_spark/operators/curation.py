@@ -3621,3 +3621,314 @@ def q271_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("retained_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6s: WITHIN-corpus repeated-substring mining + surgery — the
+# ExactSubstr rule (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better"): any token span repeated ANYWHERE in the
+# corpus (across documents or within one) is a dedup target, over and
+# above document-level (q40/q92) and source-template (q274) dedup.
+# q281 prices the repeated mass per source; q282 prices the
+# first-occurrence-keeper surgery. One shared pipeline (Spark helper
+# + SQL CTE chain) feeds both so the repeat rule cannot fork.
+# ---------------------------------------------------------------------------
+
+_RSP_NGRAM = 8  # seed gram width (stands in for the paper's 50 tokens)
+_RSP_MIN_OCC = 2  # a gram occurring this often anywhere is "repeated"
+
+
+def _repeated_span_cte() -> str:
+    """The shared WITH-chain from documents to repeated-gram hit
+    positions (doc_id, source, n_toks, pos, width, first_doc), used
+    verbatim by the q281 and q282 oracles."""
+    return f"""
+    g AS MATERIALIZED (
+      SELECT doc_id, source, tk, len(tk) AS n_toks,
+             {shingles_sql('tk', _RSP_NGRAM)} AS grams
+      FROM (SELECT doc_id, source, {_TOK} AS tk FROM documents)
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, source, n_toks,
+             unnest(generate_series(1, len(grams))) - 1 AS pos,
+             unnest(grams) AS gram
+      FROM g
+    ),
+    rep AS (
+      SELECT gram, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM occ GROUP BY gram HAVING COUNT(*) >= {_RSP_MIN_OCC}
+    ),
+    hits AS (
+      SELECT o.doc_id, o.source, o.n_toks, o.pos,
+             least({_RSP_NGRAM}, o.n_toks) AS width, r.first_doc
+      FROM occ o JOIN rep r ON r.gram = o.gram
+    ),
+    src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM g GROUP BY 1
+    )"""
+
+
+def _rsp_spans_sql(hit_rel: str, name: str) -> str:
+    """Island-merge of a hit relation into per-doc spans (the q269
+    lag + cumulative-island shape), parameterized so q281 (all hits)
+    and q282 (cutting hits only) share one SQL formulation."""
+    return f"""
+    flagged_{name} AS (
+      SELECT doc_id, source, n_toks, pos, width,
+             CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > width THEN 1 ELSE 0 END
+               AS new_island
+      FROM {hit_rel} WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl_{name} AS (
+      SELECT doc_id, source, n_toks, pos, width,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island_id
+      FROM flagged_{name}
+    ),
+    spans_{name} AS (
+      SELECT doc_id, MAX(source) AS source, island_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(least(MAX(pos) + MAX(width), MAX(n_toks)) - 1 AS BIGINT)
+               AS span_end
+      FROM isl_{name} GROUP BY doc_id, island_id
+    )"""
+
+
+def _repeated_span_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared Spark pipeline: returns (src_totals, hits) where
+    hits carries every repeated-gram position with its gram's
+    first-occurrence document — the single implementation behind
+    q281 and q282."""
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        "doc_id",
+    )
+    g = docs.select(
+        "doc_id", "source", tokens("text").alias("tk")
+    ).select(
+        "doc_id",
+        "source",
+        F.size("tk").alias("n_toks"),
+        shingles(F.col("tk"), _RSP_NGRAM).alias("grams"),
+    )
+    occ = g.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.posexplode("grams").alias("pos", "gram"),
+    )
+    # map-side-combined gram census; the repeated set is output-sized
+    # (grams with >= 2 occurrences), never corpus-sized
+    rep = (
+        occ.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("occ_n"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("occ_n") >= _RSP_MIN_OCC)
+        .select("gram", "first_doc")
+    )
+    hits = occ.join(rep, "gram").select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "pos",
+        F.least(F.lit(_RSP_NGRAM), F.col("n_toks")).alias("width"),
+        "first_doc",
+    )
+    src = g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    return src, hits
+
+
+def _rsp_spans(hits: DataFrame) -> DataFrame:
+    """Spark twin of _rsp_spans_sql: merged (doc_id, source,
+    span_start, span_end) islands from a hit frame."""
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") - F.lag("pos").over(w_doc) > F.col("width")),
+            1,
+        ).otherwise(0),
+    ).withColumn("island_id", F.sum("new_island").over(w_doc))
+    return isl.groupBy("doc_id", "island_id").agg(
+        F.max("source").alias("source"),
+        F.min("pos").cast("long").alias("span_start"),
+        (
+            F.least(F.max("pos") + F.max("width"), F.max("n_toks")) - 1
+        )
+        .cast("long")
+        .alias("span_end"),
+    )
+
+
+@query(
+    "q281_repeated_substring_pricing",
+    oracle=f"""
+    WITH {_repeated_span_cte()},
+    {_rsp_spans_sql('hits', 'all')},
+    per_src AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_end - span_start + 1) AS BIGINT)
+               AS repeated_tokens
+      FROM spans_all GROUP BY 1
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           CAST(COALESCE(p.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.repeated_tokens, 0) AS BIGINT)
+             AS repeated_tokens,
+           CAST(CASE WHEN s.n_tokens = 0 THEN 0
+                     ELSE COALESCE(p.repeated_tokens, 0) * 1000000
+                          // s.n_tokens END AS BIGINT) AS repeated_ppm
+    FROM src s LEFT JOIN per_src p ON p.source = s.source
+    """,
+    tags=("curation", "dedup", "spans", "substring", "observability"),
+)
+def q281_repeated_substring_pricing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REPEATED-SUBSTRING PRICING (the ExactSubstr census, Lee et
+    al.): every {_RSP_NGRAM}-token gram occurring >= {_RSP_MIN_OCC}
+    times ANYWHERE in the corpus seeds a hit; per document, touching
+    hits island-merge into maximal repeated spans (q269's machinery
+    on a within-corpus rule instead of an eval set); per source, the
+    report prices how much of the corpus is literally-repeated mass —
+    the number that motivated suffix-array dedup in the first place.
+    Catches what document-level dedup cannot: repeated passages
+    embedded in otherwise-distinct documents (and repeats WITHIN one
+    document — occurrence count, not distinct-doc count, defines
+    "repeated"). Complements q274 (in-source template rule: df >= 3
+    AND >= 5% of the source) with the corpus-wide any-repeat rule.
+
+    Exactness: positions, widths, island ids, span ends (clamped to
+    the doc), counts and ppm (zero-guarded) are pure integers; the
+    whole-doc-shingle case rides width = least({_RSP_NGRAM}, n_toks).
+
+    Scale: one posexplode pass + a map-side-combined gram census (the
+    repeated set is output-sized); hits join gram-keyed (shuffle on
+    both sides' gram key — never all-pairs, never quadratic: a
+    degenerate hot gram adds occurrences linearly, since the census
+    only carries (gram, first_doc)); island windows run on HIT rows
+    only; the rollup is |sources|-sized.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    src, hits = _repeated_span_frames(spark, sf_dir)
+    spans = _rsp_spans(hits)
+    per_src = spans.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_hit"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("repeated_tokens"),
+    )
+    return src.join(per_src, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("repeated_tokens", F.lit(0))
+        .cast("long")
+        .alias("repeated_tokens"),
+        F.expr(
+            "case when n_tokens = 0 then 0"
+            " else coalesce(repeated_tokens, 0) * 1000000"
+            " div n_tokens end"
+        )
+        .cast("long")
+        .alias("repeated_ppm"),
+    )
+
+
+@query(
+    "q282_substring_surgery_pricing",
+    oracle=f"""
+    WITH {_repeated_span_cte()},
+    cutting AS (
+      SELECT doc_id, source, n_toks, pos, width
+      FROM hits WHERE doc_id <> first_doc
+    ),
+    {_rsp_spans_sql('cutting', 'cut')},
+    per_src AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_cut,
+             CAST(SUM(span_end - span_start + 1) AS BIGINT)
+               AS tokens_cut
+      FROM spans_cut GROUP BY 1
+    )
+    SELECT s.source, s.n_tokens AS tokens_before,
+           CAST(COALESCE(p.n_docs_cut, 0) AS BIGINT) AS n_docs_cut,
+           CAST(COALESCE(p.tokens_cut, 0) AS BIGINT) AS tokens_cut,
+           CAST(s.n_tokens - COALESCE(p.tokens_cut, 0) AS BIGINT)
+             AS tokens_after,
+           CAST(CASE WHEN s.n_tokens = 0 THEN 0
+                     ELSE COALESCE(p.tokens_cut, 0) * 1000000
+                          // s.n_tokens END AS BIGINT) AS cut_ppm
+    FROM src s LEFT JOIN per_src p ON p.source = s.source
+    """,
+    tags=("curation", "dedup", "spans", "substring"),
+)
+def q282_substring_surgery_pricing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUBSTRING SURGERY PRICING — the keeper rule applied to q281's
+    census: every repeated gram KEEPS its first-occurrence document
+    (min doc_id) intact, and hit spans in every OTHER document are
+    cut (the one-copy-survives discipline of exact-substring dedup,
+    at document granularity so the rule is deterministic and
+    engine-portable); per source, tokens before/cut/after and the cut
+    ppm — the deletion budget a mixture designer subtracts BEFORE
+    re-weighting sources (q281 prices gross repeated mass; this
+    prices the net deletion once one copy is kept). Within-first-doc
+    repeats survive by construction — the documented, deliberately
+    conservative bound.
+
+    Exactness: the keeper is MIN(doc_id) per gram (deterministic);
+    cutting hits island-merge exactly as q281's spans; all integers,
+    ppm zero-guarded.
+
+    Scale: the same one-pass census + gram-keyed join as q281; the
+    keeper filter is a column comparison on the hit row (no second
+    join); windows on cut-hit rows only; |sources|-sized rollup.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    src, hits = _repeated_span_frames(spark, sf_dir)
+    cutting = hits.filter(F.col("doc_id") != F.col("first_doc"))
+    spans = _rsp_spans(cutting)
+    per_src = spans.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_cut"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("tokens_cut"),
+    )
+    return src.join(per_src, "source", "left").select(
+        "source",
+        F.col("n_tokens").alias("tokens_before"),
+        F.coalesce("n_docs_cut", F.lit(0)).cast("long").alias("n_docs_cut"),
+        F.coalesce("tokens_cut", F.lit(0)).cast("long").alias("tokens_cut"),
+        (F.col("n_tokens") - F.coalesce("tokens_cut", F.lit(0)))
+        .cast("long")
+        .alias("tokens_after"),
+        F.expr(
+            "case when n_tokens = 0 then 0"
+            " else coalesce(tokens_cut, 0) * 1000000 div n_tokens end"
+        )
+        .cast("long")
+        .alias("cut_ppm"),
+    )

@@ -88,3 +88,81 @@ def test_shuffle_uniformity_grid_complete(spark):
     # most one ulp per source
     tot = sum(r["global_share_ppm"] for r in rows)
     assert 1_000_000 - len(rows) <= tot <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# q281/q282 — repeated-substring census + surgery (guarantees the
+# one-corpus oracle equality cannot state)
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_bounds(spark):
+    rows = (
+        SPECS["q281_repeated_substring_pricing"].fn(spark, SF_DIR).collect()
+    )
+    assert rows, "no sources priced"
+    for r in rows:
+        assert r["n_docs_hit"] <= r["n_docs"]
+        assert 0 <= r["repeated_tokens"] <= r["n_tokens"]
+        assert 0 <= r["repeated_ppm"] < 1_000_000 or (
+            r["repeated_ppm"] == 1_000_000
+            and r["repeated_tokens"] == r["n_tokens"]
+        )
+        # a span is at least one seed gram wide unless the doc itself
+        # is shorter than the gram
+        if r["n_spans"]:
+            assert r["repeated_tokens"] >= r["n_spans"]
+
+
+def test_surgery_never_exceeds_census(spark):
+    """The keeper rule can only SHRINK the repeated mass: per source,
+    tokens_cut <= q281's repeated_tokens, and the ledger balances."""
+    census = {
+        r["source"]: r
+        for r in SPECS["q281_repeated_substring_pricing"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    surgery = {
+        r["source"]: r
+        for r in SPECS["q282_substring_surgery_pricing"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(census) == set(surgery)
+    for srcname, s in surgery.items():
+        c = census[srcname]
+        assert s["tokens_cut"] <= c["repeated_tokens"]
+        assert s["n_docs_cut"] <= c["n_docs_hit"]
+        assert s["tokens_before"] == c["n_tokens"]
+        assert s["tokens_after"] == s["tokens_before"] - s["tokens_cut"]
+
+
+def test_keeper_rule_protects_first_document(spark, tmp_path):
+    """A corpus of two identical documents: the min-id doc keeps its
+    text (zero cut), the other is cut entirely — and q281's census
+    sees BOTH copies as repeated mass."""
+    from target_hdfs_spark.registry import all_queries
+
+    text = " ".join(f"w{j}" for j in range(20))
+    spark.createDataFrame(
+        [(1, text, "en", "a", len(text)), (2, text, "en", "b", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    specs = all_queries()
+    census = {
+        r["source"]: r
+        for r in specs["q281_repeated_substring_pricing"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    surgery = {
+        r["source"]: r
+        for r in specs["q282_substring_surgery_pricing"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert census["a"]["repeated_tokens"] == 20
+    assert census["b"]["repeated_tokens"] == 20
+    assert surgery["a"]["tokens_cut"] == 0  # the keeper document
+    assert surgery["b"]["tokens_cut"] == 20 and surgery["b"]["tokens_after"] == 0
