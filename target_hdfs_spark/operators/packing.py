@@ -313,8 +313,13 @@ def q279_packing_ctx_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     shares AS (
+      -- zero guard: a window can hold NO document STARTS (one doc
+      -- spanning several windows) -> its token total is 0 and every
+      -- source's share there reads 0, not an engine-divergent 0-div
       SELECT source, win,
-             toks * 1000000 // SUM(toks) OVER (PARTITION BY win)
+             CASE WHEN SUM(toks) OVER (PARTITION BY win) = 0 THEN 0
+                  ELSE toks * 1000000
+                       // SUM(toks) OVER (PARTITION BY win) END
                AS win_share_ppm,
              SUM(toks) OVER (PARTITION BY source) * 1000000
                // SUM(toks) OVER () AS global_share_ppm
@@ -392,7 +397,11 @@ def q280_shuffle_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         "win",
-        F.expr("_t6 div _wt").alias("win_share_ppm"),
+        # zero guard mirrored from the oracle: an empty window (no doc
+        # STARTS — one doc spanning several windows) reads share 0
+        F.expr("case when _wt = 0 then 0 else _t6 div _wt end").alias(
+            "win_share_ppm"
+        ),
         F.expr("_s6 div _tt").alias("global_share_ppm"),
     )
     devs = shares.select(

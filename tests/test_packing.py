@@ -166,3 +166,35 @@ def test_keeper_rule_protects_first_document(spark, tmp_path):
     assert census["b"]["repeated_tokens"] == 20
     assert surgery["a"]["tokens_cut"] == 0  # the keeper document
     assert surgery["b"]["tokens_cut"] == 20 and surgery["b"]["tokens_after"] == 0
+
+
+def test_shuffle_uniformity_survives_giant_document(spark, tmp_path):
+    """A corpus dominated by one giant document leaves most token
+    windows with NO document starts — their per-window totals are 0
+    and both engines must read those shares as 0 (never a 0-division
+    divergence). Checked against the DuckDB oracle on the same
+    adversarial corpus."""
+    import duckdb
+
+    giant = " ".join(f"g{j}" for j in range(2000))
+    rows = [(1, giant, "en", "big", len(giant))] + [
+        (i, f"t{i} u{i}", "en", "small", 7) for i in range(2, 6)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spec = SPECS["q280_shuffle_uniformity"]
+    got = sorted(
+        tuple(r) for r in spec.fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want
+    assert {r[0] for r in got} == {"big", "small"}
