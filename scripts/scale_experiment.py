@@ -156,6 +156,9 @@ QUERIES = (
     # map-side gram census; islands on hit rows only)
     "q281_repeated_substring_pricing",
     "q282_substring_surgery_pricing",
+    # round 10: survivor-policy delta (rides the q85 pipeline + one
+    # cluster-keyed exchange serving both keeper windows)
+    "q283_survivor_policy_delta",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

@@ -3336,3 +3336,148 @@ def q274_boilerplate_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("removable_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2s: survivor-policy delta — keep-BEST vs keep-FIRST per dedup
+# cluster (the representative-selection choice every dedup pipeline
+# makes, priced instead of defaulted)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q283_survivor_policy_delta",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    undirected AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT doc_a, doc_b FROM undirected
+      UNION
+      SELECT r.src, u.doc_b
+      FROM reach r JOIN undirected u ON u.doc_a = r.dst
+    ),
+    clustered AS (
+      SELECT d.doc_id,
+             least(d.doc_id,
+                   coalesce((SELECT MIN(r.dst) FROM reach r
+                             WHERE r.src = d.doc_id), d.doc_id)) AS cluster,
+             CAST(len({_TOK}) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct({_TOK})) AS BIGINT) AS n_unique
+      FROM documents d
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_unique DESC, doc_id) AS q_rn,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY doc_id) AS m_rn,
+             COUNT(*) OVER (PARTITION BY cluster) AS csize
+      FROM clustered
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m_rn = 1 THEN 1 END) AS BIGINT)
+             AS n_clusters,
+           CAST(COALESCE(SUM(CASE WHEN m_rn = 1 AND csize > 1
+                             THEN 1 END), 0) AS BIGINT)
+             AS n_multi_clusters,
+           CAST(COALESCE(SUM(CASE WHEN q_rn = 1 AND m_rn <> 1
+                             THEN 1 END), 0) AS BIGINT) AS n_switched,
+           CAST(SUM(CASE WHEN m_rn = 1 THEN n_toks END) AS BIGINT)
+             AS tokens_kept_minid,
+           CAST(SUM(CASE WHEN q_rn = 1 THEN n_toks END) AS BIGINT)
+             AS tokens_kept_quality,
+           CAST(SUM(CASE WHEN m_rn = 1 THEN n_unique END) AS BIGINT)
+             AS unique_kept_minid,
+           CAST(SUM(CASE WHEN q_rn = 1 THEN n_unique END) AS BIGINT)
+             AS unique_kept_quality,
+           CAST((SUM(CASE WHEN q_rn = 1 THEN n_unique END)
+                 - SUM(CASE WHEN m_rn = 1 THEN n_unique END)) * 1000000
+                // greatest(SUM(CASE WHEN m_rn = 1 THEN n_unique END), 1)
+             AS BIGINT) AS unique_gain_ppm
+    FROM ranked
+    """,
+    tags=("dedup", "graph", "curation", "observability"),
+)
+def q283_survivor_policy_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SURVIVOR-POLICY DELTA — pricing the representative-selection
+    choice instead of defaulting it: q85's clusters are resolved
+    under BOTH survivor rules — keep-FIRST (min doc_id; q40/q207's
+    deterministic default) and keep-BEST (max distinct-token count,
+    tie min doc_id — the information-richest duplicate, the rule
+    quality-aware pipelines actually want) — and the one-row readout
+    prices the difference: clusters whose keeper switches, tokens and
+    distinct-token mass kept under each rule, and the quality rule's
+    distinct-token gain in ppm. unique_gain_ppm >= 0 by construction
+    (the quality rule maximizes per cluster); a near-zero gain says
+    min-id is fine and the simpler rule wins.
+
+    Exactness: the cluster labels are the unique min-label fixpoint
+    (q85's semantics in both engines); keepers are deterministic
+    row_number rules with pinned tie-breaks; all sums and the ppm
+    division are integers.
+
+    Scale: rides the q85 pipeline (star-linked pairs, checkpointed
+    propagation); the survivor windows shuffle once on the cluster
+    key; the readout is a 1-row aggregate. At 100 TB the same
+    cluster-keyed exchange serves both windows.
+
+    Cites reference behavior: none (beyond-reference operator).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
+    clustered = connected_components(docs.select("doc_id"), pairs)
+    stats = docs.select("doc_id", tokens("text").alias("_toks")).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_toks"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_unique"),
+    )
+    base = clustered.join(stats, "doc_id")
+    w_q = Window.partitionBy("cluster").orderBy(
+        F.col("n_unique").desc(), "doc_id"
+    )
+    w_m = Window.partitionBy("cluster").orderBy("doc_id")
+    w_c = Window.partitionBy("cluster")
+    ranked = base.select(
+        "doc_id",
+        "n_toks",
+        "n_unique",
+        F.row_number().over(w_q).alias("q_rn"),
+        F.row_number().over(w_m).alias("m_rn"),
+        F.count(F.lit(1)).over(w_c).alias("csize"),
+    )
+    m1 = F.col("m_rn") == 1
+    q1 = F.col("q_rn") == 1
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(m1, 1)).cast("long").alias("n_clusters"),
+        F.count(F.when(m1 & (F.col("csize") > 1), 1))
+        .cast("long")
+        .alias("n_multi_clusters"),
+        F.count(F.when(q1 & ~m1, 1)).cast("long").alias("n_switched"),
+        F.sum(F.when(m1, F.col("n_toks")))
+        .cast("long")
+        .alias("tokens_kept_minid"),
+        F.sum(F.when(q1, F.col("n_toks")))
+        .cast("long")
+        .alias("tokens_kept_quality"),
+        F.sum(F.when(m1, F.col("n_unique")))
+        .cast("long")
+        .alias("unique_kept_minid"),
+        F.sum(F.when(q1, F.col("n_unique")))
+        .cast("long")
+        .alias("unique_kept_quality"),
+        F.expr(
+            "(sum(case when q_rn = 1 then n_unique end)"
+            " - sum(case when m_rn = 1 then n_unique end)) * 1000000"
+            " div greatest(sum(case when m_rn = 1 then n_unique end), 1)"
+        )
+        .cast("long")
+        .alias("unique_gain_ppm"),
+    )

@@ -198,3 +198,43 @@ def test_shuffle_uniformity_survives_giant_document(spark, tmp_path):
     want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
     assert got == want
     assert {r[0] for r in got} == {"big", "small"}
+
+
+def test_survivor_policy_ledger(spark):
+    """q283's one-row ledger must balance: the quality rule never
+    loses distinct-token mass, keeps exactly one doc per cluster
+    under both rules, and only multi-clusters can switch."""
+    r = SPECS["q283_survivor_policy_delta"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_clusters"] <= r["n_docs"]
+    assert r["n_multi_clusters"] <= r["n_clusters"]
+    assert r["n_switched"] <= r["n_multi_clusters"]
+    assert r["unique_kept_quality"] >= r["unique_kept_minid"]
+    assert r["unique_gain_ppm"] >= 0
+
+
+def test_survivor_quality_rule_switches_keeper(spark, tmp_path):
+    """Two near-identical docs where the HIGHER id has more distinct
+    tokens: min-id keeps doc 1, the quality rule must switch to doc 2
+    and the readout must record exactly one switch."""
+    from target_hdfs_spark.registry import all_queries
+
+    base = " ".join(f"w{j}" for j in range(30))
+    richer = base + " extra1 extra2 extra3"
+    spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, richer, "en", "s", len(richer)),
+            (9, "lone doc here", "en", "s", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = (
+        all_queries()["q283_survivor_policy_delta"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert r["n_docs"] == 3 and r["n_clusters"] == 2
+    assert r["n_multi_clusters"] == 1 and r["n_switched"] == 1
+    assert r["unique_kept_quality"] - r["unique_kept_minid"] == 3
