@@ -10,6 +10,12 @@ Checks per query:
 - global range sort where a top-k was plausible (rangepartitioning
   present AND a Limit in the plan but no TakeOrderedAndProject /
   WindowGroupLimit);
+- UNPARTITIONED window (empty partition spec — the single-task
+  scale-killer class: every row of the input frame funnels through
+  one window task). Every site must carry a GLOBAL_WINDOW_BOUNDS
+  waiver stating why the frame is bounded (|bands| cumulative,
+  top-k'd frame, |groups|-sized rollup share); an unwaived global
+  window is a hard flag;
 - exchange count (informational; flags > 8);
 - md5 evaluation sites (informational; the sketch pipelines pin 1).
 
@@ -71,6 +77,85 @@ WAIVERS: dict[str, str] = {
     " after the one corpus pass is sketch-bounded",
 }
 
+# every unpartitioned-window site must state why its input frame is
+# bounded (a global window funnels its whole input through ONE task —
+# fine for a 64-row band cumulative, fatal for a corpus frame). A
+# query with a global window and no entry here is hard-flagged.
+# Rank-filter sites rewritten by Catalyst to TakeOrderedAndProject
+# below the window are detected structurally and never reach here.
+_BAND = "the banded-prefix-sum |vbands| band-total cumulative (<=64 rows)"
+GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
+    "q173_peak_concurrency": "|hours| carry-in cumulative — constant in"
+    " event volume (two-level prefix scan)",
+    "q182_gini_best_split": "cumulative + total over the distinct"
+    " quantity levels (~50 rows; value-domain, not corpus)",
+    "q201_rfm_segments": _BAND,
+    "q202_decile_calibration": _BAND,
+    "q204_gini_coefficient": "|$10k revenue bands| cumulative (segmented"
+    " rank offsets)",
+    "q205_kaplan_meier": "|tenure weeks| reverse cumulative",
+    "q211_stratified_allocation": "largest-remainder rank + seat total"
+    " over the |strata| frame",
+    "q216_balanced_shards": "|n_chars div 1k bands| cumulative (segmented"
+    " serpentine rank offsets)",
+    "q223_quantile_mapping": "reference-CDF cumulative over the distinct"
+    " n_chars value domain (bounded by max doc length, not corpus)",
+    "q226_vocab_coverage": _BAND,
+    "q228_spearman_activity_value": "two |bands| cumulatives (segmented"
+    " rank offsets for the two rank variables)",
+    "q246_kmv_union_merge": "merged-pool bottom-k over <= |types| x k"
+    " hash values (sketch frame)",
+    "q266_range_partition_planner": "cut cumulative + total over the"
+    " 64-row bucket histogram",
+    "q275_layout_drift_audit": "fused |bands| histogram cumulatives"
+    " (3 sites, each <= |bands| rows)",
+    "q150_token_budget_selection": _BAND,
+    "q160_pareto_concentration": _BAND,
+    "q278_sequence_packing": "prefix-sum bucket offsets (64 rows) +"
+    " chunk-occupancy histogram share-of-total (|distinct occupancy|)",
+    "q279_packing_ctx_curve": "prefix-sum bucket offsets (64 rows per"
+    " ctx) — downstream tables are |ctx grid|-sized",
+    "q280_shuffle_uniformity": "prefix-sum bucket offsets (64 rows) +"
+    " shares over the |sources| x |windows| grid",
+}
+
+
+def count_global_windows(plan: str) -> int:
+    """Unpartitioned Window operators in an executed-plan string.
+
+    A Window site renders ``Window [exprs]`` followed by up to two
+    bracket groups: ``, [partitionSpec]`` and ``, [orderSpec]``.
+    Either may be absent. Partition entries are bare attributes;
+    order entries always carry ``ASC NULLS``/``DESC NULLS`` — so a
+    site is UNPARTITIONED iff it has no trailing group at all (bare
+    whole-frame aggregate, e.g. ``sum(x) OVER ()``) or exactly one
+    trailing group whose entries are order entries. Window
+    expressions contain only parens, never brackets, so the split is
+    unambiguous. ``WindowGroupLimit`` lines don't match (no
+    ``Window [`` token).
+    """
+    n = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow \[", line):
+            continue
+        groups = line.strip().split("], [")
+        if len(groups) >= 3:  # exprs + partition spec + order spec
+            continue
+        if len(groups) == 2 and not re.search(
+            r"(ASC|DESC) NULLS", groups[1]
+        ):
+            continue  # the one spec is a PARTITION spec
+        # bounded-by-construction: a rank filter over an unpartitioned
+        # window compiles to TakeOrderedAndProject / Limit directly
+        # below the Window (LimitPushDownThroughWindow) — the window
+        # input is k rows, not the frame
+        child = " ".join(lines[i + 1 : i + 4])
+        if re.search(r"TakeOrderedAndProject|Limit", child):
+            continue
+        n += 1
+    return n
+
 
 def audit(spark, specs) -> tuple[list[str], list[str]]:
     flags: list[str] = []
@@ -84,6 +169,7 @@ def audit(spark, specs) -> tuple[list[str], list[str]]:
             continue
         n_exchange = plan.count("Exchange hashpartitioning")
         n_md5 = len(re.findall(r"md5", plan))
+        n_gwin = count_global_windows(plan)
         cart = "CartesianProduct" in plan
         row_udf = "BatchEvalPython" in plan
         global_sort_topk = (
@@ -101,12 +187,22 @@ def audit(spark, specs) -> tuple[list[str], list[str]]:
             marks.append("SORT+LIMIT")
         if n_exchange > 8:
             marks.append(f"EXCHANGES={n_exchange}")
+        gwin_mark = ""
+        if n_gwin:
+            bound = GLOBAL_WINDOW_BOUNDS.get(name)
+            if bound:
+                gwin_mark = f"global-window x{n_gwin} bounded: {bound}"
+            else:
+                marks.append(f"GLOBAL_WINDOW={n_gwin}")
         if marks and name in WAIVERS:
             marks = [f"waived: {WAIVERS[name]}"]
         elif marks:
             flags.append(f"{name}: {' '.join(marks)}")
+        if gwin_mark:
+            marks.append(gwin_mark)
         rows.append(
-            f"| {name} | {n_exchange} | {n_md5} | {' '.join(marks) or 'clean'} |"
+            f"| {name} | {n_exchange} | {n_gwin} | {n_md5} |"
+            f" {' '.join(marks) or 'clean'} |"
         )
     return flags, rows
 
@@ -135,10 +231,12 @@ def main() -> int:
                 "(plan shapes are scale-independent).\n\n"
                 "Anti-patterns checked: CartesianProduct, row-at-a-time\n"
                 "Python UDFs (BatchEvalPython), sort+limit where a top-k\n"
-                "operator was available, excessive exchanges (>8).\n\n"
+                "operator was available, unpartitioned windows without a\n"
+                "bounded-frame waiver, excessive exchanges (>8).\n\n"
                 f"**Flags: {len(flags)}**\n\n"
                 + "".join(f"- {f}\n" for f in flags)
-                + "\n| query | exchanges | md5 sites | marks |\n|---|---|---|---|\n"
+                + "\n| query | exchanges | global windows | md5 sites |"
+                " marks |\n|---|---|---|---|---|\n"
                 + "\n".join(rows)
                 + "\n"
             )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from target_hdfs_spark.functions.decimals import dec, to_double
+from target_hdfs_spark.operators.prefix import banded_cumsum
 from target_hdfs_spark.registry import query
 from target_hdfs_spark.sources.readers import load_table
 
@@ -720,27 +721,27 @@ def q160_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles. Ties rank by customer key.
 
     Scale: the per-customer rollup is one map-side-combined shuffle;
-    the ranking runs over |customers| rows (small vs the fact table).
-    The cumulative window needs a global order over that reduced
-    frame — same posture as q150's budget cumsum; at extreme customer
-    counts the sampled-threshold refinement composes.
+    the running sum over the reduced |customers| frame is a
+    ``banded_cumsum`` pass (banded two-level prefix sum — never a
+    single-task global window; at 1e9 customers the SQL formulation
+    pushes the whole frame through one task), decimal all the way;
+    the whole-frame total rides the kernel's band frame.
     """
     o = load_table(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(19,4)")).alias("r")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(19,4)")).alias("r"))
+        .localCheckpoint(eager=False)  # the kernel consumes it 3x
     )
-    w_cum = (
-        Window.orderBy(F.col("r").desc(), F.col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = rev.select(
-        "o_custkey",
-        F.sum("r").over(w_cum).alias("cum"),
-        F.sum("r").over(w_all).alias("total"),
-    )
+    ranked = banded_cumsum(
+        rev,
+        F.col("r"),
+        "r",
+        "cum",
+        tie_col="o_custkey",
+        descending=True,
+        total_col="total",
+    ).localCheckpoint(eager=False)  # feeds both threshold aggregates
     shared = ranked.select(
         (
             to_double(F.col("cum")) / to_double(F.col("total"))
@@ -3797,6 +3798,67 @@ def q199_expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Segmented exact NTILE (the distributed global-rank kernel)
+# ---------------------------------------------------------------------------
+
+_NT_VBANDS = 64  # value-range fan-out (any count; grows with cluster)
+_NT_TBANDS = 64  # tiebreak sub-fan-out inside a tied value run
+
+
+def segmented_ntile(
+    df: DataFrame,
+    k: int,
+    value_col: str,
+    out_col: str,
+    *,
+    tie_col: str,
+    descending: bool = False,
+    n_vbands: int = _NT_VBANDS,
+    n_tbands: int = _NT_TBANDS,
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY value [DESC], tie)`` without a
+    single-task global window — the distributed default for global
+    quantile scoring (q201/q202), same integers as the SQL window.
+
+    The 1-based global rank is ``banded_cumsum`` with weight 1 (see
+    operators/prefix.py for the two-level banded decomposition and
+    its monotonicity argument); the whole-frame count n rides the
+    kernel's band-total frame — no extra pass.
+
+    NTILE then is pure arithmetic on (rank, n): with q = n div k and
+    r = n mod k the first r tiles hold q+1 rows — no second pass. Ties
+    across a giant run (e.g. 3e8 users with frequency 1) split across
+    ``n_tbands`` running-sum tasks instead of one; a skewed value
+    range degrades band balance but never correctness.
+
+    Requires integral (castable-to-long), non-null value/tie columns;
+    ``tie_col`` must be row-unique (it completes the total order).
+    All other input columns ride through unchanged.
+    """
+    ranked = banded_cumsum(
+        df,
+        F.lit(1),
+        value_col,
+        "__rank",
+        tie_col=tie_col,
+        descending=descending,
+        total_col="__n",
+        n_vbands=n_vbands,
+        n_tbands=n_tbands,
+    )
+    tile = F.expr(
+        f"CASE WHEN __rank <= (__n % {k}) * (__n div {k} + 1)"
+        f" THEN (__rank - 1) div (__n div {k} + 1) + 1"
+        f" ELSE (__n % {k})"
+        f"      + (__rank - (__n % {k}) * (__n div {k} + 1) - 1)"
+        f"        div greatest(__n div {k}, 1) + 1 END"
+    )
+    return ranked.withColumn(out_col, tile.cast("long")).drop(
+        "__rank", "__n"
+    )
+
+
+# ---------------------------------------------------------------------------
 # RFM segmentation (recency / frequency / monetary quintile scoring)
 # ---------------------------------------------------------------------------
 
@@ -3851,13 +3913,13 @@ def q201_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric value-pinnable.
 
     Scale: the corpus collapses to the |users| RFM frame in one
-    conditional aggregation (anchor is a 1-row broadcast). The three
-    NTILE windows are UNPARTITIONED over that reduced frame — the
-    honest cost of global quantile scoring (|users| rows through one
-    task, fine to ~1e8); past that, swap NTILE for broadcast
-    quantile-edge binning (q179's two-phase shape, same downstream
-    contract), which trades exact equal-frequency for map-side
-    assignment.
+    conditional aggregation (anchor is a 1-row broadcast; the
+    collapsed frame is eagerly checkpointed — it feeds three scoring
+    passes). Each quintile score is a ``segmented_ntile`` pass —
+    banded two-level exact rank, NEVER an unpartitioned window over
+    |users| (at 1e9 users the ntile formulation pushes ~24 GB of rows
+    through one window task, three times); the only global windows
+    are the 64-row band cumulatives.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "value"
@@ -3878,19 +3940,26 @@ def q201_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary_cents"),
         )
     )
-    r = F.ntile(5).over(Window.orderBy(F.col("recency_us").asc(), "user_id"))
-    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-    m = F.ntile(5).over(
-        Window.orderBy(F.col("monetary_cents").desc(), "user_id")
-    )
-    scored = u.select(
-        "user_id",
-        "recency_us",
-        "frequency",
+    # each scoring pass consumes its input 3x (stats, group counts,
+    # join-back) — lazy-checkpoint the collapsed |users| frame between
+    # passes so the three pipelines never re-derive each other
+    u = u.localCheckpoint(eager=False)
+    scored = segmented_ntile(
+        u, 5, "recency_us", "r_score", tie_col="user_id"
+    ).localCheckpoint(eager=False)
+    scored = segmented_ntile(
+        scored, 5, "frequency", "f_score", tie_col="user_id", descending=True
+    ).localCheckpoint(eager=False)
+    scored = segmented_ntile(
+        scored,
+        5,
         "monetary_cents",
-        r.cast("long").alias("r_score"),
-        f.cast("long").alias("f_score"),
-        m.cast("long").alias("m_score"),
+        "m_score",
+        tie_col="user_id",
+        descending=True,
+    ).select(
+        "user_id", "recency_us", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score",
     )
     return scored.select(
         "*",
@@ -3944,9 +4013,10 @@ def q202_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (does decile 1 actually convert more?). Deterministic via the
     user_id tiebreak; rates are exact integer ppm.
 
-    Scale: one corpus aggregation to the |users| frame; the decile
-    window is unpartitioned over the reduced frame (the q201 note
-    applies — swap to q179 edge-binning past ~1e8 users); the final
+    Scale: one corpus aggregation to the |users| frame; the decile is
+    a ``segmented_ntile`` pass (banded two-level exact rank — no
+    unpartitioned window over |users|; score=COUNT(*) is exactly the
+    heavy-tie case the tiebreak sub-bands exist for); the final
     rollup is 10 rows.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
@@ -3958,14 +4028,15 @@ def q202_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    d = u.select(
+    # the scoring pass consumes u 3x (stats, group counts, join-back)
+    d = segmented_ntile(
+        u.localCheckpoint(eager=False),
+        10,
         "score",
-        "y",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), "user_id"))
-        .cast("long")
-        .alias("decile"),
-    )
+        "decile",
+        tie_col="user_id",
+        descending=True,
+    ).select("score", "y", "decile")
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("score").alias("score_sum"),

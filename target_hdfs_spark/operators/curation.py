@@ -26,6 +26,7 @@ from target_hdfs_spark.functions.textfuncs import (
     shingles_sql,
     tokens,
 )
+from target_hdfs_spark.operators.prefix import banded_cumsum
 from target_hdfs_spark.registry import query
 from target_hdfs_spark.sources.readers import fan_out, load_table
 
@@ -1045,26 +1046,30 @@ def q150_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     how a fixed-compute training run picks its highest-value subset
     from a larger pool.
 
-    Scale: the cumulative sum needs a global order, but over the
-    NARROW metadata frame (id, score, token count — ~24 bytes/row,
-    not documents), and Spark's sort is distributed
-    (rangepartitioning + per-partition cumsum with a partial-sums
-    broadcast). At 100 TB the standard refinement — estimate the
-    score threshold from a sample, cumsum only the ~budget-sized head
-    — composes from q117's percentile machinery; the exact form here
-    IS the verification oracle for that refinement.
+    Scale: the corpus reduces to the NARROW metadata frame (id,
+    score, token count — ~24 bytes/row) first; the running token sum
+    over it is a ``banded_cumsum`` pass (operators/prefix.py — banded
+    two-level prefix sum, identical integers, never a single-task
+    global window: the SQL formulation would push the whole metadata
+    frame, ~24 GB at 1e9 docs, through one task). At 100 TB the
+    sampled-threshold refinement (cumsum only the ~budget-sized head)
+    still composes from q117's percentile machinery; the exact form
+    here IS the verification oracle for that refinement.
     """
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id",
         F.col("n_chars").alias("score"),
         F.size(tokens("text")).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)  # the kernel consumes it 3x
+    ranked = banded_cumsum(
+        sized,
+        F.col("n_tokens"),
+        "score",
+        "cum_tokens",
+        tie_col="doc_id",
+        descending=True,
     )
-    w = (
-        Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (
         ranked.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .orderBy(F.col("score").desc(), "doc_id")
@@ -1122,11 +1127,14 @@ def q157_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("src_rank", F.row_number().over(w_src).cast("long"))
         .filter(F.col("src_rank") <= _DIV_PER_SOURCE)
     )
+    # the rank FILTER (not orderBy+limit) lets Catalyst rewrite the
+    # unpartitioned window's input to TakeOrderedAndProject(k) —
+    # the global window task sees k rows, not cap x |sources|
     w_all = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         capped.withColumn("final_rank", F.row_number().over(w_all).cast("long"))
+        .filter(F.col("final_rank") <= _DIV_TOPK)
         .orderBy(F.col("score").desc(), "doc_id")
-        .limit(_DIV_TOPK)
     )
 
 
@@ -1176,11 +1184,15 @@ def q158_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("src_rank", F.row_number().over(w_src).cast("long"))
         .drop("n_chars")
     )
+    # rank FILTER instead of orderBy+limit: Catalyst pushes a
+    # TakeOrderedAndProject below the unpartitioned window, so the
+    # single window task sees {_ILV_TAKE} rows — the batch prefix is
+    # assembled without a global sort OR a global window
     w_all = Window.orderBy("src_rank", "source", "doc_id")
     return (
         ranked.withColumn("batch_pos", F.row_number().over(w_all).cast("long"))
+        .filter(F.col("batch_pos") <= _ILV_TAKE)
         .orderBy("src_rank", "source", "doc_id")
-        .limit(_ILV_TAKE)
     )
 
 

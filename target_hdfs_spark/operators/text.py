@@ -20,6 +20,7 @@ from target_hdfs_spark.functions.hashing import (
     md5_hash32_sql,
 )
 from target_hdfs_spark.functions.textfuncs import TOKENS_SQL, tokens
+from target_hdfs_spark.operators.prefix import banded_cumsum
 from target_hdfs_spark.registry import query
 from target_hdfs_spark.sources.readers import fan_out, load_table
 
@@ -2426,11 +2427,12 @@ def q226_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per k.
 
     Scale: the corpus reduces to the type-count frame first
-    (vocabulary-bounded, map-side combined); the rank + total run on
-    that REDUCED frame (at web-scale vocabularies, segment the rank
-    per count band — q204's decomposition — the curve math is
-    unchanged); the k-sweep is a broadcast of {len(_COV_SIZES)}
-    constants, so adding a size costs nothing.
+    (vocabulary-bounded, map-side combined); the frequency rank over
+    that frame is a ``banded_cumsum`` pass (operators/prefix.py) —
+    even a web-scale vocabulary (1e8+ types, half of them
+    count-1 ties) never funnels through one window task; the total is
+    a 1-row broadcast; the k-sweep is a broadcast of
+    {len(_COV_SIZES)} constants, so adding a size costs nothing.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     from target_hdfs_spark.sources.readers import fan_out
@@ -2440,14 +2442,26 @@ def q226_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds total, rank x3 (kernel)
     )
-    w_rank = Window.orderBy(F.col("c").desc(), "tok")
-    w_all = Window.partitionBy()
-    ranked = tc.select(
+    tot = tc.agg(F.sum("c").alias("total"))
+    # frequency rank via the banded prefix sum — a web-scale vocabulary
+    # (1e8+ types) never funnels through one window task. The tie key
+    # routes a tied count run into sub-bands by the first two code
+    # points (monotone in binary collation: UTF-8 byte order == code
+    # point order, and a prefix keys <= its extensions via ascii('')=0)
+    tie_key = F.ascii("tok") * F.lit(0x110000) + F.ascii(
+        F.substring("tok", 2, 1)
+    )
+    ranked = banded_cumsum(
+        tc,
+        F.lit(1),
         "c",
-        F.row_number().over(w_rank).alias("rnk"),
-        F.sum("c").over(w_all).alias("total"),
-    )
+        "rnk",
+        tie_col="tok",
+        descending=True,
+        tie_key=tie_key,
+    ).crossJoin(F.broadcast(tot)).select("c", "rnk", "total")
     ks = F.explode(
         F.array(*[F.lit(k) for k in _COV_SIZES])
     ).alias("vocab_size")

@@ -1,0 +1,83 @@
+"""Property tests for operators.analytics.segmented_ntile — the
+banded two-level exact rank must reproduce ``F.ntile`` (one global
+window) integer-for-integer on every distribution shape that stresses
+a band design: heavy ties (one value dominating), n < k, n % k != 0,
+descending order, negative values, and band-count corners (1 band,
+more bands than rows)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from target_hdfs_spark.operators.analytics import segmented_ntile
+
+
+def _reference(spark, rows, k, descending):
+    df = spark.createDataFrame(rows, "v long, u long")
+    vord = F.col("v").desc() if descending else F.col("v").asc()
+    return {
+        (r["u"],): r["tile"]
+        for r in df.select(
+            "u",
+            F.ntile(k)
+            .over(Window.orderBy(vord, F.col("u").asc()))
+            .cast("long")
+            .alias("tile"),
+        ).collect()
+    }
+
+
+def _segmented(spark, rows, k, descending, **kw):
+    df = spark.createDataFrame(rows, "v long, u long")
+    out = segmented_ntile(
+        df, k, "v", "tile", tie_col="u", descending=descending, **kw
+    )
+    got = out.collect()
+    assert sorted(got[0].asDict()) == ["tile", "u", "v"]  # helpers dropped
+    return {(r["u"],): r["tile"] for r in got}
+
+
+CASES = [
+    # (n_rows, k, descending, value_gen, label)
+    (137, 5, False, lambda rng: rng.randrange(0, 1_000_000), "uniform"),
+    (137, 5, True, lambda rng: rng.randrange(0, 1_000_000), "uniform desc"),
+    (200, 7, False, lambda rng: 1 if rng.random() < 0.8 else rng.randrange(5), "80% tied"),
+    (64, 10, True, lambda rng: 0, "all tied"),
+    (3, 10, False, lambda rng: rng.randrange(10), "n < k"),
+    (1, 4, True, lambda rng: 42, "single row"),
+    (100, 4, False, lambda rng: rng.randrange(-500, 500), "negatives"),
+    (150, 5, True, lambda rng: rng.choice([0, 10**12]), "bimodal far"),
+]
+
+
+@pytest.mark.parametrize("n,k,desc,gen,label", CASES, ids=[c[4] for c in CASES])
+def test_matches_global_ntile(spark, n, k, desc, gen, label):
+    rng = random.Random(hash(label) & 0xFFFF)
+    rows = [(gen(rng), u) for u in rng.sample(range(10 * n + 1), n)]
+    assert _segmented(spark, rows, k, desc) == _reference(spark, rows, k, desc)
+
+
+@pytest.mark.parametrize("nv,nt", [(1, 1), (3, 2), (256, 256)])
+def test_band_count_corners(spark, nv, nt):
+    """1 band (everything in one bucket), tiny bands, and more bands
+    than rows must all reduce to the same exact ranks."""
+    rng = random.Random(7)
+    rows = [(rng.randrange(5), u) for u in range(60)]
+    assert _segmented(
+        spark, rows, 5, False, n_vbands=nv, n_tbands=nt
+    ) == _reference(spark, rows, 5, False)
+
+
+def test_passthrough_columns_survive(spark):
+    df = spark.range(20).select(
+        F.col("id").alias("u"),
+        (F.col("id") % 3).alias("v"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    out = segmented_ntile(df, 4, "v", "q", tie_col="u")
+    assert set(out.columns) == {"u", "v", "payload", "q"}
+    assert out.filter(F.col("payload").isNull()).count() == 0

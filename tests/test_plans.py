@@ -11,6 +11,17 @@ SF_DIR = "/root/testdata/sf0.001"
 SPECS = all_queries()
 
 
+def _global_windows(plan: str) -> int:
+    """Unpartitioned-window count via the audit's detector (single
+    source of truth for what counts as a global window)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from plan_audit import count_global_windows
+
+    return count_global_windows(plan)
+
+
 def plan_of(spark, name: str) -> str:
     df = SPECS[name].fn(spark, SF_DIR)
     return df._jdf.queryExecution().executedPlan().toString()
@@ -383,9 +394,39 @@ def test_q151_pagerank_edges_checkpointed_once(spark):
 def test_q157_source_cap_is_window_group_limit(spark):
     """Diversified top-k: the per-source cap must compile to
     WindowGroupLimit so the global stage sees at most
-    cap x |sources| rows — never a full-corpus sort."""
+    cap x |sources| rows — never a full-corpus sort; the final-rank
+    filter must push a TakeOrderedAndProject below the global window
+    (detector counts it as bounded, not global)."""
     plan = plan_of(spark, "q157_diversified_topk")
     assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert _global_windows(plan) == 0
+
+
+def test_q158_batch_prefix_never_global_windows(spark):
+    """Fair interleave: the batch_pos rank filter compiles to
+    TakeOrderedAndProject below the unpartitioned window — the window
+    task sees the 100-row prefix, not the corpus."""
+    plan = plan_of(spark, "q158_fair_interleave")
+    assert "TakeOrderedAndProject" in plan
+    assert _global_windows(plan) == 0
+
+
+def test_q150_budget_cumsum_is_banded(spark):
+    """Token-budget selection: the running token sum is the banded
+    prefix sum — running sums partitioned by (score, tband); the only
+    global window is the band-total cumulative."""
+    plan = plan_of(spark, "q150_token_budget_selection")
+    assert "hashpartitioning(score" in plan
+    assert _global_windows(plan) <= 2
+
+
+def test_q160_share_cumsum_is_banded(spark):
+    """Pareto concentration: the decimal running share is the banded
+    prefix sum over |customers| — never a single-task window."""
+    plan = plan_of(spark, "q160_pareto_concentration")
+    assert "CartesianProduct" not in plan
+    assert _global_windows(plan) <= 2
 
 
 def test_q161_multi_pattern_single_alignment_pass(spark):
@@ -849,21 +890,29 @@ def test_q200_pairs_counted_over_vocab_not_corpus(spark):
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
-def test_q201_ntile_on_reduced_users_frame(spark):
-    """The three NTILE windows run on the |users| frame after the one
-    corpus aggregation — the corpus itself never passes through an
-    unpartitioned window."""
+def test_q201_quintiles_are_banded_not_global_ntile(spark):
+    """The quintile scores are segmented_ntile passes (banded prefix
+    sum): no ntile function, no unpartitioned window over the |users|
+    frame — the running sums are PARTITIONED BY the (value, tband)
+    composite; the only global window is the 64-row band cumulative."""
     plan = plan_of(spark, "q201_rfm_segments")
     assert "CartesianProduct" not in plan
-    assert "partial_count" in plan  # corpus collapses first
+    assert "ntile" not in plan
+    assert "hashpartitioning(monetary_cents" in plan
+    # the 64-row band-total frame plans as two Window ops (running
+    # offset + whole-frame total) — both bounded
+    assert _global_windows(plan) <= 2
 
 
-def test_q202_decile_window_post_reduction(spark):
-    """Same contract: corpus -> |users| agg -> decile window -> 10-row
-    rollup."""
+def test_q202_decile_is_banded_not_global_ntile(spark):
+    """Same contract: corpus -> |users| agg -> banded exact decile ->
+    10-row rollup; no ntile, no global window beyond the band frame."""
     plan = plan_of(spark, "q202_decile_calibration")
-    assert "partial_count" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed |users| agg
     assert "CartesianProduct" not in plan
+    assert "ntile" not in plan
+    assert "hashpartitioning(score" in plan
+    assert _global_windows(plan) <= 2
 
 
 def test_q203_post_pipeline_stages_are_reductions(spark):
@@ -1181,12 +1230,15 @@ def test_q225_pair_join_on_reduced_count_frame(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q226_coverage_on_reduced_type_frame(spark):
-    """Rank/total windows run above the vocabulary-bounded type-count
-    aggregation (partial_count pins the map-side reduce)."""
+def test_q226_coverage_rank_is_banded(spark):
+    """The frequency rank over the type-count frame is the banded
+    prefix sum (running sums partitioned by (c, tband)); the total is
+    a 1-row broadcast, so the only global window is the band-total
+    cumulative — a web-scale vocabulary never hits one task."""
     plan = plan_of(spark, "q226_vocab_coverage")
-    assert "partial_count" in plan
-    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed type counts
+    assert "hashpartitioning(c#" in plan
+    assert _global_windows(plan) <= 2
 
 
 def test_q227_burstiness_single_window_shared_exchange(spark):
