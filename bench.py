@@ -207,19 +207,35 @@ def main() -> None:
     from tests.oracle_compare import duckdb_conn
 
     comparable = [n for n in names if specs[n].oracle is not None]
-    con = duckdb_conn(sf_dir)
+    # ADVICE r10: the twin's 1-warm + best-of-3 dominated bench wall
+    # (~63 s of DuckDB for ~16 s of Spark). Default is now 1 warm +
+    # 1 timed per oracle — the ratio is a ~50-query AGGREGATE, so
+    # per-query timer noise averages out; raise SPARK_GRAFT_DUCK_RUNS
+    # for a tighter read, or SPARK_GRAFT_SKIP_DUCK=1 to skip the twin
+    # (ratio reported null).
+    duck_runs = int(os.environ.get("SPARK_GRAFT_DUCK_RUNS", "1"))
+    skip_duck = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
     duck: dict[str, float] = {}
-    for n in comparable:
-        con.execute(specs[n].oracle).fetchall()  # warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(specs[n].oracle).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        duck[n] = round(best, 4)
+    if not skip_duck:
+        con = duckdb_conn(sf_dir)
+        try:
+            for n in comparable:
+                con.execute(specs[n].oracle).fetchall()  # warm
+                best = float("inf")
+                for _ in range(duck_runs):
+                    t0 = time.perf_counter()
+                    con.execute(specs[n].oracle).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                duck[n] = round(best, 4)
+        finally:
+            con.close()
     spark_comp = round(sum(timings[n] for n in comparable), 4)
-    duck_comp = round(sum(duck.values()), 4)
-    ratio = round(spark_comp / duck_comp, 4) if duck_comp > 0 else None
+    duck_comp = round(sum(duck.values()), 4) if duck else None
+    ratio = (
+        round(spark_comp / duck_comp, 4)
+        if duck_comp is not None and duck_comp > 0
+        else None
+    )
 
     # per-family subtotals: the headline readable per operator family
     fam_totals: dict[str, float] = {}

@@ -30,6 +30,9 @@ ORC_COMPRESSION = {
 }
 VALID_SCHEMA_EVOLUTION = ("strict", "additive")
 VALID_ON_INVALID = ("fail", "skip", "dlq")
+# singer-sdk's string sentinel for stream/property removal, for
+# config surfaces that cannot express a JSON null (e.g. env vars)
+STREAM_MAP_NULL = "__NULL__"
 
 
 def convert_size_to_bytes(size: str | int) -> int:
@@ -126,6 +129,17 @@ class TargetConfig:
         unknown_typed = set(self.extra_fields_types) - set(self.extra_fields)
         if unknown_typed:
             raise ValueError(f"extra_fields_types for unknown fields: {sorted(unknown_typed)}")
+        # eager stream_maps shape validation (R2 discipline): each
+        # value is a mapping (per-column map), null / "__NULL__"
+        # (whole-stream removal), — anything else is a config error
+        # surfaced at load, not an AttributeError mid-pipe
+        for k, v in self.stream_maps.items():
+            if v is None or v == STREAM_MAP_NULL or isinstance(v, dict):
+                continue
+            raise ValueError(
+                f"stream_maps[{k!r}] must be a mapping, null, or "
+                f"'{STREAM_MAP_NULL}' (stream removal); got {v!r}"
+            )
 
     @classmethod
     def from_dict(cls, raw: dict) -> TargetConfig:
@@ -159,13 +173,33 @@ class TargetConfig:
             on_invalid=str(raw.get("on_invalid_record", "fail")),
         )
 
+    def stream_is_dropped(self, stream_name: str) -> bool:
+        """singer-sdk stream-level removal: `stream_maps: {orders:
+        null}` (or the string sentinel "__NULL__") suppresses the
+        orders sink entirely — records are counted and dropped, no
+        directory is ever created, STATE still advances. The
+        `__else__: null` catch-all drops every stream NOT explicitly
+        named in stream_maps (the Meltano "only these streams"
+        idiom)."""
+        if stream_name in self.stream_maps:
+            v = self.stream_maps[stream_name]
+            return v is None or v == STREAM_MAP_NULL
+        if "__else__" in self.stream_maps:
+            v = self.stream_maps["__else__"]
+            return v is None or v == STREAM_MAP_NULL
+        return False
+
     def sink_stream_name(self, stream_name: str) -> str:
         """Resolve the stream's SINK name through the stream map's
         `__alias__` key (singer-sdk stream-map aliasing — a Meltano
         `stream_maps: {orders: {__alias__: orders_v2}}` routes orders
         records to root/orders_v2). State/buffering stay keyed by the
-        ORIGINAL stream id; only the write path is renamed."""
-        smap = self.stream_maps.get(stream_name) or {}
+        ORIGINAL stream id; only the write path is renamed. Null maps
+        (stream removal) have no sink name — callers gate on
+        stream_is_dropped first."""
+        smap = self.stream_maps.get(stream_name)
+        if not isinstance(smap, dict):
+            return stream_name
         alias = smap.get("__alias__")
         return str(alias) if alias else stream_name
 

@@ -3656,9 +3656,14 @@ def _repeated_span_cte() -> str:
     verbatim by the q281 and q282 oracles."""
     return f"""
     g AS MATERIALIZED (
+      -- n_toks > 0: empty/whitespace docs never seed grams (two blank
+      -- docs would otherwise share the empty gram and count as
+      -- "repeated" with zero-width spans) — packed_token_frame's
+      -- convention
       SELECT doc_id, source, tk, len(tk) AS n_toks,
              {shingles_sql('tk', _RSP_NGRAM)} AS grams
       FROM (SELECT doc_id, source, {_TOK} AS tk FROM documents)
+      WHERE len(tk) > 0
     ),
     occ AS MATERIALIZED (
       SELECT doc_id, source, n_toks,
@@ -3722,13 +3727,18 @@ def _repeated_span_frames(
         ),
         "doc_id",
     )
-    g = docs.select(
-        "doc_id", "source", tokens("text").alias("tk")
-    ).select(
-        "doc_id",
-        "source",
-        F.size("tk").alias("n_toks"),
-        shingles(F.col("tk"), _RSP_NGRAM).alias("grams"),
+    g = (
+        docs.select("doc_id", "source", tokens("text").alias("tk"))
+        .select(
+            "doc_id",
+            "source",
+            F.size("tk").alias("n_toks"),
+            shingles(F.col("tk"), _RSP_NGRAM).alias("grams"),
+        )
+        # empty docs never seed grams (the shared CTE's WHERE len(tk)>0
+        # twin): two blank docs would share the empty gram and count as
+        # "repeated" with zero-width spans
+        .filter(F.col("n_toks") > 0)
     )
     occ = g.select(
         "doc_id",

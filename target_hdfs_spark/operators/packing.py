@@ -182,7 +182,6 @@ def q278_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     perch = pairs.groupBy("chunk_id").agg(
         F.count(F.lit(1)).cast("long").alias("docs_in_chunk")
     )
-    w_all = Window.partitionBy()
     return (
         perch.groupBy("docs_in_chunk")
         .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))

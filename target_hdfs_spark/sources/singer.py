@@ -121,6 +121,11 @@ class SingerPipe:
         # invalid-record policy state (config.on_invalid): per-stream
         # skip counters, and the quarantine buffer for "dlq" mode
         self.invalid_counts: dict[str, int] = {}
+        # stream-map removal state: streams declared by SCHEMA but
+        # suppressed by `stream_maps: {name: null}` / `__else__: null`
+        # — records counted and dropped, no buffer, no directory
+        self.dropped_counts: dict[str, int] = {}
+        self._dropped_streams: set[str] = set()
         self._dlq: list[tuple[str, str, str]] = []
         self._dlq_layout_checked = False
         # dry_run: full demux + validation + batching, NO writes —
@@ -171,22 +176,42 @@ class SingerPipe:
         diverted — either way a normal run must leave an operator-
         visible signal that data was discarded, not just an in-memory
         counter (ADVICE r6). One JSON line on stderr, mirroring the
-        dry-run summary's shape. Silent when nothing was invalid."""
-        if not self.invalid_counts or self.dry_run:
+        dry-run summary's shape. Silent when nothing was invalid.
+        Stream-map drops get the same end-of-run signal: intentional,
+        but an operator should see how much data a `null` map ate."""
+        if self.dry_run:
             return
-        print(
-            json.dumps(
-                {
-                    "invalid_records": dict(sorted(self.invalid_counts.items())),
-                    "policy": self.config.on_invalid,
-                }
-            ),
-            file=sys.stderr,
-            flush=True,
-        )
+        if self.invalid_counts:
+            print(
+                json.dumps(
+                    {
+                        "invalid_records": dict(sorted(self.invalid_counts.items())),
+                        "policy": self.config.on_invalid,
+                    }
+                ),
+                file=sys.stderr,
+                flush=True,
+            )
+        if self.dropped_counts:
+            print(
+                json.dumps(
+                    {
+                        "dropped_records": dict(sorted(self.dropped_counts.items())),
+                        "policy": "stream_maps null",
+                    }
+                ),
+                file=sys.stderr,
+                flush=True,
+            )
 
     def _on_schema(self, msg: dict) -> None:
         name = msg["stream"]
+        if self.config.stream_is_dropped(name):
+            # the stream is DECLARED (so its RECORDs are not protocol
+            # violations) but never buffered or written — singer-sdk
+            # stream removal semantics
+            self._dropped_streams.add(name)
+            return
         new_schema = jsonschema_to_spark(msg["schema"])
         existing = self.streams.get(name)
         if existing is not None:
@@ -214,6 +239,11 @@ class SingerPipe:
 
     def _on_record(self, msg: dict) -> None:
         name = msg["stream"]
+        if name in self._dropped_streams:
+            # dropped by stream map: count for observability, skip
+            # validation/buffering entirely (the stream has no schema)
+            self.dropped_counts[name] = self.dropped_counts.get(name, 0) + 1
+            return
         buf = self.streams.get(name)
         if buf is None:
             # always a hard failure: a RECORD without a prior SCHEMA is
@@ -389,6 +419,8 @@ def ingest_jsonl_dir(
     corrupt lines land in `_corrupt_record` and fail loudly rather
     than silently dropping (PERMISSIVE + explicit check would be the
     lenient variant; strict is the reference's posture)."""
+    if config.stream_is_dropped(stream_name):
+        return  # stream removed by stream map: no read, no sink
     schema = jsonschema_to_spark(json_schema)
     df = spark.read.schema(schema).option("mode", "FAILFAST").json(jsonl_path)
     df = flatten(df, config.flattening_max_depth)

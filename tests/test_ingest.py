@@ -633,3 +633,92 @@ def test_stream_map_alias_routes_sink(spark, tmp_path):
     assert {r.id2 for r in rows} == {10, 20}
     assert not (tmp_path / "orders").exists()
     assert out and json.loads(out[-1])["bookmarks"]["orders"]["id"] == 2
+
+
+def test_stream_map_null_drops_whole_stream(spark, tmp_path, capsys):
+    """singer-sdk stream removal (r10 verdict item 2): `stream_maps:
+    {orders: null}` suppresses the orders sink entirely — records are
+    counted and dropped, no directory is created, other streams write
+    normally, and STATE still advances (keyed by the original id)."""
+    config = TargetConfig(
+        destination_path=str(tmp_path),
+        stream_maps={"orders": None},
+    )
+    pipe = SingerPipe(spark, config)
+    state = json.dumps(
+        {"type": "STATE", "value": {"bookmarks": {"orders": {"id": 2}}}}
+    )
+    out = list(pipe.process_lines([
+        _schema_msg("orders", {"id": {"type": "integer"}}),
+        _schema_msg("users", {"id": {"type": "integer"}}),
+        _rec("orders", id=1),
+        _rec("users", id=7),
+        _rec("orders", id=2),
+        state,
+    ]))
+    assert not (tmp_path / "orders").exists()
+    rows = spark.read.parquet(str(tmp_path / "users")).collect()
+    assert {r.id for r in rows} == {7}
+    assert pipe.dropped_counts == {"orders": 2}
+    assert out and json.loads(out[-1])["bookmarks"]["orders"]["id"] == 2
+    err = capsys.readouterr().err
+    assert '"dropped_records": {"orders": 2}' in err
+
+
+def test_stream_map_else_null_drops_unmapped_streams(spark, tmp_path):
+    """`__else__: null` drops every stream NOT named in stream_maps
+    (the Meltano "only these streams" idiom): mapped streams keep
+    their maps (including __alias__), unmapped streams never write,
+    STATE passes through."""
+    config = TargetConfig(
+        destination_path=str(tmp_path),
+        stream_maps={
+            "orders": {"__alias__": "orders_v2"},
+            "__else__": None,
+        },
+    )
+    pipe = SingerPipe(spark, config)
+    state = json.dumps(
+        {"type": "STATE", "value": {"bookmarks": {"users": {"id": 9}}}}
+    )
+    out = list(pipe.process_lines([
+        _schema_msg("orders", {"id": {"type": "integer"}}),
+        _schema_msg("users", {"id": {"type": "integer"}}),
+        _rec("orders", id=1),
+        _rec("users", id=9),
+        state,
+    ]))
+    rows = spark.read.parquet(str(tmp_path / "orders_v2")).collect()
+    assert {r.id for r in rows} == {1}
+    assert not (tmp_path / "users").exists()
+    assert pipe.dropped_counts == {"users": 1}
+    assert out and json.loads(out[-1])["bookmarks"]["users"]["id"] == 9
+
+
+def test_stream_map_null_sentinel_string(spark, tmp_path):
+    """The singer-sdk "__NULL__" string sentinel (for config surfaces
+    that can't express JSON null) drops the stream exactly like
+    null — previously it raised AttributeError in sink_stream_name."""
+    config = TargetConfig(
+        destination_path=str(tmp_path),
+        stream_maps={"orders": "__NULL__"},
+    )
+    assert config.stream_is_dropped("orders")
+    pipe = SingerPipe(spark, config)
+    list(pipe.process_lines([
+        _schema_msg("orders", {"id": {"type": "integer"}}),
+        _rec("orders", id=1),
+    ]))
+    assert not (tmp_path / "orders").exists()
+    assert pipe.dropped_counts == {"orders": 1}
+
+
+def test_stream_map_invalid_shape_fails_eagerly():
+    """A truthy non-dict stream_maps value (not the __NULL__ sentinel)
+    is a config error at construction, not an AttributeError
+    mid-pipe."""
+    with pytest.raises(ValueError, match="stream_maps"):
+        TargetConfig(
+            destination_path="/tmp/x",
+            stream_maps={"orders": "drop-me"},
+        )

@@ -168,6 +168,44 @@ def test_keeper_rule_protects_first_document(spark, tmp_path):
     assert surgery["b"]["tokens_cut"] == 20 and surgery["b"]["tokens_after"] == 0
 
 
+def test_blank_documents_never_seed_repeated_grams(spark, tmp_path):
+    """ADVICE r10: two blank/whitespace docs must NOT share the empty
+    gram and count as 'repeated' (zero-width spans would inflate
+    n_spans/n_docs_hit while adding 0 tokens, breaking the
+    repeated_tokens >= n_spans invariant). Blank docs are excluded
+    from the census entirely — a source of only blanks prices as
+    all-zero; a real duplicate pair still prices normally."""
+    from target_hdfs_spark.registry import all_queries
+
+    text = " ".join(f"w{j}" for j in range(20))
+    spark.createDataFrame(
+        [
+            (1, text, "en", "a", len(text)),
+            (2, text, "en", "a", len(text)),
+            (3, "", "en", "blank", 0),
+            (4, "   ", "en", "blank", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    specs = all_queries()
+    census = {
+        r["source"]: r
+        for r in specs["q281_repeated_substring_pricing"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert census["a"]["n_spans"] == 2
+    assert census["a"]["repeated_tokens"] == 40
+    blank = census.get("blank")
+    if blank is not None:  # source may vanish entirely — also fine
+        assert blank["n_spans"] == 0
+        assert blank["n_docs_hit"] == 0
+        assert blank["repeated_tokens"] == 0
+    for r in census.values():
+        if r["n_spans"]:
+            assert r["repeated_tokens"] >= r["n_spans"]
+
+
 def test_shuffle_uniformity_survives_giant_document(spark, tmp_path):
     """A corpus dominated by one giant document leaves most token
     windows with NO document starts — their per-window totals are 0

@@ -202,6 +202,29 @@ def test_docs_list_every_registered_query():
         assert not phantom, f"{doc} mentions unregistered queries: {sorted(phantom)}"
 
 
+def test_readme_query_counts_match_registry():
+    """r10 verdict item 3: README's headline counts ("N registered
+    queries, M with exact DuckDB oracles") must equal the live
+    registry — a late-round query can never desynchronize the docs
+    again."""
+    import re
+
+    qs = all_queries()
+    total = len(qs)
+    with_oracle = sum(1 for s in qs.values() if s.oracle)
+    with open(os.path.join(REPO, "README.md")) as fh:
+        text = fh.read()
+    m = re.search(
+        r"\*\*(\d+) registered queries, (\d+) with exact DuckDB oracles\*\*",
+        text,
+    )
+    assert m, "README.md lost its registry-count headline line"
+    assert (int(m.group(1)), int(m.group(2))) == (total, with_oracle), (
+        f"README says {m.group(1)}/{m.group(2)}, registry holds "
+        f"{total}/{with_oracle} — update README.md"
+    )
+
+
 def test_no_duplicate_module_constants():
     """A module-level constant defined twice silently SHADOWS the
     first definition for every function that reads it at call time —
