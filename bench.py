@@ -155,6 +155,28 @@ def _median_rel_spread(samples: dict[str, list[float]]) -> float:
     return median(rels) if rels else 0.0
 
 
+def _box_telemetry() -> dict:
+    """One-line box context for wall-clock validity: 1/5/15-min load
+    averages and MemAvailable, read from /proc (Linux only; absent
+    keys degrade to None rather than failing the bench)."""
+    out: dict = {"loadavg": None, "mem_available_gib": None}
+    try:
+        with open("/proc/loadavg") as fh:
+            out["loadavg"] = [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    kib = int(line.split()[1])
+                    out["mem_available_gib"] = round(kib / (1 << 20), 2)
+                    break
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -256,6 +278,11 @@ def main() -> None:
         "median_rel_spread_by_pass": spread_trajectory,
         "best_total_by_pass": best_total_trajectory,
         "noisy": spread_trajectory[-1] > NOISE_REL_SPREAD,
+        # box telemetry (r10 verdict item 4): absolute walls on this
+        # box drift ~2x across hours — record load + free memory with
+        # every close so cross-round wall comparisons carry their
+        # context (the ratio headline is the drift-proof number)
+        "box": _box_telemetry(),
     }
     slim = {
         "metric": "headline_queries_total_wall",

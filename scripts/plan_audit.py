@@ -111,6 +111,9 @@ GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     " (3 sites, each <= |bands| rows)",
     "q150_token_budget_selection": _BAND,
     "q160_pareto_concentration": _BAND,
+    "q284_score_percentiles": _BAND,
+    "q285_curriculum_phases": _BAND
+    + " + token-share window over the |phases| (4-row) rollup",
     "q278_sequence_packing": "prefix-sum bucket offsets (64 rows) +"
     " chunk-occupancy histogram share-of-total (|distinct occupancy|)",
     "q279_packing_ctx_curve": "prefix-sum bucket offsets (64 rows per"

@@ -70,6 +70,11 @@ QUERIES = (
     "q120_minhash_containment",
     "q144_token_lift",
     "q146_heavy_hitters",
+    # round 11: banded-prefix-sum rewires — the budget cumsum is a
+    # banded_cumsum pass (was a single-task global window); q157/q158
+    # now bound their global windows via rank-filter pushdown
+    "q150_token_budget_selection",
+    "q151_pagerank_dup_graph",
     "q157_diversified_topk",
     "q158_fair_interleave",
     # round 6: bigram-LM scoring (two LM joins over one checkpointed
@@ -159,6 +164,12 @@ QUERIES = (
     # round 10: survivor-policy delta (rides the q85 pipeline + one
     # cluster-keyed exchange serving both keeper windows)
     "q283_survivor_policy_delta",
+    # round 11: banded-prefix-sum percentiles / curriculum phases
+    # (one tokenization pass + the bounded-band kernel) and the
+    # pad-to-bucket batching table (one pass, map-side buckets)
+    "q284_score_percentiles",
+    "q285_curriculum_phases",
+    "q286_length_bucketed_batching",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

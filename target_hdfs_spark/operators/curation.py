@@ -3954,3 +3954,66 @@ def q282_substring_surgery_pricing(
         .cast("long")
         .alias("cut_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6t: exact score-percentile normalization (the feature-normalization
+# step before any threshold-based selection: "keep the top 12%" needs
+# every document's exact global percentile, not an approximation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q284_score_percentiles",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS score FROM documents
+    ),
+    r AS (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+               AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM s
+    )
+    SELECT doc_id, score, rnk,
+           CAST((rnk - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT)
+             AS pct_ppm
+    FROM r
+    """,
+    tags=("curation", "normalization", "prefix-sum", "window"),
+)
+def q284_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global percentile (ppm) of every document's quality score
+    (n_chars stands in): pct = (rank-1) / (n-1) — the normalization
+    that makes selection thresholds portable across corpora ("keep
+    docs above the 88th percentile" survives a re-crawl; a raw score
+    cutoff does not) and the exact twin every sampled-quantile
+    selector (q117/q150's refinement) is audited against.
+
+    Scale: the global rank is ``banded_cumsum`` with weight 1
+    (operators/prefix.py — banded two-level prefix sum, never the
+    oracle's single-task window); n rides the kernel's band-total
+    frame, and the ppm arithmetic is map-side integer division.
+    Output is |docs| rows — this is a per-document feature, meant to
+    be written next to the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("score")
+    )
+    ranked = banded_cumsum(
+        docs,
+        F.lit(1),
+        "score",
+        "rnk",
+        tie_col="doc_id",
+        total_col="n",
+    )
+    return ranked.select(
+        "doc_id",
+        "score",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.expr("(rnk - 1) * 1000000 div greatest(n - 1, 1)")
+        .cast("long")
+        .alias("pct_ppm"),
+    )

@@ -418,3 +418,195 @@ def q280_shuffle_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("worst_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6u: curriculum phases (quality-ordered training schedule pricing)
+# ---------------------------------------------------------------------------
+
+_CURR_PHASES = 4  # the classic easy->hard curriculum quartiles
+_DOC_TOKS_SQL = f"CAST(len({TOKENS_SQL.format(expr='text')}) AS BIGINT)"
+
+
+@query(
+    "q285_curriculum_phases",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+             {_DOC_TOKS_SQL} AS n_toks
+      FROM documents
+    ),
+    p AS (
+      SELECT score, n_toks,
+             CAST(NTILE({_CURR_PHASES}) OVER (ORDER BY score, doc_id)
+                  AS BIGINT) AS phase
+      FROM d
+    )
+    SELECT phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS phase_tokens,
+           CAST(MIN(score) AS BIGINT) AS score_lo,
+           CAST(MAX(score) AS BIGINT) AS score_hi,
+           CAST(SUM(n_toks) * 1000000 // SUM(SUM(n_toks)) OVER ()
+                AS BIGINT) AS token_share_ppm
+    FROM p GROUP BY phase
+    """,
+    tags=("packing", "curation", "curriculum", "prefix-sum"),
+)
+def q285_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-schedule pricing: documents split into
+    {_CURR_PHASES} exact equal-COUNT phases by ascending quality
+    score (easy->hard, n_chars standing in) — the table a curriculum
+    training run reads before committing to a schedule: token mass
+    per phase (equal doc counts are NOT equal compute: long docs
+    cluster in late phases), score boundaries, and each phase's share
+    of the token budget.
+
+    Scale: the phase assignment is ``segmented_ntile`` (the banded
+    prefix-sum kernel — exact NTILE integers, no single-task window
+    over |docs|); the rollup is {_CURR_PHASES} rows and the share
+    window runs on that frame.
+    """
+    from target_hdfs_spark.operators.analytics import segmented_ntile
+
+    d = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "n_chars", "text"
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("score"),
+            F.size(tokens("text")).cast("long").alias("n_toks"),
+        )
+        .localCheckpoint(eager=False)  # the kernel consumes it 3x
+    )
+    p = segmented_ntile(
+        d, _CURR_PHASES, "score", "phase", tie_col="doc_id"
+    )
+    return (
+        p.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("phase_tokens"),
+            F.min("score").cast("long").alias("score_lo"),
+            F.max("score").cast("long").alias("score_hi"),
+        )
+        .select(
+            "phase",
+            "n_docs",
+            "phase_tokens",
+            "score_lo",
+            "score_hi",
+            F.expr("phase_tokens * 1000000 div sum(phase_tokens) over ()")
+            .cast("long")
+            .alias("token_share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6v: length-bucketed batching — the OTHER industry batching strategy
+# (pad-to-bucket instead of concat-and-chunk), priced against packing
+# ---------------------------------------------------------------------------
+
+_LBB_CAP = _PK_CTX  # max sequence length (docs truncate here)
+_LBB_BUCKETS = tuple(1 << j for j in range(_LBB_CAP.bit_length()))
+
+
+def _bucket_case_sql(col: str) -> str:
+    """Smallest power-of-two >= `col` as a CASE chain — pure integer
+    comparisons, shared verbatim by the Spark plan and the DuckDB
+    oracle (no log2 float boundaries)."""
+    whens = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in _LBB_BUCKETS
+    )
+    return f"CASE {whens} END"
+
+
+@query(
+    "q286_length_bucketed_batching",
+    oracle=f"""
+    WITH d AS (
+      SELECT least({_DOC_TOKS_SQL}, {_LBB_CAP}) AS eff,
+             {_DOC_TOKS_SQL} AS n_toks
+      FROM documents
+      WHERE {_DOC_TOKS_SQL} > 0
+    ),
+    b AS (
+      SELECT eff, n_toks, {_bucket_case_sql('eff')} AS bucket_len FROM d
+    )
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(eff) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens,
+           CAST((COUNT(*) * bucket_len - SUM(eff)) * 1000000
+                // (COUNT(*) * bucket_len) AS BIGINT) AS waste_ppm,
+           CAST(SUM(n_toks - eff) AS BIGINT) AS truncated_tokens,
+           CAST((COUNT(*) + ({_LBB_CAP} // bucket_len) - 1)
+                // ({_LBB_CAP} // bucket_len) AS BIGINT) AS n_batches
+    FROM b GROUP BY bucket_len
+    """,
+    tags=("packing", "curation", "batching"),
+)
+def q286_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING priced per bucket — the padding-based
+    alternative to q278's concat-and-chunk packing: each document is
+    truncated to the {_LBB_CAP}-token cap, padded up to the smallest
+    power-of-two bucket, and batched with {_LBB_CAP}//bucket_len
+    peers. Per bucket: docs, real vs padded tokens, exact padding
+    waste (ppm), truncation loss, and batch count — next to q279's
+    tail-padding numbers this is the packing-vs-padding decision
+    table (padding waste typically dwarfs packing's
+    cross-contamination cost; now it's a measured claim per corpus).
+
+    Exactness: the power-of-two bucket is a shared integer CASE chain
+    (no float log2 at boundaries); every metric is integer
+    arithmetic. Scale: one tokenization pass, map-side bucket
+    assignment, one {len(_LBB_BUCKETS)}-key aggregation — no joins,
+    no windows.
+    """
+    toks = F.size(tokens("text")).cast("long")
+    d = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+        .select(toks.alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+        .select(
+            "n_toks", F.least(F.col("n_toks"), F.lit(_LBB_CAP)).alias("eff")
+        )
+        .withColumn("bucket_len", F.expr(_bucket_case_sql("eff")))
+    )
+    cap_div = f"({_LBB_CAP} div bucket_len)"
+    return (
+        d.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("eff").cast("long").alias("real_tokens"),
+            F.sum(F.col("n_toks") - F.col("eff"))
+            .cast("long")
+            .alias("truncated_tokens"),
+        )
+        .select(
+            F.col("bucket_len").cast("long").alias("bucket_len"),
+            "n_docs",
+            "real_tokens",
+            (F.col("n_docs") * F.col("bucket_len"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.expr(
+                "(n_docs * bucket_len - real_tokens) * 1000000"
+                " div (n_docs * bucket_len)"
+            )
+            .cast("long")
+            .alias("waste_ppm"),
+            "truncated_tokens",
+            F.expr(f"(n_docs + {cap_div} - 1) div {cap_div}")
+            .cast("long")
+            .alias("n_batches"),
+        )
+    )

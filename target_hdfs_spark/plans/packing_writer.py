@@ -94,6 +94,42 @@ def packed_chunks(
     )
 
 
+class IncompletePackError(RuntimeError):
+    """The packed dataset's write never committed (no _SUCCESS) — a
+    trainer must not resume from a half-written token stream."""
+
+
+def read_band(spark: SparkSession, out_dir: str, band_id: int) -> DataFrame:
+    """Open exactly ONE chunk band — the trainer-resume read pattern:
+    a resume at global step S needs band `(S * ctx-chunks consumed)
+    div chunks_per_band`, and the hive layout means Spark scans that
+    single `chunk_band=<id>` directory (partition pruning; pinned in
+    tests/test_packing_writer.py), not the dataset.
+
+    Fails fast with `IncompletePackError` when the dataset has no
+    `_SUCCESS` marker: Spark's output-commit protocol only publishes
+    it after every task committed, so its absence means the write was
+    interrupted — the remediation is to rerun `write_packed_dataset`
+    (mode=overwrite replaces any partial output; reruns are
+    byte-identical by construction)."""
+    from target_hdfs_spark.plans.compaction import _fs
+
+    fs, _, jvm = _fs(spark, out_dir)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{out_dir.rstrip('/')}/_SUCCESS"
+    )
+    if not fs.exists(marker):
+        raise IncompletePackError(
+            f"packed dataset at {out_dir} has no _SUCCESS marker — the "
+            "write was interrupted before commit; rerun "
+            "write_packed_dataset (overwrite mode replaces partial "
+            "output; reruns are byte-identical)"
+        )
+    return spark.read.parquet(out_dir).filter(
+        F.col("chunk_band") == F.lit(int(band_id))
+    )
+
+
 def write_packed_dataset(
     spark: SparkSession,
     sf_dir: str,

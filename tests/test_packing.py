@@ -276,3 +276,70 @@ def test_survivor_quality_rule_switches_keeper(spark, tmp_path):
     assert r["n_docs"] == 3 and r["n_clusters"] == 2
     assert r["n_multi_clusters"] == 1 and r["n_switched"] == 1
     assert r["unique_kept_quality"] - r["unique_kept_minid"] == 3
+
+
+# ---------------------------------------------------------------------------
+# q284/q285/q286 — percentile normalization, curriculum phases,
+# length-bucketed batching (conservation guarantees the per-row oracle
+# equality cannot state)
+# ---------------------------------------------------------------------------
+
+
+def test_percentiles_are_a_permutation(spark):
+    rows = SPECS["q284_score_percentiles"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    assert sorted(r["rnk"] for r in rows) == list(range(1, n + 1))
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    # ordered by (score, doc_id); percentile endpoints exact
+    assert all(
+        (a["score"], a["doc_id"]) < (b["score"], b["doc_id"])
+        for a, b in zip(by_rank, by_rank[1:])
+    )
+    assert by_rank[0]["pct_ppm"] == 0
+    assert by_rank[-1]["pct_ppm"] == 1_000_000
+
+
+def test_curriculum_phases_balance_and_conserve(spark):
+    rows = SPECS["q285_curriculum_phases"].fn(spark, SF_DIR).collect()
+    assert sorted(r["phase"] for r in rows) == [1, 2, 3, 4]
+    counts = [r["n_docs"] for r in sorted(rows, key=lambda r: r["phase"])]
+    assert max(counts) - min(counts) <= 1  # exact equal-count NTILE
+    # phases tile the score axis in order
+    ordered = sorted(rows, key=lambda r: r["phase"])
+    assert all(
+        a["score_hi"] <= b["score_lo"] for a, b in zip(ordered, ordered[1:])
+    )
+    from target_hdfs_spark.functions.textfuncs import tokens as _tk
+    from target_hdfs_spark.sources.readers import load_table as _lt
+
+    total = (
+        _lt(spark, SF_DIR, "documents")
+        .select(F.size(_tk("text")).cast("long").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["phase_tokens"] for r in rows) == total
+
+
+def test_bucketed_batching_conserves_and_bounds(spark):
+    rows = SPECS["q286_length_bucketed_batching"].fn(spark, SF_DIR).collect()
+    assert rows
+    from target_hdfs_spark.functions.textfuncs import tokens as _tk
+    from target_hdfs_spark.sources.readers import load_table as _lt
+
+    total = (
+        _lt(spark, SF_DIR, "documents")
+        .select(F.size(_tk("text")).cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    # truncation + kept tokens tile the corpus exactly
+    assert sum(r["real_tokens"] + r["truncated_tokens"] for r in rows) == total
+    for r in rows:
+        b = r["bucket_len"]
+        assert b & (b - 1) == 0  # power of two
+        assert r["real_tokens"] <= r["padded_tokens"] == r["n_docs"] * b
+        assert 0 <= r["waste_ppm"] < 1_000_000
+        cap = 2048 // b
+        assert r["n_batches"] == (r["n_docs"] + cap - 1) // cap
