@@ -75,6 +75,10 @@ WAIVERS: dict[str, str] = {
     "q251_sketch_merge_laws": "q249's build passes on both merged and direct"
     " sides + sketch-sized symmetric-difference comparisons: every frame"
     " after the one corpus pass is sketch-bounded",
+    "q288_pack_invalidation": "TWO banded prefix sums BY DESIGN (shuffle"
+    " order + append order — the comparison is the query); each is the"
+    " q278 shape, individually shuffle-minimal; everything downstream is"
+    " a 2-row delta x ctx grid",
 }
 
 # every unpartitioned-window site must state why its input frame is
@@ -114,6 +118,11 @@ GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "q284_score_percentiles": _BAND,
     "q285_curriculum_phases": _BAND
     + " + token-share window over the |phases| (4-row) rollup",
+    "q287_phase_mixture_drift": _BAND
+    + " + global-share window over the |sources| rollup",
+    "q288_pack_invalidation": "two prefix-sum band cumulatives"
+    " (packed_token_frame's 64-row offsets + the append-order band"
+    " frame); delta stage is 2 rows x ctx grid",
     "q278_sequence_packing": "prefix-sum bucket offsets (64 rows) +"
     " chunk-occupancy histogram share-of-total (|distinct occupancy|)",
     "q279_packing_ctx_curve": "prefix-sum bucket offsets (64 rows per"

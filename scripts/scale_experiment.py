@@ -170,6 +170,11 @@ QUERIES = (
     "q284_score_percentiles",
     "q285_curriculum_phases",
     "q286_length_bucketed_batching",
+    # round 11 (late): curriculum-mixture interaction (ntile pass +
+    # |phases| x |sources| shares) and the pack-invalidation ledger
+    # (two prefix sums + 2-row delta x ctx grid)
+    "q287_phase_mixture_drift",
+    "q288_pack_invalidation",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

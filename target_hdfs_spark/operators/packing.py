@@ -610,3 +610,255 @@ def q286_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_batches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L6w: curriculum x mixture interaction (does the easy->hard schedule
+# silently reweight the source mixture?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q287_phase_mixture_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score,
+             {_DOC_TOKS_SQL} AS n_toks
+      FROM documents
+    ),
+    p AS (
+      SELECT source, n_toks,
+             CAST(NTILE({_CURR_PHASES}) OVER (ORDER BY score, doc_id)
+                  AS BIGINT) AS phase
+      FROM d
+    ),
+    ps AS (
+      SELECT phase, source, CAST(SUM(n_toks) AS BIGINT) AS t
+      FROM p GROUP BY phase, source
+    ),
+    g AS (
+      SELECT source,
+             CAST(SUM(t) * 1000000 // SUM(SUM(t)) OVER () AS BIGINT)
+               AS global_share_ppm
+      FROM ps GROUP BY source
+    ),
+    w AS (
+      SELECT phase, source, t,
+             CAST(t * 1000000 // SUM(t) OVER (PARTITION BY phase)
+                  AS BIGINT) AS phase_share_ppm
+      FROM ps
+    )
+    SELECT w.phase, w.source, w.phase_share_ppm, g.global_share_ppm,
+           CAST(abs(w.phase_share_ppm - g.global_share_ppm) AS BIGINT)
+             AS abs_dev_ppm
+    FROM w JOIN g ON g.source = w.source
+    """,
+    tags=("packing", "curation", "curriculum", "mixture"),
+)
+def q287_phase_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum x mixture interaction: ordering training by quality
+    score SILENTLY reweights the source mixture inside each phase
+    (high-quality sources crowd the late phases), which is exactly
+    the distribution shift q263 monitors in production — this table
+    prices it BEFORE the run: per (phase, source), the source's
+    within-phase token share vs its whole-corpus share, and the
+    absolute deviation in ppm. A curriculum whose late phases are
+    80% one source is a different training run than its mixture
+    card claims.
+
+    Scale: one tokenization pass -> banded ntile (no single-task
+    window) -> a |phases| x |sources| frame; every share window runs
+    partitioned-by-phase or on the |sources| rollup. Exact integer
+    ppm both engines.
+    """
+    from target_hdfs_spark.operators.analytics import segmented_ntile
+
+    d = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "n_chars", "text"
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("score"),
+            F.size(tokens("text")).cast("long").alias("n_toks"),
+        )
+        .localCheckpoint(eager=False)  # the kernel consumes it 3x
+    )
+    ps = (
+        segmented_ntile(d, _CURR_PHASES, "score", "phase", tie_col="doc_id")
+        .groupBy("phase", "source")
+        .agg(F.sum("n_toks").alias("t"))
+        .localCheckpoint(eager=False)  # feeds global + phase shares
+    )
+    g = (
+        ps.groupBy("source")
+        .agg(F.sum("t").alias("st"))
+        .select(
+            "source",
+            F.expr("st * 1000000 div sum(st) over ()")
+            .cast("long")
+            .alias("global_share_ppm"),
+        )
+    )
+    w = ps.select(
+        "phase",
+        "source",
+        F.expr("t * 1000000 div sum(t) over (partition by phase)")
+        .cast("long")
+        .alias("phase_share_ppm"),
+    )
+    return w.join(F.broadcast(g), "source").select(
+        "phase",
+        "source",
+        "phase_share_ppm",
+        "global_share_ppm",
+        F.abs(F.col("phase_share_ppm") - F.col("global_share_ppm"))
+        .cast("long")
+        .alias("abs_dev_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6x: incremental pack invalidation — the blast radius of a corpus
+# delta under concat-and-chunk packing, per training order
+# ---------------------------------------------------------------------------
+
+_IPV_MOD = 20  # every 20th doc plays the "newly arrived" delta (~5%)
+
+
+@query(
+    "q288_pack_invalidation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DOC_TOKS_SQL} AS n_toks, {_ORD_SQL} AS ord_h
+      FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE n_toks > 0),
+    both_orders AS (
+      SELECT 'shuffle' AS train_order, doc_id, n_toks,
+             SUM(n_toks) OVER (ORDER BY ord_h, doc_id) - n_toks
+               AS cum_before,
+             SUM(n_toks) OVER () AS total_toks
+      FROM nz
+      UNION ALL
+      SELECT 'append' AS train_order, doc_id, n_toks,
+             SUM(n_toks) OVER (ORDER BY doc_id) - n_toks AS cum_before,
+             SUM(n_toks) OVER () AS total_toks
+      FROM nz
+    ),
+    delta AS (
+      SELECT train_order,
+             CAST(MIN(CASE WHEN doc_id % {_IPV_MOD} = 0
+                      THEN cum_before END) AS BIGINT) AS first_changed,
+             CAST(SUM(CASE WHEN doc_id % {_IPV_MOD} = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS inserted_docs,
+             CAST(SUM(CASE WHEN doc_id % {_IPV_MOD} = 0
+                      THEN n_toks ELSE 0 END) AS BIGINT) AS inserted_tokens,
+             CAST(ANY_VALUE(total_toks) AS BIGINT) AS total_toks
+      FROM both_orders GROUP BY train_order
+    )
+    SELECT train_order, CAST(ctx AS BIGINT) AS ctx,
+           CAST((total_toks + ctx - 1) // ctx AS BIGINT) AS n_chunks,
+           CAST(least(first_changed // ctx,
+                      (total_toks + ctx - 1) // ctx) AS BIGINT)
+             AS reusable_chunks,
+           CAST(((total_toks + ctx - 1) // ctx
+                 - least(first_changed // ctx, (total_toks + ctx - 1) // ctx))
+                * 1000000 // ((total_toks + ctx - 1) // ctx) AS BIGINT)
+             AS invalidated_ppm,
+           inserted_docs, inserted_tokens
+    FROM delta
+    CROSS JOIN (SELECT unnest([{", ".join(str(c) for c in _PK_CTXS)}]) AS ctx)
+    """,
+    tags=("packing", "curation", "incremental", "prefix-sum"),
+)
+def q288_pack_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PACK INVALIDATION: when ~5% of the corpus is new
+    (every {_IPV_MOD}th doc plays the delta), how many packed chunks
+    survive? Concat-and-chunk shifts every token after the FIRST
+    inserted document, so reusable chunks = those strictly before the
+    first insertion point — computed per training order:
+
+    - 'shuffle' (the salted-hash training order q278 packs in): the
+      first insertion lands near offset 0, invalidating ~everything —
+      the measured cost of re-shuffling on every corpus refresh;
+    - 'append' (doc_id order, the ingest-append layout): insertions
+      cluster by arrival and the prefix survives — cheap re-packs,
+      but q280's shuffle-uniformity audit is exactly what it gives up.
+
+    Together with q280 this is the re-pack economics table: shuffle
+    quality vs incremental cost, per context length.
+
+    Scale: two banded prefix sums (hash order via packed_token_frame,
+    append order via ``banded_cumsum`` on doc_id) + a 2-row delta
+    aggregate x the ctx grid. No single-task windows; the oracle's
+    global windows are the deliberate independent derivation.
+    """
+    from target_hdfs_spark.operators.prefix import banded_cumsum
+
+    shuffle_f = packed_token_frame(spark, sf_dir).select(
+        F.lit("shuffle").alias("train_order"),
+        "doc_id",
+        "n_toks",
+        "cum_before",
+        "total_toks",
+    )
+    base = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+        .select(
+            "doc_id", F.size(tokens("text")).cast("long").alias("n_toks")
+        )
+        .filter(F.col("n_toks") > 0)
+    )
+    append_f = banded_cumsum(
+        base,
+        F.col("n_toks"),
+        "doc_id",
+        "cum_incl",
+        tie_col="doc_id",
+        total_col="total_toks",
+    ).select(
+        F.lit("append").alias("train_order"),
+        "doc_id",
+        "n_toks",
+        (F.col("cum_incl") - F.col("n_toks")).alias("cum_before"),
+        "total_toks",
+    )
+    is_new = F.col("doc_id") % _IPV_MOD == 0
+    delta = (
+        shuffle_f.unionByName(append_f)
+        .groupBy("train_order")
+        .agg(
+            F.min(F.when(is_new, F.col("cum_before")))
+            .cast("long")
+            .alias("first_changed"),
+            F.sum(F.when(is_new, 1).otherwise(0))
+            .cast("long")
+            .alias("inserted_docs"),
+            F.sum(F.when(is_new, F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias("inserted_tokens"),
+            F.any_value("total_toks").cast("long").alias("total_toks"),
+        )
+    )
+    ctxs = F.explode(F.array(*[F.lit(c) for c in _PK_CTXS])).alias("ctx")
+    n_chunks = "((total_toks + ctx - 1) div ctx)"
+    reusable = f"least(first_changed div ctx, {n_chunks})"
+    return delta.select("*", ctxs).select(
+        "train_order",
+        F.col("ctx").cast("long").alias("ctx"),
+        F.expr(n_chunks).cast("long").alias("n_chunks"),
+        F.expr(reusable).cast("long").alias("reusable_chunks"),
+        F.expr(f"({n_chunks} - {reusable}) * 1000000 div {n_chunks}")
+        .cast("long")
+        .alias("invalidated_ppm"),
+        "inserted_docs",
+        "inserted_tokens",
+    )

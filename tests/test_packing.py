@@ -343,3 +343,50 @@ def test_bucketed_batching_conserves_and_bounds(spark):
         assert 0 <= r["waste_ppm"] < 1_000_000
         cap = 2048 // b
         assert r["n_batches"] == (r["n_docs"] + cap - 1) // cap
+
+
+def test_phase_mixture_shares_sum_and_single_source_zero_drift(spark, tmp_path):
+    rows = SPECS["q287_phase_mixture_drift"].fn(spark, SF_DIR).collect()
+    assert rows
+    # integer floor shares: each phase's source shares sum to 1e6
+    # minus at most one ulp per source present in the phase
+    from collections import defaultdict
+
+    by_phase = defaultdict(list)
+    for r in rows:
+        by_phase[r["phase"]].append(r["phase_share_ppm"])
+        assert r["abs_dev_ppm"] == abs(
+            r["phase_share_ppm"] - r["global_share_ppm"]
+        )
+    for phase, shares in by_phase.items():
+        assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000
+    # a single-source corpus cannot drift: every share is 1e6
+    text = " ".join(f"w{j}" for j in range(30))
+    spark.createDataFrame(
+        [(i, text + f" x{i}", "en", "only", 10 + i) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    one = SPECS["q287_phase_mixture_drift"].fn(spark, str(tmp_path)).collect()
+    assert one and all(
+        r["phase_share_ppm"] == r["global_share_ppm"] == 1_000_000
+        and r["abs_dev_ppm"] == 0
+        for r in one
+    )
+
+
+def test_pack_invalidation_orders_and_bounds(spark):
+    rows = SPECS["q288_pack_invalidation"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 6  # 2 orders x 3 ctx
+    by = {(r["train_order"], r["ctx"]): r for r in rows}
+    for (order, ctx), r in by.items():
+        assert 0 <= r["reusable_chunks"] <= r["n_chunks"]
+        assert 0 <= r["invalidated_ppm"] <= 1_000_000
+        assert r["inserted_docs"] > 0 and r["inserted_tokens"] > 0
+    for ctx in (512, 2048, 8192):
+        s, a = by[("shuffle", ctx)], by[("append", ctx)]
+        # same corpus, same delta — only the order differs
+        assert s["n_chunks"] == a["n_chunks"]
+        assert s["inserted_docs"] == a["inserted_docs"]
+        # the salted-hash shuffle scatters insertions to the front:
+        # it can never invalidate FEWER chunks than append order
+        assert s["invalidated_ppm"] >= a["invalidated_ppm"]
