@@ -33,6 +33,7 @@ from target_hdfs_spark.session import get_spark
 def _ops():
     from target_hdfs_spark.streaming.stateful import (
         bloom_filter_stream,
+        bucket_batch_stream,
         clamped_balance_stream,
         countmin_stream,
         ema_stream,
@@ -80,6 +81,9 @@ def _ops():
         "mg_heavy_hitters_stream": mg_heavy_hitters_stream,
         # docs-driven (see DOCS_OPS): online per-bucket packing offsets
         "pack_offset_stream": pack_offset_stream,
+        # docs-driven: the length-bucketed batching ledger (24 B per
+        # power-of-two bucket — state bounded at <= 12 rows forever)
+        "bucket_batch_stream": bucket_batch_stream,
     }
 
 
@@ -131,7 +135,7 @@ def drive(spark, events_path: str, op_name: str, op, n_batches_hint: int) -> dic
 
 # operators that consume a DOCUMENTS stream (doc_id, text) rather than
 # the events stream; driven from the scale corpus documents.parquet
-DOCS_OPS = ("pack_offset_stream",)
+DOCS_OPS = ("pack_offset_stream", "bucket_batch_stream")
 
 
 def drive_docs(spark, docs_path: str, op_name: str, op, n_batches_hint: int) -> dict:

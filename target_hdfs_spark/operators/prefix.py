@@ -75,7 +75,23 @@ def banded_cumsum(
     first.
     """
     tk = (tie_key if tie_key is not None else F.col(tie_col)).cast("long")
-    keyed = df.withColumn("__tkey", tk)
+    # prevent, don't advise: a NULL value or tie key would silently
+    # mis-rank (SQL windows sort NULLs to an end; the band arithmetic
+    # would route them to a wrong bucket). assert_true rides the
+    # existing corpus pass as a filter (NULL when it passes, throws
+    # when it fails — a filter cannot be pruned away), so a null key
+    # fails the job loudly instead of producing plausible wrong ranks.
+    valid = F.col(value_col).isNotNull() & tk.isNotNull()
+    keyed = df.where(
+        F.assert_true(
+            valid,
+            F.lit(
+                f"banded_cumsum: NULL {value_col}/{tie_col} key — the"
+                " total order requires non-null keys; filter or"
+                " coalesce them upstream"
+            ),
+        ).isNull()
+    ).withColumn("__tkey", tk)
     stats = keyed.agg(
         F.expr(f"min(CAST({value_col} AS BIGINT))").alias("__vmin"),
         F.expr(f"max(CAST({value_col} AS BIGINT))").alias("__vmax"),

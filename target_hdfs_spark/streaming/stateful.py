@@ -2550,3 +2550,151 @@ def pack_offset_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# bucket_batch_stream — stateful twin of q286_length_bucketed_batching
+# ---------------------------------------------------------------------------
+
+BATCH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_len", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("real_tokens", T.LongType()),
+        T.StructField("padded_tokens", T.LongType()),
+        T.StructField("waste_ppm", T.LongType()),
+        T.StructField("truncated_tokens", T.LongType()),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+
+# 24 bytes per power-of-two bucket: the whole padding ledger
+BATCH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("real_tokens", T.LongType()),
+        T.StructField("truncated_tokens", T.LongType()),
+    ]
+)
+BATCH_STATE_TTL_SCHEMA = T.StructType(
+    [*BATCH_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _bucket_batch_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    from target_hdfs_spark.operators.packing import _LBB_CAP
+
+    cols = [f.name for f in BATCH_OUTPUT_SCHEMA.fields]
+    empty = pd.DataFrame({c: [] for c in cols}).astype("int64")
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        n_docs, real, trunc = int(stored[0]), int(stored[1]), int(stored[2])
+        prev_last = stored[3] if ttl_ms is not None else 0
+    else:
+        n_docs, real, trunc, prev_last = 0, 0, 0, 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # (count, sum, sum) is a commutative monoid: parity with the batch
+    # q286 row is unconditional for ANY arrival order and batch split
+    # (countmin's argument with integer + throughout)
+    n_docs += len(whole)
+    real += int(whole["eff"].sum())
+    trunc += int((whole["n_toks"] - whole["eff"]).sum())
+    if ttl_ms is None:
+        state.update((n_docs, real, trunc))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((n_docs, real, trunc, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    b = int(key[0])
+    padded = n_docs * b
+    cap = _LBB_CAP // b
+    yield pd.DataFrame(
+        [
+            (
+                b,
+                n_docs,
+                real,
+                padded,
+                (padded - real) * 1_000_000 // padded,
+                trunc,
+                (n_docs + cap - 1) // cap,
+            )
+        ],
+        columns=cols,
+    )
+
+
+def bucket_batch_stream(
+    docs: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Online length-bucketed batching ledger (stateful twin of
+    q286_length_bucketed_batching, the 17th twin): each arriving
+    document is truncated at the batch op's ctx cap, routed map-side
+    to its smallest power-of-two bucket — the SAME integer CASE chain
+    the batch query and its oracle share (imported, structural pin) —
+    and 24 bytes of state per bucket carry (n_docs, real_tokens,
+    truncated_tokens). Every micro-batch emits the bucket's full
+    updated row (padding waste ppm, batch count); sink
+    latest-per-bucket = the batch q286 table over the same log
+    prefix.
+
+    Parity is UNCONDITIONAL for any arrival order and batch split —
+    (count, sum, sum) is a commutative monoid, the countmin/KMV
+    argument with + throughout — and state is bounded by construction
+    at <= |power-of-two buckets| (12 at ctx 2048) rows at ANY scale.
+
+    ``state_ttl_ms``: an idle bucket evicts once the watermark passes
+    last arrival + TTL; a later doc starts a fresh ledger segment.
+
+    `docs` must be a streaming DataFrame with columns (doc_id, text)
+    — plus `ts` when ``state_ttl_ms`` is set.
+    """
+    from pyspark.sql import functions as F
+
+    from target_hdfs_spark.functions.textfuncs import tokens
+    from target_hdfs_spark.operators.packing import _LBB_CAP, _bucket_case_sql
+
+    base_cols = ["ts"] if state_ttl_ms is not None else []
+    prepared = (
+        docs.select(
+            *base_cols,
+            F.size(tokens("text")).cast("long").alias("n_toks"),
+        )
+        .filter(F.col("n_toks") > 0)
+        .withColumn("eff", F.least(F.col("n_toks"), F.lit(_LBB_CAP)))
+        .withColumn("bucket_len", F.expr(_bucket_case_sql("eff")))
+    )
+
+    def fn(key, pdfs, state):
+        return _bucket_batch_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = (
+            prepared,
+            BATCH_STATE_SCHEMA,
+            GroupStateTimeout.NoTimeout,
+        )
+    else:
+        src = prepared.withWatermark("ts", watermark_delay)
+        schema, timeout = (
+            BATCH_STATE_TTL_SCHEMA,
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    return src.groupBy("bucket_len").applyInPandasWithState(
+        fn,
+        outputStructType=BATCH_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -81,3 +81,16 @@ def test_passthrough_columns_survive(spark):
     out = segmented_ntile(df, 4, "v", "q", tie_col="u")
     assert set(out.columns) == {"u", "v", "payload", "q"}
     assert out.filter(F.col("payload").isNull()).count() == 0
+
+
+def test_null_keys_fail_loudly(spark):
+    """banded_cumsum must REFUSE null value/tie keys (they would
+    silently mis-rank) — prevent, don't advise."""
+    import pytest
+
+    from target_hdfs_spark.operators.prefix import banded_cumsum
+
+    df = spark.createDataFrame([(1, 10), (None, 20), (3, 30)], "v long, u long")
+    out = banded_cumsum(df, F.lit(1), "v", "r", tie_col="u")
+    with pytest.raises(Exception, match="banded_cumsum"):
+        out.collect()

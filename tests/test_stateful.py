@@ -3794,3 +3794,170 @@ def test_pack_stream_on_rocksdb(spark, tmp_path):
     finally:
         spark.conf.set(key, prev)
     assert rows[a].cum_in_before == 0 and rows[b].cum_in_before == 2
+
+
+# ---------------------------------------------------------------------------
+# bucket_batch_stream (stateful twin of q286_length_bucketed_batching)
+# ---------------------------------------------------------------------------
+
+
+def _run_bucket_batch(spark, src, name, ttl_ms=None, with_progress=False):
+    from target_hdfs_spark.streaming.stateful import bucket_batch_stream
+
+    schema = jsonschema_to_spark(PACK_SCHEMA_JSON)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        bucket_batch_stream(stream, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"select * from {name}").collect()
+    if with_progress:
+        state_rows = [
+            op.numRowsTotal
+            for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+            for op in p.stateOperators
+        ]
+        return rows, state_rows
+    return rows
+
+
+def _latest_per_bucket(rows):
+    """Append-mode sink: the LAST emitted row per bucket is current."""
+    out = {}
+    for r in rows:  # memory sink preserves emission order
+        out[r["bucket_len"]] = r
+    return out
+
+
+def test_bucket_batch_stream_matches_batch_on_shuffled_log(spark, tmp_path):
+    """Unconditional parity: the ledger is a commutative monoid, so a
+    SHUFFLED multi-file log must produce exactly the batch q286 table
+    — value for value, including the derived ppm/batch columns."""
+    import json as _json
+    import random
+
+    from target_hdfs_spark.registry import all_queries
+    from target_hdfs_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .limit(120)
+        .collect()
+    )
+    # batch side: the same 120 docs as a parquet table dir
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    expected = {
+        r["bucket_len"]: r
+        for r in all_queries()["q286_length_bucketed_batching"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # stream side: same docs, shuffled, split over 3 files
+    rng = random.Random(11)
+    shuffled = list(docs)
+    rng.shuffle(shuffled)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"f{i}.jsonl", "w") as fh:
+            for r in shuffled[i::3]:
+                fh.write(
+                    _json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                    + "\n"
+                )
+        import time as _t
+
+        _t.sleep(1.05)
+    got = _latest_per_bucket(
+        _run_bucket_batch(spark, src, "bb_parity")
+    )
+    assert set(got) == set(expected)
+    for b, e in expected.items():
+        g = got[b]
+        for c in (
+            "n_docs",
+            "real_tokens",
+            "padded_tokens",
+            "waste_ppm",
+            "truncated_tokens",
+            "n_batches",
+        ):
+            assert g[c] == e[c], f"bucket {b} col {c}: {g[c]} != {e[c]}"
+
+
+def test_bucket_batch_state_is_bucket_bounded(spark, tmp_path):
+    """State rows never exceed the power-of-two bucket count (12 at
+    ctx 2048) no matter how many documents arrive."""
+    import json as _json
+    import time as _t
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"f{i}.jsonl", "w") as fh:
+            for j in range(50):
+                n = 1 + (i * 50 + j) % 300
+                fh.write(
+                    _json.dumps(
+                        {"doc_id": i * 50 + j, "text": " ".join("w" * 1 for _ in range(n))}
+                    )
+                    + "\n"
+                )
+        _t.sleep(1.05)
+    rows, state_rows = _run_bucket_batch(
+        spark, src, "bb_bound", with_progress=True
+    )
+    assert rows
+    assert state_rows and max(state_rows) <= 12
+
+
+def test_bucket_batch_ttl_starts_fresh_segment(spark, tmp_path):
+    """An idle bucket evicts once the watermark passes last arrival +
+    TTL; a later doc in that bucket starts a FRESH ledger (n_docs
+    resets) instead of resuming the evicted totals."""
+    import json as _json
+    import time as _t
+
+    def write(fname, rows):
+        with open(tmp_path / "src" / fname, "w") as fh:
+            for doc_id, n_toks, ts in rows:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": doc_id,
+                            "text": " ".join(f"t{k}" for k in range(n_toks)),
+                            "ts": f"2026-08-13T{ts}Z",
+                        }
+                    )
+                    + "\n"
+                )
+        _t.sleep(1.05)
+
+    (tmp_path / "src").mkdir()
+    # bucket 4 (3 tokens -> bucket 4): two docs at 10:00
+    write("f1.jsonl", [(1, 3, "10:00:00"), (2, 4, "10:00:10")])
+    # far-future doc in ANOTHER bucket advances the watermark past TTL
+    write("f2.jsonl", [(3, 100, "11:00:00")])
+    # a batch where bucket 4 has NO arrivals: its timeout fires here
+    # (a key with fresh data in the same batch never times out)
+    write("f3.jsonl", [(5, 100, "11:00:30")])
+    # bucket 4 returns after eviction: fresh segment
+    write("f4.jsonl", [(4, 3, "11:01:00")])
+    rows = _run_bucket_batch(
+        spark, tmp_path / "src", "bb_ttl", ttl_ms=600_000
+    )
+    b4 = [r for r in rows if r["bucket_len"] == 4]
+    assert b4[0]["n_docs"] == 2  # the 10:00 ledger saw both docs
+    assert b4[-1]["n_docs"] == 1  # post-eviction segment restarted
