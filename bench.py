@@ -237,6 +237,10 @@ def main() -> None:
     # (ratio reported null).
     duck_runs = int(os.environ.get("SPARK_GRAFT_DUCK_RUNS", "1"))
     skip_duck = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
+    # DUCK_RUNS=0 means skip, not "time nothing" — best would stay
+    # float('inf'), json.dump would emit the non-standard Infinity
+    # token, and the committed artifact would fail strict parsing
+    skip_duck = skip_duck or duck_runs <= 0
     duck: dict[str, float] = {}
     if not skip_duck:
         con = duckdb_conn(sf_dir)

@@ -115,6 +115,13 @@ GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     " (3 sites, each <= |bands| rows)",
     "q150_token_budget_selection": _BAND,
     "q160_pareto_concentration": _BAND,
+    "q232_threshold_sensitivity": "cumulative over the 10-row Jaccard"
+    " band rollup",
+    "q234_exact_threshold_curve": "cumulative over the 10-row Jaccard"
+    " band rollup",
+    "q277_bucket_cap_recall": "delta-count attach over the capped-vs-"
+    "uncapped symmetric difference — bounded by the eager candidate-"
+    "volume preflight (refuses > budget before any plan exists)",
     "q284_score_percentiles": _BAND,
     "q285_curriculum_phases": _BAND
     + " + token-share window over the |phases| (4-row) rollup",
@@ -200,16 +207,23 @@ def audit(spark, specs) -> tuple[list[str], list[str]]:
         if n_exchange > 8:
             marks.append(f"EXCHANGES={n_exchange}")
         gwin_mark = ""
+        gwin_flag = ""
         if n_gwin:
             bound = GLOBAL_WINDOW_BOUNDS.get(name)
             if bound:
                 gwin_mark = f"global-window x{n_gwin} bounded: {bound}"
             else:
-                marks.append(f"GLOBAL_WINDOW={n_gwin}")
+                gwin_flag = f"GLOBAL_WINDOW={n_gwin}"
         if marks and name in WAIVERS:
             marks = [f"waived: {WAIVERS[name]}"]
         elif marks:
             flags.append(f"{name}: {' '.join(marks)}")
+        # an unwaived global window is ALWAYS a hard flag — a WAIVERS
+        # entry written for a different anti-pattern (exchange count,
+        # multi-stage) must never swallow the single-task class
+        if gwin_flag:
+            flags.append(f"{name}: {gwin_flag}")
+            marks.append(gwin_flag)
         if gwin_mark:
             marks.append(gwin_mark)
         rows.append(

@@ -500,7 +500,13 @@ def q285_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phase_tokens",
             "score_lo",
             "score_hi",
-            F.expr("phase_tokens * 1000000 div sum(phase_tokens) over ()")
+            # DECIMAL(38,0) before *1e6: a 100 TB corpus's token sums
+            # overflow int64 at the multiply (the oracle's HUGEINT sum
+            # is already exact); div on decimals returns bigint
+            F.expr(
+                "CAST(phase_tokens AS DECIMAL(38,0)) * 1000000"
+                " div sum(phase_tokens) over ()"
+            )
             .cast("long")
             .alias("token_share_ppm"),
         )
@@ -598,9 +604,12 @@ def q286_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n_docs") * F.col("bucket_len"))
             .cast("long")
             .alias("padded_tokens"),
+            # decimal guard: padded tokens x 1e6 overflows int64 past
+            # ~9e12 tokens in one bucket (q285's rationale)
             F.expr(
-                "(n_docs * bucket_len - real_tokens) * 1000000"
-                " div (n_docs * bucket_len)"
+                "(CAST(n_docs AS DECIMAL(38,0)) * bucket_len"
+                " - real_tokens) * 1000000"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * bucket_len)"
             )
             .cast("long")
             .alias("waste_ppm"),
@@ -699,7 +708,9 @@ def q287_phase_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("t").alias("st"))
         .select(
             "source",
-            F.expr("st * 1000000 div sum(st) over ()")
+            F.expr(
+                "CAST(st AS DECIMAL(38,0)) * 1000000 div sum(st) over ()"
+            )
             .cast("long")
             .alias("global_share_ppm"),
         )
@@ -707,7 +718,10 @@ def q287_phase_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = ps.select(
         "phase",
         "source",
-        F.expr("t * 1000000 div sum(t) over (partition by phase)")
+        F.expr(
+            "CAST(t AS DECIMAL(38,0)) * 1000000"
+            " div sum(t) over (partition by phase)"
+        )
         .cast("long")
         .alias("phase_share_ppm"),
     )
@@ -800,25 +814,19 @@ def q288_pack_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from target_hdfs_spark.operators.prefix import banded_cumsum
 
-    shuffle_f = packed_token_frame(spark, sf_dir).select(
+    # ONE tokenization pass feeds both orders: the prefix frame is
+    # lazily checkpointed and the append-order cumsum re-ranks its
+    # (doc_id, n_toks) columns instead of re-tokenizing the corpus
+    ptf = packed_token_frame(spark, sf_dir).localCheckpoint(eager=False)
+    shuffle_f = ptf.select(
         F.lit("shuffle").alias("train_order"),
         "doc_id",
         "n_toks",
         "cum_before",
         "total_toks",
     )
-    base = (
-        fan_out(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-            "doc_id",
-        )
-        .select(
-            "doc_id", F.size(tokens("text")).cast("long").alias("n_toks")
-        )
-        .filter(F.col("n_toks") > 0)
-    )
     append_f = banded_cumsum(
-        base,
+        ptf.select("doc_id", "n_toks"),
         F.col("n_toks"),
         "doc_id",
         "cum_incl",

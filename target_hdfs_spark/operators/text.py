@@ -2450,9 +2450,13 @@ def q226_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # routes a tied count run into sub-bands by the first two code
     # points (monotone in binary collation: UTF-8 byte order == code
     # point order, and a prefix keys <= its extensions via ascii('')=0)
-    tie_key = F.ascii("tok") * F.lit(0x110000) + F.ascii(
+    # cast BEFORE multiplying: ascii() is int32 and any first char
+    # with codepoint >= 1928 (CJK, Devanagari, emoji, ...) overflows
+    # 32-bit at *0x110000 — an ANSI-mode crash on exactly the
+    # multilingual vocabulary this path exists for
+    tie_key = F.ascii("tok").cast("long") * F.lit(0x110000) + F.ascii(
         F.substring("tok", 2, 1)
-    )
+    ).cast("long")
     ranked = banded_cumsum(
         tc,
         F.lit(1),

@@ -94,3 +94,24 @@ def test_null_keys_fail_loudly(spark):
     out = banded_cumsum(df, F.lit(1), "v", "r", tie_col="u")
     with pytest.raises(Exception, match="banded_cumsum"):
         out.collect()
+
+
+def test_string_tie_key_survives_cjk_and_orders_correctly(spark):
+    """Regression (round-11 review): the two-code-point string tie
+    key is 64-bit — a CJK/emoji-initial token (codepoint >= 1928)
+    must neither overflow under ANSI mode nor mis-order tied rows."""
+    from target_hdfs_spark.operators.prefix import banded_cumsum
+
+    toks = ["alpha", "beta", "好的", "好吧", "😀x", "zeta", ""]
+    df = spark.createDataFrame(
+        [(t, 1) for t in toks], "tok string, c long"
+    ).filter(F.col("tok") != "")
+    tie_key = F.ascii("tok").cast("long") * F.lit(0x110000) + F.ascii(
+        F.substring("tok", 2, 1)
+    ).cast("long")
+    out = banded_cumsum(
+        df, F.lit(1), "c", "rnk", tie_col="tok", tie_key=tie_key
+    ).collect()
+    got = {r["tok"]: r["rnk"] for r in out}
+    expected = {t: i + 1 for i, t in enumerate(sorted(t for t in toks if t))}
+    assert got == expected

@@ -69,3 +69,27 @@ def test_mixed_plan_counts_only_global_sites(spark):
         .withColumn("c", F.sum("v").over(wg))
     )
     assert count_global_windows(_plan(df)) == 1
+
+
+def test_unwaived_global_window_not_swallowed_by_other_waiver(spark):
+    """Regression (round-11 review): a WAIVERS entry written for a
+    different anti-pattern (exchange count) must NOT swallow an
+    unwaived GLOBAL_WINDOW mark — the single-task class is always a
+    hard flag."""
+    from types import SimpleNamespace
+
+    import plan_audit as pa
+
+    def bad_query(s, sf_dir):
+        w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+        return _base(s).withColumn("c", F.sum("v").over(w))
+
+    specs = {"fake_q": SimpleNamespace(fn=bad_query)}
+    old_w = dict(pa.WAIVERS)
+    try:
+        pa.WAIVERS["fake_q"] = "multi-stage exchange waiver (not windows)"
+        flags, rows = pa.audit(spark, specs)
+    finally:
+        pa.WAIVERS.clear()
+        pa.WAIVERS.update(old_w)
+    assert any("fake_q" in f and "GLOBAL_WINDOW" in f for f in flags)

@@ -3961,3 +3961,80 @@ def test_bucket_batch_ttl_starts_fresh_segment(spark, tmp_path):
     b4 = [r for r in rows if r["bucket_len"] == 4]
     assert b4[0]["n_docs"] == 2  # the 10:00 ledger saw both docs
     assert b4[-1]["n_docs"] == 1  # post-eviction segment restarted
+
+
+def test_bucket_batch_kill_resume_and_rocksdb(spark, tmp_path):
+    """Kill-resume: the bucket ledger crosses a full query RESTART via
+    the checkpoint (the resumed run's totals include the pre-stop
+    docs), on the RocksDB provider (the production state backend)."""
+    import json as _json
+    import time as _t
+
+    from target_hdfs_spark.streaming.stateful import bucket_batch_stream
+
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    schema = jsonschema_to_spark(PACK_SCHEMA_JSON)
+
+    def write(fname, rows):
+        with open(src / fname, "w") as fh:
+            for doc_id, n_toks in rows:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": doc_id,
+                            "text": " ".join(f"t{k}" for k in range(n_toks)),
+                        }
+                    )
+                    + "\n"
+                )
+        _t.sleep(1.05)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            bucket_batch_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        write("f1.jsonl", [(1, 3), (2, 4)])  # bucket 4: 2 docs, 7 toks
+        run_once()
+        write("f2.jsonl", [(3, 2)])  # bucket 2 opens; bucket 4 idle
+        write("f3.jsonl", [(4, 4)])  # bucket 4 resumes post-restart
+        run_once()
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = sorted(
+        spark.read.parquet(str(sink)).collect(),
+        key=lambda r: (r["bucket_len"], r["n_docs"]),
+    )
+    b4 = [r for r in rows if r["bucket_len"] == 4]
+    # the restarted query restored (2 docs, 7 tokens) from RocksDB:
+    # the post-restart emission reads 3 docs / 11 real tokens
+    assert b4[-1]["n_docs"] == 3
+    assert b4[-1]["real_tokens"] == 11
+    assert b4[-1]["padded_tokens"] == 12
+    b2 = [r for r in rows if r["bucket_len"] == 2]
+    assert b2 and b2[-1]["n_docs"] == 1 and b2[-1]["real_tokens"] == 2
