@@ -213,6 +213,9 @@ EMB_QUERIES = (
     "q180_hard_negative_mining",
     # round 6 continuation: map-only int8 quantization (no shuffle)
     "q215_int8_quantization",
+    # round 11: Matryoshka truncation calibration (brute pass x dims
+    # grid; queries broadcast, rank group-limited)
+    "q289_matryoshka_truncation",
 )
 # the bucketed-cosine graph family (pair generation is quadratic in
 # bucket occupancy): sweep with SPARK_GRAFT_SRP_PLANES grown

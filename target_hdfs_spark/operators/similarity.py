@@ -2477,3 +2477,115 @@ def q277_bucket_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cites reference behavior: none (beyond-reference operator).
     """
     return bucket_cap_recall_audit(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# L3n: Matryoshka truncation calibration (how many dims do we need?)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, EMB_DIM)
+_MRL_K = 5
+
+
+@query(
+    "q289_matryoshka_truncation",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+    grid AS (SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}]) AS dim),
+    scored AS (
+      SELECT g.dim, q.query_id, e.vec_id,
+             {_cos_sql('(q.qv[1:g.dim])', '(e.v[1:g.dim])')} AS cos_sim
+      FROM q JOIN emb e ON e.vec_id <> q.query_id CROSS JOIN grid g
+    ),
+    top AS (
+      SELECT dim, query_id, vec_id,
+             row_number() OVER (PARTITION BY dim, query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ),
+    kept AS (SELECT dim, query_id, vec_id FROM top WHERE rn <= {_MRL_K}),
+    full_top AS (
+      SELECT query_id, vec_id FROM kept WHERE dim = {EMB_DIM}
+    )
+    SELECT CAST(k.dim AS BIGINT) AS dim, k.query_id,
+           CAST(COUNT(f.vec_id) AS BIGINT) AS overlap_at_{_MRL_K}
+    FROM kept k LEFT JOIN full_top f
+      ON f.query_id = k.query_id AND f.vec_id = k.vec_id
+    WHERE k.dim <> {EMB_DIM}
+    GROUP BY k.dim, k.query_id
+    """,
+    tags=("similarity", "ann", "matryoshka", "calibration"),
+)
+def q289_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation calibration (MRL, Kusupati et al.): rank
+    every query's exact cosine top-{_MRL_K} using only the first
+    d in {_MRL_DIMS[:-1]} embedding dimensions and report the overlap
+    with the full-{EMB_DIM}-dim top-{_MRL_K} — the table that decides
+    how many dimensions a retrieval index actually needs (truncate at
+    the smallest d whose overlap holds, shrink the index ~{EMB_DIM // _MRL_DIMS[0]}x).
+    The production pattern this calibrates is truncated-dim ANN
+    search + full-dim rerank (compose with q63's IVF / q77's rerank).
+
+    Exactness: prefix slicing is exact; cosines fold sequentially on
+    identical doubles (the q46 discipline; sqrt is correctly-rounded
+    IEEE, not transcendental); ranks carry the vec_id tiebreak;
+    overlap counting is integer.
+
+    Scale: the 5-query frame is broadcast, the corpus streams through
+    map-side with the dims grid a constant x{len(_MRL_DIMS)}
+    multiplier; rank <= k filters compile to per-partition group
+    limits; the overlap join runs on 4 x 5 x {_MRL_K} kept rows.
+    """
+    emb = _load_vectors(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dims = F.explode(
+        F.array(*[F.lit(d) for d in _MRL_DIMS])
+    ).alias("dim")
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qv", "v", dims)
+        .select(
+            "dim",
+            "query_id",
+            "vec_id",
+            cosine(
+                F.slice(F.col("qv"), 1, F.col("dim")),
+                F.slice(F.col("v"), 1, F.col("dim")),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    kept = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("dim", "query_id", "vec_id")
+        .localCheckpoint(eager=False)  # feeds truncated AND full sides
+    )
+    full_top = kept.filter(F.col("dim") == EMB_DIM).select(
+        F.col("query_id").alias("f_query"),
+        F.col("vec_id").alias("f_vec"),
+        F.lit(1).alias("m"),
+    )
+    return (
+        kept.filter(F.col("dim") != EMB_DIM)
+        .join(
+            F.broadcast(full_top),
+            (F.col("query_id") == F.col("f_query"))
+            & (F.col("vec_id") == F.col("f_vec")),
+            "left",
+        )
+        .groupBy("dim", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("m"), F.lit(0)))
+            .cast("long")
+            .alias(f"overlap_at_{_MRL_K}")
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "query_id", f"overlap_at_{_MRL_K}")
+    )
