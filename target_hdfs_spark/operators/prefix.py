@@ -68,7 +68,10 @@ def banded_cumsum(
     expression MONOTONE in the tie column's sort order (e.g.
     ``F.ascii(col)`` for binary-collated strings) — it only routes
     tied rows into sub-bands; order inside a sub-band still uses the
-    tie column itself. All other input columns ride through unchanged.
+    tie column itself. ``weight`` must be non-null on every row (a
+    null would silently vanish from the sums — pass
+    ``F.coalesce(w, F.lit(0))`` if the source can hold nulls). All
+    other input columns ride through unchanged.
 
     The input is consumed three times (stats, band counts, join-back);
     callers with a non-trivial upstream plan should lazy-checkpoint it

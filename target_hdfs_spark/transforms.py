@@ -125,7 +125,8 @@ _STREAM_MAP_META_KEYS = frozenset({"__filter__", "__alias__"})
 def apply_stream_map(df: DataFrame, stream_map: dict) -> DataFrame:
     """Config-driven per-stream reshaping (Meltano `stream_maps`
     capability, meltano.yml:18): SQL-expression columns, column drops
-    (value None), a row filter under the `__filter__` key, and a sink
+    (value None or the "__NULL__" sentinel), a row filter under the
+    `__filter__` key, and a sink
     rename under `__alias__` (a no-op here — the pipe's path routing
     consumes it). All expressions are Spark SQL strings -> fully
     Catalyst-optimizable.
@@ -135,10 +136,15 @@ def apply_stream_map(df: DataFrame, stream_map: dict) -> DataFrame:
     then drops — so `{"ssn": None, "ssn_masked": "substr(ssn,1,3)"}`
     (mask-then-drop) and filters over mapped columns both work.
     """
+    def _is_drop(v) -> bool:
+        # singer-sdk property removal: JSON null, or the "__NULL__"
+        # string sentinel for config surfaces that can't express null
+        return v is None or v == "__NULL__"
+
     mapped = {
         name: F.expr(str(expr))
         for name, expr in stream_map.items()
-        if name not in _STREAM_MAP_META_KEYS and expr is not None
+        if name not in _STREAM_MAP_META_KEYS and not _is_drop(expr)
     }
     if mapped:
         # ONE withColumns call: every expression resolves against the
@@ -152,7 +158,7 @@ def apply_stream_map(df: DataFrame, stream_map: dict) -> DataFrame:
     drops = [
         k
         for k, v in stream_map.items()
-        if v is None and k not in _STREAM_MAP_META_KEYS
+        if _is_drop(v) and k not in _STREAM_MAP_META_KEYS
     ]
     if drops:
         df = df.drop(*drops)

@@ -95,3 +95,20 @@ def test_stream_map_filter_on_mapped_column(spark):
     df = spark.createDataFrame([(1,), (5,)], "v long")
     out = apply_stream_map(df, {"v2": "v * 10", "__filter__": "v2 > 20"})
     assert [r.v2 for r in out.collect()] == [50]
+
+
+def test_stream_map_null_sentinel_drops_property(spark):
+    """singer-sdk property removal accepts the "__NULL__" string
+    sentinel (config surfaces that can't express JSON null) exactly
+    like a null value — and masked-then-dropped still sees the
+    ORIGINAL column."""
+    from target_hdfs_spark.transforms import apply_stream_map
+
+    df = spark.createDataFrame(
+        [(1, "123456789")], "id long, ssn string"
+    )
+    out = apply_stream_map(
+        df, {"ssn": "__NULL__", "last4": "substr(ssn, 6, 4)"}
+    )
+    assert out.columns == ["id", "last4"]
+    assert out.collect()[0]["last4"] == "6789"
