@@ -4017,3 +4017,350 @@ def q284_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pct_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6x: DSIR — data selection via importance resampling (hashed n-grams)
+# ---------------------------------------------------------------------------
+
+# Hashed feature buckets (Xie et al. 2023 use 10k; the model is B rows
+# regardless of corpus size — metadata scale, broadcast back to score).
+_DSIR_B = 1024
+# Target-domain slice the selection steers toward: the '{lang}' docs
+# stand in for the high-quality target corpus.
+_DSIR_TGT_LANG = "en"
+
+
+def _dsir_gram_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, n_toks, bucket) — one row per word-BIGRAM
+    occurrence, bucket = portable md5 hash of the gram mod {_DSIR_B}.
+    Shared by the model-fit pass and the scoring pass."""
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.explode(shingles(F.col("toks"), 2)).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_toks",
+        (md5_hash32("gram") % _DSIR_B).alias("bucket"),
+    )
+
+
+@query(
+    "q290_dsir_importance",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, {_TOK} AS toks
+      FROM documents WHERE len({_TOK}) > 0
+    ),
+    gb AS (
+      SELECT doc_id, lang, source, len(toks) AS n_toks,
+             {md5_hash32_sql('gram')} % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, lang, source, toks,
+                   unnest({shingles_sql('toks', 2)}) AS gram FROM d)
+    ),
+    model AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS HUGEINT) AS cnt_r,
+             CAST(SUM(CASE WHEN lang = '{_DSIR_TGT_LANG}' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS cnt_t
+      FROM gb GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(cnt_r) AS tot_r, SUM(cnt_t) AS tot_t FROM model),
+    ratio AS (
+      SELECT bucket,
+             CAST((cnt_t + 1) * (tot_r + {_DSIR_B}) * 1000000
+                  // ((cnt_r + 1) * (tot_t + {_DSIR_B})) AS BIGINT) AS r_ppm
+      FROM model, tot
+    ),
+    scores AS (
+      SELECT doc_id, source, n_toks,
+             CAST(SUM(CAST(r_ppm AS HUGEINT)) // COUNT(*) AS BIGINT)
+                 AS score_ppm
+      FROM gb JOIN ratio USING (bucket)
+      GROUP BY doc_id, source, n_toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(score_ppm AS HUGEINT)) // COUNT(*) AS BIGINT)
+               AS mean_score_ppm,
+           CAST(SUM(CASE WHEN score_ppm > 1000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN score_ppm > 1000000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS sel_ppm,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN score_ppm > 1000000 THEN n_toks ELSE 0 END)
+               AS BIGINT) AS selected_tokens
+    FROM scores GROUP BY source
+    """,
+    tags=("curation", "dsir", "selection"),
+)
+def q290_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023) with the
+    log-likelihood ratio made ENGINE-EXACT: features are hashed word
+    bigrams ({_DSIR_B} buckets, portable md5); the bag-of-grams target
+    model is fit on the '{_DSIR_TGT_LANG}' slice, the raw model on the
+    whole corpus; each bucket's add-1-smoothed target/raw probability
+    ratio is an INTEGER ppm (cross-multiplied — no log, no float sum,
+    so Spark and the oracle agree bit-for-bit); a document's
+    importance score is the integer mean ratio over its gram
+    occurrences, and score_ppm > 1e6 means "more target-like than the
+    raw pool". Output is the per-source selection table a mixture
+    re-weighting run reads: doc counts, mean score, selected share,
+    and the token mass the selection keeps.
+
+    Scale: the model is a {_DSIR_B}-row map-side-combined aggregation
+    (never corpus-sized); the 1-row totals and the ratio table are
+    broadcast, so scoring is one map-side join plus one |docs|-sized
+    partial-agg shuffle; the result is |sources| rows. At 100 TB the
+    only corpus-sized stages are the two gram passes over a lazily
+    checkpointed token frame. No reference analog (beyond-reference
+    operator)."""
+    d = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "source", "text"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "lang", "source", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)  # consumed by model fit AND scoring
+    )
+    gb = _dsir_gram_frame(d)
+    model = gb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt_r"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TGT_LANG, 1).otherwise(0)
+        ).cast("decimal(38,0)").alias("cnt_t"),
+    )
+    tot = model.agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    )
+    ratio = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST((cnt_t + 1) * (tot_r + {_DSIR_B}) * 1000000"
+            f" div ((cnt_r + 1) * (tot_t + {_DSIR_B})) AS BIGINT)"
+        ).alias("r_ppm"),
+    )
+    scores = (
+        _dsir_gram_frame(d)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "source", "n_toks")
+        .agg(
+            F.sum(F.col("r_ppm").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.expr("CAST(s div c AS BIGINT)").alias("score_ppm"),
+        )
+    )
+    sel = F.col("score_ppm") > 1000000
+    return scores.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(CAST(score_ppm AS DECIMAL(38,0)))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("mean_score_ppm"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("n_selected"),
+        F.expr(
+            "CAST(SUM(CASE WHEN score_ppm > 1000000 THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("sel_ppm"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum(F.when(sel, F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("selected_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6y: PII scan + redaction pricing — the release-gate scrub audit
+# ---------------------------------------------------------------------------
+
+# Patterns kept inside the RE2 <-> java.util.regex common dialect
+# (character classes, bounded repeats, ASCII \b) so Spark and the
+# DuckDB oracle compile the SAME regex semantics.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The synthetic corpus carries no digits or @, so the PII surface is a
+# deterministic render: doc_id-rule slices get a contact line appended
+# (the same expression in both engines — the R9 typed-injection
+# pattern). ~1/7 email, ~1/11 phone, ~1/13 ipv4.
+_PII_RENDER_SQL = """
+    text
+    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+            || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' host 10.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.'
+            || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+            || CAST((doc_id // 65536) % 256 AS VARCHAR) ELSE '' END
+"""
+
+
+@query(
+    "q291_pii_redaction_pricing",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, {_PII_RENDER_SQL} AS rendered FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             regexp_extract_all(rendered, '{_PII_EMAIL}') AS em,
+             regexp_extract_all(rendered, '{_PII_PHONE}') AS ph,
+             regexp_extract_all(rendered, '{_PII_IPV4}') AS ip,
+             regexp_replace(regexp_replace(regexp_replace(rendered,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g') AS redacted
+      FROM r
+    ),
+    u AS (
+      SELECT 'email' AS pii_class, em AS matches,
+             len(regexp_extract_all(redacted, '{_PII_EMAIL}')) AS residual
+      FROM m
+      UNION ALL
+      SELECT 'phone', ph,
+             len(regexp_extract_all(redacted, '{_PII_PHONE}')) FROM m
+      UNION ALL
+      SELECT 'ipv4', ip,
+             len(regexp_extract_all(redacted, '{_PII_IPV4}')) FROM m
+    )
+    SELECT pii_class,
+           CAST(SUM(CASE WHEN len(matches) > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs_hit,
+           CAST(SUM(len(matches)) AS BIGINT) AS total_matches,
+           CAST(SUM(COALESCE(list_sum(
+               list_transform(matches, x -> length(x))), 0))
+               AS BIGINT) AS matched_chars,
+           CAST(SUM(CASE WHEN len(matches) > 0 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS hit_doc_ppm,
+           CAST(SUM(residual) AS BIGINT) AS residual_matches
+    FROM u GROUP BY pii_class
+    """,
+    tags=("curation", "pii", "regex", "release"),
+)
+def q291_pii_redaction_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan -> redact -> verify, priced per class — the scrub
+    audit a release gate (q271's funnel) runs before publishing a
+    corpus: per pattern class (email / phone / ipv4-literal) the doc
+    hit rate, match and char volume (the redaction's byte cost), and
+    the RESIDUAL match count on the redacted text — the invariant
+    column: 0 means the scrub actually removed what the scan found
+    (scan and scrub share one pattern table, so they cannot drift).
+
+    The synthetic corpus has no natural PII, so a deterministic
+    doc_id-rule render injects contact lines identically in both
+    engines (the R9 typed-injection pattern); the operator under test
+    is the scan/redact kernel, not the injection. Patterns stay in
+    the RE2<->java.util.regex common dialect.
+
+    Scale: one map-side regex pass per document (no joins, no
+    windows); the stack() unpivot keeps one tokenization of the
+    3x|docs| class rows, map-side combined into 3 output rows. At
+    100 TB this is embarrassingly parallel scan work; the *1e6 ppm
+    products go through DECIMAL(38,0) so doc counts past 9e12 cannot
+    overflow."""
+    seven = F.col("doc_id") % 7 == 0
+    eleven = F.col("doc_id") % 11 == 0
+    thirteen = F.col("doc_id") % 13 == 0
+    rendered = F.concat(
+        F.col("text"),
+        F.when(
+            seven,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            eleven,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            thirteen,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                F.expr("CAST((doc_id div 256) % 256 AS STRING)"),
+                F.lit("."),
+                F.expr("CAST((doc_id div 65536) % 256 AS STRING)"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    r = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    ).select("doc_id", rendered.alias("rendered"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("rendered"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    m = r.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("rendered"), F.lit(_PII_EMAIL), 0).alias("em"),
+        F.regexp_extract_all(F.col("rendered"), F.lit(_PII_PHONE), 0).alias("ph"),
+        F.regexp_extract_all(F.col("rendered"), F.lit(_PII_IPV4), 0).alias("ip"),
+        red.alias("redacted"),
+    ).select(
+        F.expr(
+            "stack(3, 'email', em, 'phone', ph, 'ipv4', ip)"
+            " AS (pii_class, matches)"
+        ),
+        "redacted",
+    ).select(
+        "pii_class",
+        "matches",
+        F.when(F.col("pii_class") == "email",
+               F.size(F.regexp_extract_all(F.col("redacted"),
+                                           F.lit(_PII_EMAIL), 0)))
+        .when(F.col("pii_class") == "phone",
+              F.size(F.regexp_extract_all(F.col("redacted"),
+                                          F.lit(_PII_PHONE), 0)))
+        .otherwise(
+            F.size(F.regexp_extract_all(F.col("redacted"),
+                                        F.lit(_PII_IPV4), 0)))
+        .cast("long")
+        .alias("residual"),
+    )
+    return m.groupBy("pii_class").agg(
+        F.sum(F.when(F.size("matches") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_hit"),
+        F.sum(F.size("matches")).cast("long").alias("total_matches"),
+        F.expr(
+            "CAST(SUM(aggregate(transform(matches,"
+            " x -> CAST(length(x) AS BIGINT)), 0L, (a, x) -> a + x))"
+            " AS BIGINT)"
+        ).alias("matched_chars"),
+        F.expr(
+            "CAST(CAST(SUM(CASE WHEN size(matches) > 0 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("hit_doc_ppm"),
+        F.sum("residual").cast("long").alias("residual_matches"),
+    )

@@ -1,0 +1,82 @@
+"""Invariant tests for the DSIR importance-resampling table (q290)
+and the PII scan/redact audit (q291) — the properties oracle equality
+cannot state by itself (they must hold for ANY corpus)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from target_hdfs_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+SPECS = all_queries()
+
+
+def _duck_scalar(sql: str):
+    return duckdb.sql(sql).fetchone()[0]
+
+
+def test_dsir_conserves_docs_and_tokens(spark):
+    rows = SPECS["q290_dsir_importance"].fn(spark, SF_DIR).collect()
+    assert rows, "dsir table is empty"
+    n_nonempty = _duck_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' "
+        "WHERE len(list_filter(string_split_regex(lower(trim(text)),"
+        " '\\s+'), x -> x <> '')) > 0"
+    )
+    assert sum(r["n_docs"] for r in rows) == n_nonempty
+    for r in rows:
+        # selection is a subset: counts and token mass both bounded
+        assert 0 <= r["n_selected"] <= r["n_docs"], r
+        assert 0 <= r["selected_tokens"] <= r["total_tokens"], r
+        assert r["sel_ppm"] == r["n_selected"] * 1_000_000 // r["n_docs"]
+        # integer mean of per-doc ppm scores is always positive
+        assert r["mean_score_ppm"] > 0
+
+
+def test_dsir_selection_is_score_consistent(spark):
+    # a source where nothing was selected cannot have every doc above
+    # the threshold, and vice versa: mean score and selection agree at
+    # the extremes (mean > 1e6 for fully-selected sources, <= for none)
+    rows = SPECS["q290_dsir_importance"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        if r["n_selected"] == r["n_docs"]:
+            assert r["mean_score_ppm"] > 1_000_000, r
+        if r["n_selected"] == 0:
+            assert r["mean_score_ppm"] <= 1_000_000, r
+
+
+def test_pii_redaction_leaves_no_residual(spark):
+    rows = {
+        r["pii_class"]: r
+        for r in SPECS["q291_pii_redaction_pricing"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"email", "phone", "ipv4"}
+    for r in rows.values():
+        # the scrub invariant: scan-after-redact finds nothing
+        assert r["residual_matches"] == 0, r
+
+
+def test_pii_hits_match_injection_rule(spark):
+    rows = {
+        r["pii_class"]: r
+        for r in SPECS["q291_pii_redaction_pricing"].fn(spark, SF_DIR).collect()
+    }
+    mods = {"email": 7, "phone": 11, "ipv4": 13}
+    for cls, mod in mods.items():
+        expect = _duck_scalar(
+            f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' "
+            f"WHERE doc_id % {mod} = 0"
+        )
+        r = rows[cls]
+        # the corpus itself carries no PII, so hits == injected docs,
+        # one match per injected doc
+        assert r["n_docs_hit"] == expect, (cls, r, expect)
+        assert r["total_matches"] == r["n_docs_hit"], r
+    # phone injections are fixed-width: 555-XXX-XXXX is 12 chars
+    ph = rows["phone"]
+    assert ph["matched_chars"] == 12 * ph["total_matches"]
+    # email/ipv4 are variable-width but never shorter than the shortest
+    # possible render (user0@example.com = 17; 10.0.0.0 = 8)
+    assert rows["email"]["matched_chars"] >= 17 * rows["email"]["total_matches"]
+    assert rows["ipv4"]["matched_chars"] >= 8 * rows["ipv4"]["total_matches"]
