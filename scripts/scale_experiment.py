@@ -175,6 +175,17 @@ QUERIES = (
     # (two prefix sums + 2-row delta x ctx grid)
     "q287_phase_mixture_drift",
     "q288_pack_invalidation",
+    # round 11 (continuation): DSIR importance table (two gram passes
+    # over one checkpointed token frame; 1024-row model broadcast
+    # back) and the PII scan/redact audit (one map-side regex pass,
+    # 3-row rollup)
+    "q290_dsir_importance",
+    "q291_pii_redaction_pricing",
+    # round 11 (continuation): winnowing — per-doc partitioned window
+    # over one shingle pass; the pair join is df-capped before the
+    # self-join so bucket fan-out is bounded at cap^2
+    "q292_winnowing_fingerprints",
+    "q293_winnowing_pairs",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

@@ -43,6 +43,7 @@ def _ops():
         mg_heavy_hitters_stream,
         multi_pattern_stream,
         pack_offset_stream,
+        pii_scan_stream,
         quantile_stream,
         reservoir_stream,
         scd2_interval_stream,
@@ -84,6 +85,9 @@ def _ops():
         # docs-driven: the length-bucketed batching ledger (24 B per
         # power-of-two bucket — state bounded at <= 12 rows forever)
         "bucket_batch_stream": bucket_batch_stream,
+        # docs-driven: the PII scrub-audit ledger (40 B per pattern
+        # class — state bounded at <= 3 rows forever)
+        "pii_scan_stream": pii_scan_stream,
     }
 
 
@@ -135,7 +139,11 @@ def drive(spark, events_path: str, op_name: str, op, n_batches_hint: int) -> dic
 
 # operators that consume a DOCUMENTS stream (doc_id, text) rather than
 # the events stream; driven from the scale corpus documents.parquet
-DOCS_OPS = ("pack_offset_stream", "bucket_batch_stream")
+DOCS_OPS = (
+    "pack_offset_stream",
+    "bucket_batch_stream",
+    "pii_scan_stream",
+)
 
 
 def drive_docs(spark, docs_path: str, op_name: str, op, n_batches_hint: int) -> dict:

@@ -16,7 +16,7 @@ single double divisions, per the oracle-parity recipes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from target_hdfs_spark.functions.hashing import md5_hash32, md5_hash32_sql
@@ -4211,6 +4211,140 @@ _PII_RENDER_SQL = """
 """
 
 
+def pii_rendered_col() -> Column:
+    """The deterministic PII render (doc_id-rule contact lines
+    appended to `text`) as a Spark Column — the Spark-expression twin
+    of _PII_RENDER_SQL, shared by the batch audit and the streaming
+    ledger twin so the two scan the same surface."""
+    seven = F.col("doc_id") % 7 == 0
+    eleven = F.col("doc_id") % 11 == 0
+    thirteen = F.col("doc_id") % 13 == 0
+    return F.concat(
+        F.col("text"),
+        F.when(
+            seven,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            eleven,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            thirteen,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                F.expr("CAST((doc_id div 256) % 256 AS STRING)"),
+                F.lit("."),
+                F.expr("CAST((doc_id div 65536) % 256 AS STRING)"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def pii_class_rows(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Per-document per-class PII scan stats — 3 rows per input doc:
+    (pii_class, n_matches, match_chars, residual[, *extra_cols]),
+    where residual is the match count on the redacted text (scan and
+    scrub share one pattern table). Entirely map-side (stateless
+    projections), so it is usable on both batch and streaming frames.
+
+    `docs` needs (doc_id, text); `extra_cols` pass through."""
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("rendered"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    chars = {
+        name: F.expr(
+            f"CAST(aggregate(transform({name},"
+            " x -> CAST(length(x) AS BIGINT)), 0L, (a, x) -> a + x)"
+            " AS BIGINT)"
+        )
+        for name in ("em", "ph", "ip")
+    }
+    pats = {"em": _PII_EMAIL, "ph": _PII_PHONE, "ip": _PII_IPV4}
+    return (
+        docs.select(
+            *extra_cols, "doc_id", pii_rendered_col().alias("rendered")
+        )
+        .select(
+            *extra_cols,
+            F.regexp_extract_all(
+                F.col("rendered"), F.lit(_PII_EMAIL), 0
+            ).alias("em"),
+            F.regexp_extract_all(
+                F.col("rendered"), F.lit(_PII_PHONE), 0
+            ).alias("ph"),
+            F.regexp_extract_all(
+                F.col("rendered"), F.lit(_PII_IPV4), 0
+            ).alias("ip"),
+            red.alias("redacted"),
+        )
+        .select(
+            *extra_cols,
+            F.expr(
+                "stack(3, 'email', CAST(size(em) AS BIGINT),"
+                " 'phone', CAST(size(ph) AS BIGINT),"
+                " 'ipv4', CAST(size(ip) AS BIGINT))"
+                " AS (pii_class, n_matches)"
+            ),
+            chars["em"].alias("c_em"),
+            chars["ph"].alias("c_ph"),
+            chars["ip"].alias("c_ip"),
+            "redacted",
+        )
+        .select(
+            *extra_cols,
+            "pii_class",
+            "n_matches",
+            F.when(F.col("pii_class") == "email", F.col("c_em"))
+            .when(F.col("pii_class") == "phone", F.col("c_ph"))
+            .otherwise(F.col("c_ip"))
+            .alias("match_chars"),
+            F.when(
+                F.col("pii_class") == "email",
+                F.size(
+                    F.regexp_extract_all(
+                        F.col("redacted"), F.lit(pats["em"]), 0
+                    )
+                ),
+            )
+            .when(
+                F.col("pii_class") == "phone",
+                F.size(
+                    F.regexp_extract_all(
+                        F.col("redacted"), F.lit(pats["ph"]), 0
+                    )
+                ),
+            )
+            .otherwise(
+                F.size(
+                    F.regexp_extract_all(
+                        F.col("redacted"), F.lit(pats["ip"]), 0
+                    )
+                )
+            )
+            .cast("long")
+            .alias("residual"),
+        )
+    )
+
+
 @query(
     "q291_pii_redaction_pricing",
     oracle=f"""
@@ -4274,92 +4408,20 @@ def q291_pii_redaction_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is embarrassingly parallel scan work; the *1e6 ppm
     products go through DECIMAL(38,0) so doc counts past 9e12 cannot
     overflow."""
-    seven = F.col("doc_id") % 7 == 0
-    eleven = F.col("doc_id") % 11 == 0
-    thirteen = F.col("doc_id") % 13 == 0
-    rendered = F.concat(
-        F.col("text"),
-        F.when(
-            seven,
-            F.concat(
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            eleven,
-            F.concat(
-                F.lit(" call 555-"),
-                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-                F.lit("-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            thirteen,
-            F.concat(
-                F.lit(" host 10."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit("."),
-                F.expr("CAST((doc_id div 256) % 256 AS STRING)"),
-                F.lit("."),
-                F.expr("CAST((doc_id div 65536) % 256 AS STRING)"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    r = fan_out(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        "doc_id",
-    ).select("doc_id", rendered.alias("rendered"))
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("rendered"), _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ),
-        _PII_IPV4,
-        "<IP>",
-    )
-    m = r.select(
-        "doc_id",
-        F.regexp_extract_all(F.col("rendered"), F.lit(_PII_EMAIL), 0).alias("em"),
-        F.regexp_extract_all(F.col("rendered"), F.lit(_PII_PHONE), 0).alias("ph"),
-        F.regexp_extract_all(F.col("rendered"), F.lit(_PII_IPV4), 0).alias("ip"),
-        red.alias("redacted"),
-    ).select(
-        F.expr(
-            "stack(3, 'email', em, 'phone', ph, 'ipv4', ip)"
-            " AS (pii_class, matches)"
-        ),
-        "redacted",
-    ).select(
-        "pii_class",
-        "matches",
-        F.when(F.col("pii_class") == "email",
-               F.size(F.regexp_extract_all(F.col("redacted"),
-                                           F.lit(_PII_EMAIL), 0)))
-        .when(F.col("pii_class") == "phone",
-              F.size(F.regexp_extract_all(F.col("redacted"),
-                                          F.lit(_PII_PHONE), 0)))
-        .otherwise(
-            F.size(F.regexp_extract_all(F.col("redacted"),
-                                        F.lit(_PII_IPV4), 0)))
-        .cast("long")
-        .alias("residual"),
+    m = pii_class_rows(
+        fan_out(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
     )
     return m.groupBy("pii_class").agg(
-        F.sum(F.when(F.size("matches") > 0, 1).otherwise(0))
+        F.sum(F.when(F.col("n_matches") > 0, 1).otherwise(0))
         .cast("long")
         .alias("n_docs_hit"),
-        F.sum(F.size("matches")).cast("long").alias("total_matches"),
+        F.sum("n_matches").cast("long").alias("total_matches"),
+        F.sum("match_chars").cast("long").alias("matched_chars"),
         F.expr(
-            "CAST(SUM(aggregate(transform(matches,"
-            " x -> CAST(length(x) AS BIGINT)), 0L, (a, x) -> a + x))"
-            " AS BIGINT)"
-        ).alias("matched_chars"),
-        F.expr(
-            "CAST(CAST(SUM(CASE WHEN size(matches) > 0 THEN 1 ELSE 0 END)"
+            "CAST(CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)"
             " AS DECIMAL(38,0)) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("hit_doc_ppm"),
         F.sum("residual").cast("long").alias("residual_matches"),

@@ -3481,3 +3481,272 @@ def q283_survivor_policy_delta(
         .cast("long")
         .alias("unique_gain_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2f: winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) —
+# guaranteed-density document fingerprinting + the plagiarism-style
+# shared-fingerprint pair join
+# ---------------------------------------------------------------------------
+
+_WIN_W = 4  # winnowing window: any match of >= W + gram - 1 tokens is caught
+_WIN_NGRAM = 3  # gram width (the family's shingle width)
+# Fingerprint hashes selected by more distinct docs than this are
+# boilerplate (the corpus's stock phrases) and would re-create the
+# quadratic hot-bucket pair space q43 suppresses; the cap bounds every
+# bucket's pair fan-out at _WIN_DF_CAP^2.
+_WIN_DF_CAP = 16
+
+_WIN_SEL_SQL = f"""
+    d AS (
+      SELECT doc_id, source, {shingles_sql(_TOK, _WIN_NGRAM)} AS grams
+      FROM documents WHERE len({_TOK}) > 0
+    ),
+    g AS (
+      SELECT doc_id, source, i - 1 AS pos,
+             {md5_hash32_sql('grams[i]')} AS h
+      FROM d, unnest(generate_series(1, len(grams))) AS t(i)
+    ),
+    w AS (
+      SELECT doc_id, source, pos,
+             min({{'h': h, 'np': -pos}}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS m,
+             count(*) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS cnt
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, source, m.h AS fp_h, -m.np AS fp_pos
+      FROM w WHERE cnt = {_WIN_W} OR (pos = 0 AND cnt < {_WIN_W})
+    )
+"""
+
+
+def _winnowed_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, fp_h, fp_pos) — the winnowed fingerprint set:
+    in every window of {_WIN_W} consecutive gram hashes select the
+    minimum (rightmost on ties), dedup selections shared by adjacent
+    windows. Short docs (< {_WIN_W} grams) keep their global minimum.
+    The guarantee the density tests pin: at least one selection per
+    window (no gap longer than {_WIN_W}), so any shared run of
+    {_WIN_W + _WIN_NGRAM - 1} tokens yields a shared fingerprint."""
+    from target_hdfs_spark.sources.readers import fan_out
+
+    d = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "source", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    g = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(shingles(F.col("toks"), _WIN_NGRAM)).alias("pos", "gram"),
+    ).select("doc_id", "source", "pos", md5_hash32("gram").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    return (
+        g.select(
+            "doc_id",
+            "source",
+            "pos",
+            F.min(
+                F.struct(
+                    F.col("h").alias("h"), (-F.col("pos")).alias("np")
+                )
+            )
+            .over(w)
+            .alias("m"),
+            F.count(F.lit(1)).over(w).alias("cnt"),
+        )
+        .filter(
+            (F.col("cnt") == _WIN_W)
+            | ((F.col("pos") == 0) & (F.col("cnt") < _WIN_W))
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("m.h").alias("fp_h"),
+            (-F.col("m.np")).alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q292_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WIN_SEL_SQL},
+    per_doc AS (
+      SELECT s.doc_id, s.source, COUNT(*) AS fps, any_value(n.n_grams) AS n_grams
+      FROM sel s JOIN (SELECT doc_id, len(grams) AS n_grams FROM d) n
+        ON s.doc_id = n.doc_id
+      GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(fps) AS BIGINT) AS total_fps,
+           CAST(SUM(CAST(fps AS HUGEINT)) * 1000000 // SUM(n_grams)
+               AS BIGINT) AS density_ppm,
+           CAST(MIN(fps * 1000000 // n_grams) AS BIGINT)
+               AS min_doc_density_ppm,
+           CAST(MAX(fps * 1000000 // n_grams) AS BIGINT)
+               AS max_doc_density_ppm
+    FROM per_doc GROUP BY source
+    """,
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def q292_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint density per source (Schleimer et al.
+    2003, the MOSS algorithm): each doc's gram-hash sequence is
+    winnowed — min hash per {_WIN_W}-window, rightmost on ties,
+    adjacent-window duplicates collapsed — giving a fingerprint set
+    with a GUARANTEED detection property (any shared token run of
+    length >= {_WIN_W + _WIN_NGRAM - 1} produces a shared
+    fingerprint) at a bounded density (expected 2/(W+1) of grams,
+    never less than 1/W on full windows). This is the principled
+    alternative to q55's fixed-rate mod-p fingerprints: same storage
+    knob, but with a correctness guarantee instead of a sampling
+    rate. Output: per-source fingerprint economics (total and
+    per-doc density bounds) — the table that sizes a fingerprint
+    index before building q293's pair join.
+
+    Scale: one tokenize+shingle pass; the winnow is a PARTITIONED
+    window (per doc — never global); the rollup is |sources| rows.
+    The doc-sized distinct is the only shuffle after the window."""
+    sel = _winnowed_fps(spark, sf_dir)
+    g_sizes = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.greatest(
+                F.size("toks") - F.lit(_WIN_NGRAM - 1), F.lit(1)
+            ).cast("long").alias("n_grams"),
+        )
+    )
+    per_doc = (
+        sel.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("fps"))
+        .join(g_sizes, "doc_id")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("total_grams"),
+        F.sum("fps").cast("long").alias("total_fps"),
+        F.expr(
+            "CAST(SUM(CAST(fps AS DECIMAL(38,0))) * 1000000"
+            " div SUM(n_grams) AS BIGINT)"
+        ).alias("density_ppm"),
+        F.min(F.expr("fps * 1000000 div n_grams"))
+        .cast("long")
+        .alias("min_doc_density_ppm"),
+        F.max(F.expr("fps * 1000000 div n_grams"))
+        .cast("long")
+        .alias("max_doc_density_ppm"),
+    )
+
+
+@query(
+    "q293_winnowing_pairs",
+    oracle=f"""
+    WITH {_WIN_SEL_SQL},
+    dfp AS (
+      SELECT DISTINCT doc_id, fp_h FROM sel
+      WHERE fp_h IN (
+        SELECT fp_h FROM (
+          SELECT fp_h, COUNT(DISTINCT doc_id) AS df FROM sel GROUP BY fp_h
+        ) WHERE df <= {_WIN_DF_CAP}
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM dfp GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM dfp a JOIN dfp b ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_fps,
+           CAST(p.shared_fps * 1000000
+                // (sa.n_fp + sb.n_fp - p.shared_fps) AS BIGINT)
+               AS winnow_jaccard_ppm
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "join"),
+)
+def q293_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-winnowed-fingerprint candidate pairs — the MOSS match
+    step: docs sharing >= 2 surviving fingerprints, scored by the
+    winnowed-set Jaccard (shared / union, exact integers in ppm).
+    Because winnowing guarantees a fingerprint in every
+    {_WIN_W}-window, every pair sharing a run of >=
+    {_WIN_W + _WIN_NGRAM - 1} tokens of non-boilerplate text appears
+    here — a detection GUARANTEE minhash (q43) can only give in
+    expectation.
+
+    Scale: the pair space is bounded by construction — fingerprints
+    selected by more than {_WIN_DF_CAP} docs are dropped as
+    boilerplate BEFORE the self-join (the q43 hot-bucket discipline),
+    so every fingerprint bucket fans out at most {_WIN_DF_CAP}^2
+    pairs; the join key is the fingerprint hash (uniform by md5).
+    The sizes frame is doc-sized; both joins after the pair agg are
+    on the |pairs| frame."""
+    sel = _winnowed_fps(spark, sf_dir).localCheckpoint(eager=False)
+    df_cap = (
+        sel.groupBy("fp_h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _WIN_DF_CAP)
+        .select("fp_h")
+    )
+    dfp = (
+        sel.join(df_cap, "fp_h", "left_semi")
+        .select("doc_id", "fp_h")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sizes AND both join sides
+    )
+    sizes = dfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = dfp.select(F.col("doc_id").alias("doc_a"), "fp_h")
+    b = dfp.select(F.col("doc_id").alias("doc_b"), "fp_h")
+    pairs = (
+        a.join(b, "fp_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.expr(
+                "CAST(shared_fps * 1000000"
+                " div (na + nb - shared_fps) AS BIGINT)"
+            ).alias("winnow_jaccard_ppm"),
+        )
+    )

@@ -2698,3 +2698,137 @@ def bucket_batch_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# pii_scan_stream — stateful twin of q291_pii_redaction_pricing
+# ---------------------------------------------------------------------------
+
+PII_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("pii_class", T.StringType()),
+        T.StructField("n_docs_hit", T.LongType()),
+        T.StructField("total_matches", T.LongType()),
+        T.StructField("matched_chars", T.LongType()),
+        T.StructField("hit_doc_ppm", T.LongType()),
+        T.StructField("residual_matches", T.LongType()),
+    ]
+)
+
+# 40 bytes per pattern class: the whole scrub-audit ledger
+PII_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_hit", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("match_chars", T.LongType()),
+        T.StructField("residual", T.LongType()),
+    ]
+)
+PII_STATE_TTL_SCHEMA = T.StructType(
+    [*PII_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _pii_scan_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    cols = [f.name for f in PII_OUTPUT_SCHEMA.fields]
+    empty = pd.DataFrame({c: [] for c in cols})
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        n_docs, n_hit, n_m, chars, resid = (int(v) for v in stored[:5])
+        prev_last = stored[5] if ttl_ms is not None else 0
+    else:
+        n_docs, n_hit, n_m, chars, resid, prev_last = 0, 0, 0, 0, 0, 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # every counter is an integer sum — a commutative monoid, so
+    # parity with the batch q291 row is unconditional for ANY arrival
+    # order and micro-batch split (the countmin/KMV argument)
+    n_docs += len(whole)
+    n_hit += int((whole["n_matches"] > 0).sum())
+    n_m += int(whole["n_matches"].sum())
+    chars += int(whole["match_chars"].sum())
+    resid += int(whole["residual"].sum())
+    if ttl_ms is None:
+        state.update((n_docs, n_hit, n_m, chars, resid))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((n_docs, n_hit, n_m, chars, resid, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield pd.DataFrame(
+        [
+            (
+                str(key[0]),
+                n_hit,
+                n_m,
+                chars,
+                n_hit * 1_000_000 // n_docs,
+                resid,
+            )
+        ],
+        columns=cols,
+    )
+
+
+def pii_scan_stream(
+    docs: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Online PII scrub-audit ledger (stateful twin of
+    q291_pii_redaction_pricing, the 18th twin): each arriving document
+    goes through the SAME map-side scan/redact kernel as the batch
+    audit (operators/curation.py::pii_class_rows — imported, so the
+    two surfaces cannot drift), and 40 bytes of state per pattern
+    class carry (n_docs, n_hit, n_matches, match_chars, residual).
+    Every micro-batch emits each touched class's full updated row;
+    sink latest-per-class = the batch q291 table over the same log
+    prefix — including the derived hit_doc_ppm (Python-int division,
+    overflow-free at any scale) and the residual_matches invariant
+    (still 0 unless the scrub missed something).
+
+    Parity is UNCONDITIONAL for any arrival order and batch split —
+    five integer sums form a commutative monoid — and state is
+    bounded by construction at <= |pattern classes| (3) rows at ANY
+    scale.
+
+    ``state_ttl_ms``: an idle class evicts once the watermark passes
+    last arrival + TTL; a later doc starts a fresh audit segment.
+
+    `docs` must be a streaming DataFrame with columns (doc_id, text)
+    — plus `ts` when ``state_ttl_ms`` is set."""
+    from target_hdfs_spark.operators.curation import pii_class_rows
+
+    base_cols = ("ts",) if state_ttl_ms is not None else ()
+    prepared = pii_class_rows(docs, *base_cols)
+
+    def fn(key, pdfs, state):
+        return _pii_scan_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = (
+            prepared,
+            PII_STATE_SCHEMA,
+            GroupStateTimeout.NoTimeout,
+        )
+    else:
+        src = prepared.withWatermark("ts", watermark_delay)
+        schema, timeout = (
+            PII_STATE_TTL_SCHEMA,
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    return src.groupBy("pii_class").applyInPandasWithState(
+        fn,
+        outputStructType=PII_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
