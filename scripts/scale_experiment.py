@@ -186,6 +186,11 @@ QUERIES = (
     # self-join so bucket fan-out is bounded at cap^2
     "q292_winnowing_fingerprints",
     "q293_winnowing_pairs",
+    # round 11 (continuation): DSIR mixture shift (rides the scores
+    # pipeline + |sources| rollup) and the filter-agreement audit
+    # (one map-side flag pass + 1-row aggregate)
+    "q294_dsir_mixture_shift",
+    "q295_filter_agreement",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

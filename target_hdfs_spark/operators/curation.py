@@ -4050,10 +4050,11 @@ def _dsir_gram_frame(d: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q290_dsir_importance",
-    oracle=f"""
-    WITH d AS (
+# The shared WITH-chain both DSIR oracles build on: token frame ->
+# gram/bucket rows -> B-row model -> smoothed integer ratio table ->
+# per-doc integer scores.
+_DSIR_SCORES_SQL = f"""
+    d AS (
       SELECT doc_id, lang, source, {_TOK} AS toks
       FROM documents WHERE len({_TOK}) > 0
     ),
@@ -4084,6 +4085,69 @@ def _dsir_gram_frame(d: DataFrame) -> DataFrame:
       FROM gb JOIN ratio USING (bucket)
       GROUP BY doc_id, source, n_toks
     )
+"""
+
+
+def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_toks, score_ppm) — the DSIR importance
+    score for every non-empty document (integer mean smoothed
+    target/raw bucket ratio over the doc's gram occurrences; > 1e6 =
+    more target-like than the raw pool). The Spark twin of
+    _DSIR_SCORES_SQL, shared by q290 (selection table) and q294
+    (mixture shift).
+
+    Plan: one lazily checkpointed token frame feeds both gram passes;
+    the {_DSIR_B}-row model and the 1-row totals are broadcast; the
+    per-doc aggregation is the only corpus-sized shuffle."""
+    d = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "source", "text"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "lang", "source", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)  # consumed by model fit AND scoring
+    )
+    gb = _dsir_gram_frame(d)
+    model = gb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt_r"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TGT_LANG, 1).otherwise(0)
+        ).cast("decimal(38,0)").alias("cnt_t"),
+    )
+    tot = model.agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    )
+    ratio = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST((cnt_t + 1) * (tot_r + {_DSIR_B}) * 1000000"
+            f" div ((cnt_r + 1) * (tot_t + {_DSIR_B})) AS BIGINT)"
+        ).alias("r_ppm"),
+    )
+    return (
+        _dsir_gram_frame(d)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "source", "n_toks")
+        .agg(
+            F.sum(F.col("r_ppm").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.expr("CAST(s div c AS BIGINT)").alias("score_ppm"),
+        )
+    )
+
+
+@query(
+    "q290_dsir_importance",
+    oracle=f"""
+    WITH {_DSIR_SCORES_SQL}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CAST(score_ppm AS HUGEINT)) // COUNT(*) AS BIGINT)
@@ -4120,49 +4184,7 @@ def q290_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-sized stages are the two gram passes over a lazily
     checkpointed token frame. No reference analog (beyond-reference
     operator)."""
-    d = (
-        fan_out(
-            load_table(spark, sf_dir, "documents").select(
-                "doc_id", "lang", "source", "text"
-            ),
-            "doc_id",
-        )
-        .select("doc_id", "lang", "source", tokens("text").alias("toks"))
-        .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=False)  # consumed by model fit AND scoring
-    )
-    gb = _dsir_gram_frame(d)
-    model = gb.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt_r"),
-        F.sum(
-            F.when(F.col("lang") == _DSIR_TGT_LANG, 1).otherwise(0)
-        ).cast("decimal(38,0)").alias("cnt_t"),
-    )
-    tot = model.agg(
-        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
-    )
-    ratio = model.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.expr(
-            f"CAST((cnt_t + 1) * (tot_r + {_DSIR_B}) * 1000000"
-            f" div ((cnt_r + 1) * (tot_t + {_DSIR_B})) AS BIGINT)"
-        ).alias("r_ppm"),
-    )
-    scores = (
-        _dsir_gram_frame(d)
-        .join(F.broadcast(ratio), "bucket")
-        .groupBy("doc_id", "source", "n_toks")
-        .agg(
-            F.sum(F.col("r_ppm").cast("decimal(38,0)")).alias("s"),
-            F.count(F.lit(1)).alias("c"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            "n_toks",
-            F.expr("CAST(s div c AS BIGINT)").alias("score_ppm"),
-        )
-    )
+    scores = dsir_doc_scores(spark, sf_dir)
     sel = F.col("score_ppm") > 1000000
     return scores.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -4179,6 +4201,88 @@ def q290_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(sel, F.col("n_toks")).otherwise(0))
         .cast("long")
         .alias("selected_tokens"),
+    )
+
+
+@query(
+    "q294_dsir_mixture_shift",
+    oracle=f"""
+    WITH {_DSIR_SCORES_SQL},
+    per_src AS (
+      SELECT source,
+             CAST(SUM(n_toks) AS HUGEINT) AS raw_tokens,
+             CAST(SUM(CASE WHEN score_ppm > 1000000 THEN n_toks ELSE 0 END)
+                 AS HUGEINT) AS sel_tokens
+      FROM scores GROUP BY source
+    ),
+    t AS (SELECT SUM(raw_tokens) AS tot_raw,
+                 greatest(SUM(sel_tokens), 1) AS tot_sel FROM per_src)
+    SELECT source,
+           CAST(raw_tokens AS BIGINT) AS raw_tokens,
+           CAST(sel_tokens AS BIGINT) AS sel_tokens,
+           CAST(raw_tokens * 1000000 // tot_raw AS BIGINT)
+               AS raw_share_ppm,
+           CAST(sel_tokens * 1000000 // tot_sel AS BIGINT)
+               AS sel_share_ppm,
+           CAST(abs(sel_tokens * 1000000 // tot_sel
+                    - raw_tokens * 1000000 // tot_raw) AS BIGINT)
+               AS shift_ppm
+    FROM per_src, t
+    """,
+    tags=("curation", "dsir", "mixing", "drift"),
+)
+def q294_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR x mixture interaction — the q263-class distribution shift
+    DSIR selection induces, priced BEFORE committing to the selected
+    corpus: per source, the token share of the RAW pool vs the share
+    of the DSIR-SELECTED subset (score_ppm > 1e6) and the absolute
+    shift in ppm. Importance resampling silently reweights the source
+    mixture (sources resembling the target gain share); next to
+    q290's selection table this is the re-balancing input a mixture
+    planner (q256/q259) needs.
+
+    Scale: rides dsir_doc_scores (model broadcast, one |docs|
+    shuffle); the share table is |sources| rows and the totals are a
+    broadcast 1-row attach. HUGEINT/DECIMAL through the *1e6 products
+    so 100 TB token sums cannot overflow."""
+    scores = dsir_doc_scores(spark, sf_dir)
+    per_src = (
+        scores.groupBy("source")
+        .agg(
+            F.sum(F.col("n_toks").cast("decimal(38,0)")).alias(
+                "raw_tokens"
+            ),
+            F.sum(
+                F.when(F.col("score_ppm") > 1000000, F.col("n_toks"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("sel_tokens"),
+        )
+        # |sources| rows consumed by the totals agg AND the final
+        # select — checkpoint so the corpus-sized scores pipeline
+        # runs once, not twice
+        .localCheckpoint(eager=False)
+    )
+    t = per_src.agg(
+        F.sum("raw_tokens").alias("tot_raw"),
+        F.expr("greatest(SUM(sel_tokens), CAST(1 AS DECIMAL(38,0)))").alias(
+            "tot_sel"
+        ),
+    )
+    return per_src.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("raw_tokens").cast("long").alias("raw_tokens"),
+        F.col("sel_tokens").cast("long").alias("sel_tokens"),
+        F.expr("CAST(raw_tokens * 1000000 div tot_raw AS BIGINT)").alias(
+            "raw_share_ppm"
+        ),
+        F.expr("CAST(sel_tokens * 1000000 div tot_sel AS BIGINT)").alias(
+            "sel_share_ppm"
+        ),
+        F.expr(
+            "CAST(abs(sel_tokens * 1000000 div tot_sel"
+            " - raw_tokens * 1000000 div tot_raw) AS BIGINT)"
+        ).alias("shift_ppm"),
     )
 
 
@@ -4425,4 +4529,188 @@ def q291_pii_redaction_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,0)) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("hit_doc_ppm"),
         F.sum("residual").cast("long").alias("residual_matches"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6z: quality-filter agreement — the filter-ensemble redundancy audit
+# ---------------------------------------------------------------------------
+
+# Four self-contained map-side quality signals (integer cross-
+# multiplied thresholds — no float ratios), deliberately simple
+# single-pass versions of the repo's filter families:
+#   len:  20 <= n_toks <= 2000            (q258's cutoff family)
+#   uniq: distinct/total tokens >= 0.5    (q54's unique-ratio family)
+#   rep:  distinct/total bigrams >= 0.9   (q103's repetition family)
+#   stop: stopword token share >= 0.05    (q54's stopword family)
+_FA_STOPWORDS = ("the", "a", "of", "and", "in")
+_FA_STOP_SQL = "['" + "', '".join(_FA_STOPWORDS) + "']"
+
+
+@query(
+    "q295_filter_agreement",
+    oracle=f"""
+    WITH d AS (
+      SELECT {_TOK} AS toks FROM documents WHERE len({_TOK}) > 0
+    ),
+    f AS (
+      SELECT len(toks) AS n_toks,
+             len(list_distinct(toks)) AS uniq,
+             len({shingles_sql('toks', 2)}) AS n_bg,
+             len(list_distinct({shingles_sql('toks', 2)})) AS u_bg,
+             len(list_filter(toks,
+                 x -> list_contains({_FA_STOP_SQL}, x))) AS stop_cnt
+      FROM d
+    ),
+    fl AS (
+      SELECT CASE WHEN n_toks BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN uniq * 2 >= n_toks THEN 1 ELSE 0 END AS f_uniq,
+             CASE WHEN u_bg * 10 >= n_bg * 9 THEN 1 ELSE 0 END AS f_rep,
+             CASE WHEN stop_cnt * 20 >= n_toks THEN 1 ELSE 0 END AS f_stop
+      FROM f
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(f_len) AS HUGEINT) AS c_len,
+             CAST(SUM(f_uniq) AS HUGEINT) AS c_uniq,
+             CAST(SUM(f_rep) AS HUGEINT) AS c_rep,
+             CAST(SUM(f_stop) AS HUGEINT) AS c_stop,
+             CAST(SUM(f_len * f_uniq) AS HUGEINT) AS b_lu,
+             CAST(SUM(f_len * f_rep) AS HUGEINT) AS b_lr,
+             CAST(SUM(f_len * f_stop) AS HUGEINT) AS b_ls,
+             CAST(SUM(f_uniq * f_rep) AS HUGEINT) AS b_ur,
+             CAST(SUM(f_uniq * f_stop) AS HUGEINT) AS b_us,
+             CAST(SUM(f_rep * f_stop) AS HUGEINT) AS b_rs
+      FROM fl
+    ),
+    pairs AS (
+      SELECT 'len' AS filter_a, 'uniq' AS filter_b, n, c_len AS ca, c_uniq AS cb, b_lu AS nb FROM a
+      UNION ALL SELECT 'len', 'rep', n, c_len, c_rep, b_lr FROM a
+      UNION ALL SELECT 'len', 'stop', n, c_len, c_stop, b_ls FROM a
+      UNION ALL SELECT 'uniq', 'rep', n, c_uniq, c_rep, b_ur FROM a
+      UNION ALL SELECT 'uniq', 'stop', n, c_uniq, c_stop, b_us FROM a
+      UNION ALL SELECT 'rep', 'stop', n, c_rep, c_stop, b_rs FROM a
+    )
+    SELECT filter_a, filter_b,
+           CAST(nb AS BIGINT) AS n_both,
+           CAST(ca - nb AS BIGINT) AS n_only_a,
+           CAST(cb - nb AS BIGINT) AS n_only_b,
+           CAST(n - ca - cb + nb AS BIGINT) AS n_neither,
+           CAST((nb + n - ca - cb + nb) * 1000000 // n AS BIGINT)
+               AS agree_ppm,
+           CAST(CASE
+             WHEN n * (2 * nb + n - ca - cb)
+                  - (ca * cb + (n - ca) * (n - cb)) < 0
+             THEN -((1000000 * ((ca * cb + (n - ca) * (n - cb))
+                     - n * (2 * nb + n - ca - cb)))
+                    // greatest(n * n - (ca * cb + (n - ca) * (n - cb)), 1))
+             ELSE (1000000 * (n * (2 * nb + n - ca - cb)
+                     - (ca * cb + (n - ca) * (n - cb))))
+                  // greatest(n * n - (ca * cb + (n - ca) * (n - cb)), 1)
+           END AS BIGINT) AS kappa_ppm
+    FROM pairs
+    """,
+    tags=("curation", "quality", "ensemble"),
+)
+def q295_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ENSEMBLE agreement — the redundancy audit a
+    curation pipeline runs before paying for four filters when two
+    would do: for every pair of quality signals (length window,
+    unique-token ratio, bigram-repetition, stopword share) the
+    confusion quadrant (both / only-a / only-b / neither), raw
+    agreement, and Cohen's kappa — chance-corrected agreement — in
+    ppm. Kappa is computed from the exact integer identity
+    kappa = (n*(agree) - (ca*cb + (n-ca)*(n-cb)))
+          / (n^2 - (ca*cb + (n-ca)*(n-cb)))
+    with sign-handled integer division (both engines truncate the
+    positive quotient, so negative kappas divide as negated
+    positives — engine-exact, no floats anywhere).
+
+    High kappa = redundant filters (drop one); near-zero = independent
+    signals (keep both); negative = systematically disagreeing
+    thresholds (recalibrate). Scale: ONE map-side pass computes all
+    four flags per doc, one 1-row aggregation carries every pairwise
+    count, and the 6-row pair table is pure arithmetic on that row —
+    no joins, no windows, nothing downstream is corpus-sized."""
+    toks = tokens("text")
+    d = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+        .select(toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            F.size("toks").alias("n_toks"),
+            F.size(F.array_distinct("toks")).alias("uniq"),
+            F.size(shingles(F.col("toks"), 2)).alias("n_bg"),
+            F.size(F.array_distinct(shingles(F.col("toks"), 2))).alias(
+                "u_bg"
+            ),
+            F.size(
+                F.filter(
+                    F.col("toks"), lambda x: x.isin(*_FA_STOPWORDS)
+                )
+            ).alias("stop_cnt"),
+        )
+        .select(
+            F.expr(
+                "CASE WHEN n_toks BETWEEN 20 AND 2000 THEN 1 ELSE 0 END"
+            ).alias("f_len"),
+            F.expr(
+                "CASE WHEN uniq * 2 >= n_toks THEN 1 ELSE 0 END"
+            ).alias("f_uniq"),
+            F.expr(
+                "CASE WHEN u_bg * 10 >= n_bg * 9 THEN 1 ELSE 0 END"
+            ).alias("f_rep"),
+            F.expr(
+                "CASE WHEN stop_cnt * 20 >= n_toks THEN 1 ELSE 0 END"
+            ).alias("f_stop"),
+        )
+    )
+    dec = "decimal(38,0)"
+    a = d.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("f_len").cast(dec).alias("c_len"),
+        F.sum("f_uniq").cast(dec).alias("c_uniq"),
+        F.sum("f_rep").cast(dec).alias("c_rep"),
+        F.sum("f_stop").cast(dec).alias("c_stop"),
+        F.sum(F.col("f_len") * F.col("f_uniq")).cast(dec).alias("b_lu"),
+        F.sum(F.col("f_len") * F.col("f_rep")).cast(dec).alias("b_lr"),
+        F.sum(F.col("f_len") * F.col("f_stop")).cast(dec).alias("b_ls"),
+        F.sum(F.col("f_uniq") * F.col("f_rep")).cast(dec).alias("b_ur"),
+        F.sum(F.col("f_uniq") * F.col("f_stop")).cast(dec).alias("b_us"),
+        F.sum(F.col("f_rep") * F.col("f_stop")).cast(dec).alias("b_rs"),
+    )
+    pairs = a.select(
+        F.expr(
+            "stack(6,"
+            " 'len', 'uniq', c_len, c_uniq, b_lu,"
+            " 'len', 'rep', c_len, c_rep, b_lr,"
+            " 'len', 'stop', c_len, c_stop, b_ls,"
+            " 'uniq', 'rep', c_uniq, c_rep, b_ur,"
+            " 'uniq', 'stop', c_uniq, c_stop, b_us,"
+            " 'rep', 'stop', c_rep, c_stop, b_rs)"
+            " AS (filter_a, filter_b, ca, cb, nb)"
+        ),
+        "n",
+    )
+    pe = "(ca * cb + (n - ca) * (n - cb))"
+    num = f"(n * (2 * nb + n - ca - cb) - {pe})"
+    den = f"greatest(n * n - {pe}, CAST(1 AS DECIMAL(38,0)))"
+    return pairs.select(
+        "filter_a",
+        "filter_b",
+        F.col("nb").cast("long").alias("n_both"),
+        F.expr("CAST(ca - nb AS BIGINT)").alias("n_only_a"),
+        F.expr("CAST(cb - nb AS BIGINT)").alias("n_only_b"),
+        F.expr("CAST(n - ca - cb + nb AS BIGINT)").alias("n_neither"),
+        F.expr(
+            "CAST((nb + n - ca - cb + nb) * 1000000 div n AS BIGINT)"
+        ).alias("agree_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {num} < 0"
+            f" THEN -((1000000 * (-{num})) div {den})"
+            f" ELSE (1000000 * {num}) div {den} END AS BIGINT)"
+        ).alias("kappa_ppm"),
     )

@@ -80,3 +80,52 @@ def test_pii_hits_match_injection_rule(spark):
     # possible render (user0@example.com = 17; 10.0.0.0 = 8)
     assert rows["email"]["matched_chars"] >= 17 * rows["email"]["total_matches"]
     assert rows["ipv4"]["matched_chars"] >= 8 * rows["ipv4"]["total_matches"]
+
+
+def test_dsir_mixture_shift_shares_are_consistent(spark):
+    rows = SPECS["q294_dsir_mixture_shift"].fn(spark, SF_DIR).collect()
+    assert rows
+    # shares sum to ~1e6 (integer-floor rounding loses < |sources| ppm)
+    raw_sum = sum(r["raw_share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= raw_sum <= 1_000_000
+    if any(r["sel_tokens"] > 0 for r in rows):
+        sel_sum = sum(r["sel_share_ppm"] for r in rows)
+        assert 1_000_000 - len(rows) <= sel_sum <= 1_000_000
+    for r in rows:
+        assert 0 <= r["sel_tokens"] <= r["raw_tokens"], r
+        assert r["shift_ppm"] == abs(
+            r["sel_share_ppm"] - r["raw_share_ppm"]
+        ), r
+
+
+def test_filter_agreement_quadrants_and_kappa(spark):
+    rows = SPECS["q295_filter_agreement"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    totals = {
+        r["n_both"] + r["n_only_a"] + r["n_only_b"] + r["n_neither"]
+        for r in rows
+    }
+    assert len(totals) == 1  # every pair partitions the same corpus
+    n = totals.pop()
+    for r in rows:
+        nb, oa, ob, nn = (
+            r["n_both"],
+            r["n_only_a"],
+            r["n_only_b"],
+            r["n_neither"],
+        )
+        assert min(nb, oa, ob, nn) >= 0, r
+        assert r["agree_ppm"] == (nb + nn) * 1_000_000 // n
+        assert -1_000_000 <= r["kappa_ppm"] <= 1_000_000, r
+        # recompute kappa from the quadrants with the exact integer
+        # identity (the implementation aggregates differently)
+        ca, cb = nb + oa, nb + ob
+        pe = ca * cb + (n - ca) * (n - cb)
+        num = n * (nb + nn) - pe
+        den = max(n * n - pe, 1)
+        expect = (
+            -((1_000_000 * -num) // den)
+            if num < 0
+            else (1_000_000 * num) // den
+        )
+        assert r["kappa_ppm"] == expect, (r, expect)
