@@ -191,6 +191,9 @@ QUERIES = (
     # (one map-side flag pass + 1-row aggregate)
     "q294_dsir_mixture_shift",
     "q295_filter_agreement",
+    # round 11 (continuation): DSIR model stability (one gram pass,
+    # two 1024-row half-models, top-k on the bucket frame)
+    "q296_dsir_model_drift",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

@@ -43,6 +43,7 @@ def _ops():
         mg_heavy_hitters_stream,
         multi_pattern_stream,
         pack_offset_stream,
+        dsir_model_stream,
         pii_scan_stream,
         quantile_stream,
         reservoir_stream,
@@ -88,6 +89,9 @@ def _ops():
         # docs-driven: the PII scrub-audit ledger (40 B per pattern
         # class — state bounded at <= 3 rows forever)
         "pii_scan_stream": pii_scan_stream,
+        # docs-driven: the online DSIR model fit (16 B per touched
+        # feature bucket — state bounded at <= 1024 rows forever)
+        "dsir_model_stream": dsir_model_stream,
     }
 
 
@@ -143,6 +147,7 @@ DOCS_OPS = (
     "pack_offset_stream",
     "bucket_batch_stream",
     "pii_scan_stream",
+    "dsir_model_stream",
 )
 
 
@@ -155,7 +160,7 @@ def drive_docs(spark, docs_path: str, op_name: str, op, n_batches_hint: int) -> 
         )
         .option("maxFilesPerTrigger", max(1, 32 // n_batches_hint))
         .parquet(docs_path)
-        .select("doc_id", "text")
+        .select("doc_id", "lang", "text")
     )
     name = f"sweep_{op_name}_{abs(hash(docs_path)) % 10_000}"
     with tempfile.TemporaryDirectory() as ckpt:

@@ -4714,3 +4714,134 @@ def q295_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE (1000000 * {num}) div {den} END AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6x2: DSIR model stability — importance ratios fit on disjoint halves
+# ---------------------------------------------------------------------------
+
+_DSIR_DRIFT_TOPK = 20
+
+
+def _dsir_half_model_sql(parity: int) -> str:
+    """The ratio CTE body fit on the doc_id-parity half (DuckDB)."""
+    return f"""
+      SELECT bucket,
+             CAST((cnt_t + 1) * (tot_r + {_DSIR_B}) * 1000000
+                  // ((cnt_r + 1) * (tot_t + {_DSIR_B})) AS BIGINT) AS r_ppm
+      FROM (
+        SELECT bucket,
+               CAST(COUNT(*) AS HUGEINT) AS cnt_r,
+               CAST(SUM(CASE WHEN lang = '{_DSIR_TGT_LANG}' THEN 1 ELSE 0
+                   END) AS HUGEINT) AS cnt_t
+        FROM gb WHERE doc_id % 2 = {parity} GROUP BY bucket
+      ) m, (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS tot_r,
+               CAST(SUM(CASE WHEN lang = '{_DSIR_TGT_LANG}' THEN 1 ELSE 0
+                   END) AS HUGEINT) AS tot_t
+        FROM gb WHERE doc_id % 2 = {parity}
+      ) t
+    """
+
+
+@query(
+    "q296_dsir_model_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, {_TOK} AS toks
+      FROM documents WHERE len({_TOK}) > 0
+    ),
+    gb AS (
+      SELECT doc_id, lang, {md5_hash32_sql('gram')} % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, lang, toks,
+                   unnest({shingles_sql('toks', 2)}) AS gram FROM d)
+    ),
+    ra AS ({_dsir_half_model_sql(0)}),
+    rb AS ({_dsir_half_model_sql(1)})
+    SELECT bucket,
+           ra.r_ppm AS even_r_ppm,
+           rb.r_ppm AS odd_r_ppm,
+           abs(ra.r_ppm - rb.r_ppm) AS drift_ppm
+    FROM ra JOIN rb USING (bucket)
+    ORDER BY drift_ppm DESC, bucket ASC LIMIT {_DSIR_DRIFT_TOPK}
+    """,
+    tags=("curation", "dsir", "drift"),
+)
+def q296_dsir_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR model STABILITY audit — the staleness question every
+    importance-resampling deployment has to answer before reusing a
+    fitted model on new data: fit the hashed-bigram ratio table
+    independently on the two doc_id-parity halves of the corpus and
+    rank buckets by the disagreement of their importance ratios
+    (|r_even - r_odd| in ppm, exact integers). Small drift across
+    random halves = the model is sample-stable at this corpus size;
+    large drift concentrated in a few buckets = those features are
+    undersampled and the smoothing constant (or bucket count) needs
+    revisiting. Top-{_DSIR_DRIFT_TOPK} drifted buckets, deterministic
+    tiebreak on bucket id.
+
+    Scale: ONE gram pass feeds both half-models (each a {_DSIR_B}-row
+    map-side-combined aggregation with a broadcast 1-row total); the
+    join and the top-k run on {_DSIR_B}-row frames
+    (TakeOrderedAndProject, never a global sort)."""
+    d = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "text"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "lang", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    gb = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(shingles(F.col("toks"), 2)).alias("gram"),
+        )
+        .select(
+            (F.col("doc_id") % 2).alias("parity"),
+            "lang",
+            (md5_hash32("gram") % _DSIR_B).alias("bucket"),
+        )
+        .localCheckpoint(eager=False)  # one gram pass, two half-models
+    )
+
+    def half_ratio(parity: int, out: str) -> DataFrame:
+        h = gb.filter(F.col("parity") == parity)
+        m = h.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt_r"),
+            F.sum(
+                F.when(F.col("lang") == _DSIR_TGT_LANG, 1).otherwise(0)
+            ).cast("decimal(38,0)").alias("cnt_t"),
+        )
+        t = h.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("tot_r"),
+            F.sum(
+                F.when(F.col("lang") == _DSIR_TGT_LANG, 1).otherwise(0)
+            ).cast("decimal(38,0)").alias("tot_t"),
+        )
+        return m.crossJoin(F.broadcast(t)).select(
+            "bucket",
+            F.expr(
+                f"CAST((cnt_t + 1) * (tot_r + {_DSIR_B}) * 1000000"
+                f" div ((cnt_r + 1) * (tot_t + {_DSIR_B})) AS BIGINT)"
+            ).alias(out),
+        )
+
+    ra = half_ratio(0, "even_r_ppm")
+    rb = half_ratio(1, "odd_r_ppm")
+    return (
+        ra.join(rb, "bucket")
+        .select(
+            "bucket",
+            "even_r_ppm",
+            "odd_r_ppm",
+            F.abs(F.col("even_r_ppm") - F.col("odd_r_ppm")).alias(
+                "drift_ppm"
+            ),
+        )
+        .orderBy(F.desc("drift_ppm"), F.asc("bucket"))
+        .limit(_DSIR_DRIFT_TOPK)
+    )

@@ -3524,14 +3524,22 @@ _WIN_SEL_SQL = f"""
 """
 
 
-def _winnowed_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, fp_h, fp_pos) — the winnowed fingerprint set:
-    in every window of {_WIN_W} consecutive gram hashes select the
-    minimum (rightmost on ties), dedup selections shared by adjacent
-    windows. Short docs (< {_WIN_W} grams) keep their global minimum.
-    The guarantee the density tests pin: at least one selection per
-    window (no gap longer than {_WIN_W}), so any shared run of
-    {_WIN_W + _WIN_NGRAM - 1} tokens yields a shared fingerprint."""
+def _winnowed_fps(
+    spark: SparkSession, sf_dir: str, with_pos: bool = True
+) -> DataFrame:
+    """(doc_id, source, fp_h[, fp_pos]) — the winnowed fingerprint
+    set: in every window of {_WIN_W} consecutive gram hashes select
+    the minimum (rightmost on ties), dedup selections shared by
+    adjacent windows. Short docs (< {_WIN_W} grams) keep their global
+    minimum. The guarantee the density tests pin: at least one
+    selection per window (no gap longer than {_WIN_W}), so any shared
+    run of {_WIN_W + _WIN_NGRAM - 1} tokens yields a shared
+    fingerprint.
+
+    ``with_pos=False`` drops the position column BEFORE the distinct,
+    so consumers that match on hash only (q293) dedupe straight to
+    (doc, hash) in ONE shuffle instead of carrying positions through
+    a wider distinct and deduping again."""
     from target_hdfs_spark.sources.readers import fan_out
 
     d = (
@@ -3576,7 +3584,11 @@ def _winnowed_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.col("m.h").alias("fp_h"),
-            (-F.col("m.np")).alias("fp_pos"),
+            *(
+                [(-F.col("m.np")).alias("fp_pos")]
+                if with_pos
+                else []
+            ),
         )
         .distinct()
     )
@@ -3704,17 +3716,20 @@ def q293_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; the join key is the fingerprint hash (uniform by md5).
     The sizes frame is doc-sized; both joins after the pair agg are
     on the |pairs| frame."""
-    sel = _winnowed_fps(spark, sf_dir).localCheckpoint(eager=False)
+    # hash-only fingerprints: (doc, h) is already distinct, so the
+    # df count is a plain COUNT and the semi join needs no re-dedupe
+    sel = _winnowed_fps(spark, sf_dir, with_pos=False).localCheckpoint(
+        eager=False
+    )
     df_cap = (
         sel.groupBy("fp_h")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _WIN_DF_CAP)
         .select("fp_h")
     )
     dfp = (
         sel.join(df_cap, "fp_h", "left_semi")
         .select("doc_id", "fp_h")
-        .distinct()
         .localCheckpoint(eager=False)  # feeds sizes AND both join sides
     )
     sizes = dfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))

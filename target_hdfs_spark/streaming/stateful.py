@@ -2832,3 +2832,142 @@ def pii_scan_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# dsir_model_stream — stateful twin of q290's model-fit stage
+# ---------------------------------------------------------------------------
+
+DSIR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("cnt_r", T.LongType()),
+        T.StructField("cnt_t", T.LongType()),
+    ]
+)
+
+# 16 bytes per touched feature bucket; bounded at the bucket count
+DSIR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cnt_r", T.LongType()),
+        T.StructField("cnt_t", T.LongType()),
+    ]
+)
+DSIR_STATE_TTL_SCHEMA = T.StructType(
+    [*DSIR_STATE_SCHEMA.fields, T.StructField("last_ms", T.LongType())]
+)
+
+
+def _dsir_model_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
+) -> Iterable[pd.DataFrame]:
+    cols = [f.name for f in DSIR_OUTPUT_SCHEMA.fields]
+    empty = pd.DataFrame({c: [] for c in cols}).astype("int64")
+    if state.hasTimedOut:
+        state.remove()
+        yield empty
+        return
+    if state.exists:
+        stored = state.get
+        cnt_r, cnt_t = int(stored[0]), int(stored[1])
+        prev_last = stored[2] if ttl_ms is not None else 0
+    else:
+        cnt_r, cnt_t, prev_last = 0, 0, 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # two integer sums — a commutative monoid: parity with the batch
+    # model aggregation is unconditional for any arrival order
+    cnt_r += len(whole)
+    cnt_t += int(whole["is_tgt"].sum())
+    if ttl_ms is None:
+        state.update((cnt_r, cnt_t))
+    else:
+        last_ms = max(int(prev_last), int(whole["ts"].max().value // 1_000_000))
+        state.update((cnt_r, cnt_t, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+    yield pd.DataFrame([(int(key[0]), cnt_r, cnt_t)], columns=cols)
+
+
+def dsir_model_stream(
+    docs: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Online DSIR model fit (stateful twin of q290's model stage,
+    the 19th twin): each arriving document explodes map-side into its
+    hashed word-bigram bucket rows — the SAME gram/bucket expressions
+    as the batch model (operators/curation.py, imported constants) —
+    and 16 bytes of state per touched bucket carry (cnt_r, cnt_t):
+    raw and target-slice gram-occurrence counts. Every micro-batch
+    emits each touched bucket's full updated row; sink
+    latest-per-bucket = the batch model aggregation over the same log
+    prefix, from which the importance-ratio table (and so per-doc
+    scores) is pure arithmetic. This is how an importance-resampling
+    selector keeps its model CURRENT while the crawl streams in,
+    instead of refitting from scratch (q296 prices when refitting
+    matters).
+
+    Parity is UNCONDITIONAL — two integer sums form a commutative
+    monoid — and state is bounded by construction at <= the feature
+    bucket count (1024) rows at ANY corpus size.
+
+    ``state_ttl_ms``: an idle bucket evicts once the watermark passes
+    last arrival + TTL (a decaying model for drifting crawls).
+
+    `docs` must be a streaming DataFrame with (doc_id, lang, text) —
+    plus `ts` when ``state_ttl_ms`` is set."""
+    from pyspark.sql import functions as F
+
+    from target_hdfs_spark.functions.hashing import md5_hash32
+    from target_hdfs_spark.functions.textfuncs import shingles, tokens
+    from target_hdfs_spark.operators.curation import (
+        _DSIR_B,
+        _DSIR_TGT_LANG,
+    )
+
+    base_cols = ["ts"] if state_ttl_ms is not None else []
+    prepared = (
+        docs.select(
+            *base_cols,
+            F.when(F.col("lang") == _DSIR_TGT_LANG, 1)
+            .otherwise(0)
+            .alias("is_tgt"),
+            tokens("text").alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .select(
+            *base_cols,
+            "is_tgt",
+            F.explode(shingles(F.col("toks"), 2)).alias("gram"),
+        )
+        .select(
+            *base_cols,
+            "is_tgt",
+            (md5_hash32("gram") % _DSIR_B).alias("bucket"),
+        )
+    )
+
+    def fn(key, pdfs, state):
+        return _dsir_model_group(key, pdfs, state, state_ttl_ms)
+
+    if state_ttl_ms is None:
+        src, schema, timeout = (
+            prepared,
+            DSIR_STATE_SCHEMA,
+            GroupStateTimeout.NoTimeout,
+        )
+    else:
+        src = prepared.withWatermark("ts", watermark_delay)
+        schema, timeout = (
+            DSIR_STATE_TTL_SCHEMA,
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    return src.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=DSIR_OUTPUT_SCHEMA,
+        stateStructType=schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -4202,3 +4202,156 @@ def test_pii_scan_ttl_starts_fresh_segment(spark, tmp_path):
     # and the ledger stays cumulative
     assert em[0]["n_docs_hit"] == 1
     assert em[-1]["n_docs_hit"] == 2
+
+
+# ---------------------------------------------------------------------------
+# dsir_model_stream (stateful twin of q290's model-fit stage)
+# ---------------------------------------------------------------------------
+
+DSIR_DOCS_SCHEMA_JSON = {
+    "properties": {
+        "doc_id": {"type": "integer"},
+        "ts": {"type": "string", "format": "date-time"},
+        "lang": {"type": "string"},
+        "text": {"type": "string"},
+    }
+}
+
+
+def _run_dsir_model(spark, src, name, ttl_ms=None, with_progress=False):
+    from target_hdfs_spark.streaming.stateful import dsir_model_stream
+
+    schema = jsonschema_to_spark(DSIR_DOCS_SCHEMA_JSON)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        dsir_model_stream(stream, state_ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"select * from {name}").collect()
+    if with_progress:
+        state_rows = [
+            op.numRowsTotal
+            for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+            for op in p.stateOperators
+        ]
+        return rows, state_rows
+    return rows
+
+
+def test_dsir_model_stream_matches_batch_on_shuffled_log(spark, tmp_path):
+    """Unconditional parity: the (cnt_r, cnt_t) ledger is a
+    commutative monoid, so a SHUFFLED multi-file log must reproduce
+    the batch model aggregation exactly, bucket for bucket."""
+    import json as _json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from target_hdfs_spark.functions.hashing import md5_hash32
+    from target_hdfs_spark.functions.textfuncs import shingles, tokens
+    from target_hdfs_spark.operators.curation import (
+        _DSIR_B,
+        _DSIR_TGT_LANG,
+    )
+    from target_hdfs_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "lang", "text")
+        .limit(90)
+        .collect()
+    )
+    # batch side: the model aggregation over the same 90 docs
+    bdf = spark.createDataFrame(docs)
+    expected = {
+        r["bucket"]: (r["cnt_r"], r["cnt_t"])
+        for r in (
+            bdf.select(
+                F.when(F.col("lang") == _DSIR_TGT_LANG, 1)
+                .otherwise(0)
+                .alias("is_tgt"),
+                tokens("text").alias("toks"),
+            )
+            .filter(F.size("toks") > 0)
+            .select(
+                "is_tgt",
+                F.explode(shingles(F.col("toks"), 2)).alias("gram"),
+            )
+            .select(
+                "is_tgt", (md5_hash32("gram") % _DSIR_B).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt_r"),
+                F.sum("is_tgt").cast("long").alias("cnt_t"),
+            )
+            .collect()
+        )
+    }
+    rng = random.Random(17)
+    shuffled = list(docs)
+    rng.shuffle(shuffled)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"f{i}.jsonl", "w") as fh:
+            for r in shuffled[i::3]:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "lang": r["lang"],
+                            "text": r["text"],
+                        }
+                    )
+                    + "\n"
+                )
+        import time as _t
+
+        _t.sleep(1.05)
+    got = {}
+    for r in _run_dsir_model(spark, src, "dsir_parity"):
+        got[r["bucket"]] = (r["cnt_r"], r["cnt_t"])  # latest wins
+    assert got == expected
+
+
+def test_dsir_model_state_is_bucket_bounded(spark, tmp_path):
+    """State rows never exceed the feature bucket count (1024)."""
+    import json as _json
+    import time as _t
+
+    from target_hdfs_spark.operators.curation import _DSIR_B
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"f{i}.jsonl", "w") as fh:
+            for j in range(40):
+                words = " ".join(f"w{(i * 40 + j + k) % 60}" for k in range(30))
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": i * 40 + j,
+                            "lang": "en" if j % 2 == 0 else "de",
+                            "text": words,
+                        }
+                    )
+                    + "\n"
+                )
+        _t.sleep(1.05)
+    rows, state_rows = _run_dsir_model(
+        spark, src, "dsir_bound", with_progress=True
+    )
+    assert rows
+    assert state_rows and max(state_rows) <= _DSIR_B
+    # target counts never exceed raw counts on any emission
+    assert all(0 <= r["cnt_t"] <= r["cnt_r"] for r in rows)
