@@ -123,6 +123,8 @@ GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "uncapped symmetric difference — bounded by the eager candidate-"
     "volume preflight (refuses > budget before any plan exists)",
     "q284_score_percentiles": _BAND,
+    "q294_dsir_mixture_shift": "raw/selected share totals over the"
+    " |sources| (~20-row) rollup",
     "q285_curriculum_phases": _BAND
     + " + token-share window over the |phases| (4-row) rollup",
     "q287_phase_mixture_drift": _BAND

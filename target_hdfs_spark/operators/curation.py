@@ -4246,43 +4246,42 @@ def q294_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row attach. HUGEINT/DECIMAL through the *1e6 products
     so 100 TB token sums cannot overflow."""
     scores = dsir_doc_scores(spark, sf_dir)
-    per_src = (
-        scores.groupBy("source")
-        .agg(
-            F.sum(F.col("n_toks").cast("decimal(38,0)")).alias(
-                "raw_tokens"
-            ),
-            F.sum(
-                F.when(F.col("score_ppm") > 1000000, F.col("n_toks"))
-                .otherwise(0)
-                .cast("decimal(38,0)")
-            ).alias("sel_tokens"),
-        )
-        # |sources| rows consumed by the totals agg AND the final
-        # select — checkpoint so the corpus-sized scores pipeline
-        # runs once, not twice
-        .localCheckpoint(eager=False)
+    per_src = scores.groupBy("source").agg(
+        F.sum(F.col("n_toks").cast("decimal(38,0)")).alias("raw_tokens"),
+        F.sum(
+            F.when(F.col("score_ppm") > 1000000, F.col("n_toks"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("sel_tokens"),
     )
-    t = per_src.agg(
-        F.sum("raw_tokens").alias("tot_raw"),
-        F.expr("greatest(SUM(sel_tokens), CAST(1 AS DECIMAL(38,0)))").alias(
-            "tot_sel"
-        ),
+    # the share totals are windows over the |sources| frame (bounded —
+    # GLOBAL_WINDOW_BOUNDS waiver), so the corpus-sized scores
+    # pipeline is evaluated exactly once and stays visible to the
+    # plan audit (a lazy checkpoint here would truncate the audited
+    # lineage to the 20-row tail)
+    shares = per_src.select(
+        "source",
+        "raw_tokens",
+        "sel_tokens",
+        F.expr(
+            "CAST(raw_tokens * 1000000"
+            " div SUM(raw_tokens) OVER () AS BIGINT)"
+        ).alias("raw_share_ppm"),
+        F.expr(
+            "CAST(sel_tokens * 1000000 div greatest("
+            "SUM(sel_tokens) OVER (), CAST(1 AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("sel_share_ppm"),
     )
-    return per_src.crossJoin(F.broadcast(t)).select(
+    return shares.select(
         "source",
         F.col("raw_tokens").cast("long").alias("raw_tokens"),
         F.col("sel_tokens").cast("long").alias("sel_tokens"),
-        F.expr("CAST(raw_tokens * 1000000 div tot_raw AS BIGINT)").alias(
-            "raw_share_ppm"
+        "raw_share_ppm",
+        "sel_share_ppm",
+        F.abs(F.col("sel_share_ppm") - F.col("raw_share_ppm")).alias(
+            "shift_ppm"
         ),
-        F.expr("CAST(sel_tokens * 1000000 div tot_sel AS BIGINT)").alias(
-            "sel_share_ppm"
-        ),
-        F.expr(
-            "CAST(abs(sel_tokens * 1000000 div tot_sel"
-            " - raw_tokens * 1000000 div tot_raw) AS BIGINT)"
-        ).alias("shift_ppm"),
     )
 
 
@@ -4640,13 +4639,14 @@ def q295_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(toks.alias("toks"))
         .filter(F.size("toks") > 0)
+        # materialize the shingle array once (textfuncs.shingles'
+        # performance contract) before sizing it two ways
+        .select("toks", shingles(F.col("toks"), 2).alias("bg"))
         .select(
             F.size("toks").alias("n_toks"),
             F.size(F.array_distinct("toks")).alias("uniq"),
-            F.size(shingles(F.col("toks"), 2)).alias("n_bg"),
-            F.size(F.array_distinct(shingles(F.col("toks"), 2))).alias(
-                "u_bg"
-            ),
+            F.size("bg").alias("n_bg"),
+            F.size(F.array_distinct("bg")).alias("u_bg"),
             F.size(
                 F.filter(
                     F.col("toks"), lambda x: x.isin(*_FA_STOPWORDS)

@@ -3539,7 +3539,10 @@ def _winnowed_fps(
     ``with_pos=False`` drops the position column BEFORE the distinct,
     so consumers that match on hash only (q293) dedupe straight to
     (doc, hash) in ONE shuffle instead of carrying positions through
-    a wider distinct and deduping again."""
+    a wider distinct and deduping again. ``with_pos=True`` also
+    carries ``n_grams`` (functionally dependent on doc_id — the
+    distinct's cardinality is unchanged) so q292's density table
+    needs no second corpus scan."""
     from target_hdfs_spark.sources.readers import fan_out
 
     d = (
@@ -3555,8 +3558,13 @@ def _winnowed_fps(
     g = d.select(
         "doc_id",
         "source",
+        F.greatest(
+            F.size("toks") - F.lit(_WIN_NGRAM - 1), F.lit(1)
+        ).cast("long").alias("n_grams"),
         F.posexplode(shingles(F.col("toks"), _WIN_NGRAM)).alias("pos", "gram"),
-    ).select("doc_id", "source", "pos", md5_hash32("gram").alias("h"))
+    ).select(
+        "doc_id", "source", "n_grams", "pos", md5_hash32("gram").alias("h")
+    )
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -3566,6 +3574,7 @@ def _winnowed_fps(
         g.select(
             "doc_id",
             "source",
+            "n_grams",
             "pos",
             F.min(
                 F.struct(
@@ -3585,7 +3594,10 @@ def _winnowed_fps(
             "source",
             F.col("m.h").alias("fp_h"),
             *(
-                [(-F.col("m.np")).alias("fp_pos")]
+                [
+                    (-F.col("m.np")).alias("fp_pos"),
+                    F.col("n_grams"),
+                ]
                 if with_pos
                 else []
             ),
@@ -3637,21 +3649,10 @@ def q292_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (per doc — never global); the rollup is |sources| rows.
     The doc-sized distinct is the only shuffle after the window."""
     sel = _winnowed_fps(spark, sf_dir)
-    g_sizes = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("toks"))
-        .filter(F.size("toks") > 0)
-        .select(
-            "doc_id",
-            F.greatest(
-                F.size("toks") - F.lit(_WIN_NGRAM - 1), F.lit(1)
-            ).cast("long").alias("n_grams"),
-        )
-    )
-    per_doc = (
-        sel.groupBy("doc_id", "source")
-        .agg(F.count(F.lit(1)).cast("long").alias("fps"))
-        .join(g_sizes, "doc_id")
+    # n_grams rides the fingerprint frame (functionally dependent on
+    # doc_id), so the density table needs no second corpus scan
+    per_doc = sel.groupBy("doc_id", "source", "n_grams").agg(
+        F.count(F.lit(1)).cast("long").alias("fps")
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
