@@ -125,6 +125,8 @@ GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "q284_score_percentiles": _BAND,
     "q294_dsir_mixture_shift": "raw/selected share totals over the"
     " |sources| (~20-row) rollup",
+    "q297_split_balance_audit": "corpus-total share window over the"
+    " |splits| x |sources| (~60-row) rollup",
     "q285_curriculum_phases": _BAND
     + " + token-share window over the |phases| (4-row) rollup",
     "q287_phase_mixture_drift": _BAND

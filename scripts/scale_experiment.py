@@ -194,6 +194,9 @@ QUERIES = (
     # round 11 (continuation): DSIR model stability (one gram pass,
     # two 1024-row half-models, top-k on the bucket frame)
     "q296_dsir_model_drift",
+    # round 11 (continuation): split balance audit (scan-side split
+    # assignment + ~60-row rollup with bounded windows)
+    "q297_split_balance_audit",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

@@ -44,6 +44,7 @@ def _ops():
         multi_pattern_stream,
         pack_offset_stream,
         dsir_model_stream,
+        filter_agreement_stream,
         pii_scan_stream,
         quantile_stream,
         reservoir_stream,
@@ -92,6 +93,9 @@ def _ops():
         # docs-driven: the online DSIR model fit (16 B per touched
         # feature bucket — state bounded at <= 1024 rows forever)
         "dsir_model_stream": dsir_model_stream,
+        # docs-driven: the online filter-agreement ledger (32 B per
+        # filter pair — state bounded at 6 rows forever)
+        "filter_agreement_stream": filter_agreement_stream,
     }
 
 
@@ -148,6 +152,7 @@ DOCS_OPS = (
     "bucket_batch_stream",
     "pii_scan_stream",
     "dsir_model_stream",
+    "filter_agreement_stream",
 )
 
 

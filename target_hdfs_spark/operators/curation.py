@@ -4546,6 +4546,51 @@ _FA_STOPWORDS = ("the", "a", "of", "and", "in")
 _FA_STOP_SQL = "['" + "', '".join(_FA_STOPWORDS) + "']"
 
 
+def filter_flags(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Per-document 0/1 flags for the four single-pass quality
+    signals (integer cross-multiplied thresholds — no float ratios):
+    (f_len, f_uniq, f_rep, f_stop[, *extra_cols]). Entirely map-side
+    (stateless projections), so it is usable on both batch and
+    streaming frames; shared by q295 and the streaming agreement
+    ledger so the two surfaces cannot drift.
+
+    `docs` needs a `text` column; `extra_cols` pass through."""
+    return (
+        docs.select(*extra_cols, tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        # materialize the shingle array once (textfuncs.shingles'
+        # performance contract) before sizing it two ways
+        .select(*extra_cols, "toks", shingles(F.col("toks"), 2).alias("bg"))
+        .select(
+            *extra_cols,
+            F.size("toks").alias("n_toks"),
+            F.size(F.array_distinct("toks")).alias("uniq"),
+            F.size("bg").alias("n_bg"),
+            F.size(F.array_distinct("bg")).alias("u_bg"),
+            F.size(
+                F.filter(
+                    F.col("toks"), lambda x: x.isin(*_FA_STOPWORDS)
+                )
+            ).alias("stop_cnt"),
+        )
+        .select(
+            *extra_cols,
+            F.expr(
+                "CASE WHEN n_toks BETWEEN 20 AND 2000 THEN 1 ELSE 0 END"
+            ).alias("f_len"),
+            F.expr(
+                "CASE WHEN uniq * 2 >= n_toks THEN 1 ELSE 0 END"
+            ).alias("f_uniq"),
+            F.expr(
+                "CASE WHEN u_bg * 10 >= n_bg * 9 THEN 1 ELSE 0 END"
+            ).alias("f_rep"),
+            F.expr(
+                "CASE WHEN stop_cnt * 20 >= n_toks THEN 1 ELSE 0 END"
+            ).alias("f_stop"),
+        )
+    )
+
+
 @query(
     "q295_filter_agreement",
     oracle=f"""
@@ -4631,41 +4676,10 @@ def q295_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     four flags per doc, one 1-row aggregation carries every pairwise
     count, and the 6-row pair table is pure arithmetic on that row —
     no joins, no windows, nothing downstream is corpus-sized."""
-    toks = tokens("text")
-    d = (
+    d = filter_flags(
         fan_out(
             load_table(spark, sf_dir, "documents").select("doc_id", "text"),
             "doc_id",
-        )
-        .select(toks.alias("toks"))
-        .filter(F.size("toks") > 0)
-        # materialize the shingle array once (textfuncs.shingles'
-        # performance contract) before sizing it two ways
-        .select("toks", shingles(F.col("toks"), 2).alias("bg"))
-        .select(
-            F.size("toks").alias("n_toks"),
-            F.size(F.array_distinct("toks")).alias("uniq"),
-            F.size("bg").alias("n_bg"),
-            F.size(F.array_distinct("bg")).alias("u_bg"),
-            F.size(
-                F.filter(
-                    F.col("toks"), lambda x: x.isin(*_FA_STOPWORDS)
-                )
-            ).alias("stop_cnt"),
-        )
-        .select(
-            F.expr(
-                "CASE WHEN n_toks BETWEEN 20 AND 2000 THEN 1 ELSE 0 END"
-            ).alias("f_len"),
-            F.expr(
-                "CASE WHEN uniq * 2 >= n_toks THEN 1 ELSE 0 END"
-            ).alias("f_uniq"),
-            F.expr(
-                "CASE WHEN u_bg * 10 >= n_bg * 9 THEN 1 ELSE 0 END"
-            ).alias("f_rep"),
-            F.expr(
-                "CASE WHEN stop_cnt * 20 >= n_toks THEN 1 ELSE 0 END"
-            ).alias("f_stop"),
         )
     )
     dec = "decimal(38,0)"

@@ -2822,3 +2822,94 @@ def q244_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Split balance audit: is the 80/10/10 hash split distributionally
+# representative per slice, or did a small split draw a skewed sample?
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = f"""
+      SELECT doc_id, source, n_chars,
+             CASE WHEN {md5_hash32_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 < 80 THEN 'train'
+                  WHEN {md5_hash32_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+"""
+
+
+@query(
+    "q297_split_balance_audit",
+    oracle=f"""
+    WITH s AS ({_SPLIT_SQL}),
+    g AS (
+      SELECT split, source, CAST(SUM(n_chars) AS HUGEINT) AS chars
+      FROM s GROUP BY split, source
+    )
+    SELECT split, source,
+           CAST(chars AS BIGINT) AS split_chars,
+           CAST(chars * 1000000 // SUM(chars) OVER (PARTITION BY split)
+               AS BIGINT) AS split_share_ppm,
+           CAST(SUM(chars) OVER (PARTITION BY source) * 1000000
+                // SUM(chars) OVER () AS BIGINT) AS corpus_share_ppm,
+           CAST(abs(chars * 1000000 // SUM(chars) OVER (PARTITION BY split)
+                    - SUM(chars) OVER (PARTITION BY source) * 1000000
+                      // SUM(chars) OVER ()) AS BIGINT) AS dev_ppm
+    FROM g
+    """,
+    tags=("sample", "split", "drift"),
+)
+def q297_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT BALANCE audit over q100's 80/10/10 hash split: per
+    (split, source), the source's char share WITHIN the split vs its
+    share of the whole corpus, and the absolute deviation in ppm —
+    the representativeness check a leaderboard run needs before
+    trusting val/test numbers (a 10% split can draw a skewed sample
+    of a small source; large dev_ppm rows say WHERE the skew is and
+    whether stratified assignment — q104's rule — is warranted).
+    Shares are exact integer ppm; the split rule is q100's salted
+    md5 bucket, so the audit describes precisely the split a training
+    run would materialize.
+
+    Scale: one scan-side split assignment (no shuffle to assign), one
+    |splits| x |sources| (~60-row) aggregation; every window runs on
+    that bounded frame (GLOBAL_WINDOW_BOUNDS waiver for the corpus
+    total)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        md5_hash32(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    g = (
+        docs.select(
+            split.alias("split"), "source", F.col("n_chars").cast("long")
+        )
+        .groupBy("split", "source")
+        .agg(F.sum("n_chars").cast("decimal(38,0)").alias("chars"))
+    )
+    return g.select(
+        "split",
+        "source",
+        F.col("chars").cast("long").alias("split_chars"),
+        F.expr(
+            "CAST(chars * 1000000 div SUM(chars)"
+            " OVER (PARTITION BY split) AS BIGINT)"
+        ).alias("split_share_ppm"),
+        F.expr(
+            "CAST(SUM(chars) OVER (PARTITION BY source) * 1000000"
+            " div SUM(chars) OVER () AS BIGINT)"
+        ).alias("corpus_share_ppm"),
+        F.expr(
+            "CAST(abs(chars * 1000000 div SUM(chars)"
+            " OVER (PARTITION BY split)"
+            " - SUM(chars) OVER (PARTITION BY source) * 1000000"
+            " div SUM(chars) OVER ()) AS BIGINT)"
+        ).alias("dev_ppm"),
+    )

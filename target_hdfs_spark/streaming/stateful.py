@@ -2971,3 +2971,129 @@ def dsir_model_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# filter_agreement_stream — stateful twin of q295_filter_agreement
+# ---------------------------------------------------------------------------
+
+AGREE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("filter_a", T.StringType()),
+        T.StructField("filter_b", T.StringType()),
+        T.StructField("n_both", T.LongType()),
+        T.StructField("n_only_a", T.LongType()),
+        T.StructField("n_only_b", T.LongType()),
+        T.StructField("n_neither", T.LongType()),
+        T.StructField("agree_ppm", T.LongType()),
+        T.StructField("kappa_ppm", T.LongType()),
+    ]
+)
+
+# 32 bytes per filter pair: the whole agreement ledger
+AGREE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ca", T.LongType()),
+        T.StructField("cb", T.LongType()),
+        T.StructField("nb", T.LongType()),
+    ]
+)
+
+_AGREE_PAIRS = (
+    ("len", "uniq", "f_len", "f_uniq"),
+    ("len", "rep", "f_len", "f_rep"),
+    ("len", "stop", "f_len", "f_stop"),
+    ("uniq", "rep", "f_uniq", "f_rep"),
+    ("uniq", "stop", "f_uniq", "f_stop"),
+    ("rep", "stop", "f_rep", "f_stop"),
+)
+
+
+def _kappa_ppm(n: int, ca: int, cb: int, nb: int) -> int:
+    """q295's sign-handled exact integer kappa (Python-int twin of
+    the engines' DECIMAL/HUGEINT arithmetic — overflow-free)."""
+    nn = n - ca - cb + nb
+    pe = ca * cb + (n - ca) * (n - cb)
+    num = n * (nb + nn) - pe
+    den = max(n * n - pe, 1)
+    if num < 0:
+        return -((1_000_000 * -num) // den)
+    return (1_000_000 * num) // den
+
+
+def _agree_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    cols = [f.name for f in AGREE_OUTPUT_SCHEMA.fields]
+    if state.exists:
+        n, ca, cb, nb = (int(v) for v in state.get)
+    else:
+        n, ca, cb, nb = 0, 0, 0, 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    # four integer sums — a commutative monoid: parity with the batch
+    # q295 row is unconditional for any arrival order and batch split
+    n += len(whole)
+    ca += int(whole["a"].sum())
+    cb += int(whole["b"].sum())
+    nb += int((whole["a"] * whole["b"]).sum())
+    state.update((n, ca, cb, nb))
+    fa, fb = str(key[0]).split("|", 1)
+    nn = n - ca - cb + nb
+    yield pd.DataFrame(
+        [
+            (
+                fa,
+                fb,
+                nb,
+                ca - nb,
+                cb - nb,
+                nn,
+                (nb + nn) * 1_000_000 // n,
+                _kappa_ppm(n, ca, cb, nb),
+            )
+        ],
+        columns=cols,
+    )
+
+
+def filter_agreement_stream(docs: DataFrame) -> DataFrame:
+    """Online quality-filter agreement ledger (stateful twin of
+    q295_filter_agreement, the 20th twin): each arriving document
+    goes through the SAME map-side flag kernel as the batch audit
+    (operators/curation.py::filter_flags — imported, so the two
+    surfaces cannot drift), unpivots into its 6 filter-pair rows, and
+    32 bytes of state per pair carry (n, ca, cb, n_both). Every
+    micro-batch emits each pair's full updated confusion quadrant,
+    raw agreement, and Cohen's kappa (the sign-handled exact integer
+    identity, Python ints — overflow-free at any corpus size); sink
+    latest-per-pair = the batch q295 table over the same log prefix.
+    The online view answers the ensemble question CONTINUOUSLY: the
+    moment two filters' kappa crosses the redundancy threshold, one
+    of them can be switched off for the rest of the crawl.
+
+    Parity is UNCONDITIONAL — four integer sums form a commutative
+    monoid — and state is bounded by construction at 6 rows (the
+    filter-pair count) at ANY scale.
+
+    `docs` must be a streaming DataFrame with a `text` column."""
+    from pyspark.sql import functions as F
+
+    from target_hdfs_spark.operators.curation import filter_flags
+
+    flags = filter_flags(docs)
+    stack_args = ", ".join(
+        f"'{fa}|{fb}', {a}, {b}" for fa, fb, a, b in _AGREE_PAIRS
+    )
+    prepared = flags.select(
+        F.expr(f"stack(6, {stack_args}) AS (pair, a, b)")
+    )
+    return prepared.groupBy("pair").applyInPandasWithState(
+        _agree_group,
+        outputStructType=AGREE_OUTPUT_SCHEMA,
+        stateStructType=AGREE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

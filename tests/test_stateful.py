@@ -4355,3 +4355,127 @@ def test_dsir_model_state_is_bucket_bounded(spark, tmp_path):
     assert state_rows and max(state_rows) <= _DSIR_B
     # target counts never exceed raw counts on any emission
     assert all(0 <= r["cnt_t"] <= r["cnt_r"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# filter_agreement_stream (stateful twin of q295_filter_agreement)
+# ---------------------------------------------------------------------------
+
+
+def _run_agreement(spark, src, name, with_progress=False):
+    from target_hdfs_spark.streaming.stateful import filter_agreement_stream
+
+    schema = jsonschema_to_spark(PACK_SCHEMA_JSON)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        filter_agreement_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"select * from {name}").collect()
+    if with_progress:
+        state_rows = [
+            op.numRowsTotal
+            for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+            for op in p.stateOperators
+        ]
+        return rows, state_rows
+    return rows
+
+
+def test_agreement_stream_matches_batch_on_shuffled_log(spark, tmp_path):
+    """Unconditional parity: four integer sums form a commutative
+    monoid, so a SHUFFLED multi-file log must reproduce the batch
+    q295 table exactly — including the derived kappa."""
+    import json as _json
+    import random
+
+    from target_hdfs_spark.registry import all_queries
+    from target_hdfs_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .limit(110)
+        .collect()
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    expected = {
+        (r["filter_a"], r["filter_b"]): r
+        for r in all_queries()["q295_filter_agreement"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    rng = random.Random(19)
+    shuffled = list(docs)
+    rng.shuffle(shuffled)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"f{i}.jsonl", "w") as fh:
+            for r in shuffled[i::3]:
+                fh.write(
+                    _json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                    + "\n"
+                )
+        import time as _t
+
+        _t.sleep(1.05)
+    got = {}
+    for r in _run_agreement(spark, src, "agree_parity"):
+        got[(r["filter_a"], r["filter_b"])] = r  # latest wins
+    assert set(got) == set(expected)
+    for pair, e in expected.items():
+        g = got[pair]
+        for c in (
+            "n_both",
+            "n_only_a",
+            "n_only_b",
+            "n_neither",
+            "agree_ppm",
+            "kappa_ppm",
+        ):
+            assert g[c] == e[c], f"pair {pair} col {c}: {g[c]} != {e[c]}"
+
+
+def test_agreement_stream_state_is_pair_bounded(spark, tmp_path):
+    """State rows never exceed the 6 filter pairs, and kappa stays in
+    [-1e6, 1e6] on every emission."""
+    import json as _json
+    import time as _t
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"f{i}.jsonl", "w") as fh:
+            for j in range(50):
+                n = 5 + (i * 50 + j) % 60
+                words = " ".join(
+                    ("the" if k % 9 == 0 else f"w{k % (5 + j % 25)}")
+                    for k in range(n)
+                )
+                fh.write(
+                    _json.dumps({"doc_id": i * 50 + j, "text": words}) + "\n"
+                )
+        _t.sleep(1.05)
+    rows, state_rows = _run_agreement(
+        spark, src, "agree_bound", with_progress=True
+    )
+    assert rows
+    assert state_rows and max(state_rows) <= 6
+    for r in rows:
+        assert -1_000_000 <= r["kappa_ppm"] <= 1_000_000
+        total = (
+            r["n_both"] + r["n_only_a"] + r["n_only_b"] + r["n_neither"]
+        )
+        assert total > 0 and min(r["n_both"], r["n_neither"]) >= 0
