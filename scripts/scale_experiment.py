@@ -197,6 +197,9 @@ QUERIES = (
     # round 11 (continuation): split balance audit (scan-side split
     # assignment + ~60-row rollup with bounded windows)
     "q297_split_balance_audit",
+    # round 11 (continuation): cross-split dup leakage (one scan +
+    # |distinct texts| agg + 1-row counters)
+    "q298_split_leakage_audit",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

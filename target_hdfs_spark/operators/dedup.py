@@ -3766,3 +3766,152 @@ def q293_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winnow_jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L1d: cross-split duplicate leakage — the eval-integrity audit a naive
+# hash split needs (q171 fixes assignment; this measures the damage)
+# ---------------------------------------------------------------------------
+
+_SPLIT_RULE_SQL = (
+    "CASE WHEN {h} % 100 < 80 THEN 'train' "
+    "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+).format(h=md5_hash32_sql("'split:' || CAST(doc_id AS VARCHAR)"))
+
+
+@query(
+    "q298_split_leakage_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SPLIT_RULE_SQL} AS split,
+             {md5_hash32_sql('text')} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT h,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+             SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+      FROM d GROUP BY h
+    ),
+    a AS (
+      SELECT CAST(SUM(n_val) AS HUGEINT) AS tot_val,
+             CAST(SUM(n_test) AS HUGEINT) AS tot_test,
+             CAST(SUM(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS span_tv,
+             CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS span_tt,
+             CAST(SUM(CASE WHEN n_val > 0 AND n_test > 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS span_vt,
+             CAST(SUM(CASE WHEN n_train > 0 THEN n_val ELSE 0 END)
+                 AS HUGEINT) AS leak_tv,
+             CAST(SUM(CASE WHEN n_train > 0 THEN n_test ELSE 0 END)
+                 AS HUGEINT) AS leak_tt,
+             CAST(SUM(CASE WHEN n_val > 0 THEN n_test ELSE 0 END)
+                 AS HUGEINT) AS leak_vt
+      FROM c
+    ),
+    p AS (
+      SELECT 'train' AS split_a, 'val' AS split_b, span_tv AS
+             n_spanning_clusters, leak_tv AS lk, tot_val AS tot FROM a
+      UNION ALL SELECT 'train', 'test', span_tt, leak_tt, tot_test FROM a
+      UNION ALL SELECT 'val', 'test', span_vt, leak_vt, tot_test FROM a
+    )
+    SELECT split_a, split_b, n_spanning_clusters,
+           CAST(lk AS BIGINT) AS leaked_docs,
+           CAST(tot AS BIGINT) AS eval_docs,
+           CAST(lk * 1000000 // greatest(tot, 1) AS BIGINT) AS leak_ppm
+    FROM p
+    """,
+    tags=("dedup", "split", "leakage"),
+)
+def q298_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SPLIT DUPLICATE LEAKAGE under q100's naive 80/10/10 hash
+    split: for each split pair, how many exact-duplicate content
+    clusters straddle the boundary and how many eval-side documents
+    are "leaked" (their text also appears on the other side) — the
+    number that silently inflates every eval metric trained on the
+    split. q171's cluster-aware split exists precisely to zero this
+    table; this query MEASURES what the naive split costs, so the
+    choice between them is priced, not assumed.
+
+    Scale: one scan computes (split, content-hash) map-side; one
+    |distinct texts|-sized hash aggregation; ONE further 1-row
+    aggregation carries all six spanning/leak counters (totals
+    derived in the same pass — no second corpus scan); the 3-row
+    pair table is pure arithmetic on that row. HUGEINT/DECIMAL
+    through the ppm products."""
+    from target_hdfs_spark.sources.readers import fan_out
+
+    bucket = (
+        md5_hash32(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    ).select(split.alias("split"), md5_hash32("text").alias("h"))
+    c = d.groupBy("h").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+            "n_val"
+        ),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+            "n_test"
+        ),
+    )
+    dec = "decimal(38,0)"
+    a = c.agg(
+        F.sum("n_val").cast(dec).alias("tot_val"),
+        F.sum("n_test").cast(dec).alias("tot_test"),
+        F.sum(
+            F.when((F.col("n_train") > 0) & (F.col("n_val") > 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("span_tv"),
+        F.sum(
+            F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("span_tt"),
+        F.sum(
+            F.when((F.col("n_val") > 0) & (F.col("n_test") > 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("span_vt"),
+        F.sum(
+            F.when(F.col("n_train") > 0, F.col("n_val")).otherwise(0)
+        ).cast(dec).alias("leak_tv"),
+        F.sum(
+            F.when(F.col("n_train") > 0, F.col("n_test")).otherwise(0)
+        ).cast(dec).alias("leak_tt"),
+        F.sum(
+            F.when(F.col("n_val") > 0, F.col("n_test")).otherwise(0)
+        ).cast(dec).alias("leak_vt"),
+    )
+    p = a.select(
+        F.expr(
+            "stack(3,"
+            " 'train', 'val', span_tv, leak_tv, tot_val,"
+            " 'train', 'test', span_tt, leak_tt, tot_test,"
+            " 'val', 'test', span_vt, leak_vt, tot_test)"
+            " AS (split_a, split_b, n_spanning_clusters, lk, tot)"
+        )
+    )
+    return p.select(
+        "split_a",
+        "split_b",
+        "n_spanning_clusters",
+        F.col("lk").cast("long").alias("leaked_docs"),
+        F.col("tot").cast("long").alias("eval_docs"),
+        F.expr(
+            "CAST(lk * 1000000 div greatest(tot,"
+            " CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("leak_ppm"),
+    )
