@@ -4479,3 +4479,77 @@ def test_agreement_stream_state_is_pair_bounded(spark, tmp_path):
             r["n_both"] + r["n_only_a"] + r["n_only_b"] + r["n_neither"]
         )
         assert total > 0 and min(r["n_both"], r["n_neither"]) >= 0
+
+
+def test_pii_scan_kill_resume_and_rocksdb(spark, tmp_path):
+    """Kill-resume for the round-11 twins (pii_scan_stream as the
+    representative — dsir_model_stream and filter_agreement_stream
+    share the identical monoid-fold + applyInPandasWithState shape):
+    the class ledger crosses a full query RESTART via the checkpoint
+    on the RocksDB provider, so post-restart emissions include the
+    pre-stop totals."""
+    import json as _json
+    import time as _t
+
+    from target_hdfs_spark.streaming.stateful import pii_scan_stream
+
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    schema = jsonschema_to_spark(PACK_SCHEMA_JSON)
+
+    def write(fname, doc_ids):
+        with open(src / fname, "w") as fh:
+            for doc_id in doc_ids:
+                fh.write(
+                    _json.dumps({"doc_id": doc_id, "text": "plain words"})
+                    + "\n"
+                )
+        _t.sleep(1.05)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            pii_scan_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        # docs 7 and 14 hit email (x%7==0); 11 hits phone; 13 hits ipv4
+        write("f1.jsonl", [7, 11])
+        run_once()
+        write("f2.jsonl", [13, 14])
+        run_once()
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.read.parquet(str(sink)).collect()
+    latest = {}
+    for r in sorted(rows, key=lambda r: r["n_docs_hit"]):
+        latest[r["pii_class"]] = r  # max-hit emission is the final state
+    # the restarted query restored the first run's ledger from RocksDB:
+    # email saw doc 7 pre-stop and doc 14 post-restart
+    assert latest["email"]["n_docs_hit"] == 2
+    assert latest["email"]["total_matches"] == 2
+    assert latest["phone"]["n_docs_hit"] == 1
+    assert latest["ipv4"]["n_docs_hit"] == 1
+    assert all(r["residual_matches"] == 0 for r in rows)
