@@ -43,6 +43,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # count grows with stage count, not with any per-stage inefficiency.
 WAIVERS: dict[str, str] = {
     "q92_lsh_verified_pairs": "pairs pipeline + exact-Jaccard verify join: 3 stages",
+    "q299_neardup_split_leakage": "pairs pipeline + exact verify + map-side"
+    " split rollup: q92 class",
     "q120_minhash_containment": "pairs pipeline + 2-sided containment verify: 3 stages",
     "q214_sketch_calibration": "pairs pipeline + exact verify + signature compare: 3 stages",
     "q232_threshold_sensitivity": "pairs pipeline + exact verify + band rollup: q92 class",
@@ -127,6 +129,8 @@ GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     " |sources| (~20-row) rollup",
     "q297_split_balance_audit": "corpus-total share window over the"
     " |splits| x |sources| (~60-row) rollup",
+    "q299_neardup_split_leakage": "pair-share total over the <= 6-row"
+    " split-pair rollup",
     "q285_curriculum_phases": _BAND
     + " + token-share window over the |phases| (4-row) rollup",
     "q287_phase_mixture_drift": _BAND

@@ -200,6 +200,9 @@ QUERIES = (
     # round 11 (continuation): cross-split dup leakage (one scan +
     # |distinct texts| agg + 1-row counters)
     "q298_split_leakage_audit",
+    # round 11 (continuation): near-dup split leakage (rides the q92
+    # LSH+verify pipeline; map-side split attach, <= 6-row rollup)
+    "q299_neardup_split_leakage",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

@@ -3915,3 +3915,120 @@ def q298_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("leak_ppm"),
     )
+
+
+@query(
+    "q299_neardup_split_leakage",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL},
+    doc_shingles AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_TOK)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles
+              GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN doc_shingles sa ON sa.doc_id = p.doc_a
+      JOIN doc_shingles sb ON sb.doc_id = p.doc_b
+           AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b FROM common c
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE c.n_common * 5 >= (za.n_sh + zb.n_sh - c.n_common)
+    ),
+    cat AS (
+      SELECT least(
+               {_SPLIT_RULE_SQL.replace("doc_id", "doc_a")},
+               {_SPLIT_RULE_SQL.replace("doc_id", "doc_b")}
+             ) AS split_x,
+             greatest(
+               {_SPLIT_RULE_SQL.replace("doc_id", "doc_a")},
+               {_SPLIT_RULE_SQL.replace("doc_id", "doc_b")}
+             ) AS split_y
+      FROM verified
+    ),
+    g AS (
+      SELECT split_x, split_y, CAST(COUNT(*) AS HUGEINT) AS n_pairs
+      FROM cat GROUP BY split_x, split_y
+    )
+    SELECT split_x, split_y,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN split_x = split_y THEN 0 ELSE 1 END AS BIGINT)
+               AS is_leak,
+           CAST(n_pairs * 1000000 // SUM(n_pairs) OVER () AS BIGINT)
+               AS pair_share_ppm
+    FROM g
+    """,
+    tags=("dedup", "split", "leakage", "minhash"),
+)
+def q299_neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup leakage across the naive hash split — the stronger
+    form of q298's audit: exact-verified near-duplicate pairs (LSH
+    candidates, shingle-Jaccard >= 0.2 — the q92 production pipeline
+    with the threshold compared in exact integers) classified by the
+    split pair of their endpoints. A pair with is_leak = 1 is a
+    test/val document whose near-copy sits in another split: the
+    contamination n-gram decontamination (q101/q260) and exact-dup
+    audits (q298) both MISS, and precisely what a cluster-aware
+    split (q171) prevents. The within-split rows complete the
+    denominator: pair_share_ppm says how the corpus's near-dup mass
+    distributes across the split grid.
+
+    Scale: rides the q92 shape end-to-end (bucketed LSH candidates,
+    hot-bucket star-linking, candidate-only verification); the split
+    label is a pure doc_id function attached map-side (no join), the
+    rollup is <= 6 rows, and the share window runs on that frame
+    (GLOBAL_WINDOW_BOUNDS waiver)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select(
+            "doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle")
+        )
+        .distinct()
+    )
+    counts = pair_overlap_counts(pairs, sh)
+    verified = counts.filter(
+        F.col("n_common") * 5
+        >= (F.col("na") + F.col("nb") - F.col("n_common"))
+    )
+
+    def split_of(col: str):
+        bucket = (
+            md5_hash32(
+                F.concat(F.lit("split:"), F.col(col).cast("string"))
+            )
+            % 100
+        )
+        return (
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+        )
+
+    cat = verified.select(
+        F.least(split_of("doc_a"), split_of("doc_b")).alias("split_x"),
+        F.greatest(split_of("doc_a"), split_of("doc_b")).alias("split_y"),
+    )
+    g = cat.groupBy("split_x", "split_y").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_pairs")
+    )
+    return g.select(
+        "split_x",
+        "split_y",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(F.col("split_x") == F.col("split_y"), 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("is_leak"),
+        F.expr(
+            "CAST(n_pairs * 1000000 div SUM(n_pairs) OVER () AS BIGINT)"
+        ).alias("pair_share_ppm"),
+    )

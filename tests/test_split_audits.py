@@ -67,3 +67,17 @@ def test_split_leakage_bounds_and_totals(spark):
             r["leak_ppm"]
             == r["leaked_docs"] * 1_000_000 // max(r["eval_docs"], 1)
         )
+
+
+def test_neardup_leakage_categories_and_shares(spark):
+    rows = SPECS["q299_neardup_split_leakage"].fn(spark, SF_DIR).collect()
+    assert rows, "no verified near-dup pairs at sf0.001"
+    order = {"test": 0, "train": 1, "val": 2}  # lexicographic
+    total_share = 0
+    for r in rows:
+        # canonical category: split_x <= split_y lexicographically
+        assert order[r["split_x"]] <= order[r["split_y"]], r
+        assert r["is_leak"] == (0 if r["split_x"] == r["split_y"] else 1)
+        assert r["n_pairs"] > 0
+        total_share += r["pair_share_ppm"]
+    assert 1_000_000 - len(rows) <= total_share <= 1_000_000
