@@ -203,6 +203,9 @@ QUERIES = (
     # round 11 (continuation): near-dup split leakage (rides the q92
     # LSH+verify pipeline; map-side split attach, <= 6-row rollup)
     "q299_neardup_split_leakage",
+    # round 11 (continuation): the composed release funnel (flag scan
+    # + dsir join + one content-hash window + 1-row counters)
+    "q300_release_pipeline_v2",
     # round 9 continuation: dataset card — ONE checkpointed corpus
     # pass (hash + tokens + bucket) feeding three map-side-combined
     # rollups; everything after is |sources|-bounded

@@ -4859,3 +4859,215 @@ def q296_dsir_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift_ppm"), F.asc("bucket"))
         .limit(_DSIR_DRIFT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# L6w: release pipeline v2 — the round-11 operators composed into one
+# auditable funnel (q271's shape, rebuilt from this round's stages)
+# ---------------------------------------------------------------------------
+
+_RP2_FLAGS_SQL = f"""
+      SELECT doc_id,
+             CASE WHEN len(regexp_extract_all({_PII_RENDER_SQL},
+                      '{_PII_EMAIL}')) +
+                   len(regexp_extract_all({_PII_RENDER_SQL},
+                      '{_PII_PHONE}')) +
+                   len(regexp_extract_all({_PII_RENDER_SQL},
+                      '{_PII_IPV4}')) = 0
+                  THEN 1 ELSE 0 END AS ok_pii,
+             CASE WHEN len({_TOK}) BETWEEN 20 AND 2000
+                   AND len(list_distinct({_TOK})) * 2 >= len({_TOK})
+                   AND len(list_distinct({shingles_sql(_TOK, 2)})) * 10
+                       >= len({shingles_sql(_TOK, 2)}) * 9
+                   AND len(list_filter({_TOK},
+                       x -> list_contains({_FA_STOP_SQL}, x))) * 20
+                       >= len({_TOK})
+                  THEN 1 ELSE 0 END AS ok_quality,
+             len({_TOK}) AS n_toks,
+             {md5_hash32_sql('text')} AS h
+      FROM documents WHERE len({_TOK}) > 0
+"""
+
+
+@query(
+    "q300_release_pipeline_v2",
+    oracle=f"""
+    WITH {_DSIR_SCORES_SQL},
+    fl AS ({_RP2_FLAGS_SQL}),
+    staged AS (
+      SELECT fl.doc_id, fl.n_toks, fl.h,
+             fl.ok_pii AS c1,
+             fl.ok_pii * fl.ok_quality AS c2,
+             fl.ok_pii * fl.ok_quality *
+               CASE WHEN s.score_ppm > 1000000 THEN 1 ELSE 0 END AS c3
+      FROM fl JOIN scores s ON fl.doc_id = s.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+                 ORDER BY CASE WHEN c3 = 1 THEN 0 ELSE 1 END, doc_id)
+                 AS rn
+      FROM staged
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n0,
+             CAST(SUM(n_toks) AS HUGEINT) AS t0,
+             CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c1 * n_toks) AS HUGEINT) AS t1,
+             CAST(SUM(c2) AS HUGEINT) AS n2,
+             CAST(SUM(c2 * n_toks) AS HUGEINT) AS t2,
+             CAST(SUM(c3) AS HUGEINT) AS n3,
+             CAST(SUM(c3 * n_toks) AS HUGEINT) AS t3,
+             CAST(SUM(CASE WHEN c3 = 1 AND rn = 1 THEN 1 ELSE 0 END)
+                 AS HUGEINT) AS n4,
+             CAST(SUM(CASE WHEN c3 = 1 AND rn = 1 THEN n_toks ELSE 0
+                 END) AS HUGEINT) AS t4
+      FROM ranked
+    ),
+    p AS (
+      SELECT 0 AS stage_id, 'raw' AS stage, n0 AS nd, t0 AS nt, n0, t0 FROM a
+      UNION ALL SELECT 1, 'pii_clean', n1, t1, n0, t0 FROM a
+      UNION ALL SELECT 2, 'quality_pass', n2, t2, n0, t0 FROM a
+      UNION ALL SELECT 3, 'dsir_selected', n3, t3, n0, t0 FROM a
+      UNION ALL SELECT 4, 'deduped', n4, t4, n0, t0 FROM a
+    )
+    SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+           CAST(nd AS BIGINT) AS n_docs,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(nd * 1000000 // greatest(n0, 1) AS BIGINT) AS doc_keep_ppm,
+           CAST(nt * 1000000 // greatest(t0, 1) AS BIGINT)
+               AS token_keep_ppm
+    FROM p
+    """,
+    tags=("curation", "release", "funnel", "dsir", "pii"),
+)
+def q300_release_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELEASE PIPELINE v2 — this round's operators composed into one
+    auditable funnel (q271's shape, rebuilt from the new stages):
+    raw -> drop docs with ANY PII hit (q291's conservative policy) ->
+    keep docs passing ALL four quality signals (q295's flag kernel)
+    -> keep DSIR-selected docs (q290, score > 1e6) -> exact dedup
+    keep-first among survivors. Per stage: docs, tokens, and keep
+    rates vs raw in ppm — the one-page answer to "what does this
+    release recipe cost in data", with every stage individually
+    auditable by its own query.
+
+    Exactness: stage flags are cumulative products computed per doc
+    in one frame; the dedup survivor is row_number over the content
+    hash with survivors ordered first (survivor-aware keep-first —
+    deterministic, engine-identical). Scale: one flag scan + the
+    dsir_doc_scores join (doc-keyed) + ONE partitioned window over
+    the content hash + a 1-row counter aggregation; the 5-row funnel
+    is arithmetic on that row."""
+    base = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        ),
+        "doc_id",
+    ).filter(F.size(tokens("text")) > 0)
+    pii_free = (
+        F.size(
+            F.regexp_extract_all(
+                pii_rendered_col(), F.lit(_PII_EMAIL), 0
+            )
+        )
+        + F.size(
+            F.regexp_extract_all(
+                pii_rendered_col(), F.lit(_PII_PHONE), 0
+            )
+        )
+        + F.size(
+            F.regexp_extract_all(pii_rendered_col(), F.lit(_PII_IPV4), 0)
+        )
+        == 0
+    )
+    flags = filter_flags(base, "doc_id", "text").select(
+        "doc_id",
+        "text",
+        (
+            (F.col("f_len") == 1)
+            & (F.col("f_uniq") == 1)
+            & (F.col("f_rep") == 1)
+            & (F.col("f_stop") == 1)
+        ).alias("ok_quality"),
+    )
+    fl = (
+        base.select(
+            "doc_id",
+            "text",
+            F.size(tokens("text")).cast("long").alias("n_toks"),
+            pii_free.alias("ok_pii"),
+        )
+        .join(flags.select("doc_id", "ok_quality"), "doc_id")
+        .select(
+            "doc_id",
+            "n_toks",
+            md5_hash32("text").alias("h"),
+            F.col("ok_pii").cast("int").alias("ok_pii"),
+            F.col("ok_quality").cast("int").alias("ok_quality"),
+        )
+    )
+    staged = fl.join(
+        dsir_doc_scores(spark, sf_dir).select("doc_id", "score_ppm"),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "n_toks",
+        "h",
+        F.col("ok_pii").alias("c1"),
+        (F.col("ok_pii") * F.col("ok_quality")).alias("c2"),
+        (
+            F.col("ok_pii")
+            * F.col("ok_quality")
+            * F.when(F.col("score_ppm") > 1000000, 1).otherwise(0)
+        ).alias("c3"),
+    )
+    w = Window.partitionBy("h").orderBy(
+        F.expr("CASE WHEN c3 = 1 THEN 0 ELSE 1 END"), "doc_id"
+    )
+    ranked = staged.withColumn("rn", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    a = ranked.agg(
+        F.count(F.lit(1)).cast(dec).alias("n0"),
+        F.sum("n_toks").cast(dec).alias("t0"),
+        F.sum("c1").cast(dec).alias("n1"),
+        F.sum(F.col("c1") * F.col("n_toks")).cast(dec).alias("t1"),
+        F.sum("c2").cast(dec).alias("n2"),
+        F.sum(F.col("c2") * F.col("n_toks")).cast(dec).alias("t2"),
+        F.sum("c3").cast(dec).alias("n3"),
+        F.sum(F.col("c3") * F.col("n_toks")).cast(dec).alias("t3"),
+        F.sum(
+            F.when((F.col("c3") == 1) & (F.col("rn") == 1), 1).otherwise(0)
+        ).cast(dec).alias("n4"),
+        F.sum(
+            F.when(
+                (F.col("c3") == 1) & (F.col("rn") == 1), F.col("n_toks")
+            ).otherwise(0)
+        ).cast(dec).alias("t4"),
+    )
+    p = a.select(
+        F.expr(
+            "stack(5,"
+            " 0L, 'raw', n0, t0,"
+            " 1L, 'pii_clean', n1, t1,"
+            " 2L, 'quality_pass', n2, t2,"
+            " 3L, 'dsir_selected', n3, t3,"
+            " 4L, 'deduped', n4, t4)"
+            " AS (stage_id, stage, nd, nt)"
+        ),
+        "n0",
+        "t0",
+    )
+    return p.select(
+        "stage_id",
+        "stage",
+        F.col("nd").cast("long").alias("n_docs"),
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(nd * 1000000 div greatest(n0,"
+            " CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("doc_keep_ppm"),
+        F.expr(
+            "CAST(nt * 1000000 div greatest(t0,"
+            " CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("token_keep_ppm"),
+    )

@@ -129,3 +129,28 @@ def test_filter_agreement_quadrants_and_kappa(spark):
             else (1_000_000 * num) // den
         )
         assert r["kappa_ppm"] == expect, (r, expect)
+
+
+def test_release_pipeline_v2_funnel_is_monotone(spark):
+    rows = sorted(
+        SPECS["q300_release_pipeline_v2"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["stage_id"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw",
+        "pii_clean",
+        "quality_pass",
+        "dsir_selected",
+        "deduped",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        # every stage only removes documents and tokens
+        assert b["n_docs"] <= a["n_docs"], (a, b)
+        assert b["n_tokens"] <= a["n_tokens"], (a, b)
+    n0, t0 = rows[0]["n_docs"], rows[0]["n_tokens"]
+    assert rows[0]["doc_keep_ppm"] == rows[0]["token_keep_ppm"] == 1_000_000
+    for r in rows:
+        assert r["doc_keep_ppm"] == r["n_docs"] * 1_000_000 // max(n0, 1)
+        assert (
+            r["token_keep_ppm"] == r["n_tokens"] * 1_000_000 // max(t0, 1)
+        )
