@@ -245,12 +245,66 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         id_col,
         F.explode(F.transform(shingles(F.col("_toks")), md5_hash32)).alias("h"),
     )
-    return hashed.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(COEFFS)
-        ]
+    return hashed.groupBy(id_col).agg(*_mh_min_aggs())
+
+
+def _mh_min_aggs() -> list:
+    """The k universal-hash minimum aggregates over an exploded
+    shingle-hash column ``h`` — shared by the text-input and
+    set-input signature builders."""
+    return [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(COEFFS)
+    ]
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, sh_arr) per-document DISTINCT shingle set, built MAP-SIDE
+    with ``array_distinct`` over the shingle array (optimization guide
+    §2.4: remove shuffles outright).
+
+    This replaces the exploded-row construction of the verify family
+    (tokenize → explode → DISTINCT → collect_set/countDistinct), which
+    paid three shuffles of the full shingle strings — one for the
+    distinct, one to re-collect the per-doc arrays, one for the sizes
+    aggregate — with ZERO: the set never leaves the row it came from.
+    ``array_distinct`` preserves first-occurrence order; set size and
+    ``array_intersect`` overlap counts are order-independent, so every
+    downstream value (na, nb, n_common) is identical to the exploded
+    derivation the oracle SQL still uses.
+
+    Callers that need posting rows (df guards, streaming verify)
+    recover them with ``F.explode("sh_arr")`` — already distinct.
+    """
+    from target_hdfs_spark.sources.readers import fan_out
+
+    return (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(id_col, tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            F.array_distinct(shingles(F.col("_toks"))).alias("sh_arr"),
+        )
     )
+
+
+def minhash_signatures_from_sets(sets: DataFrame,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """(id, mh_0..mh_{k-1}) signatures derived from a shingle_sets
+    frame — duplicates never change a minimum, so the signature over
+    the DISTINCT set equals minhash_signatures' over raw shingles
+    (the oracle replays the raw-list form and agrees value-for-value).
+
+    Sharing one checkpointed shingle_sets frame between the signature
+    and the exact-verify stages makes the tokenize+shingle+md5 chain
+    run ONCE per corpus in the composed LSH→verify queries (q92 /
+    q120 / q214 / q232 / q242 / q299) instead of once per consumer
+    subtree (measured 6-8 redundant scans in the round-10 plans)."""
+    hashed = sets.select(
+        id_col, F.explode(F.transform(F.col("sh_arr"), md5_hash32)).alias("h")
+    )
+    return hashed.groupBy(id_col).agg(*_mh_min_aggs())
 
 
 def _minhash_sql_exprs() -> list[str]:
@@ -979,6 +1033,130 @@ def pair_overlap_counts(
     return small_out.unionByName(big_out)
 
 
+def pair_overlap_counts_sets(
+    pairs: DataFrame,
+    sets: DataFrame,
+    max_doc_shingles: int = _POC_MAX_DOC_SHINGLES,
+) -> DataFrame:
+    """pair_overlap_counts over a ``shingle_sets`` frame (doc_id,
+    sh_arr): same output columns and values, but the per-doc distinct
+    sets and their sizes arrive MAP-SIDE (array_distinct + F.size)
+    instead of through the exploded distinct → collect_set /
+    countDistinct aggregations — the three shingle-string shuffles of
+    the old derivation disappear (guide §2.3/§2.4: don't shuffle the
+    heavy strings to make per-doc decisions you can make in place).
+
+    The mega-doc guard keeps the identical routing semantics: docs
+    above ``max_doc_shingles`` never ship their array through the
+    pair join; their candidate pairs verify on exploded posting rows
+    (already distinct by construction) exactly as before.
+    """
+    sizes = sets.select("doc_id", F.size("sh_arr").alias("n_sh"))
+    big_ids = sizes.filter(F.col("n_sh") > max_doc_shingles).select("doc_id")
+    big_a = big_ids.select(F.col("doc_id").alias("doc_a")).withColumn(
+        "_big_a", F.lit(True)
+    )
+    big_b = big_ids.select(F.col("doc_id").alias("doc_b")).withColumn(
+        "_big_b", F.lit(True)
+    )
+    marked = (
+        pairs.select("doc_a", "doc_b")
+        .join(F.broadcast(big_a), "doc_a", "left")
+        .join(F.broadcast(big_b), "doc_b", "left")
+        .withColumn(
+            "_oversized",
+            F.coalesce(F.col("_big_a"), F.lit(False))
+            | F.coalesce(F.col("_big_b"), F.lit(False)),
+        )
+        .drop("_big_a", "_big_b")
+    )
+    small_pairs = marked.filter(~F.col("_oversized")).drop("_oversized")
+    big_pairs = marked.filter(F.col("_oversized")).drop("_oversized")
+
+    sets_small = sets.join(F.broadcast(big_ids), "doc_id", "left_anti")
+    sa = sets_small.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("_arr_a")
+    )
+    sb = sets_small.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("_arr_b")
+    )
+    small_out = (
+        small_pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("_arr_a").cast("long").alias("na"),
+            F.size("_arr_b").cast("long").alias("nb"),
+            F.size(F.array_intersect("_arr_a", "_arr_b"))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+
+    # Streaming path for pairs touching an oversized doc: explode ONLY
+    # the pair-relevant docs' arrays back to posting rows (distinct by
+    # construction) and aggregate pair-keyed, exactly as the exploded
+    # variant does.
+    pair_docs = (
+        big_pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(big_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_pairdocs = sets.join(pair_docs, "doc_id", "left_semi").select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
+    )
+    ea = sh_pairdocs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("_sh_a")
+    )
+    eb = sh_pairdocs.select(
+        F.col("doc_id").alias("_doc_b_e"), F.col("shingle").alias("_sh_b")
+    )
+    overlap = (
+        big_pairs.join(ea, "doc_a")
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("_doc_b_e"))
+            & (F.col("_sh_a") == F.col("_sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    big_out = (
+        big_pairs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(overlap, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.coalesce(F.col("_n_common"), F.lit(0))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    return small_out.unionByName(big_out)
+
+
+def lsh_verify_base(
+    docs: DataFrame, eager_pairs: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sets, sig, pairs) — the shared head of every LSH→exact-verify
+    query: ONE checkpointed shingle_sets pass feeds both the minhash
+    signature pipeline and the exact-verify arrays, so the corpus is
+    tokenized and shingled exactly once per query instead of once per
+    consumer subtree. ``eager_pairs`` matches the caller's checkpoint
+    posture (eager when the pair frame fans out to several branches).
+    """
+    sets = shingle_sets(docs).localCheckpoint(eager=True)
+    sig = minhash_signatures_from_sets(sets)
+    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=eager_pairs)
+    return sets, sig, pairs
+
+
 # ---------------------------------------------------------------------------
 # L2f: candidate generation + exact verification in one pipeline —
 # the production near-dup query (LSH recall, exact precision)
@@ -1026,14 +1204,8 @@ def q92_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous pair-keyed aggregation never materializes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
-    sh = (
-        docs.select("doc_id", tokens("text").alias("_toks"))
-        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
-        .distinct()
-    )
-    counts = pair_overlap_counts(pairs, sh)
+    sets, _sig, pairs = lsh_verify_base(docs)
+    counts = pair_overlap_counts_sets(pairs, sets)
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
@@ -1526,14 +1698,8 @@ def q120_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-explosion).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
-    sh = (
-        docs.select("doc_id", tokens("text").alias("_toks"))
-        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
-        .distinct()
-    )
-    counts = pair_overlap_counts(pairs, sh)
+    sets, _sig, pairs = lsh_verify_base(docs)
+    counts = pair_overlap_counts_sets(pairs, sets)
     c_ab = F.col("n_common").cast("double") / F.col("na")
     c_ba = F.col("n_common").cast("double") / F.col("nb")
     return (
@@ -2598,23 +2764,16 @@ def q214_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     {NUM_HASHES}+1 rows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).localCheckpoint()  # feeds LSH + both sides
-    # eager: the verify references pairs on three branches and the
-    # estimate join on a fourth (q275's collapsed-frame rule)
-    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
-    from target_hdfs_spark.sources.readers import fan_out
-
-    sh = (
-        fan_out(docs, "doc_id")
-        .select("doc_id", tokens("text").alias("_toks"))
-        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
-        .distinct()
-    )
-    # collected-array verify (pair_overlap_counts): zero-overlap
-    # candidates stay present with n_common = 0, exactly what the
-    # previous left-join posting shape guaranteed — but without the
-    # |pairs| x |shingles-per-doc| row materialization
-    counts = pair_overlap_counts(pairs, sh)
+    # eager pairs: the verify references pairs on three branches and
+    # the estimate join on a fourth (q275's collapsed-frame rule);
+    # sig checkpoints too — it joins back on both pair sides below
+    sets, sig, pairs = lsh_verify_base(docs, eager_pairs=True)
+    sig = sig.localCheckpoint()
+    # collected-array verify: zero-overlap candidates stay present
+    # with n_common = 0, exactly what the previous left-join posting
+    # shape guaranteed — but without the |pairs| x |shingles-per-doc|
+    # row materialization
+    counts = pair_overlap_counts_sets(pairs, sets)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(NUM_HASHES)],
@@ -2806,20 +2965,11 @@ def q232_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame and a window over it.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
-    from target_hdfs_spark.sources.readers import fan_out
-
-    sh = (
-        fan_out(docs, "doc_id")
-        .select("doc_id", tokens("text").alias("_toks"))
-        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
-        .distinct()
-    )
+    sets, _sig, pairs = lsh_verify_base(docs)
     # n_common > 0: the oracle derives `common` through inner posting
     # joins, so zero-overlap candidates never reach its banding
     j = (
-        pair_overlap_counts(pairs, sh)
+        pair_overlap_counts_sets(pairs, sets)
         .filter(F.col("n_common") > 0)
         .select(
             F.expr("n_common * 1000000 div (na + nb - n_common)").alias(
@@ -3028,14 +3178,8 @@ def q242_cross_source_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an aggregation onto the |sources|² grid.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
-    sh = (
-        docs.select("doc_id", tokens("text").alias("_toks"))
-        .select("doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle"))
-        .distinct()
-    )
-    counts = pair_overlap_counts(pairs, sh)
+    sets, _sig, pairs = lsh_verify_base(docs)
+    counts = pair_overlap_counts_sets(pairs, sets)
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
@@ -3985,16 +4129,8 @@ def q299_neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is <= 6 rows, and the share window runs on that frame
     (GLOBAL_WINDOW_BOUNDS waiver)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=False)
-    sh = (
-        docs.select("doc_id", tokens("text").alias("_toks"))
-        .select(
-            "doc_id", F.explode(shingles(F.col("_toks"))).alias("shingle")
-        )
-        .distinct()
-    )
-    counts = pair_overlap_counts(pairs, sh)
+    sets, _sig, pairs = lsh_verify_base(docs)
+    counts = pair_overlap_counts_sets(pairs, sets)
     verified = counts.filter(
         F.col("n_common") * 5
         >= (F.col("na") + F.col("nb") - F.col("n_common"))
