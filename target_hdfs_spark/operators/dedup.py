@@ -752,14 +752,19 @@ def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: for every node u, connect each strictly
     larger neighbor v to min(N(u) ∪ {u}). Input `e` is any directed
     edge list; symmetrized internally. Output edges all point
-    high → low (source > target)."""
+    high → low (source > target).
+
+    The per-u minimum rides a window over the SAME exchange that
+    groups the neighborhood (guide §2.4: two operations keyed the
+    same way share one exchange) — the previous groupBy+join-back
+    shape paid a second shuffle of the symmetrized edges to re-attach
+    the minima it had just aggregated."""
     sym = e.select("u", "v").unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
-    mins = mins.select("u", F.least(F.col("u"), F.col("_mv")).alias("_mn"))
+    w = Window.partitionBy("u")
     return (
-        sym.join(mins, "u")
+        sym.withColumn("_mn", F.least(F.col("u"), F.min("v").over(w)))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -770,10 +775,16 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round over high → low edges: for every node u,
     connect u and all its smaller neighbors to the minimum among
-    them. Output edges still point high → low."""
-    mins = e.groupBy("u").agg(F.min("v").alias("_mn"))
-    leaf_edges = e.join(mins, "u").select(F.col("v").alias("w"), F.col("_mn"))
-    center_edges = mins.select(F.col("u").alias("w"), F.col("_mn"))
+    them. Output edges still point high → low.
+
+    Same one-exchange window shape as _large_star; the center edge
+    (u, min) is emitted once per input edge instead of once per u —
+    duplicates the terminal distinct removes anyway — so the
+    groupBy+join-back and its extra shuffle disappear."""
+    w = Window.partitionBy("u")
+    ms = e.withColumn("_mn", F.min("v").over(w))
+    leaf_edges = ms.select(F.col("v").alias("w"), F.col("_mn"))
+    center_edges = ms.select(F.col("u").alias("w"), F.col("_mn"))
     return (
         leaf_edges.unionAll(center_edges)
         .filter(F.col("w") != F.col("_mn"))
@@ -823,22 +834,35 @@ def connected_components(
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # star-forest check, the SAME job that materializes `e`: a
         # violation is either (a) a source with two distinct targets
-        # or (b) an edge whose target is itself a source (a chain).
+        # or (b) a node that is both a source and a target (a chain).
+        # Both are per-NODE properties, so ONE node-keyed aggregation
+        # over the edge endpoints replaces the previous
+        # groupBy+self-semi-join pair (three shuffles of `e` → one).
         # Full-scan count (not limit(1)): violation rows are near-zero
         # cardinality so the saving from early exit is nil, and the
         # full scan guarantees the checkpoint is fully written.
-        multi_target = (
-            e.groupBy("u")
-            .agg(F.count_distinct("v").alias("nt"))
-            .filter(F.col("nt") > 1)
-            .select(F.lit(1).alias("bad"))
+        v_type = dict(e.dtypes)["v"]
+        endpoints = e.select(
+            F.col("u").alias("node"), F.col("v").alias("tgt")
+        ).unionAll(
+            e.select(
+                F.col("v").alias("node"),
+                F.lit(None).cast(v_type).alias("tgt"),
+            )
         )
-        chains = (
-            e.alias("a")
-            .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
-            .select(F.lit(1).alias("bad"))
+        bad = (
+            endpoints.groupBy("node")
+            .agg(
+                F.count_distinct("tgt").alias("nt"),
+                F.max(F.col("tgt").isNotNull().cast("int")).alias("is_src"),
+                F.max(F.col("tgt").isNull().cast("int")).alias("is_tgt"),
+            )
+            .filter(
+                (F.col("nt") > 1)
+                | ((F.col("is_src") == 1) & (F.col("is_tgt") == 1))
+            )
         )
-        if multi_target.unionAll(chains).count() == 0:
+        if bad.count() == 0:
             converged = True
             break
     if not converged:

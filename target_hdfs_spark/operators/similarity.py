@@ -70,24 +70,15 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
-def _load_vectors(spark: SparkSession, sf_dir: str, fan: bool = True) -> DataFrame:
+def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v) corpus, hash-fanned-out across cores before the
     fold-heavy vector math — a single-row-group input would otherwise
-    run every distance computation on one task (readers.fan_out).
+    run every distance computation on one task (readers.fan_out)."""
+    from target_hdfs_spark.sources.readers import fan_out
 
-    ``fan=False`` is for QUERY-SIDE frames (a handful of rows selected
-    by a pushed-down vec_id predicate, then broadcast): fanning those
-    out pays a 32-task shuffle stage to redistribute ~5 rows before
-    the broadcast build — pure scheduling overhead at every scale
-    (optimization guide §2.4: remove shuffles outright). The corpus
-    side keeps the fan-out."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    if not fan:
-        return emb
-    from target_hdfs_spark.sources.readers import fan_out
-
     return fan_out(emb, "vec_id")
 
 
@@ -140,12 +131,9 @@ def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; rank<=k avoids a global sort. 100 TB path is q47.
     """
     emb = _load_vectors(spark, sf_dir)
-    # query side from an un-fanned read: the vec_id predicate pushes
-    # to the scan, so the broadcast builds straight from ~5 rows
-    # without a 32-task redistribution stage first
-    queries = _load_vectors(spark, sf_dir, fan=False).filter(
-        F.col("vec_id") < 5
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
@@ -220,14 +208,10 @@ def q47_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _load_vectors(spark, sf_dir)
     emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
-    queries = (
-        _load_vectors(spark, sf_dir, fan=False)
-        .filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            lsh_bucket(F.col("v")).alias("qbucket"),
-        )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
     )
     scored = (
         emb.join(
@@ -420,18 +404,10 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _load_vectors(spark, sf_dir)
     cells = _ivf_cells(emb)
-    # query-side cells from an un-fanned read: vec_id < 5 pushes
-    # through the assignment window to the scan, so the broadcast
-    # side scores 5 vectors against the codebook with no fan-out
-    # shuffle stage
-    queries = (
-        _ivf_cells(_load_vectors(spark, sf_dir, fan=False))
-        .filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("cell").alias("qcell"),
-        )
+    queries = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
     )
     scored = cells.join(
         F.broadcast(queries),
@@ -513,14 +489,10 @@ def q69_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_vectors(spark, sf_dir)
     w1, w2 = quantize_words(F.col("v"))
     coded = emb.select("vec_id", w1.alias("w1"), w2.alias("w2"))
-    queries = (
-        _load_vectors(spark, sf_dir, fan=False)
-        .filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            w1.alias("qw1"),
-            w2.alias("qw2"),
-        )
+    queries = coded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
     )
     hamming = (
         F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
@@ -578,14 +550,10 @@ def q70_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = assign.filter(F.col("crn") == 1).select(
         "vec_id", "v", F.col("cid").alias("cell")
     )
-    qcells = (
-        _ivf_assign(_load_vectors(spark, sf_dir, fan=False))
-        .filter((F.col("vec_id") < 5) & (F.col("crn") <= 2))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("cid").alias("qcell"),
-        )
+    qcells = assign.filter((F.col("vec_id") < 5) & (F.col("crn") <= 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cid").alias("qcell"),
     )
     scored = (
         cells.join(
@@ -653,14 +621,10 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _load_vectors(spark, sf_dir)
     cells = _ivf_cells(emb)
-    queries = (
-        _ivf_cells(_load_vectors(spark, sf_dir, fan=False))
-        .filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("cell").alias("qcell"),
-        )
+    queries = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
     )
     wrank = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
@@ -759,15 +723,11 @@ def q77_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_vectors(spark, sf_dir)
     w1, w2 = quantize_words(F.col("v"))
     coded = emb.select("vec_id", "v", w1.alias("w1"), w2.alias("w2"))
-    queries = (
-        _load_vectors(spark, sf_dir, fan=False)
-        .filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            w1.alias("qw1"),
-            w2.alias("qw2"),
-        )
+    queries = coded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
     )
     hamming = (
         F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
