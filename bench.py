@@ -74,8 +74,16 @@ HEADLINE = [
     # round 3: the iterative connected-components pipeline graduates
     # to a headline (job-fused convergence probe; see BENCH_NOTES.md)
     "q85_dedup_clusters",
+    # round 11: the r10 DRIVER-record auto-headliners, pinned. The
+    # auto pick follows SIM_TIMINGS, so a sim-timing shift could
+    # silently DROP a query that appeared in a driver BENCH record —
+    # the bench contract forbids removing entries; pinning makes the
+    # query set monotone across rounds.
+    "q203_dedup_roi",
+    "q180_hard_negative_mining",
+    "q278_sequence_packing",
 ]
-_R02_SET = set(HEADLINE) - {"q85_dedup_clusters"}
+_R02_SET = set(HEADLINE[:15]) - {"q85_dedup_clusters"}
 
 
 def family(spec) -> str:

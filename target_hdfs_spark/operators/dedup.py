@@ -102,7 +102,15 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     # a sizes aggregate joined back twice: the single Exchange that
     # hash-partitions bands by (band_idx, band_key) serves the window
     # AND pre-partitions both sides of the bucket self-join (no
-    # re-shuffle — the join keys equal the window partition keys)
+    # re-shuffle — the join keys equal the window partition keys).
+    # The windowed frame is CHECKPOINTED because three consumers read
+    # it (self-join side a, side c, star filter): without the barrier
+    # Catalyst replays the whole signature pipeline — tokenize →
+    # shingle → md5 → 16-min groupBy → band explode → window — once
+    # per consumer subtree (q43's compiled plan carried the scan 3x).
+    # The materialized frame is 4 rows/doc of (id, band key, n, root)
+    # — the same bytes the band exchange already shuffles — traded
+    # for two full recomputes of the far heavier minhash stage.
     w = Window.partitionBy("band_idx", "band_key")
     bands = _band_table(sig).select(
         "doc_id",
@@ -110,7 +118,7 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         "band_key",
         F.count(F.lit(1)).over(w).alias("bucket_n"),
         F.min("doc_id").over(w).alias("root"),
-    )
+    ).localCheckpoint(eager=True)
     kept = bands.filter(F.col("bucket_n").between(2, MAX_BUCKET)).select(
         "doc_id", "band_idx", "band_key"
     )
@@ -823,11 +831,18 @@ def connected_components(
     SAME job that decides convergence. The next round (or the final
     label join) reads the checkpointed partitions, not lineage.
     """
+    # No init distinct: every star round symmetrizes + windows its
+    # input and ends in a distinct of its own, so duplicate or
+    # non-canonical input edges cannot change the fixpoint — the
+    # init-time dedup was one extra full shuffle of the edge list
+    # that round 1's window exchange immediately repeats. Callers
+    # feeding LSH candidate pairs (already distinct by construction)
+    # paid it for nothing; a caller with heavy input multiplicity
+    # pays the same first-shuffle volume either way.
     e = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
     )
     converged = False
     for _ in range(max_iter):
@@ -2278,15 +2293,24 @@ def q203_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = connected_components(docs.select("doc_id"), pairs)
     sizes = clustered.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
     hist = sizes.groupBy("csize").agg(F.count(F.lit(1)).alias("n_clusters"))
-    tot = hist.agg(
-        F.sum(F.col("csize") * F.col("n_clusters")).alias("n_docs"),
-        F.sum("n_clusters").alias("n_kept"),
-    )
-    return hist.crossJoin(F.broadcast(tot)).select(
-        "csize",
-        "n_clusters",
-        (F.col("csize") * F.col("n_clusters")).alias("n_docs_at_size"),
-        F.expr("(n_docs - n_kept) * 1000000 div n_docs").alias("dedup_ppm"),
+    # corpus totals via a global window over the HISTOGRAM — a
+    # |distinct cluster sizes| frame (bounded: tens of rows even at
+    # 100 TB), so the unpartitioned window is metadata-scale. The
+    # previous crossJoin(broadcast(agg(hist))) planned `hist` — and
+    # its whole upstream label-join — TWICE (once under the totals
+    # aggregate, once as the probe side); the window reads it once.
+    w_all = Window.partitionBy()
+    return (
+        hist.withColumn(
+            "_nd", F.sum(F.col("csize") * F.col("n_clusters")).over(w_all)
+        )
+        .withColumn("_nk", F.sum("n_clusters").over(w_all))
+        .select(
+            "csize",
+            "n_clusters",
+            (F.col("csize") * F.col("n_clusters")).alias("n_docs_at_size"),
+            F.expr("(_nd - _nk) * 1000000 div _nd").alias("dedup_ppm"),
+        )
     )
 
 
