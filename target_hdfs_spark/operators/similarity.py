@@ -82,6 +82,20 @@ def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(emb, "vec_id")
 
 
+def _load_query_vectors(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """(vec_id, v) for vec_id < k, UN-fanned: the predicate pushes to
+    the parquet scan and the <= k-row frame goes straight to its
+    broadcast build. Query-side frames must not ride the corpus
+    ``fan_out`` — hash-redistributing a handful of rows across every
+    core adds a full 32-task exchange stage (and a second scan
+    subtree) ahead of a broadcast of ~5 rows."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < k
+    ).select("vec_id", as_double_array("embedding").alias("v"))
+
+
 _DOT_SQL = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
@@ -131,7 +145,7 @@ def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; rank<=k avoids a global sort. 100 TB path is q47.
     """
     emb = _load_vectors(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = _load_query_vectors(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     scored = (
@@ -208,10 +222,10 @@ def q47_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _load_vectors(spark, sf_dir)
     emb = emb.withColumn("bucket", lsh_bucket(F.col("v")))
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = _load_query_vectors(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        lsh_bucket(F.col("v")).alias("qbucket"),
     )
     scored = (
         emb.join(
@@ -338,14 +352,20 @@ _ASSIGN_SQL = f"""
 
 
 
-def _ivf_assign(emb: DataFrame) -> DataFrame:
+def _ivf_assign(emb: DataFrame, cent: DataFrame | None = None) -> DataFrame:
     """(vec_id, v, cid, dot, crn) — every vector scored against the
     fixed IVF codebook (centroids := first N_CENTROIDS vectors), with
     crn ranking the centroids per vector (crn=1 is the cell
-    assignment). Single implementation behind q63 / q70 / q71."""
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    assignment). Single implementation behind q63 / q70 / q71.
+
+    ``cent`` lets the caller supply the N_CENTROIDS-row centroid
+    frame from an UN-fanned pushed-down scan; by default it is sliced
+    from ``emb`` (which, when emb is the fanned corpus, replays the
+    corpus scan + fan_out exchange for a 16-row broadcast side)."""
+    if cent is None:
+        cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
     w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
     return (
         emb.crossJoin(F.broadcast(cent))
@@ -354,10 +374,18 @@ def _ivf_assign(emb: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_cells(emb: DataFrame) -> DataFrame:
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed IVF codebook (first N_CENTROIDS vectors) from an
+    un-fanned pushed-down scan."""
+    return _load_query_vectors(spark, sf_dir, k=N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+
+def _ivf_cells(emb: DataFrame, cent: DataFrame | None = None) -> DataFrame:
     """(vec_id, v, cell): each vector in its nearest centroid's cell."""
     return (
-        _ivf_assign(emb)
+        _ivf_assign(emb, cent)
         .filter(F.col("crn") == 1)
         .select("vec_id", "v", F.col("cid").alias("cell"))
     )
@@ -403,8 +431,12 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe (probe the p nearest cells by centroid distance).
     """
     emb = _load_vectors(spark, sf_dir)
-    cells = _ivf_cells(emb)
-    queries = cells.filter(F.col("vec_id") < 5).select(
+    # centroid + query frames come from UN-fanned pushed-down scans:
+    # slicing them out of the fanned corpus dragged each 5-16-row
+    # broadcast side through its own corpus fan_out exchange
+    cent = _ivf_centroids(spark, sf_dir)
+    cells = _ivf_cells(emb, cent)
+    queries = _ivf_cells(_load_query_vectors(spark, sf_dir), cent).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("cell").alias("qcell"),
@@ -489,10 +521,10 @@ def q69_hamming_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_vectors(spark, sf_dir)
     w1, w2 = quantize_words(F.col("v"))
     coded = emb.select("vec_id", w1.alias("w1"), w2.alias("w2"))
-    queries = coded.filter(F.col("vec_id") < 5).select(
+    queries = _load_query_vectors(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
-        F.col("w1").alias("qw1"),
-        F.col("w2").alias("qw2"),
+        w1.alias("qw1"),
+        w2.alias("qw2"),
     )
     hamming = (
         F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
@@ -546,11 +578,15 @@ def q70_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for safety under future nprobe>1 corpus replication).
     """
     emb = _load_vectors(spark, sf_dir)
-    assign = _ivf_assign(emb)
+    cent = _ivf_centroids(spark, sf_dir)
+    assign = _ivf_assign(emb, cent)
     cells = assign.filter(F.col("crn") == 1).select(
         "vec_id", "v", F.col("cid").alias("cell")
     )
-    qcells = assign.filter((F.col("vec_id") < 5) & (F.col("crn") <= 2)).select(
+    # un-fanned query-side re-derivation against the same centroids
+    # (see q63)
+    qassign = _ivf_assign(_load_query_vectors(spark, sf_dir), cent)
+    qcells = qassign.filter(F.col("crn") <= 2).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("cid").alias("qcell"),
@@ -620,8 +656,10 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     step, not a notebook afterthought.
     """
     emb = _load_vectors(spark, sf_dir)
-    cells = _ivf_cells(emb)
-    queries = cells.filter(F.col("vec_id") < 5).select(
+    cent = _ivf_centroids(spark, sf_dir)
+    cells = _ivf_cells(emb, cent)
+    # un-fanned query-side re-derivation (see q63)
+    queries = _ivf_cells(_load_query_vectors(spark, sf_dir), cent).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("cell").alias("qcell"),
@@ -723,11 +761,11 @@ def q77_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_vectors(spark, sf_dir)
     w1, w2 = quantize_words(F.col("v"))
     coded = emb.select("vec_id", "v", w1.alias("w1"), w2.alias("w2"))
-    queries = coded.filter(F.col("vec_id") < 5).select(
+    queries = _load_query_vectors(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("w1").alias("qw1"),
-        F.col("w2").alias("qw2"),
+        w1.alias("qw1"),
+        w2.alias("qw2"),
     )
     hamming = (
         F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
@@ -1167,8 +1205,19 @@ def _pq_parts(spark: SparkSession, sf_dir: str):
             F.col("v"), F.col("sub_idx") * PQ_SUBDIM + 1, PQ_SUBDIM
         ).alias("sv"),
     )
-    codebook = sub_vectors.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("sub_idx").alias("cb_sub"), F.col("sv").alias("cv")
+    # the PQ_K-row-per-subspace codebook comes from an UN-fanned
+    # pushed-down scan (slicing it from the fanned sub_vectors dragged
+    # the broadcast side through the corpus fan_out exchange)
+    codebook = (
+        _load_query_vectors(spark, sf_dir, k=PQ_K)
+        .crossJoin(F.broadcast(subspaces))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("sub_idx").alias("cb_sub"),
+            F.slice(
+                F.col("v"), F.col("sub_idx") * PQ_SUBDIM + 1, PQ_SUBDIM
+            ).alias("cv"),
+        )
     )
     w = Window.partitionBy("vec_id", "sub_idx").orderBy(F.col("d"), F.col("cid"))
     codes = (
@@ -1256,10 +1305,21 @@ def q90_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     where billion-vector search fits one machine's cache.
     """
     _, sub_vectors, codebook, codes = _pq_parts(spark, sf_dir)
-    q = sub_vectors.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("sub_idx").alias("q_sub"),
-        F.col("sv").alias("qsv"),
+    # un-fanned query-side sub-vectors: same slice expressions over
+    # the pushed-down vec_id < 5 scan instead of the corpus fan_out
+    subspaces = spark.range(PQ_M).select(
+        F.col("id").cast("int").alias("sub_idx")
+    )
+    q = (
+        _load_query_vectors(spark, sf_dir)
+        .crossJoin(F.broadcast(subspaces))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sub_idx").alias("q_sub"),
+            F.slice(
+                F.col("v"), F.col("sub_idx") * PQ_SUBDIM + 1, PQ_SUBDIM
+            ).alias("qsv"),
+        )
     )
     subdists = (
         codes.join(
@@ -1345,8 +1405,8 @@ def q122_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load_vectors(spark, sf_dir)
     qrows = (
-        emb.filter(F.col("vec_id") < 5).select("vec_id", "v").collect()
-    )  # k x dim scalar-scale collect (5 x 64 doubles)
+        _load_query_vectors(spark, sf_dir).collect()
+    )  # k x dim scalar-scale collect (5 x 64 doubles), un-fanned scan
     q_ids = [int(r.vec_id) for r in qrows]
     q_vecs = [np.asarray(r.v, dtype=np.float64) for r in qrows]
 
@@ -2540,7 +2600,7 @@ def q289_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     limits; the overlap join runs on 4 x 5 x {_MRL_K} kept rows.
     """
     emb = _load_vectors(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = _load_query_vectors(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     dims = F.explode(
