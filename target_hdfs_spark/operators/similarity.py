@@ -2096,18 +2096,20 @@ def _btx_emb(
     return emb.withColumn("bucket", lsh_bucket(F.col("v")))
 
 
-def _btx_mutual_frame(
+def _btx_cand(
     spark: SparkSession,
     sf_dir: str,
     cap: int | None = None,
     sample_ppm: int | None = None,
+    flag_cap: int | None = None,
 ) -> DataFrame:
-    """The shared Spark pipeline to the mutual-best margin frame
-    (x_id, y_id, cos_sim, margin, n_topk_x, n_topk_y) — the single
-    implementation behind q265 (mining), q272 (precision
-    calibration), and q277 (cap recall audit; `cap` overrides the
-    production bucket cap, `sample_ppm` shards the corpus by salted
-    hash for budgeted audits)."""
+    """Candidate cosines for the bitext family: split the corpus into
+    the two sides, keep buckets whose pair volume fits `cap`, and fold
+    one cosine per bucket-sharing pair. With `flag_cap` the frame also
+    carries `in_cap` = (nx*ny <= flag_cap) so a TIGHTER chain can be
+    derived by filtering — the capped candidate set is a subset of the
+    uncapped one, so q277's two chains share this one expensive
+    pass instead of folding every cosine twice."""
     cap = _BTX_BUCKET_CAP if cap is None else cap
     emb = _btx_emb(spark, sf_dir, sample_ppm)
     x = emb.filter(F.col("vec_id") % 2 == 0).select(
@@ -2126,19 +2128,33 @@ def _btx_mutual_frame(
     occ_y = y.groupBy(F.col("by").alias("bucket")).agg(
         F.count(F.lit(1)).alias("ny")
     )
+    vol = F.col("nx") * F.col("ny")
+    good_cols = [F.col("bucket")]
+    if flag_cap is not None:
+        good_cols.append((vol <= flag_cap).alias("in_cap"))
     good = (
-        occ_x.join(occ_y, "bucket")
-        .filter(F.col("nx") * F.col("ny") <= cap)
-        .select("bucket")
+        occ_x.join(occ_y, "bucket").filter(vol <= cap).select(*good_cols)
     )
-    cand = (
+    out_cols = [
+        F.col("x_id"),
+        F.col("y_id"),
+        cosine(F.col("xv"), F.col("yv")).alias("cos_sim"),
+    ]
+    if flag_cap is not None:
+        out_cols.append(F.col("in_cap"))
+    return (
         x.join(F.broadcast(good), F.col("bx") == F.col("bucket"))
         .drop("bucket")
         .join(y, F.col("by") == F.col("bx"))
-        .select(
-            "x_id", "y_id", cosine(F.col("xv"), F.col("yv")).alias("cos_sim")
-        )
+        .select(*out_cols)
     )
+
+
+def _btx_mutual_from_cand(cand: DataFrame) -> DataFrame:
+    """Windows + top-k means + mutual-best margin over a candidate
+    cosine frame (x_id, y_id, cos_sim) — the tail of the bitext
+    pipeline, shared by every chain regardless of how the candidates
+    were produced."""
     w_x = Window.partitionBy("x_id").orderBy(F.col("cos_sim").desc(), "y_id")
     w_y = Window.partitionBy("y_id").orderBy(F.col("cos_sim").desc(), "x_id")
     ranked = cand.select(
@@ -2192,6 +2208,23 @@ def _btx_mutual_frame(
         margin.alias("margin"),
         F.col("n_mean_x").alias("n_topk_x"),
         F.col("n_mean_y").alias("n_topk_y"),
+    )
+
+
+def _btx_mutual_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None = None,
+    sample_ppm: int | None = None,
+) -> DataFrame:
+    """The shared Spark pipeline to the mutual-best margin frame
+    (x_id, y_id, cos_sim, margin, n_topk_x, n_topk_y) — the single
+    implementation behind q265 (mining), q272 (precision
+    calibration), and q277 (cap recall audit; `cap` overrides the
+    production bucket cap, `sample_ppm` shards the corpus by salted
+    hash for budgeted audits)."""
+    return _btx_mutual_from_cand(
+        _btx_cand(spark, sf_dir, cap=cap, sample_ppm=sample_ppm)
     )
 
 
@@ -2419,11 +2452,23 @@ def bucket_cap_recall_audit(
             f"in the shard fraction), or raise budget= if the cluster "
             f"can afford the priced volume."
         )
-    u = _btx_mutual_frame(
-        spark, sf_dir, cap=_BTX_UNCAPPED, sample_ppm=sample_ppm
-    ).select("x_id", "y_id", "cos_sim", "margin")
-    c = _btx_mutual_frame(
-        spark, sf_dir, cap=_BTX_AUDIT_CAP, sample_ppm=sample_ppm
+    # The capped candidate set is a strict subset of the uncapped one
+    # (same buckets, tighter volume bound), so the expensive per-pair
+    # cosine folds are computed ONCE over the uncapped candidates with
+    # an in_cap flag, checkpointed, and both chains' windows read the
+    # materialized frame — halving the scan+fold work of the audit.
+    cand_all = _btx_cand(
+        spark,
+        sf_dir,
+        cap=_BTX_UNCAPPED,
+        sample_ppm=sample_ppm,
+        flag_cap=_BTX_AUDIT_CAP,
+    ).localCheckpoint()
+    u = _btx_mutual_from_cand(cand_all.drop("in_cap")).select(
+        "x_id", "y_id", "cos_sim", "margin"
+    )
+    c = _btx_mutual_from_cand(
+        cand_all.filter(F.col("in_cap")).drop("in_cap")
     ).select(
         F.col("x_id").alias("cx"),
         F.col("y_id").alias("cy"),
