@@ -97,6 +97,9 @@ GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     " quantity levels (~50 rows; value-domain, not corpus)",
     "q201_rfm_segments": _BAND,
     "q202_decile_calibration": _BAND,
+    "q203_dedup_roi": "corpus totals over the |distinct cluster sizes|"
+    " histogram (tens of rows at any scale) — replaced a crossJoin"
+    " that planned the label-join upstream twice",
     "q204_gini_coefficient": "|$10k revenue bands| cumulative (segmented"
     " rank offsets)",
     "q205_kaplan_meier": "|tenure weeks| reverse cumulative",

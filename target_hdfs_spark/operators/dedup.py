@@ -1406,10 +1406,15 @@ def q98_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("lang").isin(*_Q98_LANGS)
     )
     w = Window.partitionBy("text").orderBy("doc_id")
+    # lazy checkpoint: three consumers replay this subtree otherwise
+    # (the pair-graph build, the components' node frame, and the
+    # survivor join) — each replay re-scans and re-tokenizes the
+    # corpus; the first consumer materializes it instead
     ex = (
         quality.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=False)
     )
     sig = minhash_signatures(ex.select("doc_id", "text"))
     # EAGER checkpoint: the star rounds reference the pair graph many
@@ -2536,18 +2541,19 @@ def prefix_filter_pairs(
       re-exploding posting lists through a pair-keyed aggregation —
       the candidate x |doc| row blow-up never materializes.
 
-    Routing guard (ENFORCED in-plan, r7 verdict item 2): on
+    Routing guard (ENFORCED driver-side, r7 verdict item 2): on
     adversarially small vocabularies (tiny shingle universe, high df)
     the prefix self-join's fan-out — sum over prefix shingles of
     C(df_pref, 2) — goes super-linear in documents, and since the
     OUTPUT itself can be quadratic there, no exact algorithm fixes it;
     the right move is q243_dedup_planner's routing to the LSH-verified
-    pipeline. The plan therefore prices the join before materializing
-    it: if candidate volume exceeds {_PREFIX_CAND_PER_DOC_MAX} per
-    document it raises a routing error naming q92_lsh_verified_pairs
-    (raise_error in the broadcast guard subtree, mirroring q45's
-    df-cap on the all-pairs axis), turning q243's advisory decision
-    into a load-bearing one. The same guard row also enforces the
+    pipeline. The guard therefore prices the join before its plan is
+    launched: if candidate volume exceeds {_PREFIX_CAND_PER_DOC_MAX}
+    per document it raises a routing error naming
+    q92_lsh_verified_pairs (a 1-row aggregate over the checkpointed
+    prefix frame, evaluated driver-side BEFORE the join — mirroring
+    q45's df-cap on the all-pairs axis), turning q243's advisory
+    decision into a load-bearing one. The same guard row also enforces the
     ARRAY WIDTH cap: the verify collects one shingle array per doc,
     so a doc above {_POC_MAX_DOC_SHINGLES} distinct shingles fails
     fast with the routing message before any array is built (the LSH
@@ -2556,11 +2562,12 @@ def prefix_filter_pairs(
     routing machinery measured 3x slower at 10x/100x docs here, and
     this path is for corpora the planner already priced as clean).
     ``guard=False`` opts out for callers that have already routed.
-    ``eager_guard=True`` evaluates the guard driver-side BEFORE the
-    join plan is constructed — strict fail-fast ordering (the lazy
-    default attaches the guard in-plan, where its stage races the
-    join's shuffles under AQE and wins in practice but not by
-    guarantee) at the cost of one extra element-frame pass.
+    The guard always runs driver-side before the join plan launches
+    (``eager_guard`` is accepted for compatibility; both values take
+    the strict path — the historical in-plan race stopped being a
+    guarantee once the prefix frame was checkpointed, because AQE's
+    empty-relation propagation can prune the guard subtree when the
+    candidate join is provably empty).
     Measured: sf0.1 corpus at t=1/3 sits far under both caps; the
     synthetic tiny-vocabulary 100x sweep corpus trips the volume cap
     in seconds instead of >25 min of join fan-out.
@@ -2579,9 +2586,17 @@ def prefix_filter_pairs(
     )
     # prefix length s - ceil(p*s/q) + 1, with ceil(p*s/q) as the
     # integer (p*s + q - 1) div q
-    pref = pos.filter(
-        F.expr(f"pos <= n_sh - ({p} * n_sh + {q - 1}) div {q} + 1")
-    ).select("doc_id", "shingle", "pos", "n_sh")
+    # one plan consumes `pref` up to four times (guard volume, guard
+    # width, both self-join sides), and every consumer would replay
+    # the dfreq join + the two doc windows; the prefix frame is
+    # linear-sized (<= one row per element), so materialize it once
+    pref = (
+        pos.filter(
+            F.expr(f"pos <= n_sh - ({p} * n_sh + {q - 1}) div {q} + 1")
+        )
+        .select("doc_id", "shingle", "pos", "n_sh")
+        .localCheckpoint()
+    )
     if guard:
         # Candidate volume the self-join WOULD materialize, priced on
         # the prefix frame before the join exists. coalesce covers the
@@ -2647,15 +2662,17 @@ def prefix_filter_pairs(
         )
     else:
         ok = None
-    if ok is not None and eager_guard:
-        # STRICT fail-fast ordering: evaluate the 1-row guard frame as
-        # its own job BEFORE the join plan exists, so the routing
-        # error is guaranteed to precede any join shuffle or verify
-        # array materialization — not merely to win the stage race
-        # under AQE (the lazy default's documented best-effort). Costs
-        # one extra pass over the element frame; the guard subtree
-        # would be recomputed above the join anyway, so the total work
-        # is unchanged and only the overlap is given up.
+    if ok is not None:
+        # ALWAYS enforced driver-side (was: only under eager_guard,
+        # with the lazy default racing the join stages in-plan). Two
+        # reasons: with `pref` checkpointed the guard aggregates read
+        # materialized rows, so strict fail-fast ordering now costs
+        # one small job instead of an element-frame replay; and the
+        # in-plan attachment stopped being reliable — AQE's
+        # empty-relation propagation can prune the guard's broadcast
+        # subtree when the candidate join is provably empty, skipping
+        # the raise entirely. eager_guard stays accepted; both values
+        # take this path.
         ok.collect()  # raises the routing error here if the guard fires
         ok = None  # already enforced; nothing to attach in-plan
     a, b = pref.alias("a"), pref.alias("b")
@@ -2691,16 +2708,6 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    if ok is not None:
-        # attach the 1-row guard ONCE above the self-join (attaching
-        # to `pref` would duplicate the guard subtree into both join
-        # sides); its stage races the join's shuffle stages under AQE
-        # and aborts the query in seconds when it fires
-        cand = (
-            cand.crossJoin(F.broadcast(ok))
-            .filter(F.col("_prefix_guard_ok"))
-            .drop("_prefix_guard_ok")
-        )
     # inline collected-array verify: cand has exactly one consumer, so
     # the single collect_list pass beats routing through
     # pair_overlap_counts (measured 3x at 10x/100x docs: the shared
