@@ -2102,6 +2102,7 @@ def _btx_cand(
     cap: int | None = None,
     sample_ppm: int | None = None,
     flag_cap: int | None = None,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate cosines for the bitext family: split the corpus into
     the two sides, keep buckets whose pair volume fits `cap`, and fold
@@ -2109,9 +2110,17 @@ def _btx_cand(
     carries `in_cap` = (nx*ny <= flag_cap) so a TIGHTER chain can be
     derived by filtering — the capped candidate set is a subset of the
     uncapped one, so q277's two chains share this one expensive
-    pass instead of folding every cosine twice."""
+    pass instead of folding every cosine twice. `emb` lets a caller
+    that already holds (and typically has checkpointed) the bucketed
+    corpus pass it in, so the scan + per-row LSH-bucket fold are not
+    re-derived; the x/y split below consumes it twice either way."""
     cap = _BTX_BUCKET_CAP if cap is None else cap
-    emb = _btx_emb(spark, sf_dir, sample_ppm)
+    if emb is None:
+        # both join sides below re-derive this frame; the scan is
+        # cheap but the per-row bucket fold is not — materialize once
+        emb = _btx_emb(spark, sf_dir, sample_ppm).localCheckpoint(
+            eager=False
+        )
     x = emb.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("x_id"),
         F.col("v").alias("xv"),
@@ -2165,6 +2174,15 @@ def _btx_mutual_from_cand(cand: DataFrame) -> DataFrame:
         F.row_number().over(w_y).alias("y_rn"),
     ).localCheckpoint()  # feeds mx, my AND the mutual frame — one
     # evaluation of the fold-heavy candidate cosines, not three
+    return _btx_mutual_from_ranked(ranked)
+
+
+def _btx_mutual_from_ranked(ranked: DataFrame) -> DataFrame:
+    """Top-k means + mutual-best margin over an already-ranked
+    candidate frame (x_id, y_id, cos_sim, x_rn, y_rn). Split out of
+    `_btx_mutual_from_cand` so q277 can feed BOTH its chains from one
+    dual-ranked frame instead of paying the two rank-window shuffles
+    twice."""
 
     def mean_topk(anchor: str, rn: str, alias: str) -> DataFrame:
         # fold in rank order: the double sum is order-stable, mirroring
@@ -2417,7 +2435,10 @@ def bucket_cap_recall_audit(
     `sample_ppm` runs the SAME audit on a deterministic salted-hash
     shard of vec_ids — the "audit on a sampled shard at 100 TB" path,
     now enforced rather than advisory (r9 verdict item 1)."""
-    emb = _btx_emb(spark, sf_dir, sample_ppm)
+    # one scan + per-row bucket fold serves the preflight AND both
+    # candidate sides: the preflight's blocking collect() below
+    # materializes this lazy checkpoint, so x/y read stored rows
+    emb = _btx_emb(spark, sf_dir, sample_ppm).localCheckpoint(eager=False)
     occ = (
         emb.groupBy(
             "bucket", (F.col("vec_id") % 2 == 0).alias("is_x")
@@ -2463,12 +2484,39 @@ def bucket_cap_recall_audit(
         cap=_BTX_UNCAPPED,
         sample_ppm=sample_ppm,
         flag_cap=_BTX_AUDIT_CAP,
+        emb=emb,
     ).localCheckpoint()
-    u = _btx_mutual_from_cand(cand_all.drop("in_cap")).select(
-        "x_id", "y_id", "cos_sim", "margin"
-    )
-    c = _btx_mutual_from_cand(
-        cand_all.filter(F.col("in_cap")).drop("in_cap")
+    # BOTH chains' ranks ride the same two window shuffles: within a
+    # (partition, ORDER BY cos_sim DESC, tiebreak) pass, the capped
+    # chain's row_number equals the running count of in_cap rows —
+    # the order is identical and filtering preserves it — so one
+    # WindowExec per side computes x_rn AND x_rn_c (resp. y) instead
+    # of re-shuffling the candidate frame for the capped subset.
+    w_x = Window.partitionBy("x_id").orderBy(F.col("cos_sim").desc(), "y_id")
+    w_y = Window.partitionBy("y_id").orderBy(F.col("cos_sim").desc(), "x_id")
+    run = Window.unboundedPreceding, Window.currentRow
+    flag = F.col("in_cap").cast("int")
+    ranked = cand_all.select(
+        "x_id",
+        "y_id",
+        "cos_sim",
+        "in_cap",
+        F.row_number().over(w_x).alias("x_rn"),
+        F.sum(flag).over(w_x.rowsBetween(*run)).alias("x_rn_c"),
+        F.row_number().over(w_y).alias("y_rn"),
+        F.sum(flag).over(w_y.rowsBetween(*run)).alias("y_rn_c"),
+    ).localCheckpoint()
+    u = _btx_mutual_from_ranked(
+        ranked.select("x_id", "y_id", "cos_sim", "x_rn", "y_rn")
+    ).select("x_id", "y_id", "cos_sim", "margin")
+    c = _btx_mutual_from_ranked(
+        ranked.filter(F.col("in_cap")).select(
+            "x_id",
+            "y_id",
+            "cos_sim",
+            F.col("x_rn_c").alias("x_rn"),
+            F.col("y_rn_c").alias("y_rn"),
+        )
     ).select(
         F.col("x_id").alias("cx"),
         F.col("y_id").alias("cy"),
