@@ -2107,27 +2107,47 @@ def q151_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     list comes from the LSH-bounded pair generation, not n². Fixed
     iteration count keeps the plan static (no driver-side convergence
     loop at this size; the CC convergence-probe pattern from q85
-    composes when needed).
+    composes when needed). Static per-node facts (outdeg, n) are
+    joined ONCE onto a checkpointed node frame and carried through
+    the loop — the naive formulation re-joins deg and re-scans the
+    corpus for |V| and the node list every iteration; the edge list
+    is checkpointed pre-partitioned by src so each iteration's
+    edge join reuses that exchange instead of re-shuffling |E| rows.
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
-    nodes = docs.select("doc_id")
-    nn = docs.agg(F.count(F.lit(1)).alias("n"))
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .repartition("src")
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "doc_id", F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("rank")
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    # node frame with the loop-invariant facts attached once: outdeg
+    # (null for nodes without out-edges — exactly deg's inner-join
+    # semantics below) and the broadcast scalar |V|
+    base = (
+        docs.select("doc_id")
+        .join(deg.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+        .crossJoin(F.broadcast(nn))
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select(
+        "doc_id",
+        "outdeg",
+        "n",
+        F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("rank"),
     )
     for _ in range(_PR_ITERS):
-        shares = (
-            ranks.withColumnRenamed("doc_id", "u")
-            .join(deg.withColumnRenamed("src", "u"), "u")
-            .select("u", F.expr("rank div outdeg").alias("share"))
+        shares = ranks.filter(F.col("outdeg").isNotNull()).select(
+            F.col("doc_id").alias("u"),
+            F.expr("rank div outdeg").alias("share"),
         )
         contrib = (
             edges.withColumnRenamed("src", "u")
@@ -2136,16 +2156,14 @@ def q151_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("share").alias("c"))
             .withColumnRenamed("dst", "doc_id")
         )
-        ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, "doc_id", "left")
-            .select(
-                "doc_id",
-                (
-                    F.expr(f"(15 * {_PR_SCALE}) div (100 * n)")
-                    + F.expr("(85 * COALESCE(c, 0)) div 100")
-                ).alias("rank"),
-            )
+        ranks = base.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            "outdeg",
+            "n",
+            (
+                F.expr(f"(15 * {_PR_SCALE}) div (100 * n)")
+                + F.expr("(85 * COALESCE(c, 0)) div 100")
+            ).alias("rank"),
         )
     return (
         ranks.select("doc_id", F.col("rank").alias("pagerank"))
