@@ -917,10 +917,14 @@ def test_q202_decile_is_banded_not_global_ntile(spark):
 
 def test_q203_post_pipeline_stages_are_reductions(spark):
     """Everything after the checkpointed pair graph reduces:
-    |clusters| -> |sizes| aggs, 1-row broadcast ratio."""
+    |clusters| -> |sizes| aggs; the corpus totals ride ONE global
+    window over the bounded |distinct sizes| histogram (PLAN_AUDIT
+    waiver) — never a crossJoin(broadcast(agg(hist))) that plans
+    `hist` and its upstream label-join twice."""
     plan = plan_of(spark, "q203_dedup_roi")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals only
+    assert "BroadcastNestedLoopJoin" not in plan  # hist planned once
+    assert _global_windows(plan) == 1  # the histogram-sized totals
 
 
 def test_q204_rank_is_band_partitioned(spark):
