@@ -4088,7 +4088,9 @@ _DSIR_SCORES_SQL = f"""
 """
 
 
-def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_doc_scores(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, source, n_toks, score_ppm) — the DSIR importance
     score for every non-empty document (integer mean smoothed
     target/raw bucket ratio over the doc's gram occurrences; > 1e6 =
@@ -4096,20 +4098,28 @@ def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     _DSIR_SCORES_SQL, shared by q290 (selection table) and q294
     (mixture shift).
 
+    `d` lets a composing query (q300) hand in its own materialized
+    (doc_id, lang, source, toks) frame so the corpus is tokenized
+    once for the whole composition instead of once per stage.
+
     Plan: one lazily checkpointed token frame feeds both gram passes;
     the {_DSIR_B}-row model and the 1-row totals are broadcast; the
     per-doc aggregation is the only corpus-sized shuffle."""
-    d = (
-        fan_out(
-            load_table(spark, sf_dir, "documents").select(
-                "doc_id", "lang", "source", "text"
-            ),
-            "doc_id",
+    if d is None:
+        d = (
+            fan_out(
+                load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "lang", "source", "text"
+                ),
+                "doc_id",
+            )
+            .select(
+                "doc_id", "lang", "source", tokens("text").alias("toks")
+            )
+            .filter(F.size("toks") > 0)
+            # consumed by model fit AND scoring
+            .localCheckpoint(eager=False)
         )
-        .select("doc_id", "lang", "source", tokens("text").alias("toks"))
-        .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=False)  # consumed by model fit AND scoring
-    )
     gb = _dsir_gram_frame(d)
     model = gb.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt_r"),
@@ -4554,10 +4564,16 @@ def filter_flags(docs: DataFrame, *extra_cols: str) -> DataFrame:
     streaming frames; shared by q295 and the streaming agreement
     ledger so the two surfaces cannot drift.
 
-    `docs` needs a `text` column; `extra_cols` pass through."""
+    `docs` needs a `text` column — or a pre-tokenized `toks` column
+    (reused as-is, so a composing query's materialized token frame is
+    not re-tokenized); `extra_cols` pass through."""
+    base = (
+        docs.select(*extra_cols, "toks")
+        if "toks" in docs.columns
+        else docs.select(*extra_cols, tokens("text").alias("toks"))
+    )
     return (
-        docs.select(*extra_cols, tokens("text").alias("toks"))
-        .filter(F.size("toks") > 0)
+        base.filter(F.size("toks") > 0)
         # materialize the shingle array once (textfuncs.shingles'
         # performance contract) before sizing it two ways
         .select(*extra_cols, "toks", shingles(F.col("toks"), 2).alias("bg"))
@@ -4954,16 +4970,24 @@ def q300_release_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: stage flags are cumulative products computed per doc
     in one frame; the dedup survivor is row_number over the content
     hash with survivors ordered first (survivor-aware keep-first —
-    deterministic, engine-identical). Scale: one flag scan + the
-    dsir_doc_scores join (doc-keyed) + ONE partitioned window over
-    the content hash + a 1-row counter aggregation; the 5-row funnel
-    is arithmetic on that row."""
-    base = fan_out(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "source", "text"
-        ),
-        "doc_id",
-    ).filter(F.size(tokens("text")) > 0)
+    deterministic, engine-identical). Scale: ONE tokenization pass
+    (a lazily checkpointed token frame feeds the flag/hash/PII
+    projection AND both DSIR gram passes — the flags are map-side, so
+    they ride the same projection as the hash instead of a corpus
+    self-join) + the dsir_doc_scores join (doc-keyed) + ONE
+    partitioned window over the content hash + a 1-row counter
+    aggregation; the 5-row funnel is arithmetic on that row."""
+    d = (
+        fan_out(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "source", "text"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "lang", "source", "text", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)
+    )
     pii_free = (
         F.size(
             F.regexp_extract_all(
@@ -4980,34 +5004,29 @@ def q300_release_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     )
-    flags = filter_flags(base, "doc_id", "text").select(
+    fl = filter_flags(
+        d.select("doc_id", "text", F.size("toks").alias("doc_toks"), "toks"),
         "doc_id",
         "text",
+        "doc_toks",
+    ).select(
+        "doc_id",
+        F.col("doc_toks").cast("long").alias("n_toks"),
+        md5_hash32("text").alias("h"),
+        pii_free.cast("int").alias("ok_pii"),
         (
             (F.col("f_len") == 1)
             & (F.col("f_uniq") == 1)
             & (F.col("f_rep") == 1)
             & (F.col("f_stop") == 1)
-        ).alias("ok_quality"),
-    )
-    fl = (
-        base.select(
-            "doc_id",
-            "text",
-            F.size(tokens("text")).cast("long").alias("n_toks"),
-            pii_free.alias("ok_pii"),
         )
-        .join(flags.select("doc_id", "ok_quality"), "doc_id")
-        .select(
-            "doc_id",
-            "n_toks",
-            md5_hash32("text").alias("h"),
-            F.col("ok_pii").cast("int").alias("ok_pii"),
-            F.col("ok_quality").cast("int").alias("ok_quality"),
-        )
+        .cast("int")
+        .alias("ok_quality"),
     )
     staged = fl.join(
-        dsir_doc_scores(spark, sf_dir).select("doc_id", "score_ppm"),
+        dsir_doc_scores(
+            spark, sf_dir, d.select("doc_id", "lang", "source", "toks")
+        ).select("doc_id", "score_ppm"),
         "doc_id",
     ).select(
         "doc_id",
