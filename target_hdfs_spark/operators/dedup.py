@@ -2110,9 +2110,10 @@ def q151_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes when needed). Static per-node facts (outdeg, n) are
     joined ONCE onto a checkpointed node frame and carried through
     the loop — the naive formulation re-joins deg and re-scans the
-    corpus for |V| and the node list every iteration; the edge list
-    is checkpointed pre-partitioned by src so each iteration's
-    edge join reuses that exchange instead of re-shuffling |E| rows.
+    corpus for |V| and the node list every iteration. (Pre-partitioning
+    the edge checkpoint by src was measured and rejected: with AQE,
+    localCheckpoint surfaces as UnknownPartitioning, so the planner
+    re-exchanges anyway and the build-time shuffle is pure overhead.)
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
@@ -2124,7 +2125,6 @@ def q151_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .repartition("src")
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
