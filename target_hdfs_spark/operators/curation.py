@@ -4810,10 +4810,13 @@ def q296_dsir_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     revisiting. Top-{_DSIR_DRIFT_TOPK} drifted buckets, deterministic
     tiebreak on bucket id.
 
-    Scale: ONE gram pass feeds both half-models (each a {_DSIR_B}-row
-    map-side-combined aggregation with a broadcast 1-row total); the
-    join and the top-k run on {_DSIR_B}-row frames
-    (TakeOrderedAndProject, never a global sort)."""
+    Scale: ONE gram pass collapses straight into ONE map-side-combined
+    (parity, bucket) aggregation (<= 2x{_DSIR_B} rows, eagerly
+    checkpointed); each half-model is a filter of that frame and its
+    totals are column sums of the SAME rows (a corpus-sized gram
+    frame is never read twice, let alone four times); the join and
+    the top-k run on {_DSIR_B}-row frames (TakeOrderedAndProject,
+    never a global sort)."""
     d = (
         fan_out(
             load_table(spark, sf_dir, "documents").select(
@@ -4824,33 +4827,31 @@ def q296_dsir_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", tokens("text").alias("toks"))
         .filter(F.size("toks") > 0)
     )
-    gb = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.explode(shingles(F.col("toks"), 2)).alias("gram"),
-        )
-        .select(
-            (F.col("doc_id") % 2).alias("parity"),
-            "lang",
-            (md5_hash32("gram") % _DSIR_B).alias("bucket"),
-        )
-        .localCheckpoint(eager=False)  # one gram pass, two half-models
+    gb = d.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles(F.col("toks"), 2)).alias("gram"),
+    ).select(
+        (F.col("doc_id") % 2).alias("parity"),
+        "lang",
+        (md5_hash32("gram") % _DSIR_B).alias("bucket"),
     )
-
-    def half_ratio(parity: int, out: str) -> DataFrame:
-        h = gb.filter(F.col("parity") == parity)
-        m = h.groupBy("bucket").agg(
+    mc = (
+        gb.groupBy("parity", "bucket")
+        .agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt_r"),
             F.sum(
                 F.when(F.col("lang") == _DSIR_TGT_LANG, 1).otherwise(0)
             ).cast("decimal(38,0)").alias("cnt_t"),
         )
-        t = h.agg(
-            F.count(F.lit(1)).cast("decimal(38,0)").alias("tot_r"),
-            F.sum(
-                F.when(F.col("lang") == _DSIR_TGT_LANG, 1).otherwise(0)
-            ).cast("decimal(38,0)").alias("tot_t"),
+        .localCheckpoint(eager=True)  # <= 2x{_DSIR_B} rows
+    )
+
+    def half_ratio(parity: int, out: str) -> DataFrame:
+        m = mc.filter(F.col("parity") == parity)
+        t = m.agg(
+            F.sum("cnt_r").cast("decimal(38,0)").alias("tot_r"),
+            F.sum("cnt_t").cast("decimal(38,0)").alias("tot_t"),
         )
         return m.crossJoin(F.broadcast(t)).select(
             "bucket",
