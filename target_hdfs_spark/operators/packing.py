@@ -807,55 +807,97 @@ def q288_pack_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Together with q280 this is the re-pack economics table: shuffle
     quality vs incremental cost, per context length.
 
-    Scale: two banded prefix sums (hash order via packed_token_frame,
-    append order via ``banded_cumsum`` on doc_id) + a 2-row delta
-    aggregate x the ctx grid. No single-task windows; the oracle's
-    global windows are the deliberate independent derivation.
+    Scale: the readout never needs a per-row prefix sum — along any
+    total order, cum_before is non-decreasing (weights >= 0), so
+    MIN(cum_before) over the inserted docs is cum_before AT the
+    order-minimal inserted doc, i.e. the plain SUM of n_toks over
+    docs strictly before it. Two 1-row aggregates over one
+    checkpointed (doc_id, n_toks, ord_h) frame (order-minimal
+    inserted doc per order, then the conditional prefix sums +
+    totals) replace the two banded prefix-sum passes x the ctx grid.
+    No single-task windows; the oracle's global windows are the
+    deliberate independent derivation.
     """
-    from target_hdfs_spark.operators.prefix import banded_cumsum
-
-    # ONE tokenization pass feeds both orders: the prefix frame is
-    # lazily checkpointed and the append-order cumsum re-ranks its
-    # (doc_id, n_toks) columns instead of re-tokenizing the corpus
-    ptf = packed_token_frame(spark, sf_dir).localCheckpoint(eager=False)
-    shuffle_f = ptf.select(
-        F.lit("shuffle").alias("train_order"),
-        "doc_id",
-        "n_toks",
-        "cum_before",
-        "total_toks",
-    )
-    append_f = banded_cumsum(
-        ptf.select("doc_id", "n_toks"),
-        F.col("n_toks"),
-        "doc_id",
-        "cum_incl",
-        tie_col="doc_id",
-        total_col="total_toks",
-    ).select(
-        F.lit("append").alias("train_order"),
-        "doc_id",
-        "n_toks",
-        (F.col("cum_incl") - F.col("n_toks")).alias("cum_before"),
-        "total_toks",
+    # ONE tokenization pass; both orders re-read the checkpointed
+    # 3-column frame instead of re-tokenizing the corpus
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        fan_out(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.size(tokens("text")).cast("long").alias("n_toks"),
+            md5_hash32(
+                F.concat(F.lit(_PK_SALT), F.col("doc_id").cast("string"))
+            ).alias("ord_h"),
+        )
+        .filter(F.col("n_toks") > 0)
+        .localCheckpoint(eager=False)
     )
     is_new = F.col("doc_id") % _IPV_MOD == 0
-    delta = (
-        shuffle_f.unionByName(append_f)
-        .groupBy("train_order")
+    # pass 1: the order-minimal inserted doc under each order (struct
+    # min = lexicographic (ord_h, doc_id) min) + the delta's mass
+    firsts = base.filter(is_new).agg(
+        F.min(F.struct("ord_h", "doc_id")).alias("s_min"),
+        F.min("doc_id").alias("a_min"),
+        F.count(F.lit(1)).cast("long").alias("inserted_docs"),
+        F.coalesce(F.sum("n_toks"), F.lit(0))
+        .cast("long")
+        .alias("inserted_tokens"),
+    )
+    # pass 2: first_changed per order = sum of n_toks strictly before
+    # the order-minimal inserted doc (NULL when there is no delta,
+    # matching the oracle's MIN over an empty set), + total_toks
+    before_s = F.struct("ord_h", "doc_id") < F.col("s_min")
+    before_a = F.col("doc_id") < F.col("a_min")
+    wide = (
+        base.crossJoin(F.broadcast(firsts))
         .agg(
-            F.min(F.when(is_new, F.col("cum_before")))
+            F.when(
+                F.any_value("inserted_docs") > 0,
+                F.coalesce(
+                    F.sum(F.when(before_s, F.col("n_toks"))), F.lit(0)
+                ),
+            )
             .cast("long")
-            .alias("first_changed"),
-            F.sum(F.when(is_new, 1).otherwise(0))
+            .alias("fc_shuffle"),
+            F.when(
+                F.any_value("inserted_docs") > 0,
+                F.coalesce(
+                    F.sum(F.when(before_a, F.col("n_toks"))), F.lit(0)
+                ),
+            )
             .cast("long")
-            .alias("inserted_docs"),
-            F.sum(F.when(is_new, F.col("n_toks")).otherwise(0))
-            .cast("long")
-            .alias("inserted_tokens"),
-            F.any_value("total_toks").cast("long").alias("total_toks"),
+            .alias("fc_append"),
+            F.sum("n_toks").cast("long").alias("total_toks"),
+            F.any_value("inserted_docs").alias("inserted_docs"),
+            F.any_value("inserted_tokens").alias("inserted_tokens"),
         )
     )
+    delta = wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("shuffle").alias("train_order"),
+                    F.col("fc_shuffle").alias("first_changed"),
+                ),
+                F.struct(
+                    F.lit("append").alias("train_order"),
+                    F.col("fc_append").alias("first_changed"),
+                ),
+            )
+        ).alias("o"),
+        "inserted_docs",
+        "inserted_tokens",
+        "total_toks",
+    ).select(
+        F.col("o.train_order").alias("train_order"),
+        F.col("o.first_changed").alias("first_changed"),
+        "inserted_docs",
+        "inserted_tokens",
+        "total_toks",
+    # an empty corpus must yield 0 rows (the oracle's GROUP BY over an
+    # empty frame), not a NULL readout row from the global aggregate
+    ).filter(F.col("total_toks").isNotNull())
     ctxs = F.explode(F.array(*[F.lit(c) for c in _PK_CTXS])).alias("ctx")
     n_chunks = "((total_toks + ctx - 1) div ctx)"
     reusable = f"least(first_changed div ctx, {n_chunks})"
