@@ -8,7 +8,7 @@ minus watermarking (covered by tests/test_streaming.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from target_hdfs_spark.registry import query
@@ -270,36 +270,53 @@ def q135_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are exact integers; the value sum uses the exact-decimal
     convention.
 
-    Scale: the scaffold comes from ``sequence()`` + ``explode`` on the
-    per-user bounds — one row per user expands engine-side to its hour
-    range (no driver loop, no UDF); the join is an equi-join on
-    (user_id, hour). Span skew is the watch item: one user alive for
-    years yields a long array — at 100 TB, cap spans or shard the
-    sequence by (user, month) first; row volume here is bounded by
-    total hours per user, the same cardinality the downstream model
-    consumes anyway.
+    Scale: the silent hours are generated from the GAPS between
+    consecutive active hours (``lead`` over the per-user hourly
+    rollup + ``sequence``/``explode``), unioned with the rollup —
+    identical rows to the scaffold-left-join formulation (a user's
+    first/last hours are active, so actual hours + in-gap zeros cover
+    exactly [min, max]) but the corpus is scanned once and the
+    scaffold is never shuffled: one rollup exchange, one |active
+    hours| window exchange, zeros emitted map-side. Span skew is the
+    watch item: one user silent for years yields a long gap array —
+    at 100 TB, cap spans or shard long gaps first; row volume here is
+    bounded by total hours per user, the same cardinality the
+    downstream model consumes anyway.
     """
     from target_hdfs_spark.functions.decimals import dec, to_double
 
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "value", F.date_trunc("hour", "ts").alias("hour_start")
+        "user_id", "value", F.date_trunc("hour", "ts").alias("hour_start")
     )
-    bounds = ev.groupBy("user_id").agg(
-        F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx")
+    actual = (
+        ev.groupBy("user_id", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            to_double(F.sum(dec("value"))).alias("value_sum"),
+        )
+        # two consumers (union branch + gap window) — materialize the
+        # rollup once so the corpus is scanned/aggregated once
+        .localCheckpoint(eager=False)
     )
-    scaffold = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour_start"),
+    w = Window.partitionBy("user_id").orderBy("hour_start")
+    hour = F.expr("INTERVAL 1 HOUR")
+    gaps = (
+        actual.withColumn("nxt", F.lead("hour_start").over(w))
+        .filter(F.col("nxt") > F.col("hour_start") + hour)
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("hour_start") + hour, F.col("nxt") - hour, hour
+                )
+            ).alias("hour_start"),
+            F.lit(0).cast("long").alias("n_events"),
+            F.lit(0.0).alias("value_sum"),
+        )
     )
-    actual = ev.groupBy("user_id", "hour_start").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        to_double(F.sum(dec("value"))).alias("value_sum"),
-    )
-    return scaffold.join(actual, ["user_id", "hour_start"], "left").select(
+    return actual.select(
         "user_id",
         "hour_start",
-        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
-        F.coalesce(F.col("value_sum"), F.lit(0.0)).alias("value_sum"),
-    )
+        F.col("n_events").cast("long").alias("n_events"),
+        "value_sum",
+    ).unionByName(gaps)
