@@ -733,7 +733,7 @@ def q160_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(19,4)")).alias("r"))
         .localCheckpoint(eager=False)  # the kernel consumes it 3x
     )
-    ranked = banded_cumsum(
+    shared = banded_cumsum(
         rev,
         F.col("r"),
         "r",
@@ -741,22 +741,25 @@ def q160_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_col="o_custkey",
         descending=True,
         total_col="total",
-    ).localCheckpoint(eager=False)  # feeds both threshold aggregates
-    shared = ranked.select(
+        # truncate the kernel's three-consumer lineage (its join-back
+        # re-derives the banded frame in-plan otherwise)
+    ).localCheckpoint(eager=False).select(
         (
             to_double(F.col("cum")) / to_double(F.col("total"))
         ).alias("cum_share")
     )
     thresh = F.expr(_PARETO_SHARE)
-    n_customers = rev.agg(F.count(F.lit(1)).alias("n_customers"))
-    n_to = shared.filter(F.col("cum_share") < thresh).agg(
-        (F.count(F.lit(1)) + F.lit(1)).cast("bigint").alias("n_to_80pct")
-    )
-    crossing = shared.filter(F.col("cum_share") >= thresh).agg(
-        F.min("cum_share").alias("share_at_crossing")
-    )
-    return (
-        n_customers.crossJoin(F.broadcast(n_to)).crossJoin(F.broadcast(crossing))
+    # one aggregate reads all three scalars off the ranked frame (the
+    # kernel preserves rows, so COUNT(*) here == COUNT(*) over rev) —
+    # no per-threshold jobs, no crossJoin re-assembly
+    return shared.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.count(F.when(F.col("cum_share") < thresh, 1)) + F.lit(1))
+        .cast("bigint")
+        .alias("n_to_80pct"),
+        F.min(F.when(F.col("cum_share") >= thresh, F.col("cum_share"))).alias(
+            "share_at_crossing"
+        ),
     )
 
 
