@@ -3639,30 +3639,42 @@ def q283_survivor_policy_delta(
     row_number rules with pinned tie-breaks; all sums and the ppm
     division are integers.
 
-    Scale: rides the q85 pipeline (star-linked pairs, checkpointed
-    propagation); the survivor windows shuffle once on the cluster
-    key; the readout is a 1-row aggregate. At 100 TB the same
-    cluster-keyed exchange serves both windows.
+    Scale: a SINGLETON BYPASS — components are resolved over the pair
+    ENDPOINTS only (every endpoint's cluster has >= 2 docs by
+    construction, every other doc is its own keeper under both
+    policies), so the survivor windows shuffle the |paired docs|
+    frame, not the corpus; the untouched majority collapses in one
+    map-side aggregate and the two partial readouts add up. At 100 TB
+    the cluster-keyed exchange carries only the duplicate-touched
+    sliver.
 
     Cites reference behavior: none (beyond-reference operator).
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
-    clustered = connected_components(docs.select("doc_id"), pairs)
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    clustered = connected_components(endpoints, pairs)
     stats = docs.select("doc_id", tokens("text").alias("_toks")).select(
         "doc_id",
         F.size("_toks").cast("long").alias("n_toks"),
         F.size(F.array_distinct("_toks")).cast("long").alias("n_unique"),
     )
-    base = clustered.join(stats, "doc_id")
+    # cluster is NULL exactly for the singleton docs (pairs have
+    # distinct endpoints, so every labeled doc sits in a >=2 cluster)
+    base = stats.join(clustered, "doc_id", "left").localCheckpoint(
+        eager=False
+    )  # feeds the window branch + the singleton aggregate
     w_q = Window.partitionBy("cluster").orderBy(
         F.col("n_unique").desc(), "doc_id"
     )
     w_m = Window.partitionBy("cluster").orderBy("doc_id")
     w_c = Window.partitionBy("cluster")
-    ranked = base.select(
-        "doc_id",
+    ranked = base.filter(F.col("cluster").isNotNull()).select(
         "n_toks",
         "n_unique",
         F.row_number().over(w_q).alias("q_rn"),
@@ -3671,29 +3683,56 @@ def q283_survivor_policy_delta(
     )
     m1 = F.col("m_rn") == 1
     q1 = F.col("q_rn") == 1
-    return ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count(F.when(m1, 1)).cast("long").alias("n_clusters"),
+    agg_p = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("p_docs"),
+        F.count(F.when(m1, 1)).cast("long").alias("p_clusters"),
         F.count(F.when(m1 & (F.col("csize") > 1), 1))
         .cast("long")
-        .alias("n_multi_clusters"),
-        F.count(F.when(q1 & ~m1, 1)).cast("long").alias("n_switched"),
-        F.sum(F.when(m1, F.col("n_toks")))
+        .alias("p_multi"),
+        F.count(F.when(q1 & ~m1, 1)).cast("long").alias("p_switched"),
+        F.coalesce(F.sum(F.when(m1, F.col("n_toks"))), F.lit(0))
         .cast("long")
-        .alias("tokens_kept_minid"),
-        F.sum(F.when(q1, F.col("n_toks")))
+        .alias("p_tok_m"),
+        F.coalesce(F.sum(F.when(q1, F.col("n_toks"))), F.lit(0))
         .cast("long")
-        .alias("tokens_kept_quality"),
-        F.sum(F.when(m1, F.col("n_unique")))
+        .alias("p_tok_q"),
+        F.coalesce(F.sum(F.when(m1, F.col("n_unique"))), F.lit(0))
         .cast("long")
-        .alias("unique_kept_minid"),
-        F.sum(F.when(q1, F.col("n_unique")))
+        .alias("p_unq_m"),
+        F.coalesce(F.sum(F.when(q1, F.col("n_unique"))), F.lit(0))
         .cast("long")
-        .alias("unique_kept_quality"),
-        F.expr(
-            "(sum(case when q_rn = 1 then n_unique end)"
-            " - sum(case when m_rn = 1 then n_unique end)) * 1000000"
-            " div greatest(sum(case when m_rn = 1 then n_unique end), 1)"
+        .alias("p_unq_q"),
+    )
+    # singletons: keeper under BOTH policies is the doc itself —
+    # csize = 1, m_rn = q_rn = 1 — so the contribution is a plain sum
+    agg_s = base.filter(F.col("cluster").isNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("s_docs"),
+        F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("s_tok"),
+        F.coalesce(F.sum("n_unique"), F.lit(0))
+        .cast("long")
+        .alias("s_unq"),
+    )
+    n_docs = F.col("p_docs") + F.col("s_docs")
+    # an empty corpus reads NULL sums (the oracle's SUM over zero
+    # rows); a populated one adds the two partials
+    total = lambda p, s: F.when(n_docs > 0, F.col(p) + F.col(s))  # noqa: E731
+    return agg_p.crossJoin(F.broadcast(agg_s)).select(
+        n_docs.cast("long").alias("n_docs"),
+        F.when(n_docs > 0, F.col("p_clusters") + F.col("s_docs"))
+        .cast("long")
+        .alias("n_clusters"),
+        F.col("p_multi").alias("n_multi_clusters"),
+        F.col("p_switched").alias("n_switched"),
+        total("p_tok_m", "s_tok").cast("long").alias("tokens_kept_minid"),
+        total("p_tok_q", "s_tok").cast("long").alias("tokens_kept_quality"),
+        total("p_unq_m", "s_unq").cast("long").alias("unique_kept_minid"),
+        total("p_unq_q", "s_unq").cast("long").alias("unique_kept_quality"),
+        F.when(
+            n_docs > 0,
+            F.expr(
+                "(p_unq_q - p_unq_m) * 1000000"
+                " div greatest(p_unq_m + s_unq, 1)"
+            ),
         )
         .cast("long")
         .alias("unique_gain_ppm"),
