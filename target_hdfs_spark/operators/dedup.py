@@ -2859,17 +2859,20 @@ def q214_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(NUM_HASHES):
         term = F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
         match_expr = term if match_expr is None else match_expr + term
-    est = pairs.join(a, "doc_a").join(b, "doc_b").select(
-        "doc_a", "doc_b", match_expr.alias("n_match")
-    )
+    # signatures join straight onto the verified counts (every pair
+    # endpoint has a signature, so the pair set is identical) — no
+    # separate estimate branch, no pair-pair join to reunite them
     j = (
-        est.join(counts, ["doc_a", "doc_b"])
+        counts.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
-            "n_match",
+            match_expr.alias("n_match"),
             F.expr("n_common * 1000000 div (na + nb - n_common)").alias(
                 "exact_ppm"
             ),
-            F.expr(f"n_match * 1000000 div {NUM_HASHES}").alias("est_ppm"),
+        )
+        .withColumn(
+            "est_ppm", F.expr(f"n_match * 1000000 div {NUM_HASHES}")
         )
     )
     return j.groupBy(F.col("n_match").cast("long").alias("n_match")).agg(
