@@ -941,6 +941,22 @@ def q85_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs)
 
 
+def paired_component_labels(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster) for the pair ENDPOINTS only. Every other doc
+    is a singleton (its own cluster root) by construction — pairs
+    have distinct endpoints, so every labeled doc sits in a >= 2
+    cluster — which lets readouts that don't need per-doc labels
+    (survivor sets, histograms, manifests) run components and their
+    downstream joins over the duplicate-touched sliver instead of the
+    corpus (guide §8: decide on small rows)."""
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return connected_components(endpoints, pairs)
+
+
 def pair_overlap_counts(
     pairs: DataFrame,
     sh: DataFrame,
@@ -2390,16 +2406,18 @@ def q207_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
-    clustered = connected_components(docs.select("doc_id"), pairs)
-    return (
-        clustered.join(docs.select("doc_id", "n_chars"), "doc_id")
-        .filter(F.col("doc_id") != F.col("cluster"))
-        .select(
-            "doc_id",
-            "cluster",
-            F.lit("drop").alias("action"),
-            F.col("n_chars").cast("long").alias("chars_saved"),
-        )
+    # the manifest is exactly the non-root PAIRED docs, so components
+    # and the n_chars join-back run over the endpoint sliver — the
+    # corpus side arrives pre-filtered by the join instead of
+    # shuffling every doc through the cluster label join
+    losers = paired_component_labels(pairs).filter(
+        F.col("doc_id") != F.col("cluster")
+    )
+    return losers.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id",
+        "cluster",
+        F.lit("drop").alias("action"),
+        F.col("n_chars").cast("long").alias("chars_saved"),
     )
 
 
@@ -3656,12 +3674,7 @@ def q283_survivor_policy_delta(
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig).localCheckpoint(eager=True)
-    endpoints = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    clustered = connected_components(endpoints, pairs)
+    clustered = paired_component_labels(pairs)
     stats = docs.select("doc_id", tokens("text").alias("_toks")).select(
         "doc_id",
         F.size("_toks").cast("long").alias("n_toks"),
