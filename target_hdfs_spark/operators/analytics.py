@@ -4513,17 +4513,39 @@ def coorder_part_edges(li: DataFrame) -> DataFrame:
     # ONE order-keyed shuffle builds the basket arrays; pairs explode
     # MAP-SIDE from each sorted basket (q176's transform x slice —
     # no self-join, no second corpus shuffle), and the same frame
-    # feeds per-part counts and the basket total
-    baskets = (
+    # feeds per-part counts and the basket total.
+    # fan_out BEFORE the checkpoint (guide §2.5 parallelize-before-
+    # amplify): byte-based AQE coalescing shrinks the compact basket
+    # frame to ONE partition at bench scale, which would run the
+    # pair explosion and every downstream aggregate serially
+    # (measured r12: the basket checkpoint held 1 partition and the
+    # pair census ran 3.6 s on one core vs 0.7 s fanned).
+    from target_hdfs_spark.sources.readers import fan_out
+
+    baskets = fan_out(
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .groupBy("ok")
-        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
-        .localCheckpoint()
-    )
+        .agg(F.array_sort(F.collect_set("p")).alias("ps")),
+        "ok",
+    ).localCheckpoint()
     cnt = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
         F.count(F.lit(1)).alias("c")
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_ord"))
+    # pin the pair census's reduce parallelism: the (u, v) key space
+    # is ~|pairs| groups of a few bytes each, so hash-agg cost scales
+    # with GROUPS while AQE's coalescing reasons in BYTES and would
+    # merge the whole census into one task at bench scale (measured
+    # r12: 3.3 s one-task vs 1.0 s spread). repartition-by-key is
+    # reused by the groupBy (same keys, same count — one exchange).
+    # Count is scale-adaptive: floor at every core, grow with the
+    # materialized basket frame (whose partitioning AQE already sized
+    # by bytes), so at 100 TB the census keeps data-proportional
+    # tasks instead of a per-core pin.
+    n_fan = max(
+        li.sparkSession.sparkContext.defaultParallelism,
+        baskets.rdd.getNumPartitions(),
+    )
     pairs = (
         baskets.select(
             F.explode(
@@ -4535,6 +4557,7 @@ def coorder_part_edges(li: DataFrame) -> DataFrame:
             ).alias("pr")
         )
         .select("pr.u", "pr.v")
+        .repartition(n_fan, "u", "v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("obs"))
     )
